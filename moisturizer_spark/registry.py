@@ -1,0 +1,142 @@
+"""Descriptor registry: schema-as-data with a self-describing bootstrap row.
+
+The reference keeps descriptors in a Cassandra table whose own schema is
+described by a meta-descriptor row ``id='descriptor_model'``
+(reference ``moisturizer/__init__.py:32-42``, ``moisturizer/models.py:111-136``),
+and caches descriptors in a per-consumer dict
+(reference ``moisturizer/consumer.py:16,41-46``).
+
+Here the registry is a small JSON-lines document beside the warehouse plus
+an in-memory cache on the driver — schemas are metadata (KBs), so a
+driver-side store is the *correct* scale choice; executors only ever see
+the resolved ``StructType``. ``to_df`` exposes the registry as a DataFrame
+(``MAP<STRING, STRUCT<...>>`` properties, mirroring FIXTURES.md F3) for
+introspection queries.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from moisturizer_spark.errors import TypeNotFound
+from moisturizer_spark.storage import ParquetTable
+from moisturizer_spark.typesys import Descriptor, FieldDescriptor
+
+META_DESCRIPTOR_ID = "descriptor_model"
+
+_PROPERTIES_TYPE = T.MapType(
+    T.StringType(),
+    T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("primary_key", T.BooleanType()),
+            T.StructField("partition_key", T.BooleanType()),
+            T.StructField("required", T.BooleanType()),
+            T.StructField("index", T.BooleanType()),
+        ]
+    ),
+)
+
+REGISTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("description", T.StringType()),
+        T.StructField("last_modified", T.TimestampType()),
+        T.StructField("properties", _PROPERTIES_TYPE),
+    ]
+)
+
+
+class Registry:
+    """Driver-side descriptor store, persisted to ``<warehouse>/_descriptors.json``."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self._path = os.path.join(warehouse, "_descriptors.json")
+        self._cache: dict[str, Descriptor] = {}
+        self._load()
+        self._bootstrap()
+
+    # -- persistence --------------------------------------------------------
+    def _load(self) -> None:
+        if os.path.exists(self._path):
+            with open(self._path) as fh:
+                for line in fh:
+                    if line.strip():
+                        desc = Descriptor.from_row(json.loads(line))
+                        self._cache[desc.id] = desc
+
+    def _flush(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".json")
+        with os.fdopen(fd, "w") as fh:
+            for desc in self._cache.values():
+                row = desc.to_row()
+                row["last_modified"] = row["last_modified"].isoformat()
+                fh.write(json.dumps(row) + "\n")
+        os.replace(tmp, self._path)
+
+    def _bootstrap(self) -> None:
+        """Insert the self-describing meta-descriptor row
+        (reference ``moisturizer/__init__.py:37-42``). Idempotent."""
+        if META_DESCRIPTOR_ID not in self._cache:
+            meta = Descriptor(
+                id=META_DESCRIPTOR_ID,
+                properties={
+                    "properties": FieldDescriptor(type="object", format="descriptor")
+                },
+            )
+            self._cache[META_DESCRIPTOR_ID] = meta
+            self._flush()
+
+    # -- CRUD on descriptors ------------------------------------------------
+    def get(self, type_id: str) -> Descriptor:
+        try:
+            return self._cache[type_id]
+        except KeyError:
+            raise TypeNotFound(f"unknown type {type_id!r}") from None
+
+    def exists(self, type_id: str) -> bool:
+        return type_id in self._cache
+
+    def get_or_create(self, type_id: str) -> Descriptor:
+        """Reference ``moisturizer/consumer.py:48-55`` get-or-create."""
+        if type_id not in self._cache:
+            self.save(Descriptor(id=type_id))
+        return self._cache[type_id]
+
+    def save(self, descriptor: Descriptor) -> None:
+        self._cache[descriptor.id] = descriptor
+        self._flush()
+
+    def delete(self, type_id: str) -> None:
+        """Drop descriptor + physical table
+        (reference ``moisturizer/models.py:176-182``)."""
+        self.get(type_id)
+        del self._cache[type_id]
+        self._flush()
+        self.table(type_id).drop()
+
+    def list_ids(self) -> list[str]:
+        return sorted(self._cache)
+
+    # -- physical tables ----------------------------------------------------
+    def table(self, type_id: str) -> ParquetTable:
+        safe = "".join(c if c.isalnum() or c in "_-" else "_" for c in type_id)
+        return ParquetTable(self.spark, os.path.join(self.warehouse, f"objects_{safe}"))
+
+    # -- introspection ------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        rows = []
+        for desc in self._cache.values():
+            row = desc.to_row()
+            row["last_modified"] = _dt.datetime.now(_dt.timezone.utc)
+            rows.append(row)
+        return self.spark.createDataFrame(rows, REGISTRY_SCHEMA)
