@@ -1,0 +1,59 @@
+"""Benchmark harness: runs the engine's workload at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "workload_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Each query is materialized with the noop writer (full execution, no
+driver-side collect overhead). Queries run once, cold-ish (a tiny warmup
+query initializes the JVM/codegen so the first measured query isn't
+charged Spark's startup cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from moisturizer_spark.session import get_spark
+    from moisturizer_spark import workload
+
+    spark = get_spark(app_name="moisturizer_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup (not measured)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in workload.QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    match = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

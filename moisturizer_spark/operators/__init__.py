@@ -1,0 +1,27 @@
+"""Analytics operators: LLM-data-pipeline extensions over the core engine.
+
+Everything here is declared through the DataFrame API so Catalyst picks the
+physical plan; Python-side code only *builds* plans. Pandas UDFs appear
+solely where built-ins cannot express the semantics (none of the operators
+in this package need one on the hot path — similarity math uses JVM
+higher-order functions).
+"""
+
+from moisturizer_spark.operators.asof import asof_join  # noqa: F401
+from moisturizer_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    fingerprint,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from moisturizer_spark.operators.similarity import (  # noqa: F401
+    brute_force_top_k,
+    cosine_similarity_col,
+    lsh_top_k,
+)
+from moisturizer_spark.operators.textan import (  # noqa: F401
+    language_id,
+    quality_features,
+    token_stats,
+)

@@ -1,0 +1,210 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale notes (100 TB):
+
+- *Exact*: one shuffle on the 128-bit content fingerprint; map-side
+  partial aggregation applies. Never shuffles the document text — only
+  (fingerprint, id) pairs after the projection, so shuffle bytes are tiny
+  relative to input.
+- *MinHash-LSH*: banding turns all-pairs O(n²) into a shuffle on band
+  signatures; candidate pairs then verify locally. Only signatures travel.
+- *n-gram Jaccard*: exact all-pairs via an inverted shingle index
+  (explode → self-join on shingle). Quadratic in the worst case — at
+  scale use it to VERIFY candidates from LSH, not stand-alone; kept exact
+  here because it is the DuckDB-checkable ground truth.
+- *SimHash*: linear; 64-bit signature per doc, near-dup = small Hamming
+  distance within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Content fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash/murmur) because it is bit-identical across engines —
+    the DuckDB oracle can reproduce it. Normalization: lowercase +
+    whitespace-collapse, the usual first step of near-dup pipelines.
+    """
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(F.trim(normalized)))
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str] | None = None, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup: keep one representative row per content group.
+
+    Representative = min(id) per fingerprint — deterministic, unlike
+    ``dropDuplicates`` which keeps an arbitrary row. Single hash-shuffle
+    on the fingerprint.
+    """
+    if key_cols is None:
+        df = fingerprint(df, text_col)
+        key_cols = ["fp"]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingle") -> DataFrame:
+    """Explode a text column into its distinct character n-grams.
+
+    JVM-side: sequence → transform → explode; no Python per row.
+    """
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(regexp_replace(lower({text_col}), '\\\\s+', ' ')) - {n - 1}, 1)), "
+        f"i -> substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {n})))"
+    )
+    return df.withColumn(out_col, F.explode(grams))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity via an inverted index.
+
+    plan: explode shingles → distinct(id, shingle) → self-join on shingle
+    (the inverted index; one shuffle) → count common shingles per pair →
+    join per-doc shingle counts (broadcast-able) → jaccard filter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = (
+        shingles(df.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col).alias("_id"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes).withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "sz_a"), "id_a")
+        .join(F.broadcast(sizes).withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs using Spark ML.
+
+    shingle vectorization via HashingTF (2^18 feature space) →
+    ``MinHashLSH.approxSimilarityJoin`` (band-bucket shuffle, no all-pairs).
+    Returns (id_a, id_b, jaccard_distance). Non-SQL-expressible → driver
+    rows-only check; exactness verified in tests against
+    :func:`ngram_jaccard_pairs`.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = (
+        shingles(df.select(id_col, text_col), text_col, 3)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("grams"))
+    )
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh).filter(F.expr("size(grams) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_distance")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_distance"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash signature per document, JVM-side.
+
+    token hash = xxhash64(token); signature bit b = sign of the sum over
+    tokens of (+1 if bit set else -1). Expressed with higher-order array
+    functions — linear scan, no shuffle, whole-stage codegen applies.
+    """
+    tokens = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+"),
+        lambda t: t != "",
+    )
+    # hash each token once, then vote per bit over the hash array; all in
+    # one SQL higher-order expression (shiftleft's Python API wants a
+    # literal shift, but the SQL function accepts a column)
+    hashed = df.withColumn("_th", F.transform(tokens, lambda t: F.xxhash64(t)))
+    sig_expr = f"""
+      aggregate(
+        transform(sequence(0, {bits - 1}), b ->
+          CASE WHEN aggregate(_th, 0, (acc, h) ->
+                 acc + (CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), b)) != 0
+                        THEN 1 ELSE -1 END)) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), b)
+               ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (acc, x) -> acc | x)
+    """
+    return hashed.withColumn("simhash", F.expr(sig_expr)).drop("_th")
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded to avoid all-pairs.
+
+    The 64-bit signature splits into 4 16-bit bands; by pigeonhole any pair
+    with Hamming distance ≤ 3 agrees on ≥ 1 band, so the self-join on
+    (band_idx, band_value) finds all such pairs with a bounded shuffle.
+    """
+    sigs = simhash(df.select(id_col, text_col), id_col, text_col).select(id_col, "simhash")
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b as band, "
+                "shiftright(simhash, b * 16) & 65535 as value))"
+            )
+        ).alias("band"),
+    ).select("_id", "simhash", "band.band", "band.value")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "value"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

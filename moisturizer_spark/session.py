@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 
 def get_spark(
@@ -109,11 +109,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects; read nanos as raw int64 and truncate to microseconds —
+    # identical to DuckDB's TIMESTAMP_NS → TIMESTAMP truncation, so the
+    # oracle agrees bit-for-bit.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The caller may hand us a session without engine defaults (the driver
+    # harness does); timestamps must collect as UTC wall-clock to match the
+    # oracle's naive timestamps, whatever the host TZ is.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in names or default_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            for field in df.schema.fields:
+                if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                    df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

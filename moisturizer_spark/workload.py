@@ -1,0 +1,940 @@
+"""Named analytics workload: each query as (Spark plan, DuckDB oracle SQL).
+
+This is the engine's public query surface over the harness tables
+(``region nation customer supplier part orders lineitem events documents
+embeddings``). Every SQL-expressible query carries an ANSI-SQL oracle that
+DuckDB runs on the same parquet files; the driver hash-matches results.
+
+Cross-engine determinism rules used throughout (worth reading once):
+
+- **Money math is decimal, not double.** Doubles summed in different
+  orders differ in the last bits; decimal sums are exact, so both engines
+  produce identical values, which then cast to identical doubles.
+  Pattern: ``CAST(col AS DECIMAL(15,4))`` → arithmetic → ``SUM`` →
+  ``CAST(... AS DOUBLE)``. Intermediate precisions are chosen to fit
+  DuckDB's 38-digit cap under its (p1+p2) multiplication rule.
+- **Averages divide two deterministic values** (``sum_dec::double /
+  count``) — IEEE division of identical inputs is identical.
+- **Every LIMIT/top-k has a unique tiebreaker column** so membership is
+  stable, and every window ``ORDER BY`` is a total order.
+- **Cosine similarities are rounded to 6 digits _before_ ranking** so
+  double association differences can't flip ranks across engines.
+- Output columns are aliased identically on both sides (the driver sorts
+  columns by name and hashes values).
+
+Scale design notes are on each query's docstring: what shuffles, what
+broadcasts, what the plan looks like at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from moisturizer_spark.operators import asof_join, brute_force_top_k, ngram_jaccard_pairs
+from moisturizer_spark.operators.dedup import fingerprint
+from moisturizer_spark.operators.textan import STOPWORDS, language_id, tokens_col
+from moisturizer_spark.session import load_tables
+
+# -- deterministic-arithmetic helpers (see module docstring) ----------------
+
+_PRICE = "decimal(15,4)"   # fits |values| < 1e11 at 4 dp
+_RATE = "decimal(8,6)"     # discounts / taxes in [0, 1]
+
+
+def _p(col: str):
+    return F.col(col).cast(_PRICE)
+
+
+def _r(col: str):
+    return F.col(col).cast(_RATE)
+
+
+def _one():
+    return F.lit(1).cast(_RATE)
+
+
+def _d(col) -> F.Column:
+    return col.cast("double")
+
+
+_SQL_PRICE = "DECIMAL(15,4)"
+_SQL_RATE = "DECIMAL(8,6)"
+
+
+def _sql_p(col: str) -> str:
+    return f"CAST({col} AS {_SQL_PRICE})"
+
+
+def _sql_r(col: str) -> str:
+    return f"CAST({col} AS {_SQL_RATE})"
+
+
+_SQL_REV = f"{_sql_p('l_extendedprice')} * (CAST(1 AS {_SQL_RATE}) - {_sql_r('l_discount')})"
+
+
+def _rev():
+    return _p("l_extendedprice") * (_one() - _r("l_discount"))
+
+
+# -- query registry ----------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM({_sql_p('l_quantity')}) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM({_sql_p('l_extendedprice')}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST({_SQL_REV} AS DECIMAL(28,10))
+                    * (CAST(1 AS {_SQL_RATE}) + {_sql_r('l_tax')})) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM({_sql_p('l_quantity')}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM({_sql_p('l_extendedprice')}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM({_sql_r('l_discount')}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (flagship): scan → partial agg → 4-group final agg.
+
+    Scale: single map-side-combining shuffle of 4 groups × 8 aggregates;
+    filter and 7-column pruning push to the parquet scan. The canonical
+    "is the engine healthy" query.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    rev = _rev()
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _d(F.sum(_p("l_quantity"))).alias("sum_qty"),
+            _d(F.sum(_p("l_extendedprice"))).alias("sum_base_price"),
+            _d(F.sum(rev)).alias("sum_disc_price"),
+            # widened to DECIMAL(28,10) pre-multiply: keeps DuckDB in
+            # int128 storage (int64 DECIMAL(≤18) overflows) and the Spark
+            # result within the 38-digit cap
+            _d(F.sum(rev.cast("decimal(28,10)") * (_one() + _r("l_tax")))).alias(
+                "sum_charge"
+            ),
+            (_d(F.sum(_p("l_quantity"))) / cnt).alias("avg_qty"),
+            (_d(F.sum(_p("l_extendedprice"))) / cnt).alias("avg_price"),
+            (_d(F.sum(_r("l_discount"))) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    f"""
+    SELECT l_orderkey,
+           CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-fact join + broadcast dim + top-k.
+
+    Scale: customer (filtered on segment) broadcasts; lineitem⋈orders is
+    the one real shuffle, on orderkey. Top-10 runs as partial TakeOrdered
+    per partition then a 10-row driver merge — no global sort.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_d(F.sum(_rev())).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_nation_revenue",
+    f"""
+    SELECT n_name, CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with three broadcast dims.
+
+    Scale: supplier/nation/region broadcast (they're tiny even at SF10k);
+    the only shuffles are lineitem⋈orders (orderkey) and the re-key to
+    custkey. Catalyst reorders the dim joins after the filters.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    j = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(_d(F.sum(_rev())).alias("revenue")).orderBy("n_name")
+
+
+@query(
+    "top3_customers_per_nation",
+    """
+    WITH rev AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name, c_nationkey
+    )
+    SELECT n_name, c_custkey, c_name, revenue, rnk
+    FROM (
+        SELECT n_name, c_custkey, c_name, revenue,
+               ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rnk
+        FROM rev JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rnk <= 3
+    ORDER BY n_name, rnk
+    """,
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: agg → broadcast dim join → ranked window.
+
+    Scale: one shuffle for the custkey agg, broadcast nation, one shuffle
+    on n_name for the window (25 partitions; rank prunes early under AQE).
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    rev = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(_d(F.sum(_p("o_totalprice"))).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "c_name", "revenue", "rnk")
+        .orderBy("n_name", "rnk")
+    )
+
+
+@query(
+    "late_shipment_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join.
+
+    Scale: semi-join shuffles only (orderkey, shipdate) from lineitem —
+    column pruning keeps the probe side narrow; no duplication of orders
+    rows (semi, not inner+distinct).
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        t["orders"]
+        .join(t["lineitem"], cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (no null-trap, unlike NOT IN)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "revenue_rollup",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — Catalyst expands to grouping sets in one
+    shuffle (Expand operator), not one pass per level."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(_d(F.sum(_rev())).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "brand_revenue_share",
+    f"""
+    WITH b AS (
+        SELECT p_brand, SUM({_SQL_REV}) AS rev_dec, COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           ROUND(CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(rev_dec) OVER () AS VARCHAR) AS DOUBLE), 6) AS share,
+           n_items
+    FROM b
+    ORDER BY p_brand
+    """,
+)
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unpartitioned window over the *aggregated*
+    frame (a handful of brand rows — the single-partition window is on
+    25 rows, not the fact table; the decimal total keeps it exact)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    b = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum(_rev()).alias("rev_dec"), F.count(F.lit(1)).alias("n_items"))
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "p_brand",
+        _d(F.col("rev_dec")).alias("revenue"),
+        F.round(_d(F.col("rev_dec")) / _d(F.sum("rev_dec").over(w)), 6).alias("share"),
+        "n_items",
+    ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics
+# ---------------------------------------------------------------------------
+
+# events.ts is TIMESTAMP_NS in parquet; both engines truncate to µs (Spark
+# via `ts DIV 1000` in load_tables, DuckDB via this CAST) so values agree.
+_SQL_EV = (
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+@query(
+    "events_daily",
+    f"""
+    WITH {_SQL_EV}
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(15,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(15,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM ev
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event aggregate. At scale the table is partitioned by
+    ingest date, so the groupBy aligns with the layout (partition-local)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    cnt = F.count(F.lit(1))
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(
+            cnt.alias("n_events"),
+            _d(F.sum(_p("value"))).alias("sum_value"),
+            (_d(F.sum(_p("value"))) / cnt).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "events_user_pivot",
+    f"""
+    WITH {_SQL_EV}
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(15,4))
+                         ELSE CAST(0 AS DECIMAL(15,4)) END) AS VARCHAR) AS DOUBLE) AS purchase_value
+    FROM ev
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-by-conditional-aggregation — one shuffle, no separate pivot
+    pass (``df.groupBy().pivot()`` needs a distinct-values job first;
+    spelling the columns avoids it)."""
+    t = load_tables(spark, sf_dir, ("events",))
+
+    def n(kind: str):
+        return F.count(F.when(F.col("event_type") == kind, 1)).alias(f"n_{kind}")
+
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            n("click"),
+            n("view"),
+            n("purchase"),
+            n("signup"),
+            n("error"),
+            _d(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", _p("value")).otherwise(
+                        F.lit(0).cast(_PRICE)
+                    )
+                )
+            ).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH {_SQL_EV}, flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum.
+
+    Scale: ONE shuffle on user_id serves both windows and the final
+    aggregate (same partitioning reused across stages). This is the batch
+    analog of the streaming session_window operator in
+    :mod:`moisturizer_spark.streaming`.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = t["events"].withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_running_total",
+    f"""
+    WITH {_SQL_EV}
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(15,4)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_value
+    FROM ev
+    ORDER BY event_id
+    """,
+)
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum — decimal accumulator for cross-engine
+    exactness; single user_id shuffle."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            _d(F.sum(_p("value")).over(w)).alias("running_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "purchase_asof_view",
+    f"""
+    WITH {_SQL_EV}
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS view_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior view.
+
+    Spark lacks ASOF JOIN; this uses the engine's union-and-window
+    operator (:func:`moisturizer_spark.operators.asof_join`) — one
+    user_id shuffle, no range-explosion (see its docstring).
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="ts",
+        right_payload=["event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_right").alias("view_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@query(
+    "events_props_flatten",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_props_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_props_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_props_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,  # no ts column used → no CTE needed
+)
+def events_props_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flatten surface applied analytically: JSON payload
+    column → typed flat column (``props__k``) → aggregate. JVM-side
+    ``get_json_object``, no Python."""
+    t = load_tables(spark, sf_dir, ("events",))
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        t["events"]
+        .withColumn("props__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("props__k").alias("sum_props_k"),
+            F.min("props__k").alias("min_props_k"),
+            F.max("props__k").alias("max_props_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_TOKS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+    "'\\s+'), x -> x <> '')"
+)
+
+
+@query(
+    "docs_fingerprint_dedup",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_SQL_NORM_TEXT}) AS fp FROM documents)
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+    FROM fp
+    GROUP BY fp
+    ORDER BY fp
+    """,
+)
+def docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (md5 of normalized text — chosen
+    over xxhash because the oracle can reproduce it). Scale: the shuffle
+    carries (fp, doc_id) only — 24 bytes/row regardless of document size."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        fingerprint(t["documents"], "text")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+        .orderBy("fp")
+    )
+
+
+@query(
+    "token_stats_by_lang",
+    f"""
+    WITH d AS (
+        SELECT lang,
+               len({_SQL_TOKS}) AS n_tokens,
+               len(list_distinct({_SQL_TOKS})) AS n_unique,
+               CAST(list_sum(list_transform({_SQL_TOKS}, x -> len(x))) AS BIGINT) AS token_chars
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS sum_tokens,
+           CAST(CAST(SUM(n_tokens) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(CAST(SUM(n_unique) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_unique,
+           CAST(CAST(SUM(token_chars) AS VARCHAR) AS DOUBLE) / SUM(n_tokens) AS avg_token_len
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics per language. All ratios divide integer sums, so
+    both engines produce bit-identical doubles."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = tokens_col(F.col("text"))
+    d = t["documents"].select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("long")
+        .alias("token_chars"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum("n_unique").cast("double") / F.count(F.lit(1))).alias("avg_unique"),
+            (F.sum("token_chars").cast("double") / F.sum("n_tokens")).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "quality_by_source",
+    f"""
+    WITH d AS (
+        SELECT source,
+               len(text) AS n_chars,
+               len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars,
+               len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+               len({_SQL_TOKS}) AS n_tokens,
+               len(list_distinct({_SQL_TOKS})) AS n_unique,
+               len(list_filter({_SQL_TOKS},
+                   x -> list_contains({list(STOPWORDS['en'])!r}, x))) AS stop_tokens
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(CAST(SUM(punct_chars) AS VARCHAR) AS DOUBLE) / SUM(n_chars) AS punct_ratio,
+           CAST(CAST(SUM(digit_chars) AS VARCHAR) AS DOUBLE) / SUM(n_chars) AS digit_ratio,
+           CAST(CAST(SUM(stop_tokens) AS VARCHAR) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
+           1.0 - CAST(CAST(SUM(n_unique) AS VARCHAR) AS DOUBLE) / SUM(n_tokens) AS dup_token_ratio
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality dashboard per source: punctuation/digit density,
+    stopword rate, repetitiveness — the C4/Gopher-style filters as
+    aggregates. Integer numerators/denominators → deterministic ratios."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    text = F.col("text")
+    toks = tokens_col(text)
+    stop = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    d = t["documents"].select(
+        "source",
+        F.length(text).alias("n_chars"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))).alias("punct_chars"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))).alias("digit_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_tokens"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("punct_chars").cast("double") / F.sum("n_chars")).alias("punct_ratio"),
+            (F.sum("digit_chars").cast("double") / F.sum("n_chars")).alias("digit_ratio"),
+            (F.sum("stop_tokens").cast("double") / F.sum("n_tokens")).alias("stopword_ratio"),
+            (F.lit(1.0) - F.sum("n_unique").cast("double") / F.sum("n_tokens")).alias(
+                "dup_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter({_SQL_TOKS}, x -> list_contains({list(words)!r}, x)))"
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    cases = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    scores = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    greatest = ", ".join(f"s_{lang}" for lang in sorted(STOPWORDS))
+    return f"""
+    WITH scored AS (
+        SELECT lang, {scores} FROM documents
+    ), best AS (
+        SELECT lang, greatest({greatest}) AS best,
+               s_de, s_en, s_es, s_fr
+        FROM scored
+    )
+    SELECT lang, CASE WHEN best = 0 THEN 'other' {cases} END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM best
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """
+
+
+@query("langid_confusion", _langid_sql())
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted (stopword-voting heuristic)
+    vs labeled language. Ties break alphabetically in both engines."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        language_id(t["documents"], "text")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "ngram_jaccard_near_dup",
+    f"""
+    WITH d AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 100
+    ), sh AS (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS g
+        FROM d, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard near-dup pairs on a bounded subset.
+
+    The subset (doc_id < 100) bounds the inherently-quadratic exact
+    computation at every scale factor; at corpus scale this operator is
+    the *verifier* behind MinHash-LSH candidates
+    (:func:`moisturizer_spark.operators.dedup.minhash_near_duplicates`),
+    never a standalone all-pairs pass.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(subset, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_top5_cosine",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(qv, cv), 6) AS sim
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_top5_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 10 query vectors (brute force).
+
+    Query side broadcasts; corpus scan is embarrassingly parallel; math is
+    JVM higher-order functions in double precision; similarity rounded to
+    6 digits *before* ranking so ranks agree across engines.
+    """
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return brute_force_top_k(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (not SQL-expressible / approximate by design)
+# ---------------------------------------------------------------------------
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (approximate → rows-only check)."""
+    from moisturizer_spark.operators.dedup import minhash_near_duplicates
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    return minhash_near_duplicates(subset, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (hash-dependent → rows-only check)."""
+    from moisturizer_spark.operators.dedup import simhash_near_duplicates
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    return simhash_near_duplicates(subset, max_hamming=16).orderBy("id_a", "id_b")
+
+
+def embedding_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH top-5 (bucketed random projection → rows-only)."""
+    from moisturizer_spark.operators.similarity import lsh_top_k
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return lsh_top_k(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+QUERIES["minhash_near_dup"] = minhash_near_dup
+QUERIES["simhash_near_dup"] = simhash_near_dup
+QUERIES["embedding_lsh_top5"] = embedding_lsh_top5
