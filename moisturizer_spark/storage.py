@@ -103,12 +103,19 @@ class ParquetTable:
 
     def delete_where(self, condition) -> DataFrame:
         """Delete matching rows; returns the deleted rows (the reference's
-        DELETE echoes them, ``tests/test_views.py:300-305``)."""
+        DELETE echoes them, ``tests/test_views.py:300-305``).
+
+        The echo is materialized to the driver BEFORE the overwrite —
+        never ``.cache()`` here: a cached plan over this path would be
+        substituted into later scans of the same (now rewritten) path by
+        Spark's CacheManager, serving stale rows. Echo-on-delete is a
+        row-level REST semantic; bulk deletion at scale goes through
+        ``overwrite`` with a predicate instead.
+        """
         df = self.read()
-        deleted = df.filter(condition).cache()
-        deleted.count()  # materialize before overwrite invalidates the scan
+        rows = df.filter(condition).collect()
         self.overwrite(df.filter(~condition))
-        return deleted
+        return self.spark.createDataFrame(rows, df.schema)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
