@@ -169,23 +169,37 @@ class IngestEngine:
     def _validate_pass(data_df: DataFrame, descriptor: Descriptor) -> DataFrame:
         """Validate + coerce + flatten every record against the (already
         evolved) descriptor. Emits rows in the descriptor's storage schema
-        plus an ``_error`` string column (null = valid)."""
+        plus an ``_error`` string column (null = valid) and the arrival
+        sequence ``_seq`` (LWW tiebreaker — the reference processes
+        messages sequentially, so within-batch duplicates must resolve to
+        the LAST arrival, not whichever partition validated first).
+
+        ``last_modified`` defaults to ONE timestamp for the whole batch:
+        per-record ``now()`` inside a parallel map would order rows by
+        processing time, which does not track arrival order.
+        """
+        import datetime as _dt
+
         props = {k: v.to_dict() for k, v in descriptor.properties.items()}
-        schema = descriptor.spark_schema().add("_error", T.StringType())
+        schema = descriptor.spark_schema().add("_error", T.StringType()).add(
+            "_seq", T.LongType()
+        )
         out_cols = [f.name for f in schema.fields]
         type_id = descriptor.id
+        batch_ts = _dt.datetime.now(_dt.timezone.utc)
 
         def run(batches):
             desc = Descriptor.from_row({"id": type_id, "properties": props})
             for pdf in batches:
                 rows = []
-                for payload in pdf["data"]:
+                for payload, seq in zip(pdf["data"], pdf["_seq"]):
                     row = dict.fromkeys(out_cols)
+                    row["_seq"] = int(seq)
                     try:
                         obj = json.loads(payload) if payload else {}
                         if not isinstance(obj, dict):
                             raise ValueError("payload is not an object")
-                        validated = desc.validate(flatten_dict(obj))
+                        validated = desc.validate(flatten_dict(obj), default_ts=batch_ts)
                         row.update({k: v for k, v in validated.items() if k in row})
                     except Exception as exc:  # per-record dead letter
                         row["_error"] = f"{type(exc).__name__}: {exc}"
@@ -193,12 +207,15 @@ class IngestEngine:
                     rows.append(row)
                 yield pd.DataFrame(rows, columns=out_cols)
 
-        return data_df.select("data").mapInPandas(run, schema)
+        return data_df.select("data", "_seq").mapInPandas(run, schema)
 
     # -- batch entry point --------------------------------------------------
     def ingest_batch(self, envelope_df: DataFrame) -> IngestStats:
         stats = IngestStats()
         good, dead = unwrap_envelope(envelope_df)
+        # Arrival order within the batch (per-partition exact, partition-index
+        # ordered across partitions — the same guarantee Kafka itself gives).
+        good = good.withColumn("_seq", F.monotonically_increasing_id())
         self._dead_letter(dead.select(F.to_json(F.struct(*dead.columns)).alias("payload"),
                                       F.col("error")))
         stats.dead_letters += dead.count()
@@ -213,16 +230,16 @@ class IngestEngine:
             bad = validated.filter(F.col("_error").isNotNull())
             self._dead_letter(
                 bad.select(
-                    F.to_json(F.struct(*[c for c in bad.columns if c != "_error"])).alias(
-                        "payload"
-                    ),
+                    F.to_json(
+                        F.struct(*[c for c in bad.columns if c not in ("_error", "_seq")])
+                    ).alias("payload"),
                     F.col("_error").alias("error"),
                 )
             )
             stats.dead_letters += bad.count()
             rows = validated.filter(F.col("_error").isNull()).drop("_error")
             table = self.registry.table(type_id)
-            table.upsert(rows)
+            table.upsert(rows, seq_col="_seq")
             stats.rows_upserted += table.read().count()
             validated.unpersist()
         return stats

@@ -67,16 +67,27 @@ class ParquetTable:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
-    def upsert(self, incoming: DataFrame, order_col: str = "last_modified") -> None:
+    def upsert(
+        self,
+        incoming: DataFrame,
+        order_col: str = "last_modified",
+        seq_col: str | None = None,
+    ) -> None:
         """MERGE ``incoming`` into the table, last-write-wins by ``key``.
 
         Within-batch duplicates also collapse to the newest row (the
-        reference processes messages sequentially so later messages win;
-        here the window handles both cases in one pass —
-        SURVEY §7 risk 4).
+        reference processes messages sequentially so later messages win —
+        SURVEY §7 risk 4). Ordering: ``order_col`` (event time) desc, then
+        ``seq_col`` (arrival order within the batch, if provided) desc,
+        then incoming-beats-existing precedence. ``seq_col`` is consumed
+        here and never stored.
         """
+        if seq_col is not None and seq_col not in incoming.columns:
+            seq_col = None
         if not self.exists():
-            merged = self._dedup(incoming.withColumn(_PRECEDENCE_COL, F.lit(1)), order_col)
+            merged = self._dedup(
+                incoming.withColumn(_PRECEDENCE_COL, F.lit(1)), order_col, seq_col
+            )
             self.overwrite(merged)
             return
         existing = self.read()
@@ -88,17 +99,20 @@ class ParquetTable:
             existing.withColumn(_PRECEDENCE_COL, F.lit(0))
             .unionByName(incoming.withColumn(_PRECEDENCE_COL, F.lit(1)))
         )
-        self.overwrite(self._dedup(unioned, order_col))
+        self.overwrite(self._dedup(unioned, order_col, seq_col))
 
-    def _dedup(self, df: DataFrame, order_col: str) -> DataFrame:
+    def _dedup(self, df: DataFrame, order_col: str, seq_col: str | None = None) -> DataFrame:
         order = [F.col(_PRECEDENCE_COL).desc()]
+        if seq_col is not None and seq_col in df.columns:
+            order.insert(0, F.col(seq_col).desc_nulls_last())
         if order_col in df.columns:
             order.insert(0, F.col(order_col).desc_nulls_last())
         w = Window.partitionBy(self.key).orderBy(*order)
+        drop_cols = [_ROWNUM_COL, _PRECEDENCE_COL] + ([seq_col] if seq_col else [])
         return (
             df.withColumn(_ROWNUM_COL, F.row_number().over(w))
             .filter(F.col(_ROWNUM_COL) == 1)
-            .drop(_ROWNUM_COL, _PRECEDENCE_COL)
+            .drop(*drop_cols)
         )
 
     def delete_where(self, condition) -> DataFrame:

@@ -1,0 +1,10 @@
+from moisturizer_spark.streaming.ingest_stream import (  # noqa: F401
+    file_envelope_stream,
+    kafka_envelope_stream,
+    start_ingest_stream,
+)
+from moisturizer_spark.streaming.windows import (  # noqa: F401
+    session_window_stats,
+    sliding_counts,
+    tumbling_counts,
+)

@@ -223,7 +223,7 @@ class Descriptor:
         return T.StructType(fields)
 
     # -- validation / coercion ---------------------------------------------
-    def validate(self, flat_obj: dict) -> dict:
+    def validate(self, flat_obj: dict, default_ts: _dt.datetime | None = None) -> dict:
         """Validate + coerce one flattened object against the descriptor.
 
         Mirrors the colander bind/deserialize step (reference
@@ -255,7 +255,7 @@ class Descriptor:
             out["id"] = str(out["id"])  # reference schemas.py:46-48
         else:
             out["id"] = uuid.uuid1().hex  # reference models.py:53-54
-        out.setdefault("last_modified", _dt.datetime.now(_dt.timezone.utc))
+        out.setdefault("last_modified", default_ts or _dt.datetime.now(_dt.timezone.utc))
         return out
 
     # -- (de)serialization for the registry --------------------------------

@@ -100,6 +100,23 @@ def test_ingest_batch_end_to_end(spark, warehouse):
     assert engine.dead_letters().count() == 2
 
 
+def test_ingest_within_batch_duplicates_last_arrival_wins(spark, warehouse):
+    # The reference consumes messages sequentially, so when one batch holds
+    # several records for the same id, the LAST one must win — regardless of
+    # which partition validates first (SURVEY §7 risk 4).
+    reg = Registry(spark, warehouse)
+    engine = IngestEngine(reg)
+    payloads = [{"id": "a", "v": i} for i in range(1, 13)]
+    engine.ingest_batch(
+        # createDataFrame splits the rows over several partitions; parallel
+        # validation across them must not reorder the outcome.
+        spark.createDataFrame([Row(type_id="t", data=json.dumps(p)) for p in payloads])
+    )
+    got = {r["id"]: r["v"] for r in reg.table("t").read().collect()}
+    assert got == {"a": 12}
+    assert "_seq" not in reg.table("t").read().columns
+
+
 def test_ingest_upsert_overwrites_by_id(spark, warehouse):
     reg = Registry(spark, warehouse)
     engine = IngestEngine(reg)
