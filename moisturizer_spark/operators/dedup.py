@@ -105,6 +105,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as ``sig: array<bigint>``.
+
+    One hash family per signature position via ``xxhash64(shingle, k)`` —
+    the k-th permutation's minimum is a plain ``min()`` aggregate, so the
+    whole signature is ONE hash-shuffle with map-side partial aggregation
+    and full whole-stage codegen. Shuffle payload is (id, 32×8 bytes), not
+    the text.
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("_id"), "shingle"
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"_mh{k}")
+        for k in range(num_hashes)
+    ]
+    sigs = sh.groupBy("_id").agg(*aggs)
+    return sigs.select(
+        "_id", F.array(*[f"_mh{k}" for k in range(num_hashes)]).alias("sig")
+    )
+
+
+def _band_shape(
+    num_hashes: int, threshold: float, min_recall: float = 0.9
+) -> tuple[int, int]:
+    """(bands, rows_per_band): the most selective banding (largest rows)
+    whose candidate probability for a pair AT the threshold,
+    ``1 - (1 - t^r)^b``, still clears ``min_recall``. Candidates are
+    verified exactly afterwards, so extra false positives only cost
+    verification work — missed candidates are gone for good."""
+    best = (num_hashes, 1)
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        recall_at_t = 1.0 - (1.0 - threshold**rows) ** bands
+        if recall_at_t >= min_recall:
+            best = (bands, rows)
+    return best
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -112,33 +159,67 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs using Spark ML.
+    """MinHash + LSH near-duplicate pairs, pure DataFrame ops.
 
-    shingle vectorization via HashingTF (2^18 feature space) →
-    ``MinHashLSH.approxSimilarityJoin`` (band-bucket shuffle, no all-pairs).
-    Returns (id_a, id_b, jaccard_distance). Non-SQL-expressible → driver
-    rows-only check; exactness verified in tests against
-    :func:`ngram_jaccard_pairs`.
+    plan: signature pass (one shuffle, see :func:`minhash_signatures`) →
+    band the signature into (bands × rows) and explode one row per band →
+    self-join on (band, band_hash) — the LSH bucket shuffle; only pairs
+    agreeing on ≥1 band meet — → verify candidates EXACTLY: join each
+    side's distinct-shingle set and compute true Jaccard via
+    array_intersect, filter ≥ threshold. Banding prunes the O(n²) pair
+    space; exact verification removes estimator noise, so the only
+    approximation left is candidate recall (banding chosen ≥0.9 at the
+    threshold, see :func:`_band_shape`).
+
+    Everything stays JVM-side in whole-stage codegen (no ML Vector
+    boxing, no per-row Python); the bucket join shuffles 16-byte band
+    keys, and only *candidate* pairs ever see shingle sets. Returns
+    (id_a, id_b, jaccard_distance) with id_a < id_b, deterministic
+    (seeded xxhash64).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    sh = (
-        shingles(df.select(id_col, text_col), text_col, 3)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("grams"))
+    bands, rows = _band_shape(num_hashes, threshold)
+    base = df.select(id_col, text_col)
+    # ONE shingle scan + ONE shuffle yields both the signature (32 min
+    # aggregates) and the exact-verify shingle set per document.
+    sh = shingles(base, text_col).select(F.col(id_col).alias("_id"), "shingle")
+    per_doc = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"_mh{k}")
+            for k in range(num_hashes)
+        ],
+        F.collect_set("shingle").alias("_grams"),
     )
-    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh).filter(F.expr("size(grams) > 0"))
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
-    model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_distance")
+    sigs = per_doc.select(
+        "_id", F.array(*[f"_mh{k}" for k in range(num_hashes)]).alias("sig")
+    )
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), i -> "
+                f"struct(i AS band, xxhash64(slice(sig, i * {rows} + 1, {rows})) AS bsig))"
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bsig")
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bsig"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    grams = per_doc.select(F.col("_id").alias("_gid"), "_grams")
     return (
-        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
-        .select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.col("jaccard_distance"),
+        candidates.join(grams.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")), "id_a")
+        .join(grams.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb")), "id_b")
+        .withColumn(
+            "jaccard_distance",
+            1.0
+            - F.size(F.array_intersect("_ga", "_gb")).cast("double")
+            / F.size(F.array_union("_ga", "_gb")).cast("double"),
         )
+        .filter(F.col("jaccard_distance") <= 1.0 - threshold)
+        .select("id_a", "id_b", "jaccard_distance")
     )
 
 
