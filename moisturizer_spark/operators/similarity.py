@@ -81,6 +81,35 @@ def brute_force_top_k(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and rounded cosine ≥ threshold.
+
+    Exact all-pairs — the ground-truth/verification path, bounded-subset
+    only. At corpus scale, generate candidates first (:func:`lsh_top_k`
+    buckets or an IVF coarse quantizer) and use this math per candidate
+    pair; the scoring expression is identical either way.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    sim = F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), round_digits)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_top_k(
     corpus: DataFrame,
     queries: DataFrame,

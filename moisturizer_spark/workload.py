@@ -902,6 +902,208 @@ def embedding_top5_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Coverage: cube, set ops, semi join, range join, embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_cube",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(CAST(SUM({_sql_p('o_totalprice')}) AS VARCHAR) AS DOUBLE) AS total_price,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) with a distinct aggregate.
+
+    Scale: cube expands each input row into 4 grouping-set rows *after*
+    partial aggregation (Expand above the map-side combine), so shuffle
+    volume is 4× the group count, not 4× the data. COUNT(DISTINCT)
+    rewrites to a two-stage expand+agg in Catalyst; at extreme
+    cardinality swap for approx_count_distinct.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            _d(F.sum(_p("o_totalprice"))).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "customer_year_set_ops",
+    """
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(YEAR FROM o_orderdate) = 1996),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(YEAR FROM o_orderdate) = 1997)
+    SELECT 'both' AS segment, o_custkey
+    FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'only_1996' AS segment, o_custkey
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'only_1997' AS segment, o_custkey
+    FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+    ORDER BY segment, o_custkey
+    """,
+)
+def customer_year_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT segmentation: 1996-vs-1997 active customers.
+
+    Set ops compile to aggregate/semi-anti-join plans shuffling only the
+    distinct key column; the year filters and o_custkey pruning push to
+    the parquet scan, so each branch reads two columns.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    orders = t["orders"]
+
+    def year_keys(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year_keys(1996), year_keys(1997)
+    seg = lambda df, label: df.select(
+        F.lit(label).alias("segment"), F.col("o_custkey")
+    )
+    return (
+        seg(y96.intersect(y97), "both")
+        .unionByName(seg(y96.subtract(y97), "only_1996"))
+        .unionByName(seg(y97.subtract(y96), "only_1997"))
+        .orderBy("segment", "o_custkey")
+    )
+
+
+@query(
+    "urgent_customers_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def urgent_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one urgent order.
+
+    Semi join never materializes order payload columns — the build side
+    is just distinct o_custkey after the pushed-down priority filter,
+    comfortably broadcast-able at any scale factor (≤ #customers keys).
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(
+            F.broadcast(urgent),
+            t["customer"]["c_custkey"] == urgent["o_custkey"],
+            "left_semi",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "purchase_followon_events",
+    """
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_follow,
+           COUNT(DISTINCT e.event_type) AS n_types,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS follow_value
+    FROM events e
+    JOIN events p
+      ON e.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND e.ts >= p.ts
+     AND e.ts < p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    ORDER BY purchase_id
+    """,
+)
+def purchase_followon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: activity within 1h after each purchase.
+
+    The equality on user_id makes this a standard shuffle join with the
+    time range as a join-time filter — NEVER a nested-loop over the
+    cross product. Per-user event counts bound the fan-out; heavy users
+    are exactly the AQE skew-join case. Decimal-sum the double column so
+    both engines aggregate exactly.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return (
+        e.join(
+            p,
+            (e["user_id"] == p["p_user"])
+            & (e["ts"] >= p["p_ts"])
+            & (e["ts"] < p["p_ts"] + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            F.countDistinct("event_type").alias("n_types"),
+            _d(F.sum(F.col("value").cast("decimal(18,6)"))).alias("follow_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "embedding_cosine_near_dup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 150)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a bounded subset.
+
+    Exact all-pairs over the subset (one side broadcasts); rounded to 6
+    digits before the threshold so engines agree at the boundary. The
+    corpus-scale path feeds LSH/IVF candidates through the same scoring
+    expression (see operators.similarity.embedding_cosine_pairs).
+    """
+    from moisturizer_spark.operators.similarity import embedding_cosine_pairs
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    subset = t["embeddings"].filter(F.col("vec_id") < 150)
+    return embedding_cosine_pairs(subset, threshold=0.35).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible / approximate by design)
 # ---------------------------------------------------------------------------
 
