@@ -3,6 +3,10 @@ from moisturizer_spark.streaming.ingest_stream import (  # noqa: F401
     kafka_envelope_stream,
     start_ingest_stream,
 )
+from moisturizer_spark.streaming.stateful import (  # noqa: F401
+    running_user_stats,
+    stream_dedup_by_id,
+)
 from moisturizer_spark.streaming.windows import (  # noqa: F401
     session_window_stats,
     sliding_counts,

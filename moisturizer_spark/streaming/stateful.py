@@ -1,0 +1,154 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's only cross-batch state is its driver-side descriptor cache
+(reference ``moisturizer/consumer.py:16,41-46``); it has no event-time or
+per-key state at all (SURVEY §2c). These operators are part of this
+engine's extended surface: per-key state that Spark's built-in windowed
+aggregations can't express — running totals that emit EVERY batch, and
+cross-batch dedup with a state TTL.
+
+Scale notes: state lives in the state store partitioned by the grouping
+key — the same hash-shuffle as a streaming aggregation. State size is
+O(distinct keys), bounded by the TTL (``GroupStateTimeout``): keys idle
+past the timeout are evicted, which is what keeps an unbounded key domain
+(e.g. document ids at 100 TB) from growing state forever. Arrow moves
+each group's rows into Python in one batch, not per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_UNIT_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "m": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(duration: str | int) -> int:
+    """'30 minutes' → 1_800_000 (setTimeoutDuration wants int millis)."""
+    if isinstance(duration, int):
+        return duration
+    amount, _, unit = duration.strip().partition(" ")
+    return int(float(amount) * _UNIT_MS[unit.strip().lower()])
+
+
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = "n_events BIGINT, sum_value DOUBLE, last_ts TIMESTAMP"
+
+
+def running_user_stats(
+    events: DataFrame, idle_timeout: str | int | None = None
+) -> DataFrame:
+    """Per-user running totals across micro-batches, emitted every batch.
+
+    Unlike a windowed aggregation (which emits per window) this carries
+    ONE state row per active user for the stream's lifetime and emits the
+    running total whenever the user appears in a batch.
+
+    ``idle_timeout`` (e.g. ``"30 minutes"``) evicts state for idle keys —
+    set it on CONTINUOUS streams to bound state size. Leave ``None`` for
+    drain-and-stop (``availableNow``) refreshes: a registered
+    processing-time timer makes Spark keep scheduling empty
+    "state cleanup" batches until it fires, so an availableNow query
+    would not terminate for the whole timeout.
+    """
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            batch_max = pdf["ts"].max()
+            last = batch_max if last is None or batch_max > last else last
+        state.update((n, total, last))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(_duration_ms(idle_timeout))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "sum_value": total, "last_ts": last}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
+
+
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_dedup_by_id(events: DataFrame, ttl: str | int | None = None) -> DataFrame:
+    """Cross-batch exact dedup: emit each event_id the first time only.
+
+    State per id is a single marker; with ``ttl`` set (continuous
+    streams), an id idle past the TTL may be emitted again — the
+    standard bounded-state tradeoff; exact-forever dedup needs the
+    idempotent keyed sink instead
+    (:meth:`moisturizer_spark.storage.ParquetTable.upsert`). Leave
+    ``ttl=None`` for availableNow drains (see
+    :func:`running_user_stats` on why timers block termination).
+    """
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if ttl is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = not state.exists
+        state.update((True,))
+        if ttl is not None:
+            state.setTimeoutDuration(_duration_ms(ttl))
+        if not first:
+            return
+        for pdf in pdfs:
+            yield pdf[["event_id", "user_id", "ts"]].head(1)
+            return
+
+    return events.groupBy("event_id").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType="seen BOOLEAN",
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

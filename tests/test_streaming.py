@@ -103,3 +103,104 @@ def test_session_window_stats_batch(spark, sf_dir):
     assert sess.agg(F.sum("n_events")).collect()[0][0] == events.count()
     row = sess.limit(1).collect()[0]
     assert row["session_end"] > row["session_start"]
+
+
+def _event_stream(spark, src):
+    return (
+        spark.readStream.schema(
+            "event_id long, ts string, user_id long, event_type string, value double"
+        )
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def _write_events(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_running_user_stats_accumulates_across_batches(spark, warehouse):
+    from moisturizer_spark.streaming import running_user_stats
+
+    src = os.path.join(warehouse, "ev")
+    ckpt = os.path.join(warehouse, "ckpt")
+    _write_events(src, "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.5},
+        {"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 7, "event_type": "view", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 10:06:00", "user_id": 8, "event_type": "click", "value": 4.0},
+    ])
+
+    out = os.path.join(warehouse, "out")
+
+    def drain(qname):
+        q = (
+            running_user_stats(_event_stream(spark, src))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # latest emission per user = current running totals
+        rows = sorted(
+            spark.read.parquet(out).collect(), key=lambda r: r["n_events"]
+        )
+        return {r["user_id"]: r for r in rows}
+
+    got = drain("running1")
+    assert got[7]["n_events"] == 2 and abs(got[7]["sum_value"] - 3.5) < 1e-9
+    assert got[8]["n_events"] == 1
+
+    # second batch: state carries over the checkpoint restart
+    _write_events(src, "b2.json", [
+        {"event_id": 4, "ts": "2024-01-01 10:30:00", "user_id": 7, "event_type": "click", "value": 10.0},
+    ])
+    got = drain("running2")
+    assert got[7]["n_events"] == 3 and abs(got[7]["sum_value"] - 13.5) < 1e-9
+    assert got[7]["last_ts"].minute == 30
+
+
+def test_stream_dedup_by_id_emits_first_only(spark, warehouse):
+    from moisturizer_spark.streaming import stream_dedup_by_id
+
+    src = os.path.join(warehouse, "ev")
+    ckpt = os.path.join(warehouse, "ckpt")
+    _write_events(src, "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 8, "event_type": "view", "value": 2.0},
+    ])
+
+    out = os.path.join(warehouse, "out")
+    seen_total = []
+
+    def drain(qname):
+        q = (
+            stream_dedup_by_id(_event_stream(spark, src))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+        new = [i for i in ids if i not in seen_total]
+        seen_total.extend(new)
+        return new
+
+    assert sorted(drain("dedup1")) == [1, 2]
+    # replayed + one new id in the next batch: only the new id emits
+    _write_events(src, "b2.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:02:00", "user_id": 7, "event_type": "click", "value": 1.0},
+        {"event_id": 9, "ts": "2024-01-01 10:03:00", "user_id": 9, "event_type": "view", "value": 3.0},
+    ])
+    assert sorted(drain("dedup2")) == [9]
