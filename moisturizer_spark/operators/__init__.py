@@ -18,6 +18,8 @@ from moisturizer_spark.operators.dedup import (  # noqa: F401
 from moisturizer_spark.operators.similarity import (  # noqa: F401
     brute_force_top_k,
     cosine_similarity_col,
+    embedding_cosine_pairs,
+    ivf_top_k,
     lsh_top_k,
 )
 from moisturizer_spark.operators.textan import (  # noqa: F401

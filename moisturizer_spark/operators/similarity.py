@@ -110,6 +110,147 @@ def embedding_cosine_pairs(
     )
 
 
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The standard billion-scale ANN layout, DataFrame-first:
+
+    1. **Train**: pick ``n_lists`` centroids deterministically — the
+       lowest-xxhash64 corpus vectors (a uniform pseudo-random sample
+       that is stable across runs/engines; no RNG, so resume-safe).
+       Centroids are schema-sized → driver + broadcast.
+    2. **Assign**: one scan tags each corpus vector with its nearest
+       centroid (broadcast loop join over n_lists, JVM higher-order
+       math). At rest this would be the partition/cluster key — scans
+       of one list touch 1/n_lists of the data.
+    3. **Probe**: each query expands to its ``n_probe`` nearest
+       centroids, then an equi-join on list id meets only the probed
+       lists' vectors — the pruned search; cosine + per-query top-k
+       window on ~n_probe/n_lists of the corpus.
+
+    Recall degrades only at list boundaries (tunable via n_probe);
+    asserted against :func:`brute_force_top_k` in tests. Returns
+    (query_id, neighbor_id, sim, rank).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    raw = (
+        c.orderBy(F.xxhash64(F.col("neighbor_id").cast("string")))
+        .limit(n_lists)
+        .collect()
+    )
+    # L2-normalize driver-side: ranking by dot(v, ĉ) equals ranking by
+    # cosine (|v| is constant per row), so the hot expression is dot-only.
+    unit = []
+    for row in raw:
+        v = row["_cv"]
+        norm = sum(x * x for x in v) ** 0.5 or 1.0
+        unit.append([x / norm for x in v])
+    # The literal centroid matrix appears ONCE per plan — expression size
+    # stays linear in n_lists×dim. Written as a SQL expression because
+    # Python-side nested lambdas that capture an outer lambda variable
+    # (cv inside zip_with) miscompile into dangling attribute references
+    # under the self-join; the SQL parser scopes them correctly.
+    mat_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in cv) + ")"
+            for cv in unit
+        )
+        + ")"
+    )
+
+    def nearest_lists(vec_name: str, n: int) -> Column:
+        """array of the n nearest centroid list-ids for a vector column."""
+        return F.expr(
+            f"""slice(transform(array_sort(zip_with(
+                  transform({mat_sql}, cv ->
+                    aggregate(zip_with({vec_name}, cv, (x, y) -> x * y),
+                              CAST(0 AS DOUBLE), (acc, v) -> acc + v)),
+                  sequence(0, {n_lists - 1}),
+                  (d, i) -> struct(-d AS d, i AS list_id))),
+                s -> s.list_id), 1, {n})"""
+        )
+
+    # Repartition on the list id after assignment. At scale this is the
+    # IVF clustering step itself (vectors of one list co-located, so a
+    # probe touches n_probe partitions). It also pins the assignment
+    # projection into its own stage: when Spark fuses this projection
+    # into the broadcast-join stage, it mis-binds the corpus-side HOF
+    # expression against the build side's schema
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in 4.1's codegen).
+    assigned = c.select(
+        "neighbor_id", "_cv", nearest_lists("_cv", 1)[0].alias("_c_list")
+    ).repartition(F.col("_c_list"))
+    # Probe assignment for the QUERY side runs driver-side in plain
+    # Python: the query set is small by contract (it becomes the
+    # broadcast build input), and expressing this tiny computation as a
+    # second Catalyst plan over the same scan trips Spark's self-join
+    # deduplication (probe explode + large HOF expression ⇒ dangling
+    # corpus attribute, INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime).
+    # n_queries × n_lists dot products cost microseconds on the driver.
+    spark = corpus.sparkSession
+    q_rows = []
+    for row in queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).collect():
+        dots = sorted(
+            (
+                (-sum(x * y for x, y in zip(row["_qv"], cv)), i)
+                for i, cv in enumerate(unit)
+            )
+        )
+        for _, list_id in dots[:n_probe]:
+            q_rows.append((row["query_id"], row["_qv"], list_id))
+    from pyspark.sql import types as T
+
+    q = spark.createDataFrame(
+        q_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+                T.StructField("_q_list", T.IntegerType()),
+            ]
+        ),
+    )
+    # Null-safe equality on purpose: a plain `=` join key makes Catalyst
+    # infer an isnotnull() constraint, expand the key's alias into its
+    # full HOF definition (which references the corpus column), and push
+    # that filter into the OTHER side — a dangling-attribute internal
+    # error at runtime in Spark 4.1. `<=>` still hash-joins but
+    # generates no not-null constraints; list ids are never null anyway.
+    joined = assigned.join(
+        F.broadcast(q), assigned["_c_list"].eqNullSafe(q["_q_list"])
+    )
+    sim = F.round(
+        cosine_similarity_col(joined["_qv"], joined["_cv"]), round_digits
+    )
+    scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_top_k(
     corpus: DataFrame,
     queries: DataFrame,

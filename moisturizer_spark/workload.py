@@ -1137,6 +1137,18 @@ def embedding_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF top-5 (coarse-quantizer probe → rows-only)."""
+    from moisturizer_spark.operators.similarity import ivf_top_k
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return ivf_top_k(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES["minhash_near_dup"] = minhash_near_dup
 QUERIES["simhash_near_dup"] = simhash_near_dup
 QUERIES["embedding_lsh_top5"] = embedding_lsh_top5
+QUERIES["embedding_ivf_top5"] = embedding_ivf_top5
