@@ -176,3 +176,32 @@ def test_no_grant_is_403(engine):
 
 def test_heartbeat(engine):
     assert engine.heartbeat() == {"server": True, "schema": True, "users": True}
+
+
+def test_type_migration_redeclares_schema_over_data(engine):
+    # reference test_views.py:329-345 (skipped there = aspirational):
+    # a wrongly-inferred schema is re-declared via PUT /types/{t}, after
+    # which objects matching the declared schema are accepted.
+    engine.create_object("m_type", {"id": "1", "amount": "not-a-number"})
+    with pytest.raises(ValidationError):
+        engine.create_object("m_type", {"id": "2", "amount": 7.5})
+
+    engine.migrate_type(
+        "m_type",
+        {"amount": {"type": "number", "format": ""}},
+    )
+    engine.create_object("m_type", {"id": "2", "amount": 7.5})
+    rows = {r["id"]: r for r in engine.list_objects("m_type")}
+    assert "amount" not in rows["1"]  # uncastable value nulled by try_cast
+    assert float(rows["2"]["amount"]) == 7.5
+    desc = engine.get_type("m_type")
+    assert desc["properties"]["amount"]["type"] == "number"
+
+
+def test_type_migration_drops_undeclared_columns(engine):
+    engine.create_object("m2", {"id": "1", "keep": 5, "drop_me": "x"})
+    engine.migrate_type("m2", {"keep": {"type": "integer", "format": ""}})
+    row = engine.get_object("m2", "1")
+    assert row["keep"] == 5
+    assert "drop_me" not in row
+    assert "drop_me" not in engine.get_type("m2")["properties"]
