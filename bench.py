@@ -29,8 +29,18 @@ def main() -> None:
     spark = get_spark(app_name="moisturizer_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup (not measured)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # JVM/codegen warmup (not measured; synthetic range data only — the
+    # measured queries still read the test parquet cold). Exercises the
+    # codegen paths the workload leans on: decimal aggregation, window
+    # functions, and a broadcast hash join.
+    warm = spark.range(1_000_000)
+    warm.selectExpr(
+        "sum(cast(id as decimal(15,4))) as s", "avg(id) as a"
+    ).collect()
+    warm.selectExpr(
+        "id", "row_number() over (partition by id % 7 order by id) as rn"
+    ).where("rn < 0").count()
+    warm.join(spark.range(100).hint("broadcast"), "id").count()
 
     timings: dict[str, float] = {}
     for name, fn in workload.QUERIES.items():

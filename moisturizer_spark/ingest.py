@@ -181,8 +181,11 @@ class IngestEngine:
         import datetime as _dt
 
         props = {k: v.to_dict() for k, v in descriptor.properties.items()}
-        schema = descriptor.spark_schema().add("_error", T.StringType()).add(
-            "_seq", T.LongType()
+        schema = (
+            descriptor.spark_schema()
+            .add("_error", T.StringType())
+            .add("_seq", T.LongType())
+            .add("_raw", T.StringType())  # original payload, error rows only
         )
         out_cols = [f.name for f in schema.fields]
         type_id = descriptor.id
@@ -203,6 +206,7 @@ class IngestEngine:
                         row.update({k: v for k, v in validated.items() if k in row})
                     except Exception as exc:  # per-record dead letter
                         row["_error"] = f"{type(exc).__name__}: {exc}"
+                        row["_raw"] = payload
                         row["id"] = ""
                     rows.append(row)
                 yield pd.DataFrame(rows, columns=out_cols)
@@ -228,19 +232,31 @@ class IngestEngine:
             stats.evolved_fields += self._evolve(descriptor, self._profile(per_type))
             validated = self._validate_pass(per_type, descriptor).cache()
             bad = validated.filter(F.col("_error").isNotNull())
+            # dead letters keep the ORIGINAL envelope (type_id + raw data),
+            # same shape as envelope-stage dead letters, so replay can
+            # re-ingest them verbatim after a schema fix
             self._dead_letter(
                 bad.select(
                     F.to_json(
-                        F.struct(*[c for c in bad.columns if c not in ("_error", "_seq")])
+                        F.struct(
+                            F.lit(type_id).alias("type_id"),
+                            F.col("_raw").alias("data"),
+                        )
                     ).alias("payload"),
                     F.col("_error").alias("error"),
                 )
             )
             stats.dead_letters += bad.count()
-            rows = validated.filter(F.col("_error").isNull()).drop("_error")
+            rows = validated.filter(F.col("_error").isNull()).drop("_error", "_raw")
             table = self.registry.table(type_id)
-            table.upsert(rows, seq_col="_seq")
-            stats.rows_upserted += table.read().count()
+            # Never MERGE an empty batch: besides the wasted rewrite, an
+            # all-rows-invalid batch would impose this batch's (possibly
+            # stale) column types onto the stored table via union coercion.
+            if rows.head(1):
+                table.upsert(rows, seq_col="_seq")
+                stats.rows_upserted += table.read().count()
+            elif table.exists():
+                stats.rows_upserted += table.read().count()
             validated.unpersist()
         return stats
 
@@ -265,3 +281,38 @@ class IngestEngine:
             ]
         )
         return table.read_or_empty(schema)
+
+    def replay_dead_letters(self, type_id: str) -> IngestStats:
+        """Re-ingest one type's dead letters (after a schema fix, e.g.
+        :meth:`~moisturizer_spark.crud.Engine.migrate_type`).
+
+        The dead-letter payload for validation failures is the original
+        envelope's fields as JSON with a null ``id`` marker; records that
+        fail again simply dead-letter again (the replayed batch goes
+        through the normal pipeline), so replay is safe to run repeatedly.
+        Replayed rows are removed from the dead-letter table first —
+        their reprocessing outcome (stored row or fresh dead letter)
+        replaces them.
+        """
+        import os
+
+        # the schema fix typically happened through another registry
+        # instance (CRUD engine) — reload from the source of truth
+        self.registry.refresh()
+        path = os.path.join(self.registry.warehouse, DEAD_LETTER_TABLE)
+        table = ParquetTable(self.registry.spark, path)
+        if not table.exists():
+            return IngestStats()
+        parsed = F.from_json(
+            F.col("payload"),
+            T.StructType([T.StructField("type_id", T.StringType())]),
+        )
+        matches = F.coalesce(parsed["type_id"], F.lit("")) == type_id
+        replay = table.delete_where(matches)
+        if not replay.head(1):
+            return IngestStats()
+        envelopes = replay.select(
+            F.lit(type_id).alias("type_id"),
+            F.get_json_object(F.col("payload"), "$.data").alias("data"),
+        )
+        return self.ingest_batch(envelopes)

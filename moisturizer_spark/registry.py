@@ -96,6 +96,20 @@ class Registry:
             self._cache[META_DESCRIPTOR_ID] = meta
             self._flush()
 
+    def refresh(self) -> None:
+        """Reload descriptors from disk, dropping the driver cache.
+
+        The registry file is the source of truth; this cache is the
+        reference's per-consumer descriptor dict (``consumer.py:16``).
+        Call after another Registry instance/process may have changed a
+        descriptor (e.g. a CRUD ``migrate_type`` while an ingest engine
+        holds its own registry) — the reference has the same
+        reload-after-external-change step at ``consumer.py:66-67``.
+        """
+        self._cache = {}
+        self._load()
+        self._bootstrap()
+
     # -- CRUD on descriptors ------------------------------------------------
     def get(self, type_id: str) -> Descriptor:
         try:
