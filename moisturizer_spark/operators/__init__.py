@@ -26,4 +26,6 @@ from moisturizer_spark.operators.textan import (  # noqa: F401
     language_id,
     quality_features,
     token_stats,
+    winnowing_fingerprints,
+    winnowing_near_duplicates,
 )

@@ -58,9 +58,13 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "
 
     JVM-side: sequence → transform → explode; no Python per row.
     """
+    # bind the normalized text as a lambda variable so the regexp runs
+    # once per row, not once per gram (expressions inside a transform
+    # lambda are re-evaluated per element — O(n^2) without the binding)
     grams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(regexp_replace(lower({text_col}), '\\\\s+', ' ')) - {n - 1}, 1)), "
-        f"i -> substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {n})))"
+        f"transform(array(regexp_replace(lower({text_col}), '\\\\s+', ' ')), t -> "
+        f"array_distinct(transform(sequence(1, greatest(length(t) - {n - 1}, 1)), "
+        f"i -> substring(t, i, {n}))))[0]"
     )
     return df.withColumn(out_col, F.explode(grams))
 

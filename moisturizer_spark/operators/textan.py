@@ -85,6 +85,90 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    k-gram, then keep the minimum hash of each ``window`` consecutive
+    hashes — guaranteeing any shared substring of length ≥ k+window-1
+    contributes at least one common fingerprint between two documents.
+
+    Pure SQL higher-order functions over the normalized text — linear
+    scan, no shuffle, no Python per row. Output is the distinct
+    fingerprint array per document; near-dup detection is then an
+    explode + inverted-index self-join on fingerprint values, exactly
+    like the shingle pipeline but with O(len/window) postings per doc
+    instead of O(len).
+
+    The normalized text and the k-gram hash array are bound as lambda
+    variables (``transform(array(x), v -> ...)[0]``) rather than as
+    separate projections: CollapseProject would inline a projection
+    alias into every use site inside the window lambda, re-evaluating
+    the O(n) hash array once per window — O(n^2·k) per document
+    (measured 85s for 100 ×280-char docs; 0.2s with the binding).
+    Lambda variables are evaluated exactly once.
+    """
+    normalized = (
+        f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    )
+    hashes = (
+        f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)), "
+        f"i -> xxhash64(substring(t, i, {k})))"
+    )
+    mins = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(h) - {window - 1}, 1)), "
+        f"j -> array_min(slice(h, j, {window}))))"
+    )
+    fingerprint = (
+        f"transform(array({normalized}), t -> "
+        f"transform(array({hashes}), h -> {mins})[0])[0]"
+    )
+    return df.withColumn(out_col, F.expr(fingerprint))
+
+
+def winnowing_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_common: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints (id_a < id_b,
+    n_common ≥ min_common). The inverted-index join shuffles (hash, id)
+    pairs — O(len/window) per document, never the text.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents before the self-join. At corpus scale a handful of
+    stop-fingerprints (boilerplate, common phrases) would otherwise
+    dominate the join: a posting list of length m contributes m^2 pair
+    rows, so capping document frequency bounds the worst bucket at
+    max_df^2 while near-identical pairs (which share many *rare*
+    fingerprints) still surface. Slightly undercounts n_common; keep
+    None for exact small-corpus semantics."""
+    fp = winnowing_fingerprints(df.select(id_col, text_col), text_col, k, window)
+    inv = fp.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
+    if max_df is not None:
+        keep = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= max_df
+        )
+        inv = inv.join(keep.select("fp"), on="fp")
+    return (
+        inv.alias("a")
+        .join(inv.alias("b"), on="fp")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-voting language ID across {en, de, fr, es}; 'other' if no hit.
 

@@ -1077,6 +1077,42 @@ def purchase_followon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_price_quantiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per priority class.
+
+    Exact `percentile` (sort-based within group) rather than
+    `approx_percentile`: cross-engine hash-matchable because linear
+    interpolation of identical sorted doubles is deterministic. At
+    extreme group sizes swap to approx_percentile(t-digest) — same
+    call site, weaker check.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "embedding_cosine_near_dup",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1148,7 +1184,19 @@ def embedding_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash) near-dup pairs (hash-dependent →
+    rows-only check; fingerprint guarantees tested against a pure-Python
+    reference implementation)."""
+    from moisturizer_spark.operators.textan import winnowing_near_duplicates
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    return winnowing_near_duplicates(subset, min_common=10).orderBy("id_a", "id_b")
+
+
 QUERIES["minhash_near_dup"] = minhash_near_dup
 QUERIES["simhash_near_dup"] = simhash_near_dup
 QUERIES["embedding_lsh_top5"] = embedding_lsh_top5
 QUERIES["embedding_ivf_top5"] = embedding_ivf_top5
+QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
