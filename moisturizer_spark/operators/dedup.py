@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from moisturizer_spark.operators.common import materialize
+
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """Content fingerprint: md5 of the normalized text.
@@ -66,7 +68,10 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "
         f"array_distinct(transform(sequence(1, greatest(length(t) - {n - 1}, 1)), "
         f"i -> substring(t, i, {n}))))[0]"
     )
-    return df.withColumn(out_col, F.explode(grams))
+    # explode_outer: keeps InferFiltersFromGenerate from duplicating the
+    # gram expression into a size()>0 pre-filter (inner generates only);
+    # the array is never empty, so behavior is unchanged.
+    return df.withColumn(out_col, F.explode_outer(grams))
 
 
 def ngram_jaccard_pairs(
@@ -83,7 +88,7 @@ def ngram_jaccard_pairs(
     join per-doc shingle counts (broadcast-able) → jaccard filter.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = (
+    sh = materialize(
         shingles(df.select(id_col, text_col), text_col, n)
         .select(F.col(id_col).alias("_id"), "shingle")
         .distinct()
@@ -186,13 +191,13 @@ def minhash_near_duplicates(
     # ONE shingle scan + ONE shuffle yields both the signature (32 min
     # aggregates) and the exact-verify shingle set per document.
     sh = shingles(base, text_col).select(F.col(id_col).alias("_id"), "shingle")
-    per_doc = sh.groupBy("_id").agg(
+    per_doc = materialize(sh.groupBy("_id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"_mh{k}")
             for k in range(num_hashes)
         ],
         F.collect_set("shingle").alias("_grams"),
-    )
+    ))
     sigs = per_doc.select(
         "_id", F.array(*[f"_mh{k}" for k in range(num_hashes)]).alias("sig")
     )
@@ -267,7 +272,7 @@ def simhash_near_duplicates(
     (band_idx, band_value) finds all such pairs with a bounded shuffle.
     """
     sigs = simhash(df.select(id_col, text_col), id_col, text_col).select(id_col, "simhash")
-    banded = sigs.select(
+    banded = materialize(sigs.select(
         F.col(id_col).alias("_id"),
         "simhash",
         F.explode(
@@ -276,7 +281,7 @@ def simhash_near_duplicates(
                 "shiftright(simhash, b * 16) & 65535 as value))"
             )
         ).alias("band"),
-    ).select("_id", "simhash", "band.band", "band.value")
+    ).select("_id", "simhash", "band.band", "band.value"))
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "value"])

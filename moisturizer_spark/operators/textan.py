@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from moisturizer_spark.operators.common import materialize
+
 # A small multilingual stopword table for quality scoring / language ID.
 # Deliberately tiny + hardcoded: it is a *feature dictionary*, broadcast to
 # executors inside the plan as a literal array, not a data dependency.
@@ -153,7 +155,13 @@ def winnowing_near_duplicates(
     fingerprints) still surface. Slightly undercounts n_common; keep
     None for exact small-corpus semantics."""
     fp = winnowing_fingerprints(df.select(id_col, text_col), text_col, k, window)
-    inv = fp.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
+    # explode_outer, not explode: InferFiltersFromGenerate only fires for
+    # inner generates, and its size()/isnotnull() filter re-evaluates the
+    # whole fingerprint expression 2 extra times per row. The array is
+    # never empty (greatest(.., 1) floor), so the semantics are identical.
+    inv = materialize(
+        fp.select(F.col(id_col).alias("_id"), F.explode_outer("fingerprints").alias("fp"))
+    )
     if max_df is not None:
         keep = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
             F.col("_df") <= max_df
