@@ -23,6 +23,7 @@ from moisturizer_spark.operators.similarity import (  # noqa: F401
     lsh_top_k,
 )
 from moisturizer_spark.operators.textan import (  # noqa: F401
+    bpe_tokens_col,
     language_id,
     quality_features,
     token_stats,

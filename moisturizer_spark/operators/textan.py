@@ -33,6 +33,25 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(cleaned, r"\s+"), lambda t: t != "")
 
 
+# GPT-2-style pre-tokenizer regex, restricted to the feature subset Java
+# regex and RE2 (DuckDB) match identically: leftmost-first alternation of
+# contraction suffixes, space-prefixed letter runs, digit runs, and
+# punctuation runs. No lookahead (RE2 has none) and no \p classes (the
+# engines' Unicode tables differ); applied to lowercased text.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """BPE-ish subword pre-tokenization (the GPT-2 split, sans merges).
+
+    Token *count* under this split is the standard proxy for LLM token
+    budgets when the real tokenizer isn't available: contractions,
+    space-glued words, digit runs, and punctuation runs each count once.
+    Pure ``regexp_extract_all`` — JVM-side, no UDF.
+    """
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token statistics: n_tokens, n_unique, avg token length."""
     toks = tokens_col(F.col(text_col))

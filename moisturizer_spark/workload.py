@@ -1184,6 +1184,171 @@ def embedding_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS sum_bpe_tokens,
+           SUM(len(regexp_extract_all(text, '\\S+'))) AS sum_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS DOUBLE)
+             / SUM(len(regexp_extract_all(text, '\\S+'))) AS fertility
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-budget proxy per language: BPE-ish subword counts vs
+    whitespace words (fertility = subwords per word).
+
+    Scale: pure map-side regexp over the text column feeding a tiny
+    per-lang aggregate — one shuffle of a handful of groups; integer
+    sums are order-independent, the ratio divides two exact ints.
+    """
+    from moisturizer_spark.operators.textan import bpe_tokens_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    bpe = F.size(bpe_tokens_col(F.col("text")))
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe).alias("sum_bpe_tokens"),
+            F.sum(ws).alias("sum_ws_tokens"),
+            (F.sum(bpe).cast("double") / F.sum(ws)).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "events_grouping_sets",
+    f"""
+    WITH {_SQL_EV}
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(15,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM ev
+    GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m-%d')), (event_type), ())
+    ORDER BY event_type, day
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (type, day) + (type) + grand total in one
+    pass — Spark expands to a single Expand + hash aggregate, so the fact
+    table is scanned once for all three granularities (vs three scans if
+    issued separately). Aggregate-NULL cells are COALESCEd to 'ALL' so
+    the result is self-describing."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return (
+        ev.groupingSets(
+            [["event_type", "day"], ["event_type"], []],
+            "event_type",
+            "day",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _d(F.sum(_p("value"))).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "events_distinct_reach",
+    f"""
+    WITH {_SQL_EV}
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) AS events_per_user
+    FROM ev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type. Spark plans COUNT(DISTINCT)
+    as a two-phase expand/partial-agg — one logical pass. At extreme
+    cardinality the drop-in is approx_count_distinct (HLL, one pass, no
+    expand); kept exact here for cross-engine hash-matching, with the
+    approx variant accuracy-tested in the unit suite."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.count(F.lit(1)).cast("double") / F.count_distinct("user_id")).alias(
+                "events_per_user"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_unique_payloads,
+           AVG(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE)) AS avg_payload_bytes
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on a real query path: text bytes
+    stand in for an opaque media payload (the container has no codecs) —
+    binary column → sha2 content address → Arrow-batched mapInPandas
+    feature extraction → per-source aggregate.
+
+    The feature extractor here is the deterministic byte-length feature,
+    which makes the whole pipeline oracle-checkable: avg(features[0]) ==
+    avg(octet_length(payload)). Payload bytes never shuffle — only
+    32-byte addresses and the extracted features do.
+    """
+    from moisturizer_spark.operators.multimodal import (
+        add_content_address,
+        extract_features,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    payload = t["documents"].select(
+        "doc_id", "source", F.encode("text", "UTF-8").alias("content")
+    )
+    feats = extract_features(
+        add_content_address(payload),
+        extractor=lambda b: [float(len(b))],
+        dim=1,
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("content_sha").alias("n_unique_payloads"),
+            F.avg(F.col("features")[0].cast("double")).alias("avg_payload_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
 def docs_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS rolling-hash) near-dup pairs (hash-dependent →
     rows-only check; fingerprint guarantees tested against a pure-Python
