@@ -1,0 +1,77 @@
+"""Plan-regression tests: pin the physical-plan properties that make the
+workload scale, so a refactor that silently de-optimizes (drops a
+pushdown, un-broadcasts a dim, introduces a cartesian product) fails CI
+long before it fails on a cluster.
+
+These inspect `.explain` output only — no query executes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+# Queries allowed to contain a broadcast nested-loop join: the brute-force
+# similarity baselines deliberately broadcast a bounded query set against
+# the corpus (the scale path is the LSH/IVF variants).
+BNLJ_ALLOWED = {
+    "embedding_top5_cosine",
+    "embedding_cosine_near_dup",
+}
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_or_surprise_nlj(name, spark, sf_dir):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join — missing equi-join keys?"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_unused_wide_columns_pruned(name, spark, sf_dir):
+    """No workload query reads l_comment / o_comment — the widest columns.
+    If they show up in any ReadSchema, column pruning broke."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "l_comment" not in plan, f"{name}: lineitem comment column not pruned"
+    assert "o_comment" not in plan, f"{name}: orders comment column not pruned"
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    """region/nation/supplier are dims: the fact side must never shuffle
+    for them. Two+ broadcast joins expected in the plan."""
+    plan = plan_of(spark, sf_dir, "q5_region_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_point_filters_reach_parquet(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "docs_winnowing_near_dup")
+    assert "LessThan(doc_id" in plan, "doc_id subset filter not pushed to parquet"
+
+
+def test_anti_join_used_for_without_orders(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "customers_without_orders")
+    assert "LeftAnti" in plan, "expected an anti join, not a filter/subquery plan"
