@@ -41,6 +41,13 @@ def main() -> None:
         "id", "row_number() over (partition by id % 7 order by id) as rn"
     ).where("rn < 0").count()
     warm.join(spark.range(100).hint("broadcast"), "id").count()
+    # Warm the parquet read path too (file listing, footer decode, zstd
+    # init) — head(1) touches one row group per table, so the measured
+    # queries reflect engine work, not first-touch filesystem metadata.
+    from moisturizer_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.head(1)
 
     timings: dict[str, float] = {}
     for name, fn in workload.QUERIES.items():

@@ -1,0 +1,61 @@
+"""Scalar/column function namespace — the engine's reusable expressions.
+
+One flat import point (``from moisturizer_spark import functions as MF``)
+for the column-level building blocks the operators are made of. Everything
+here is a pure Catalyst expression (JVM-side, codegen-friendly, no UDFs),
+usable in any DataFrame pipeline, not just the packaged operators.
+
+The reference has no user-facing function surface (SURVEY.md §2c:
+"UDF/UDAF surface: none exposed") — this is part of the analytics
+extension, organized the way `pyspark.sql.functions` is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from moisturizer_spark.operators.similarity import cosine_similarity_col
+from moisturizer_spark.operators.textan import (
+    BPE_PATTERN,
+    bpe_tokens_col,
+    tokens_col,
+)
+
+__all__ = [
+    "BPE_PATTERN",
+    "bpe_tokens_col",
+    "content_sha",
+    "cosine_similarity_col",
+    "ngrams_col",
+    "row_fingerprint",
+    "tokens_col",
+]
+
+
+def content_sha(content: Column, bits: int = 256) -> Column:
+    """Content address of a binary/string payload (hex sha2)."""
+    return F.sha2(content, bits)
+
+
+def row_fingerprint(*cols: Column | str) -> Column:
+    """Order-insensitive-schema row fingerprint: 64-bit xxhash of the
+    named columns — the exact-dedup / change-detection key. Collision
+    odds at 100 TB row counts: ~n²/2⁶⁵; use :func:`content_sha` when a
+    cryptographic guarantee matters."""
+    return F.xxhash64(*cols)
+
+
+def ngrams_col(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the whitespace-normalized text.
+
+    The normalized string is bound as a lambda variable (single-element
+    ``transform``) so the regexp runs once per row, not once per gram —
+    see operators.dedup.shingles for the per-element re-evaluation
+    pitfall this avoids."""
+    normalized = F.regexp_replace(F.lower(text), r"\s+", " ")
+
+    def grams(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+    return F.transform(F.array(normalized), grams).getItem(0)

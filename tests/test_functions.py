@@ -1,0 +1,41 @@
+"""Function-namespace sanity: expressions compute and agree with Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from moisturizer_spark import functions as MF
+
+
+def test_ngrams_and_tokens(spark):
+    df = spark.createDataFrame([Row(text="Ab  cd")])
+    row = df.select(
+        MF.ngrams_col(df.text, 2).alias("g"),
+        MF.tokens_col(df.text).alias("t"),
+        MF.bpe_tokens_col(df.text).alias("b"),
+    ).first()
+    assert set(row["g"]) == {"ab", "b ", " c", "cd"}
+    assert row["t"] == ["ab", "cd"]
+    assert row["b"] == ["ab", " cd"]
+
+
+def test_row_fingerprint(spark):
+    df = spark.createDataFrame([Row(a="x", b=1), Row(a="x", b=1), Row(a="y", b=2)])
+    fps = [r[0] for r in df.select(MF.row_fingerprint("a", "b")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_content_sha_matches_hashlib(spark):
+    import hashlib
+
+    df = spark.createDataFrame([Row(c="hello")])
+    got = df.select(MF.content_sha(df.c).alias("h")).first()["h"]
+    assert got == hashlib.sha256(b"hello").hexdigest()
+
+
+def test_cosine_similarity(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0])]
+    )
+    sims = [r[0] for r in df.select(MF.cosine_similarity_col(df.a, df.b)).collect()]
+    assert abs(sims[0] - 1.0) < 1e-12 and abs(sims[1]) < 1e-12
