@@ -22,6 +22,10 @@ from moisturizer_spark.operators.similarity import (  # noqa: F401
     ivf_top_k,
     lsh_top_k,
 )
+from moisturizer_spark.operators.skew import (  # noqa: F401
+    hot_keys,
+    salted_join,
+)
 from moisturizer_spark.operators.textan import (  # noqa: F401
     bpe_tokens_col,
     language_id,
