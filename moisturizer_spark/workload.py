@@ -1185,6 +1185,76 @@ def embedding_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_with_returns_exists",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_with_returns_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → Catalyst decorrelates to a left-semi join
+    (verified in tests/test_plans.py). The returnflag filter pushes into
+    the lineitem scan before the semi join, so the probe side shrinks at
+    the source — the plan a hand-written semi join would produce, written
+    declaratively."""
+    load_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "customers_above_nation_avg",
+    """
+    SELECT n_name,
+           COUNT(*) AS n_above
+    FROM customer c
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(c_acctbal AS DECIMAL(15,4)) >
+          (SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(15,4)))
+           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-group average) → decorrelated to
+    an aggregate + join on the correlation key. Decimal average keeps the
+    threshold exact so the row-level comparison is engine-independent
+    (double averages differ in the last ulp with summation order).
+    Nation is a broadcast dim."""
+    load_tables(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_above
+        FROM customer c
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(c_acctbal AS DECIMAL(15,4)) >
+              (SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(15,4)))
+               FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+@query(
     "bpe_token_stats",
     """
     SELECT lang,

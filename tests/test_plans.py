@@ -72,6 +72,12 @@ def test_point_filters_reach_parquet(spark, sf_dir):
     assert "LessThan(doc_id" in plan, "doc_id subset filter not pushed to parquet"
 
 
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_with_returns_exists")
+    assert "LeftSemi" in plan, "EXISTS subquery not decorrelated to semi join"
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag filter not pushed to scan"
+
+
 def test_anti_join_used_for_without_orders(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "customers_without_orders")
     assert "LeftAnti" in plan, "expected an anti join, not a filter/subquery plan"
