@@ -12,6 +12,8 @@ extension, organized the way `pyspark.sql.functions` is.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 from moisturizer_spark.operators.similarity import cosine_similarity_col
@@ -43,6 +45,25 @@ def row_fingerprint(*cols: Column | str) -> Column:
     odds at 100 TB row counts: ~n²/2⁶⁵; use :func:`content_sha` when a
     cryptographic guarantee matters."""
     return F.xxhash64(*cols)
+
+
+def median_udaf() -> Column:
+    """Grouped-aggregate pandas UDAF: exact interpolated median.
+
+    The engine's UDAF extension point demonstrated end-to-end: Arrow
+    ships each group's column to the Python worker as one batch,
+    numpy computes, one scalar returns per group. Built-in
+    ``percentile``/``median`` cover this case JVM-side — use them in
+    production; this exists so user-defined aggregates have a tested
+    template (true UDAF semantics: partial aggregation is NOT available
+    to pandas UDAFs, so every group's values ship — budget the shuffle
+    accordingly at scale, or redesign as algebraic agg + finalizer).
+    """
+    @F.pandas_udf("double")
+    def _median(v: pd.Series) -> float:  # Series→scalar hint = GROUPED_AGG
+        return float(np.median(v)) if len(v) else float("nan")
+
+    return _median
 
 
 def ngrams_col(text: Column, n: int = 3) -> Column:

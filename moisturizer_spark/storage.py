@@ -131,6 +131,37 @@ class ParquetTable:
         self.overwrite(df.filter(~condition))
         return self.spark.createDataFrame(rows, df.schema)
 
+    def file_stats(self) -> tuple[int, int]:
+        """(n_data_files, total_bytes) of the current table directory."""
+        n, total = 0, 0
+        if not os.path.isdir(self.path):
+            return 0, 0
+        for name in os.listdir(self.path):
+            if name.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(self.path, name))
+        return n, total
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite the table into ~``target_file_bytes`` files; returns the
+        new file count.
+
+        Streaming micro-batch MERGEs leave one file per shuffle partition
+        per batch; at high batch frequency the table degrades into
+        thousands of KB-sized files and scan planning (footer reads, task
+        scheduling) starts to dominate query time — the classic small-file
+        problem. Compaction is the same read → repartition → atomic-swap
+        path as every other rewrite, so readers never see a half-compacted
+        table. On Delta this maps to OPTIMIZE (+ ZORDER for clustering);
+        run it off the ingest path on a schedule.
+        """
+        n_files, total_bytes = self.file_stats()
+        target = max(1, -(-total_bytes // max(target_file_bytes, 1)))
+        if n_files <= target:
+            return n_files
+        self.overwrite(self.read().repartition(target))
+        return self.file_stats()[0]
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 

@@ -1297,6 +1297,42 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_median_tokens_udaf",
+    f"""
+    WITH d AS (SELECT lang, len({_SQL_TOKS}) AS n_tokens FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           median(n_tokens) AS median_tokens
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_median_tokens_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median tokens per language via a *pandas grouped-agg UDAF* — the
+    user-defined-aggregate extension point exercised on a real query
+    (production code would use the built-in percentile; see
+    functions.median_udaf docstring for the shuffle trade-off). numpy's
+    interpolated median matches DuckDB's median() on integer inputs."""
+    from moisturizer_spark.functions import median_udaf
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    med = median_udaf()
+    d = t["documents"].select("lang", F.size(tokens_col(F.col("text"))).alias("n_tokens"))
+    # Spark disallows mixing pandas UDAFs with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT): aggregate separately and join on the
+    # group key — both sides hash-partition identically, so the join is
+    # shuffle-free on top of the two aggs.
+    meds = d.groupBy("lang").agg(med(F.col("n_tokens")).alias("median_tokens"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.join(meds, "lang")
+        .select("lang", "n_docs", "median_tokens")
+        .orderBy("lang")
+    )
+
+
+@query(
     "events_grouping_sets",
     f"""
     WITH {_SQL_EV}

@@ -154,3 +154,20 @@ def test_replay_dead_letters_after_migration(spark, warehouse):
 
     # replay with nothing to do is a no-op
     assert engine.replay_dead_letters("t").types == 0
+
+
+def test_compact_reduces_files_preserves_rows(spark, warehouse):
+    table = ParquetTable(spark, f"{warehouse}/cmp")
+    df = spark.range(10_000).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    # simulate many tiny micro-batch files
+    table.overwrite(df.repartition(64))
+    n_before, total = table.file_stats()
+    assert n_before == 64
+    n_after = table.compact(target_file_bytes=max(total, 1))
+    assert n_after == 1
+    assert table.read().count() == 10_000
+    assert table.read().agg(F.sum("v")).first()[0] == sum(range(10_000))
+    # already-compact tables are a no-op (no rewrite churn)
+    assert table.compact(target_file_bytes=max(total, 1)) == 1
