@@ -3,6 +3,10 @@ from moisturizer_spark.streaming.ingest_stream import (  # noqa: F401
     kafka_envelope_stream,
     start_ingest_stream,
 )
+from moisturizer_spark.streaming.rollup import (  # noqa: F401
+    continuous_rollup,
+    read_rollup,
+)
 from moisturizer_spark.streaming.stateful import (  # noqa: F401
     running_user_stats,
     stream_dedup_by_id,
