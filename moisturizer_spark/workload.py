@@ -1185,6 +1185,123 @@ def embedding_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%%' THEN {_SQL_REV}
+                              ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) * 100 AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    GROUP BY ALL
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional aggregation over a fact-dim join.
+
+    Scale: the shipdate month filter pushes to the lineitem scan
+    (~1/84 of rows survive); part broadcasts. Both sums ride one
+    partial-aggregated shuffle of a single group."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(28,10)")
+    joined = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            _d(F.sum(F.when(F.col("p_type").like("PROMO%"), rev.cast("decimal(28,10)")).otherwise(zero)))
+            / _d(F.sum(rev))
+            * 100
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(CAST(SUM(CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DECIMAL(18,6)))
+                AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math in aggregate position: mean L2 norm per label.
+
+    Per-row norms are sequential left-fold dot products (identical in
+    both engines); they are rounded then decimal-cast BEFORE the group
+    sum so cross-row accumulation is order-independent."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_dec = F.round(F.sqrt(sq_sum), 6).cast("decimal(18,6)")
+    cnt = F.count(F.lit(1))
+    return (
+        t["embeddings"]
+        .groupBy("label")
+        .agg(cnt.alias("n_vecs"), (_d(F.sum(norm_dec)) / cnt).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "events_7day_moving",
+    f"""
+    WITH {_SQL_EV},
+    daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM ev GROUP BY event_type, day
+    )
+    SELECT event_type,
+           CAST(day AS TIMESTAMP) AS day,
+           n,
+           SUM(n) OVER (PARTITION BY event_type
+                        ORDER BY datediff('day', DATE '2024-01-01', day)
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7day
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def events_7day_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed moving window (7-day event counts): unlike a ROWS
+    frame, gaps in the calendar shrink the window — the frame is bound by
+    *value* distance on the day number. One shuffle to daily grain, then
+    a partition-local window sort."""
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    day_num = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(day_num)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type", "day", "n", F.sum("n").over(w).alias("n_7day")
+    ).orderBy("event_type", "day")
+
+
+@query(
     "orders_with_returns_exists",
     """
     SELECT o_orderpriority,
