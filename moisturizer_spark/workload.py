@@ -500,8 +500,8 @@ def events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, event_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -613,7 +613,7 @@ def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_props_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_props_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_props_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_props_k
     FROM events
@@ -686,7 +686,7 @@ def docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS sum_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
            CAST(CAST(SUM(n_tokens) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_tokens,
            CAST(CAST(SUM(n_unique) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_unique,
            CAST(CAST(SUM(token_chars) AS VARCHAR) AS DOUBLE) / SUM(n_tokens) AS avg_token_len
@@ -1270,9 +1270,9 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(day AS TIMESTAMP) AS day,
            n,
-           SUM(n) OVER (PARTITION BY event_type
-                        ORDER BY datediff('day', DATE '2024-01-01', day)
-                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7day
+           CAST(SUM(n) OVER (PARTITION BY event_type
+                             ORDER BY datediff('day', DATE '2024-01-01', day)
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7day
     FROM daily
     ORDER BY event_type, day
     """,
@@ -1376,9 +1376,9 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(lower(text),
-               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS sum_bpe_tokens,
-           SUM(len(regexp_extract_all(text, '\\S+'))) AS sum_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS BIGINT) AS sum_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_ws_tokens,
            CAST(SUM(len(regexp_extract_all(lower(text),
                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS DOUBLE)
              / SUM(len(regexp_extract_all(text, '\\S+'))) AS fertility

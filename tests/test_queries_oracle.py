@@ -65,6 +65,23 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert not mismatches, f"{name}: first value mismatch {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_arrow_types_not_hugeint(name, duck):
+    """The driver's value hash is Arrow-representation sensitive: DuckDB
+    types an uncast SUM(BIGINT) as HUGEINT (arrow decimal128(38,0)/int128),
+    which hash-mismatches Spark's int64 even when every value is equal
+    (round-1 root cause for 5 queries). Every integer aggregate in the
+    oracle SQL must therefore be CAST(... AS BIGINT)."""
+    tbl = duck.execute(ORACLE[name]).fetch_arrow_table()
+    offenders = [
+        (f.name, str(f.type))
+        for f in tbl.schema
+        if str(f.type) in ("decimal128(38, 0)", "int128")
+        or "hugeint" in str(f.type).lower()
+    ]
+    assert not offenders, f"{name}: HUGEINT-typed oracle columns {offenders}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
