@@ -167,7 +167,9 @@ class Engine:
         table = self.registry.table(type_id)
         if not table.exists():
             raise ObjectNotFound(f"{type_id}/{object_id}")
-        rows = table.read().filter(F.col("id") == str(object_id)).limit(1).collect()
+        # lookup() prunes to the one hash bucket owning the id — a point
+        # read scans O(table/n_buckets), not the table.
+        rows = table.lookup(str(object_id)).limit(1).collect()
         if not rows:
             raise ObjectNotFound(f"{type_id}/{object_id}")
         return unflatten_dict({k: v for k, v in rows[0].asDict().items() if v is not None})
@@ -216,7 +218,8 @@ class Engine:
         """DELETE: remove + echo the removed row (reference ``test_views.py:300-305``)."""
         self._check(user, type_id, "write")
         row = self.get_object(type_id, object_id, user=None)
-        self.registry.table(type_id).delete_where(F.col("id") == str(object_id))
+        # point delete: reads + rewrites only the bucket owning the id
+        self.registry.table(type_id).delete_by_key([str(object_id)])
         return row
 
     def delete_collection(self, type_id: str, user: str | None = None) -> list[dict]:
@@ -265,7 +268,7 @@ class Engine:
 
     def delete_user(self, user_id: str) -> dict:
         row = self.get_user(user_id)
-        self.registry.table(_USERS_TYPE).delete_where(F.col("id") == str(user_id))
+        self.registry.table(_USERS_TYPE).delete_by_key([str(user_id)])
         return row
 
     def authenticate(self, user_id: str, api_key: str) -> dict:

@@ -220,9 +220,10 @@ class IngestEngine:
         # Arrival order within the batch (per-partition exact, partition-index
         # ordered across partitions — the same guarantee Kafka itself gives).
         good = good.withColumn("_seq", F.monotonically_increasing_id())
-        self._dead_letter(dead.select(F.to_json(F.struct(*dead.columns)).alias("payload"),
-                                      F.col("error")))
-        stats.dead_letters += dead.count()
+        stats.dead_letters += self._dead_letter(
+            dead.select(F.to_json(F.struct(*dead.columns)).alias("payload"),
+                        F.col("error"))
+        )
 
         type_ids = [r[0] for r in good.select("type_id").distinct().collect()]
         stats.types = len(type_ids)
@@ -235,7 +236,7 @@ class IngestEngine:
             # dead letters keep the ORIGINAL envelope (type_id + raw data),
             # same shape as envelope-stage dead letters, so replay can
             # re-ingest them verbatim after a schema fix
-            self._dead_letter(
+            stats.dead_letters += self._dead_letter(
                 bad.select(
                     F.to_json(
                         F.struct(
@@ -246,27 +247,36 @@ class IngestEngine:
                     F.col("_error").alias("error"),
                 )
             )
-            stats.dead_letters += bad.count()
             rows = validated.filter(F.col("_error").isNull()).drop("_error", "_raw")
             table = self.registry.table(type_id)
             # Never MERGE an empty batch: besides the wasted rewrite, an
             # all-rows-invalid batch would impose this batch's (possibly
             # stale) column types onto the stored table via union coercion.
-            if rows.head(1):
+            # rows_upserted counts THIS batch's merged rows (cheap: counted
+            # off the cached `validated` frame), never a table re-scan.
+            n_rows = rows.count()
+            if n_rows:
                 table.upsert(rows, seq_col="_seq")
-                stats.rows_upserted += table.read().count()
-            elif table.exists():
-                stats.rows_upserted += table.read().count()
+                stats.rows_upserted += n_rows
             validated.unpersist()
         return stats
 
-    def _dead_letter(self, df: DataFrame) -> None:
-        if df.isEmpty():
-            return
+    def _dead_letter(self, df: DataFrame) -> int:
+        """Append dead letters; returns how many were written (counted off
+        the same materialization the write uses — no extra scan of the
+        upstream plan for stats)."""
         import os
 
-        path = os.path.join(self.registry.warehouse, DEAD_LETTER_TABLE)
-        df.withColumn("ts", F.current_timestamp()).write.mode("append").parquet(path)
+        df = df.persist()
+        try:
+            n = df.count()
+            if n:
+                path = os.path.join(self.registry.warehouse, DEAD_LETTER_TABLE)
+                table = ParquetTable(self.registry.spark, path)
+                table.append(df.withColumn("ts", F.current_timestamp()))
+            return n
+        finally:
+            df.unpersist()
 
     def dead_letters(self) -> DataFrame:
         import os

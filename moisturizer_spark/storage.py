@@ -1,53 +1,196 @@
-"""Per-type parquet tables with keyed last-write-wins upsert (MERGE).
+"""Per-type bucketed parquet tables with keyed last-write-wins upsert (MERGE).
 
 The reference relies on Cassandra's LSM upsert-as-insert: ``model.save()``
 is a blind INSERT that overwrites by primary key ``id``
 (reference ``moisturizer/consumer.py:69-70``, pk ``moisturizer/models.py:53-54``).
+Cassandra routes each write to the partition owning the key's token; it
+never rewrites unrelated partitions. This module re-expresses that routing
+for a parquet warehouse.
 
-Spark-first re-expression: each type is one parquet table; an upsert is a
-MERGE. Without a transactional table format in this container we implement
-copy-on-write MERGE: union(existing, incoming) → window dedup by key →
-atomic directory swap. The dedup is expressed with ``row_number`` over
-``(id)`` ordered by ``(last_modified DESC, source precedence)`` — a single
-shuffle on the merge key, map-side combinable, skew-handled by AQE.
+Layout — a miniature transactional table format:
 
-Scale note (100 TB): the same call sites map 1:1 onto Delta Lake
-``MERGE INTO t USING s ON t.id = s.id WHEN MATCHED UPDATE ALL WHEN NOT
-MATCHED INSERT ALL`` with deletion vectors + partition pruning on the merge
-keys; the copy-on-write fallback here exists only because delta-spark is
-not installed. The public API (``upsert``/``read``/``delete_where``) is
-format-agnostic so swapping the backend is a one-file change.
+.. code-block:: text
+
+    <path>/
+      _manifest.json            current-version pointer (atomic os.replace)
+      data/v000001/__bucket=0/  parquet files for bucket 0 written at v1
+      data/v000002/__bucket=3/  bucket 3 as rewritten by the v2 commit
+      ...
+
+* Rows route to ``crc32(key) % n_buckets`` — computable both JVM-side
+  (``F.crc32``) and driver-side (``zlib.crc32``), so point ops prune
+  without a scan.
+* The manifest maps bucket → list of data directories, plus the table
+  schema and the previous version's directories (kept as a grace set for
+  in-flight readers). Commit = write-temp + ``os.replace`` of one small
+  JSON file: readers see the old or the new version, never a half-written
+  table, and a crash between data write and manifest swap leaves only
+  unreferenced orphan files (vacuumed by the next commit).
+* ``upsert`` (MERGE) rewrites ONLY the buckets containing incoming keys:
+  union(existing-in-bucket, incoming) → ``row_number`` dedup over the key
+  ordered by ``(last_modified DESC, arrival seq DESC, incoming-beats-
+  existing)`` — one shuffle on the merge key, map-side combinable, skew
+  handled by AQE. Untouched buckets' files are carried over by reference
+  (their paths land unchanged in the new manifest).
+* ``append`` adds new files to buckets without any read or dedup — the
+  dead-letter log path.
+
+Scale note (100 TB): this is the copy-on-write MERGE strategy of
+Delta/Iceberg with file-level pruning, specialized to hash buckets. The
+same call sites map 1:1 onto Delta ``MERGE INTO t USING s ON t.id = s.id``
+with deletion vectors; the public API (``upsert``/``read``/``lookup``/
+``delete_where``) is format-agnostic so swapping the backend is a
+one-file change. Write amplification per batch is bounded by the bytes of
+the touched buckets, not the table; raise ``n_buckets`` with table size
+(buckets: files :: Cassandra vnodes : SSTables).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 # Incoming rows beat existing rows on last_modified ties (LWW upsert).
 _PRECEDENCE_COL = "__precedence"
 _ROWNUM_COL = "__rn"
+_BUCKET_COL = "__bucket"
+_MANIFEST = "_manifest.json"
+
+
+class EchoTooLarge(ValueError):
+    """delete_where(echo=True) matched more rows than the driver should
+    collect; retry with echo=False (bulk delete) or a narrower predicate."""
 
 
 class ParquetTable:
-    """One keyed table stored as a parquet directory with atomic swaps."""
+    """One keyed table stored as a bucketed parquet directory with
+    manifest-pointer commits."""
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "id"):
+    def __init__(self, spark: SparkSession, path: str, key: str = "id", n_buckets: int = 16):
         self.spark = spark
         self.path = path
         self.key = key
+        self.n_buckets = n_buckets
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
+    def _legacy_files(self) -> list[str]:
+        """Top-level parquet files from a pre-manifest (or externally
+        written) directory; migrated into the bucketed layout on the
+        first write through this class."""
+        if not os.path.isdir(self.path):
+            return []
+        return [n for n in os.listdir(self.path) if n.endswith(".parquet")]
+
+    def _commit(self, buckets: dict[int, list[str]], schema: T.StructType,
+                prev: dict | None) -> None:
+        """Atomically publish a new table version, then vacuum files no
+        longer referenced by it or by the immediately previous version
+        (grace set for in-flight readers)."""
+        manifest = {
+            "version": (prev["version"] + 1) if prev else 1,
+            "key": self.key,
+            "n_buckets": self.n_buckets,
+            "schema": schema.json(),
+            "buckets": {str(b): dirs for b, dirs in sorted(buckets.items()) if dirs},
+            "prior_dirs": sorted(_manifest_dirs(prev)) if prev else [],
+        }
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())  # the commit point
+        self._vacuum(manifest)
+
+    def _vacuum(self, manifest: dict) -> None:
+        keep = _manifest_dirs(manifest) | set(manifest.get("prior_dirs", []))
+        data = os.path.join(self.path, "data")
+        if os.path.isdir(data):
+            for vname in os.listdir(data):
+                vdir = os.path.join(data, vname)
+                if not os.path.isdir(vdir):
+                    continue
+                kept_any = False
+                for child in os.listdir(vdir):
+                    if not child.startswith(f"{_BUCKET_COL}="):
+                        continue
+                    rel = os.path.join("data", vname, child)
+                    if rel in keep:
+                        kept_any = True
+                    else:
+                        shutil.rmtree(os.path.join(vdir, child), ignore_errors=True)
+                if not kept_any:
+                    shutil.rmtree(vdir, ignore_errors=True)
+        # Migrated legacy top-level files (and stale tmp manifests) are
+        # garbage once a manifest exists.
+        for name in os.listdir(self.path):
+            if name.endswith(".parquet") or name == "_SUCCESS" or name.startswith(f"{_MANIFEST}.tmp-"):
+                p = os.path.join(self.path, name)
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
+    # -- bucket routing -----------------------------------------------------
+    def _bucket_expr(self, df: DataFrame):
+        """JVM-side bucket id; crc32 so the driver can compute the same
+        routing for point ops (``bucket_of``)."""
+        if self.key not in df.columns:
+            return F.lit(0)
+        key_str = F.coalesce(F.col(self.key).cast("string"), F.lit(""))
+        return F.pmod(F.crc32(F.encode(key_str, "UTF-8")), F.lit(self.n_buckets)).cast("int")
+
+    def bucket_of(self, value) -> int:
+        """Driver-side twin of :meth:`_bucket_expr`."""
+        s = "" if value is None else str(value)
+        return zlib.crc32(s.encode("utf-8")) % self.n_buckets
 
     # -- reads --------------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
-            os.path.isdir(self.path) and any(n.endswith(".parquet") for n in os.listdir(self.path))
-        )
+        return self._load_manifest() is not None or bool(self._legacy_files())
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        man = self._load_manifest()
+        if man is None:
+            return self.spark.read.parquet(self.path)  # legacy / external dir
+        return self._read_dirs(sorted(_manifest_dirs(man)), man)
+
+    def _read_dirs(self, rel_dirs: list[str], man: dict) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        if not rel_dirs:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, d) for d in rel_dirs]
+        # mergeSchema: untouched buckets may predate add-only evolved
+        # columns; project to manifest schema for stable column order.
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return _with_missing(df, schema, [f.name for f in schema.fields])
+
+    def _read_buckets(self, bucket_ids, man: dict) -> DataFrame:
+        dirs = []
+        for b in sorted(set(bucket_ids)):
+            dirs.extend(man["buckets"].get(str(b), []))
+        return self._read_dirs(sorted(dirs), man)
+
+    def lookup(self, value) -> DataFrame:
+        """Point read: scan only the one bucket that can hold ``value``
+        (the Cassandra token-routing read path, reference
+        ``moisturizer/views.py`` GET-by-id)."""
+        man = self._load_manifest()
+        if man is None:
+            return self.read().filter(F.col(self.key) == F.lit(value))
+        sub = self._read_buckets([self.bucket_of(value)], man)
+        return sub.filter(F.col(self.key) == F.lit(value))
 
     def read_or_empty(self, schema: T.StructType) -> DataFrame:
         if self.exists():
@@ -55,17 +198,55 @@ class ParquetTable:
         return self.spark.createDataFrame([], schema)
 
     # -- writes -------------------------------------------------------------
+    def _write_version(self, df: DataFrame, version: int) -> dict[int, list[str]]:
+        """Write one version's data files, partitioned into bucket
+        subdirectories. Data lands in a fresh ``data/v{N}`` dir, so this is
+        invisible to readers until the manifest commit — and safe even when
+        ``df`` reads from this very table (no path is overwritten).
+
+        The pre-write repartition on the bucket column is Delta's
+        "optimized write": without it, ``partitionBy`` fans every upstream
+        task out into one file per bucket it holds (K partitions × B
+        buckets files per batch). With it, each version holds exactly one
+        file per non-empty bucket; write parallelism is ``n_buckets``,
+        which is the knob that must grow with table size anyway."""
+        vdir = os.path.join(self.path, "data", f"v{version:06d}")
+        df = df.repartition(self.n_buckets, F.col(_BUCKET_COL))
+        df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
+        produced: dict[int, list[str]] = {}
+        for child in os.listdir(vdir):
+            if child.startswith(f"{_BUCKET_COL}="):
+                b = int(child.split("=", 1)[1])
+                produced[b] = [os.path.join("data", f"v{version:06d}", child)]
+        return produced
+
     def overwrite(self, df: DataFrame) -> None:
-        """Write ``df`` as the new table contents via write-to-temp + swap,
-        so concurrent readers never observe a half-written table."""
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        """Replace the full table contents (DDL-scale op: type migration,
+        rollup refresh, compaction). All buckets rewritten."""
+        prev = self._load_manifest()
+        version = (prev["version"] + 1) if prev else 1
+        with_bucket = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
+        produced = self._write_version(with_bucket, version)
+        self._commit(produced, _strip_internal(df.schema), prev)
+
+    def append(self, df: DataFrame) -> None:
+        """Blind append (no key dedup): new files join each bucket's list.
+        The dead-letter log path — no read, no shuffle beyond the write."""
+        prev = self._load_manifest()
+        if prev is None and self._legacy_files():
+            # fold pre-manifest files in once, then append normally
+            self.overwrite(self.spark.read.parquet(self.path))
+            prev = self._load_manifest()
+        version = (prev["version"] + 1) if prev else 1
+        with_bucket = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
+        produced = self._write_version(with_bucket, version)
+        buckets: dict[int, list[str]] = {}
+        if prev:
+            buckets = {int(b): list(dirs) for b, dirs in prev["buckets"].items()}
+        for b, dirs in produced.items():
+            buckets.setdefault(b, []).extend(dirs)
+        schema = _merge_schemas(prev, df.schema)
+        self._commit(buckets, schema, prev)
 
     def upsert(
         self,
@@ -73,7 +254,8 @@ class ParquetTable:
         order_col: str = "last_modified",
         seq_col: str | None = None,
     ) -> None:
-        """MERGE ``incoming`` into the table, last-write-wins by ``key``.
+        """MERGE ``incoming`` into the table, last-write-wins by ``key``,
+        rewriting only the buckets that contain incoming keys.
 
         Within-batch duplicates also collapse to the newest row (the
         reference processes messages sequentially so later messages win —
@@ -84,22 +266,52 @@ class ParquetTable:
         """
         if seq_col is not None and seq_col not in incoming.columns:
             seq_col = None
-        if not self.exists():
-            merged = self._dedup(
-                incoming.withColumn(_PRECEDENCE_COL, F.lit(1)), order_col, seq_col
+        prev = self._load_manifest()
+        inc = incoming.withColumn(_BUCKET_COL, self._bucket_expr(incoming))
+
+        if prev is None:
+            if self._legacy_files():
+                existing = self.spark.read.parquet(self.path)
+            else:  # first write: all incoming buckets, no existing side
+                merged = self._dedup(
+                    inc.withColumn(_PRECEDENCE_COL, F.lit(1)), order_col, seq_col
+                )
+                produced = self._write_version(merged, 1)
+                self._commit(produced, _strip_internal(merged.schema), None)
+                return
+            touched = None  # legacy migration rewrites everything
+            carried: dict[int, list[str]] = {}
+        else:
+            # One tiny agg job (≤ n_buckets groups) buys per-bucket pruning
+            # of the merge read AND the rewrite.
+            touched = sorted(
+                r[0] for r in inc.select(_BUCKET_COL).distinct().collect()
             )
-            self.overwrite(merged)
-            return
-        existing = self.read()
+            existing = self._read_buckets(touched, prev)
+            carried = {
+                int(b): list(dirs)
+                for b, dirs in prev["buckets"].items()
+                if int(b) not in set(touched)
+            }
+
         # Add-only schema evolution: align both sides on the union of columns.
-        all_cols = list(dict.fromkeys(existing.columns + incoming.columns))
+        all_cols = list(dict.fromkeys(
+            [c for c in existing.columns if c != _BUCKET_COL]
+            + [c for c in incoming.columns]
+        ))
         existing = _with_missing(existing, incoming.schema, all_cols)
-        incoming = _with_missing(incoming, existing.schema, all_cols)
+        incoming_aligned = _with_missing(inc.drop(_BUCKET_COL), existing.schema, all_cols)
         unioned = (
             existing.withColumn(_PRECEDENCE_COL, F.lit(0))
-            .unionByName(incoming.withColumn(_PRECEDENCE_COL, F.lit(1)))
+            .unionByName(incoming_aligned.withColumn(_PRECEDENCE_COL, F.lit(1)))
         )
-        self.overwrite(self._dedup(unioned, order_col, seq_col))
+        merged = self._dedup(unioned, order_col, seq_col)
+        merged = merged.withColumn(_BUCKET_COL, self._bucket_expr(merged))
+        version = (prev["version"] + 1) if prev else 1
+        produced = self._write_version(merged, version)
+        carried.update(produced)
+        schema = _merge_schemas(prev, merged.drop(_BUCKET_COL).schema)
+        self._commit(carried, schema, prev)
 
     def _dedup(self, df: DataFrame, order_col: str, seq_col: str | None = None) -> DataFrame:
         order = [F.col(_PRECEDENCE_COL).desc()]
@@ -115,55 +327,158 @@ class ParquetTable:
             .drop(*drop_cols)
         )
 
-    def delete_where(self, condition) -> DataFrame:
-        """Delete matching rows; returns the deleted rows (the reference's
-        DELETE echoes them, ``tests/test_views.py:300-305``).
+    # -- deletes ------------------------------------------------------------
+    def delete_by_key(self, values) -> DataFrame:
+        """Point delete: touches only the buckets owning ``values``
+        (computed driver-side — no scan of the rest of the table). Echoes
+        the deleted rows (reference ``tests/test_views.py:300-305``)."""
+        values = [str(v) for v in values]
+        man = self._load_manifest()
+        if man is None:
+            return self.delete_where(F.col(self.key).isin(values))
+        buckets = sorted({self.bucket_of(v) for v in values})
+        sub = self._read_buckets(buckets, man)
+        cond = F.col(self.key).isin(values)
+        rows = sub.filter(cond).collect()
+        kept = sub.filter(~cond)
+        self._rewrite_buckets(buckets, kept, man)
+        return self.spark.createDataFrame(rows, sub.schema)
 
-        The echo is materialized to the driver BEFORE the overwrite —
-        never ``.cache()`` here: a cached plan over this path would be
-        substituted into later scans of the same (now rewritten) path by
-        Spark's CacheManager, serving stale rows. Echo-on-delete is a
-        row-level REST semantic; bulk deletion at scale goes through
-        ``overwrite`` with a predicate instead.
+    def delete_where(self, condition, echo: bool = True,
+                     echo_limit: int = 100_000) -> DataFrame:
+        """Delete matching rows; returns them (the reference's DELETE
+        echoes deleted rows). Buckets with no matching row are carried
+        over untouched.
+
+        ``echo=True`` collects the deleted rows to the driver, guarded by
+        ``echo_limit`` (raises :class:`EchoTooLarge` beyond it — a bulk
+        delete should pass ``echo=False``, which returns an
+        executor-materialized DataFrame instead of collecting).
         """
         df = self.read()
-        rows = df.filter(condition).collect()
-        self.overwrite(df.filter(~condition))
-        return self.spark.createDataFrame(rows, df.schema)
+        matched = df.filter(condition)
+        man = self._load_manifest()
+        if echo:
+            rows = matched.limit(echo_limit + 1).collect()
+            if len(rows) > echo_limit:
+                raise EchoTooLarge(
+                    f"delete_where matched > {echo_limit} rows; "
+                    "pass echo=False for bulk deletes"
+                )
+            echo_df = self.spark.createDataFrame(rows, df.schema)
+            affected = sorted(
+                {self.bucket_of(r[self.key]) for r in rows}
+                if self.key in df.columns else ({0} if rows else set())
+            )
+            if not rows:
+                return echo_df
+        else:
+            # Materialize before the rewrite so the returned frame survives
+            # vacuuming of the files it came from.
+            echo_df = matched.localCheckpoint(eager=True)
+            with_b = matched.withColumn(_BUCKET_COL, self._bucket_expr(matched))
+            affected = sorted(
+                r[0] for r in with_b.select(_BUCKET_COL).distinct().collect()
+            )
+            if not affected:
+                return echo_df
+        if man is None:
+            # legacy dir: migrate to the bucketed layout via full rewrite
+            self.overwrite(df.filter(~condition))
+            return echo_df
+        kept = self._read_buckets(affected, man).filter(~condition)
+        self._rewrite_buckets(affected, kept, man)
+        return echo_df
 
+    def _rewrite_buckets(self, bucket_ids, kept: DataFrame, man: dict) -> None:
+        kept = kept.withColumn(_BUCKET_COL, self._bucket_expr(kept))
+        produced = self._write_version(kept, man["version"] + 1)
+        buckets = {
+            int(b): list(dirs)
+            for b, dirs in man["buckets"].items()
+            if int(b) not in set(bucket_ids)
+        }
+        buckets.update(produced)
+        self._commit(buckets, T.StructType.fromJson(json.loads(man["schema"])), man)
+
+    # -- maintenance --------------------------------------------------------
     def file_stats(self) -> tuple[int, int]:
-        """(n_data_files, total_bytes) of the current table directory."""
+        """(n_data_files, total_bytes) of the current table version."""
+        man = self._load_manifest()
         n, total = 0, 0
-        if not os.path.isdir(self.path):
-            return 0, 0
-        for name in os.listdir(self.path):
-            if name.endswith(".parquet"):
+        if man is None:
+            if not os.path.isdir(self.path):
+                return 0, 0
+            for name in self._legacy_files():
                 n += 1
                 total += os.path.getsize(os.path.join(self.path, name))
+            return n, total
+        for rel in _manifest_dirs(man):
+            d = os.path.join(self.path, rel)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(d, name))
         return n, total
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
-        """Rewrite the table into ~``target_file_bytes`` files; returns the
-        new file count.
+        """Rewrite the table into one file per non-empty bucket (capped by
+        ``target_file_bytes`` total sizing); returns the new file count.
 
-        Streaming micro-batch MERGEs leave one file per shuffle partition
-        per batch; at high batch frequency the table degrades into
-        thousands of KB-sized files and scan planning (footer reads, task
-        scheduling) starts to dominate query time — the classic small-file
-        problem. Compaction is the same read → repartition → atomic-swap
-        path as every other rewrite, so readers never see a half-compacted
-        table. On Delta this maps to OPTIMIZE (+ ZORDER for clustering);
-        run it off the ingest path on a schedule.
+        Streaming micro-batch MERGEs and appends leave one file per shuffle
+        partition per batch; at high batch frequency a bucket degrades into
+        many KB-sized files and scan planning (footer reads, manifest
+        lists, task scheduling) starts to dominate — the classic small-file
+        problem. Compaction is the same write-new-version + manifest-swap
+        path as every rewrite, so readers never see a half-compacted table.
+        On Delta this maps to OPTIMIZE (+ ZORDER); run it off the ingest
+        path on a schedule.
         """
         n_files, total_bytes = self.file_stats()
         target = max(1, -(-total_bytes // max(target_file_bytes, 1)))
-        if n_files <= target:
+        df = self.read()
+        with_b = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
+        nonempty = with_b.select(_BUCKET_COL).distinct().count()
+        if n_files <= max(target, nonempty):
             return n_files
-        self.overwrite(self.read().repartition(target))
+        # One partition per bucket → one file per non-empty bucket dir.
+        prev = self._load_manifest()
+        version = (prev["version"] + 1) if prev else 1
+        compacted = with_b.repartition(self.n_buckets, F.col(_BUCKET_COL))
+        produced = self._write_version(compacted, version)
+        self._commit(produced, _strip_internal(df.schema), prev)
         return self.file_stats()[0]
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _manifest_dirs(man: dict | None) -> set[str]:
+    if not man:
+        return set()
+    return {d for dirs in man["buckets"].values() for d in dirs}
+
+
+def _strip_internal(schema: T.StructType) -> T.StructType:
+    return T.StructType([f for f in schema.fields if f.name != _BUCKET_COL])
+
+
+def _merge_schemas(prev: dict | None, new_schema: T.StructType) -> T.StructType:
+    """Union of the previous manifest schema and the new write's schema
+    (add-only evolution: carried-over buckets keep columns the new write
+    may not repeat, and vice versa)."""
+    new_schema = _strip_internal(new_schema)
+    if prev is None:
+        return new_schema
+    old = T.StructType.fromJson(json.loads(prev["schema"]))
+    merged = list(old.fields)
+    seen = {f.name for f in merged}
+    for f in new_schema.fields:
+        if f.name not in seen:
+            merged.append(f)
+    return T.StructType(merged)
 
 
 def _with_missing(df: DataFrame, other_schema: T.StructType, ordered: list[str]) -> DataFrame:

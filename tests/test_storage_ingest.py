@@ -156,18 +156,171 @@ def test_replay_dead_letters_after_migration(spark, warehouse):
     assert engine.replay_dead_letters("t").types == 0
 
 
-def test_compact_reduces_files_preserves_rows(spark, warehouse):
-    table = ParquetTable(spark, f"{warehouse}/cmp")
+def test_optimized_write_one_file_per_bucket(spark, warehouse):
+    # the pre-write bucket repartition (Delta "optimized write") must keep
+    # file count == non-empty buckets even for a wide upstream partitioning
+    table = ParquetTable(spark, f"{warehouse}/ow")
     df = spark.range(10_000).select(
         F.col("id").cast("string").alias("id"), F.col("id").alias("v")
     )
-    # simulate many tiny micro-batch files
     table.overwrite(df.repartition(64))
+    n, _ = table.file_stats()
+    assert n <= table.n_buckets
+
+
+def test_compact_reduces_files_preserves_rows(spark, warehouse):
+    table = ParquetTable(spark, f"{warehouse}/cmp")
+    # append stacks a fresh file per bucket per micro-batch (the dead-letter
+    # log pattern) — per-bucket dir lists accumulate across versions
+    for lo in range(0, 10_000, 2_000):
+        table.append(
+            spark.range(lo, lo + 2_000).select(
+                F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+            )
+        )
     n_before, total = table.file_stats()
-    assert n_before == 64
+    assert n_before > table.n_buckets  # multiple versions stacked per bucket
     n_after = table.compact(target_file_bytes=max(total, 1))
-    assert n_after == 1
+    assert n_after <= table.n_buckets  # one file per non-empty bucket
     assert table.read().count() == 10_000
     assert table.read().agg(F.sum("v")).first()[0] == sum(range(10_000))
     # already-compact tables are a no-op (no rewrite churn)
-    assert table.compact(target_file_bytes=max(total, 1)) == 1
+    assert table.compact(target_file_bytes=max(total, 1)) == n_after
+
+
+# -- bucketed layout: pruning, crash safety, point ops ------------------------
+
+
+def _data_files(table):
+    import os
+
+    man = table._load_manifest()
+    files = {}
+    for dirs in man["buckets"].values():
+        for rel in dirs:
+            d = os.path.join(table.path, rel)
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    p = os.path.join(d, name)
+                    files[p] = os.path.getmtime(p)
+    return files
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, warehouse):
+    table = ParquetTable(spark, f"{warehouse}/bp")
+    df = spark.range(1_000).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    table.overwrite(df)
+    before = _data_files(table)
+    assert len(before) > 1  # multiple buckets in play
+
+    # single-key upsert touches exactly one bucket
+    one = spark.createDataFrame([("42", 420)], "id string, v long")
+    table.upsert(one)
+    after = _data_files(table)
+
+    touched_bucket = table.bucket_of("42")
+    man = table._load_manifest()
+    survivors = set(before) & set(after)
+    # every bucket except the touched one carries its ORIGINAL file forward
+    assert len(set(before) - survivors) == 1, "exactly one bucket rewritten"
+    for p in survivors:
+        assert after[p] == before[p], "untouched bucket files must not be rewritten"
+    # and the touched bucket's new dir belongs to the new version
+    assert man["buckets"][str(touched_bucket)][0].startswith("data/v000002")
+    # correctness of the merge itself
+    got = dict(table.read().select("id", "v").collect())
+    assert got["42"] == 420 and got["41"] == 41 and len(got) == 1_000
+
+
+def test_delete_by_key_touches_one_bucket(spark, warehouse):
+    table = ParquetTable(spark, f"{warehouse}/dbk")
+    df = spark.range(1_000).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    table.overwrite(df)
+    before = _data_files(table)
+    echoed = table.delete_by_key(["7"])
+    assert [r["id"] for r in echoed.collect()] == ["7"]
+    after = _data_files(table)
+    assert len(set(before) - set(after)) == 1, "exactly one bucket rewritten"
+    assert table.read().count() == 999
+
+
+def test_lookup_scans_single_bucket(spark, warehouse):
+    table = ParquetTable(spark, f"{warehouse}/lk")
+    df = spark.range(1_000).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    table.overwrite(df)
+    assert [r["v"] for r in table.lookup("123").collect()] == [123]
+    # plan must scan only the owning bucket's directory
+    plan = table.lookup("123")._jdf.queryExecution().executedPlan().toString()
+    bucket = table.bucket_of("123")
+    man = table._load_manifest()
+    (own_dir,) = man["buckets"][str(bucket)]
+    assert own_dir.split("/")[-1] in plan
+
+
+def test_crash_between_data_write_and_manifest_commit(spark, warehouse, monkeypatch):
+    import os
+
+    table = ParquetTable(spark, f"{warehouse}/crash")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v long")
+    table.overwrite(df)
+
+    # fail the atomic pointer swap: data files land, manifest doesn't
+    def boom(src, dst):
+        raise OSError("simulated crash before manifest swap")
+
+    monkeypatch.setattr("moisturizer_spark.storage.os.replace", boom)
+    with pytest.raises(OSError):
+        table.upsert(spark.createDataFrame([("a", 99)], "id string, v long"))
+    monkeypatch.undo()
+
+    # reader still sees the old committed version
+    got = dict(table.read().select("id", "v").collect())
+    assert got == {"a": 1, "b": 2}
+
+    # and the next successful commit vacuums the orphaned version dir
+    table.upsert(spark.createDataFrame([("b", 20)], "id string, v long"))
+    got = dict(table.read().select("id", "v").collect())
+    assert got == {"a": 1, "b": 20}
+    versions = set(os.listdir(os.path.join(table.path, "data")))
+    man = table._load_manifest()
+    referenced = {d.split("/")[1] for dirs in man["buckets"].values() for d in dirs} | {
+        d.split("/")[1] for d in man["prior_dirs"]
+    }
+    assert versions == referenced, "unreferenced version dirs must be vacuumed"
+
+
+def test_delete_where_echo_guard(spark, warehouse):
+    from moisturizer_spark.storage import EchoTooLarge
+
+    table = ParquetTable(spark, f"{warehouse}/eg")
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    table.overwrite(df)
+    with pytest.raises(EchoTooLarge):
+        table.delete_where(F.col("v") >= 0, echo_limit=100)
+    assert table.read().count() == 500, "guarded delete must not partially apply"
+
+    bulk = table.delete_where(F.col("v") >= 250, echo=False)
+    assert bulk.count() == 250
+    assert table.read().count() == 250
+
+
+def test_append_then_read_and_compact(spark, warehouse):
+    table = ParquetTable(spark, f"{warehouse}/ap")
+    mk = lambda lo: spark.range(lo, lo + 10).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    for lo in (0, 10, 20):
+        table.append(mk(lo))
+    assert table.read().count() == 30  # append never dedups
+    n_before, _ = table.file_stats()
+    table.compact(target_file_bytes=1 << 30)
+    assert table.file_stats()[0] <= n_before
+    assert table.read().count() == 30
