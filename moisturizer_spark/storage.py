@@ -97,10 +97,15 @@ class ParquetTable:
         return [n for n in os.listdir(self.path) if n.endswith(".parquet")]
 
     def _commit(self, buckets: dict[int, list[str]], schema: T.StructType,
-                prev: dict | None) -> None:
+                prev: dict | None, txn: dict[str, int] | None = None) -> None:
         """Atomically publish a new table version, then vacuum files no
         longer referenced by it or by the immediately previous version
-        (grace set for in-flight readers)."""
+        (grace set for in-flight readers).
+
+        ``txn`` records writer-app watermarks ({app_id: version}) in the
+        same atomic swap as the data pointer — the Delta txnAppId/
+        txnVersion idempotent-write pattern for streaming foreachBatch
+        sinks (see :meth:`txn_version`)."""
         manifest = {
             "version": (prev["version"] + 1) if prev else 1,
             "key": self.key,
@@ -108,6 +113,7 @@ class ParquetTable:
             "schema": schema.json(),
             "buckets": {str(b): dirs for b, dirs in sorted(buckets.items()) if dirs},
             "prior_dirs": sorted(_manifest_dirs(prev)) if prev else [],
+            "txn": {**((prev or {}).get("txn") or {}), **(txn or {})},
         }
         os.makedirs(self.path, exist_ok=True)
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -220,14 +226,27 @@ class ParquetTable:
                 produced[b] = [os.path.join("data", f"v{version:06d}", child)]
         return produced
 
-    def overwrite(self, df: DataFrame) -> None:
+    def txn_version(self, app_id: str) -> int | None:
+        """Last committed writer version for ``app_id`` (None if it never
+        wrote). A foreachBatch sink that passes ``txn=(app_id, batch_id)``
+        to its writes and skips batches ``<=`` this value is exactly-once
+        under micro-batch replay: the watermark commits atomically with
+        the data it describes."""
+        man = self._load_manifest()
+        if man is None:
+            return None
+        v = (man.get("txn") or {}).get(app_id)
+        return int(v) if v is not None else None
+
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         """Replace the full table contents (DDL-scale op: type migration,
         rollup refresh, compaction). All buckets rewritten."""
         prev = self._load_manifest()
         version = (prev["version"] + 1) if prev else 1
         with_bucket = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
         produced = self._write_version(with_bucket, version)
-        self._commit(produced, _strip_internal(df.schema), prev)
+        self._commit(produced, _strip_internal(df.schema), prev,
+                     txn=dict([txn]) if txn else None)
 
     def append(self, df: DataFrame) -> None:
         """Blind append (no key dedup): new files join each bucket's list.
@@ -253,6 +272,7 @@ class ParquetTable:
         incoming: DataFrame,
         order_col: str = "last_modified",
         seq_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """MERGE ``incoming`` into the table, last-write-wins by ``key``,
         rewriting only the buckets that contain incoming keys.
@@ -277,7 +297,8 @@ class ParquetTable:
                     inc.withColumn(_PRECEDENCE_COL, F.lit(1)), order_col, seq_col
                 )
                 produced = self._write_version(merged, 1)
-                self._commit(produced, _strip_internal(merged.schema), None)
+                self._commit(produced, _strip_internal(merged.schema), None,
+                             txn=dict([txn]) if txn else None)
                 return
             touched = None  # legacy migration rewrites everything
             carried: dict[int, list[str]] = {}
@@ -311,7 +332,7 @@ class ParquetTable:
         produced = self._write_version(merged, version)
         carried.update(produced)
         schema = _merge_schemas(prev, merged.drop(_BUCKET_COL).schema)
-        self._commit(carried, schema, prev)
+        self._commit(carried, schema, prev, txn=dict([txn]) if txn else None)
 
     def _dedup(self, df: DataFrame, order_col: str, seq_col: str | None = None) -> DataFrame:
         order = [F.col(_PRECEDENCE_COL).desc()]

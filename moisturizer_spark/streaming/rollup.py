@@ -26,6 +26,9 @@ from moisturizer_spark.storage import ParquetTable
 
 _MERGEABLE = {"n_events": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"}
 
+# txn app id under which the rollup records its applied-batch watermark
+TXN_APP = "continuous_rollup"
+
 
 def _bucketize(events: DataFrame, ts_col: str, bucket: str, keys: list[str]) -> DataFrame:
     return events.select(
@@ -45,7 +48,8 @@ def _partial(events: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def _merge_into(table: ParquetTable, partial: DataFrame, keys: list[str]) -> None:
+def _merge_into(table: ParquetTable, partial: DataFrame, keys: list[str],
+                txn: tuple[str, int] | None = None) -> None:
     """Fold a batch's partials into the rollup: union + re-merge per key.
 
     Copy-on-write analog of `MERGE ... WHEN MATCHED UPDATE SET n = t.n +
@@ -63,7 +67,36 @@ def _merge_into(table: ParquetTable, partial: DataFrame, keys: list[str]) -> Non
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
-    table.overwrite(merged)
+    table.overwrite(merged, txn=txn)
+
+
+def apply_batch(
+    table: ParquetTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    bucket: str = "day",
+    keys: list[str] | None = None,
+) -> bool:
+    """Idempotently fold one micro-batch into the rollup; returns whether
+    the batch was applied.
+
+    The additive merge is NOT naturally idempotent (replaying a batch
+    would double-count n_events/sum_value), so the applied batch_id is
+    committed in the same atomic manifest swap as the merged data
+    (:meth:`ParquetTable.txn_version`). A batch replayed after a
+    crash-before-checkpoint is detected and skipped — this is what makes
+    the foreachBatch sink exactly-once rather than at-least-once.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    last = table.txn_version(TXN_APP)
+    if last is not None and batch_id <= last:
+        return False
+    if batch_df.isEmpty():
+        return False
+    partial = _partial(_bucketize(batch_df, ts_col, bucket, keys), keys)
+    _merge_into(table, partial, keys, txn=(TXN_APP, batch_id))
+    return True
 
 
 def continuous_rollup(
@@ -78,19 +111,15 @@ def continuous_rollup(
     """Maintain ``table`` as the continuously-updated ``bucket``-grained
     rollup of a streaming events DataFrame. Returns the streaming query.
 
-    Exactly-once per bucket-cell: offsets checkpoint per batch and the
-    merge is deterministic, so replaying a batch after a crash converges
-    to the same cell values only if the previous attempt's overwrite did
-    not land — ParquetTable's atomic swap guarantees all-or-nothing, so
-    a half-applied batch is impossible.
+    Exactly-once per bucket-cell: ParquetTable's manifest swap makes each
+    merge all-or-nothing, and :func:`apply_batch` commits the applied
+    batch_id inside that same swap, so a batch replayed after a
+    crash-before-checkpoint is recognized and skipped instead of being
+    double-counted into the additive aggregates.
     """
-    keys = keys if keys is not None else ["event_type"]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        partial = _partial(_bucketize(batch_df, ts_col, bucket, keys), keys)
-        _merge_into(table, partial, keys)
+        apply_batch(table, batch_df, batch_id, ts_col, bucket, keys)
 
     writer = events.writeStream.foreachBatch(fold)
     if checkpoint_dir:

@@ -85,3 +85,35 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_apply_batch_replay_is_idempotent(spark, tmp_path):
+    # a micro-batch replayed after crash-before-checkpoint must NOT
+    # double-count into the additive aggregates (exactly-once contract)
+    from moisturizer_spark.streaming.rollup import TXN_APP, apply_batch
+
+    table = ParquetTable(spark, str(tmp_path / "rollup"), key="bucket")
+    batch = spark.createDataFrame(
+        [("2024-01-01T10:00:00", "click", 2.0), ("2024-01-01T11:00:00", "click", 4.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    assert apply_batch(table, batch, batch_id=0) is True
+    first = {(r["bucket"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+             for r in table.read().collect()}
+
+    # replay of the SAME batch id: skipped, table unchanged
+    assert apply_batch(table, batch, batch_id=0) is False
+    replayed = {(r["bucket"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+                for r in table.read().collect()}
+    assert replayed == first
+    assert table.txn_version(TXN_APP) == 0
+
+    # the NEXT batch id applies normally
+    assert apply_batch(table, batch, batch_id=1) is True
+    assert table.txn_version(TXN_APP) == 1
+    doubled = {k: v for k, v in (
+        ((r["bucket"], r["event_type"]), (r["n_events"], float(r["sum_value"])))
+        for r in table.read().collect())}
+    (k,) = doubled.keys() & first.keys()
+    assert doubled[k][0] == 2 * first[k][0]
