@@ -49,11 +49,17 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.head(1)
 
+    from moisturizer_spark.operators.common import cache_scope
+
     timings: dict[str, float] = {}
     for name, fn in workload.QUERIES.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        # cache_scope: any subtree an operator persists is released when
+        # its query finishes — no cross-query cache pollution in the
+        # timings, no leaked RDDs accumulating over the session
+        with cache_scope():
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     match = re.search(r"sf([\d.]+)", sf_dir)

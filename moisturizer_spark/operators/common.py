@@ -2,8 +2,14 @@
 
 from __future__ import annotations
 
+import contextlib
+from collections.abc import Iterator
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+# innermost-first stack of active cache scopes (see cache_scope)
+_SCOPES: list[list[DataFrame]] = []
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -21,8 +27,36 @@ def materialize(df: DataFrame) -> DataFrame:
 
     MEMORY_AND_DISK (deserialized) spills under pressure; the persisted
     payloads here are compact derived forms (postings, signatures),
-    orders of magnitude smaller than the source text they derive from,
-    so this holds at cluster scale. Spark evicts LRU; callers do not
-    need to unpersist.
+    orders of magnitude smaller than the source text they derive from.
+    Lifetime: inside a :func:`cache_scope` block the cache is released
+    deterministically when the block exits; outside one, Spark's LRU
+    eviction is the backstop — fine for one-shot jobs, sloppy for a
+    long-lived session, so drivers that run many operators should wrap
+    each run in a scope (``bench.py`` does).
     """
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if _SCOPES:
+        _SCOPES[-1].append(df)
+    return df
+
+
+@contextlib.contextmanager
+def cache_scope() -> Iterator[None]:
+    """Deterministic cache lifetime for operator runs: every
+    :func:`materialize` issued inside the block is unpersisted on exit
+    (including on error). Scopes nest; each releases only its own
+    persists.
+
+    >>> with cache_scope():
+    ...     pairs = minhash_near_duplicates(docs).collect()
+    ... # session holds no leftover cached RDDs here
+    """
+    scope: list[DataFrame] = []
+    _SCOPES.append(scope)
+    try:
+        yield
+    finally:
+        _SCOPES.pop()
+        for df in scope:
+            with contextlib.suppress(Exception):
+                df.unpersist()
