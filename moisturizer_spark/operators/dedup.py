@@ -262,27 +262,49 @@ def simhash(
     return hashed.withColumn("simhash", F.expr(sig_expr)).drop("_th")
 
 
-def simhash_near_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded to avoid all-pairs.
+def _simhash_band_exprs(n_bands: int, bits: int = 64) -> list[str]:
+    """Split a ``bits``-wide signature into ``n_bands`` contiguous bands
+    (widths differ by at most 1 when not divisible)."""
+    base, extra = divmod(bits, n_bands)
+    exprs, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        if width >= 64:  # full-width band: mask literal would overflow BIGINT
+            value = "simhash"
+        else:
+            value = f"shiftright(simhash, {off}) & CAST({(1 << width) - 1} AS BIGINT)"
+        exprs.append(f"struct({i} AS band, {value} AS value)")
+        off += width
+    return exprs
 
-    The 64-bit signature splits into 4 16-bit bands; by pigeonhole any pair
-    with Hamming distance ≤ 3 agrees on ≥ 1 band, so the self-join on
-    (band_idx, band_value) finds all such pairs with a bounded shuffle.
+
+def simhash_candidate_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int, bits: int = 64
+) -> DataFrame:
+    """Exact-recall candidate pairs over (id, simhash) signatures.
+
+    Band count is DERIVED from the requested distance: with
+    ``max_hamming + 1`` bands, a pair differing in ≤ max_hamming bits
+    cannot touch every band (pigeonhole), so it collides on at least one
+    (band, value) key and survives the equi-join. The follow-up exact
+    ``bit_count`` filter removes false positives, so recall is 1.0 at any
+    ``max_hamming < bits``.
+
+    Scale trade-off: larger ``max_hamming`` → narrower bands → fewer
+    distinct band values → bigger join buckets. At corpus scale keep
+    ``max_hamming`` small (≤ 8 for 64-bit signatures) or pre-shard the
+    join by a content prefix; the recall guarantee holds regardless.
     """
-    sigs = simhash(df.select(id_col, text_col), id_col, text_col).select(id_col, "simhash")
+    if not 0 <= max_hamming < bits:
+        raise ValueError(f"max_hamming must be in [0, {bits}); got {max_hamming}")
+    n_bands = max_hamming + 1
+    band_array = "array(" + ", ".join(_simhash_band_exprs(n_bands, bits)) + ")"
     banded = materialize(sigs.select(
         F.col(id_col).alias("_id"),
         "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> struct(b as band, "
-                "shiftright(simhash, b * 16) & 65535 as value))"
-            )
-        ).alias("band"),
+        F.explode(F.expr(band_array)).alias("band"),
     ).select("_id", "simhash", "band.band", "band.value"))
-    pairs = (
+    return (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "value"])
         .filter(F.col("a._id") < F.col("b._id"))
@@ -297,4 +319,17 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return pairs
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded to avoid all-pairs.
+
+    The signature splits into ``max_hamming + 1`` bands so the pigeonhole
+    recall guarantee covers exactly the requested distance (see
+    :func:`simhash_candidate_pairs`); the band equi-join bounds the
+    shuffle, and the exact Hamming filter keeps precision at 1.0.
+    """
+    sigs = simhash(df.select(id_col, text_col), id_col, text_col).select(id_col, "simhash")
+    return simhash_candidate_pairs(sigs, id_col, max_hamming)

@@ -1154,7 +1154,11 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (hash-dependent → rows-only check)."""
+    """SimHash banded near-dup pairs (hash-dependent → rows-only check).
+
+    Band count is derived from max_hamming (17 bands here), so recall is
+    exactly 1.0 at Hamming ≤ 16 by pigeonhole — see
+    ``simhash_candidate_pairs`` for the shuffle-volume trade-off."""
     from moisturizer_spark.operators.dedup import simhash_near_duplicates
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -1414,7 +1418,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_median_tokens_udaf",
+    "doc_median_tokens",
     f"""
     WITH d AS (SELECT lang, len({_SQL_TOKS}) AS n_tokens FROM documents)
     SELECT lang,
@@ -1425,26 +1429,22 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang
     """,
 )
-def doc_median_tokens_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median tokens per language via a *pandas grouped-agg UDAF* — the
-    user-defined-aggregate extension point exercised on a real query
-    (production code would use the built-in percentile; see
-    functions.median_udaf docstring for the shuffle trade-off). numpy's
-    interpolated median matches DuckDB's median() on integer inputs."""
-    from moisturizer_spark.functions import median_udaf
-
+def doc_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median tokens per language via the JVM ``median`` aggregate — one
+    hash aggregation, no Python in the plan (pinned by
+    ``tests/test_plans.py``). The pandas-UDAF variant of this query lives
+    on as the unit-tested user-defined-aggregate template
+    (:func:`moisturizer_spark.functions.median_udaf`): a grouped-agg UDAF
+    ships every group's values to Python with no partial aggregation, so
+    the built-in wins at any scale."""
     t = load_tables(spark, sf_dir, ("documents",))
-    med = median_udaf()
     d = t["documents"].select("lang", F.size(tokens_col(F.col("text"))).alias("n_tokens"))
-    # Spark disallows mixing pandas UDAFs with JVM aggregates in one agg
-    # (INVALID_PANDAS_UDF_PLACEMENT): aggregate separately and join on the
-    # group key — both sides hash-partition identically, so the join is
-    # shuffle-free on top of the two aggs.
-    meds = d.groupBy("lang").agg(med(F.col("n_tokens")).alias("median_tokens"))
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        counts.join(meds, "lang")
-        .select("lang", "n_docs", "median_tokens")
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.median("n_tokens").alias("median_tokens"),
+        )
         .orderBy("lang")
     )
 

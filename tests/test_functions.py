@@ -39,3 +39,19 @@ def test_cosine_similarity(spark):
     )
     sims = [r[0] for r in df.select(MF.cosine_similarity_col(df.a, df.b)).collect()]
     assert abs(sims[0] - 1.0) < 1e-12 and abs(sims[1]) < 1e-12
+
+
+def test_median_udaf_template_matches_builtin(spark):
+    # the UDAF extension-point template must agree with the JVM median
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.functions import median_udaf
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 9), ("b", 4), ("b", 6)], "k string, v long"
+    )
+    got = {
+        r["k"]: r["m"]
+        for r in df.groupBy("k").agg(median_udaf()(F.col("v")).alias("m")).collect()
+    }
+    assert got == {"a": 2.0, "b": 5.0}

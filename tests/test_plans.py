@@ -81,3 +81,15 @@ def test_exists_decorrelates_to_semi_join(spark, sf_dir):
 def test_anti_join_used_for_without_orders(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "customers_without_orders")
     assert "LeftAnti" in plan, "expected an anti join, not a filter/subquery plan"
+
+
+def test_doc_median_tokens_stays_jvm_side(spark, sf_dir):
+    """The registered median query must use the built-in aggregate — a
+    grouped-agg pandas UDAF here would ship every group's values to
+    Python with no partial aggregation (the UDAF template lives in
+    functions.median_udaf for extension users, not in the workload)."""
+    plan = plan_of(spark, sf_dir, "doc_median_tokens")
+    assert "ArrowAggregatePython" not in plan and "AggregateInPandas" not in plan, (
+        "pandas UDAF leaked into the median plan"
+    )
+    assert "median" in plan.lower()

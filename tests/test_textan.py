@@ -63,3 +63,75 @@ def test_winnowing_shared_substring_guarantee(spark):
     }
     assert (0, 1) in pairs
     assert not any(2 in p for p in pairs)
+
+
+def test_simhash_banding_finds_all_planted_pairs(spark):
+    # Pigeonhole property: with bands derived from max_hamming, EVERY pair
+    # within the requested distance must be found (recall 1.0), for any
+    # requested distance — including ones far beyond the old fixed-band
+    # guarantee of 3.
+    import random
+
+    from moisturizer_spark.operators.dedup import simhash_candidate_pairs
+
+    rng = random.Random(42)
+    rows, planted = [], set()
+    next_id = 0
+    for h in (0, 1, 3, 7, 16, 31):
+        for _ in range(5):
+            base = rng.getrandbits(64) - (1 << 63)
+            flips = rng.sample(range(64), h)
+            mutated = base
+            for b in flips:
+                mutated ^= 1 << b
+            mutated = ((mutated + (1 << 63)) % (1 << 64)) - (1 << 63)
+            a, b_ = next_id, next_id + 1
+            rows += [(a, base), (b_, mutated)]
+            planted.add((a, b_, h))
+            next_id += 2
+
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    for max_h in (0, 1, 3, 7, 16, 31):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_candidate_pairs(sigs, "doc_id", max_h).collect()
+        }
+        for a, b_, h in planted:
+            if h <= max_h:
+                assert (a, b_) in got, f"pair at distance {h} missed at max_hamming={max_h}"
+                assert got[(a, b_)] == h
+        # precision: nothing beyond the requested distance
+        assert all(v <= max_h for v in got.values())
+
+
+def test_simhash_max_hamming_bounds():
+    import pytest as _pytest
+
+    from moisturizer_spark.operators.dedup import simhash_candidate_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_candidate_pairs(None, "doc_id", 64)
+    with _pytest.raises(ValueError):
+        simhash_candidate_pairs(None, "doc_id", -1)
+
+
+def test_cache_scope_releases_operator_persists(spark, sf_dir):
+    # near-dup operators persist shared subtrees; inside a cache_scope the
+    # session must hold no leftover cached RDDs once the run completes
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.common import cache_scope
+    from moisturizer_spark.operators.dedup import minhash_near_duplicates
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persistent()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    with cache_scope():
+        pairs = minhash_near_duplicates(docs, threshold=0.5).collect()
+        assert n_persistent() > before  # the operator did persist
+    assert len(pairs) >= 0
+    assert n_persistent() == before, "cache_scope leaked persisted RDDs"
