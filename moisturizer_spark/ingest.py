@@ -72,15 +72,76 @@ def decode_envelope_bytes(raw: bytes) -> tuple[str | None, dict]:
     return payload["type_id"], payload.get("data") or {}
 
 
-def unwrap_envelope(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _decode_envelopes_python(df: DataFrame) -> DataFrame:
+    """Arrow-batched distributed decode of raw wire bytes: msgpack when
+    the package is importable, JSON fallback — per MESSAGE, exactly the
+    reference's probe-then-fallback (``moisturizer/consumer.py:24-39``).
+
+    Used when a topic may carry msgpack envelopes (the JVM cannot parse
+    them); JSON-only deployments take the ``from_json`` path instead,
+    which stays inside whole-stage codegen.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("type_id", T.StringType()),
+            T.StructField("data", T.StringType()),
+            T.StructField("_decode_error", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            type_ids, datas, errors = [], [], []
+            for raw in pdf["value"]:
+                try:
+                    type_id, data = decode_envelope_bytes(bytes(raw))
+                    type_ids.append(type_id)
+                    datas.append(json.dumps(data))
+                    errors.append(None)
+                except Exception as exc:
+                    type_ids.append(None)
+                    datas.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {"type_id": type_ids, "data": datas, "_decode_error": errors}
+            )
+
+    return df.select("value").mapInPandas(run, out_schema)
+
+
+def unwrap_envelope(df: DataFrame, wire_format: str = "auto") -> tuple[DataFrame, DataFrame]:
     """Split an envelope DataFrame into (good, dead_letters).
 
     Accepts either ``(type_id STRING, data STRING)`` columns directly
-    (FIXTURES.md F1) or a raw ``value BINARY`` Kafka-style column, which is
-    decoded as JSON JVM-side (msgpack envelopes would take a mapInPandas
-    decode first; gated on the msgpack package being present).
+    (FIXTURES.md F1) or a raw ``value BINARY`` Kafka-style column.
+    ``wire_format``:
+
+    - ``"auto"``: distributed msgpack-else-JSON decode when msgpack is
+      importable (a msgpack producer's events must not dead-letter);
+      JVM-side ``from_json`` otherwise.
+    - ``"json"``: force the JVM path (fastest; JSON-only topics).
+    - ``"python"``: force the mapInPandas path (also decodes JSON — used
+      to exercise the distributed decoder without msgpack installed).
     """
     if "type_id" not in df.columns and "value" in df.columns:
+        use_python = wire_format == "python" or (
+            wire_format == "auto" and _HAS_MSGPACK
+        )
+        if use_python:
+            decoded = _decode_envelopes_python(df)
+            good = decoded.filter(F.col("type_id").isNotNull()).drop("_decode_error")
+            dead = (
+                decoded.filter(F.col("type_id").isNull())
+                .withColumn(
+                    "error",
+                    F.coalesce(
+                        F.col("_decode_error"),
+                        F.lit("envelope missing required 'type_id'"),
+                    ),
+                )
+                .drop("_decode_error")
+            )
+            return good, dead
         decoded = F.from_json(
             F.col("value").cast("string"),
             T.StructType(
@@ -214,9 +275,9 @@ class IngestEngine:
         return data_df.select("data", "_seq").mapInPandas(run, schema)
 
     # -- batch entry point --------------------------------------------------
-    def ingest_batch(self, envelope_df: DataFrame) -> IngestStats:
+    def ingest_batch(self, envelope_df: DataFrame, wire_format: str = "auto") -> IngestStats:
         stats = IngestStats()
-        good, dead = unwrap_envelope(envelope_df)
+        good, dead = unwrap_envelope(envelope_df, wire_format=wire_format)
         # Arrival order within the batch (per-partition exact, partition-index
         # ordered across partitions — the same guarantee Kafka itself gives).
         good = good.withColumn("_seq", F.monotonically_increasing_id())

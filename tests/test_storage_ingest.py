@@ -324,3 +324,46 @@ def test_append_then_read_and_compact(spark, warehouse):
     table.compact(target_file_bytes=1 << 30)
     assert table.file_stats()[0] <= n_before
     assert table.read().count() == 30
+
+
+# -- distributed envelope decode (msgpack-else-JSON) --------------------------
+
+
+def test_python_decode_path_json_envelopes(spark, warehouse):
+    # wire_format="python" exercises the mapInPandas decoder without
+    # msgpack installed: JSON fallback + per-row dead-letter capture
+    raw = [
+        json.dumps({"type_id": "t", "data": {"id": "1", "v": 7}}).encode(),
+        b"\x00\x01garbage",                      # undecodable → dead letter
+        json.dumps({"data": {"id": "2"}}).encode(),  # no type_id → dead letter
+    ]
+    df = spark.createDataFrame([(v,) for v in raw], "value binary")
+    good, dead = unwrap_envelope(df, wire_format="python")
+    assert good.count() == 1
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 2
+    assert all(r["error"] for r in dead_rows)
+
+    # and end-to-end through the engine
+    reg = Registry(spark, warehouse)
+    engine = IngestEngine(reg)
+    stats = engine.ingest_batch(df, wire_format="python")
+    assert stats.dead_letters == 2
+    assert {r["id"] for r in reg.table("t").read().collect()} == {"1"}
+
+
+def test_msgpack_envelopes_decode_distributed(spark, warehouse):
+    msgpack = pytest.importorskip("msgpack")
+    raw = [
+        msgpack.dumps({"type_id": "t", "data": {"id": "1", "v": 7}}),
+        msgpack.dumps({"data": {"id": "2"}}),            # no type_id → dead
+        json.dumps({"type_id": "t", "data": {"id": "3", "v": 9}}).encode(),
+    ]
+    df = spark.createDataFrame([(v,) for v in raw], "value binary")
+    good, dead = unwrap_envelope(df)  # auto: msgpack importable → python path
+    assert good.count() == 2 and dead.count() == 1
+
+    reg = Registry(spark, warehouse)
+    stats = IngestEngine(reg).ingest_batch(df)
+    assert stats.dead_letters == 1
+    assert {r["id"] for r in reg.table("t").read().collect()} == {"1", "3"}
