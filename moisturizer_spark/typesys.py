@@ -74,7 +74,10 @@ class FieldDescriptor:
     primary_key: bool = False
     partition_key: bool = False
     required: bool = False
-    index: bool = False
+    # reference models.py:89: DescriptorFieldType.index defaults True, so
+    # inferred field descriptors must expose index=True to stay observably
+    # equivalent
+    index: bool = True
 
     def __post_init__(self):
         if self.type not in _VALID_TYPES:
