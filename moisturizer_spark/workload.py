@@ -1572,6 +1572,130 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "top_words_per_lang",
+    f"""
+    WITH w AS (
+        SELECT lang, unnest({_SQL_TOKS}) AS word FROM documents
+    ), c AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM w
+        WHERE len(word) >= 4
+        GROUP BY lang, word
+    ), r AS (
+        SELECT lang, word, n,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, word) AS INT) AS rk
+        FROM c
+    )
+    SELECT lang, word, n, rk FROM r WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface: tokenize → ``explode`` → count → rank.
+    Top-5 words (≥ 4 chars) per language with a deterministic (count
+    desc, word asc) tiebreak.
+
+    Scale: explode fans each document into its tokens map-side (no
+    shuffle); the (lang, word) count partial-aggregates before its one
+    exchange, and the rank window rides a tiny O(distinct words) frame
+    partitioned by lang. The ≥4-char filter is applied before the
+    aggregation, pre-shrinking the shuffle.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = t["documents"].select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("word")
+    ).filter(F.length("word") >= 4)
+    counts = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    """
+    WITH mins AS (
+        SELECT l_partkey, MIN(CAST(l_extendedprice AS DECIMAL(15,4))) AS min_price
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey AS partkey,
+           l.l_suppkey AS suppkey,
+           s.s_name AS supplier_name,
+           CAST(CAST(m.min_price AS VARCHAR) AS DOUBLE) AS min_price
+    FROM lineitem l
+    JOIN mins m
+      ON l.l_partkey = m.l_partkey
+     AND CAST(l.l_extendedprice AS DECIMAL(15,4)) = m.min_price
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2, 3, 4
+    ORDER BY partkey, suppkey
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's core shape on the available tables: for every part, the
+    supplier(s) quoting its minimum price — a correlated
+    ``price = (SELECT MIN ...)`` subquery decorrelated into
+    aggregate-then-rejoin.
+
+    Scale: both the MIN aggregate and the rejoin hash-partition on
+    l_partkey, so the join reuses the aggregation's exchange (one shuffle
+    of the fact table, not two); the supplier dimension broadcasts. Min
+    comparison is decimal-exact, so cross-engine equality is safe (a
+    double division here could flip membership between engines).
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    li = t["lineitem"].select(
+        "l_partkey", "l_suppkey", _p("l_extendedprice").alias("price")
+    )
+    mins = li.groupBy("l_partkey").agg(F.min("price").alias("min_price"))
+    return (
+        li.join(mins, ["l_partkey"])
+        .filter(F.col("price") == F.col("min_price"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            _d(F.col("min_price")).alias("min_price"),
+        )
+        .distinct()
+        .orderBy("partkey", "suppkey")
+    )
+
+
+def events_hll_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch reach per event type (``approx_count_distinct``,
+    rel. error ~2.3%) next to the exact count — approximate → rows-only
+    check; accuracy tolerance pinned in ``tests/test_approx.py``.
+
+    Scale: this is THE distinct-count at 100 TB — the sketch is a
+    fixed-size register set merged map-side, one narrow shuffle of
+    O(groups × sketch) bytes, versus the exact path's shuffle of every
+    distinct user id. The paired exact column here exists for the
+    tolerance check and would be dropped at scale.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.023).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def docs_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS rolling-hash) near-dup pairs (hash-dependent →
     rows-only check; fingerprint guarantees tested against a pure-Python
@@ -1583,6 +1707,7 @@ def docs_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_near_duplicates(subset, min_common=10).orderBy("id_a", "id_b")
 
 
+QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
 QUERIES["simhash_near_dup"] = simhash_near_dup
 QUERIES["embedding_lsh_top5"] = embedding_lsh_top5

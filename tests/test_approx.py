@@ -25,3 +25,14 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(0.05 * r["exact"], 2.0), r
+
+
+def test_hll_reach_within_tolerance(spark, sf_dir):
+    # HLL++ at rsd=0.023 should sit well within 5% of exact on every group
+    import __spark_entry__ as em
+
+    rows = em.queries()["events_hll_reach"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err <= 0.05, f"{r['event_type']}: HLL error {err:.3f}"
