@@ -161,6 +161,15 @@ def unwrap_envelope(df: DataFrame, wire_format: str = "auto") -> tuple[DataFrame
     return good, dead
 
 
+def _txn_applied(table: ParquetTable, app_id: str, batch_id: int | None) -> bool:
+    """True iff this batch already committed to ``table`` under ``app_id``
+    (replay after crash-before-checkpoint)."""
+    if batch_id is None:
+        return False
+    v = table.txn_version(app_id)
+    return v is not None and batch_id <= v
+
+
 @dataclass
 class IngestStats:
     types: int = 0
@@ -275,7 +284,18 @@ class IngestEngine:
         return data_df.select("data", "_seq").mapInPandas(run, schema)
 
     # -- batch entry point --------------------------------------------------
-    def ingest_batch(self, envelope_df: DataFrame, wire_format: str = "auto") -> IngestStats:
+    def ingest_batch(
+        self,
+        envelope_df: DataFrame,
+        wire_format: str = "auto",
+        batch_id: int | None = None,
+    ) -> IngestStats:
+        """Run one envelope batch through decode → validate → evolve →
+        MERGE. ``batch_id`` (provided by the streaming foreachBatch sink)
+        makes the whole batch replay-idempotent: each table write commits
+        the batch id as a txn watermark in its manifest, and an
+        already-applied batch skips both the non-idempotent dead-letter
+        appends AND the (idempotent but costly) MERGE rewrites."""
         stats = IngestStats()
         good, dead = unwrap_envelope(envelope_df, wire_format=wire_format)
         # Arrival order within the batch (per-partition exact, partition-index
@@ -283,7 +303,8 @@ class IngestEngine:
         good = good.withColumn("_seq", F.monotonically_increasing_id())
         stats.dead_letters += self._dead_letter(
             dead.select(F.to_json(F.struct(*dead.columns)).alias("payload"),
-                        F.col("error"))
+                        F.col("error")),
+            txn=("ingest:dead:envelope", batch_id) if batch_id is not None else None,
         )
 
         type_ids = [r[0] for r in good.select("type_id").distinct().collect()]
@@ -306,7 +327,8 @@ class IngestEngine:
                         )
                     ).alias("payload"),
                     F.col("_error").alias("error"),
-                )
+                ),
+                txn=(f"ingest:dead:{type_id}", batch_id) if batch_id is not None else None,
             )
             rows = validated.filter(F.col("_error").isNull()).drop("_error", "_raw")
             table = self.registry.table(type_id)
@@ -316,25 +338,33 @@ class IngestEngine:
             # rows_upserted counts THIS batch's merged rows (cheap: counted
             # off the cached `validated` frame), never a table re-scan.
             n_rows = rows.count()
-            if n_rows:
-                table.upsert(rows, seq_col="_seq")
+            if n_rows and not _txn_applied(table, "ingest", batch_id):
+                table.upsert(
+                    rows,
+                    seq_col="_seq",
+                    txn=("ingest", batch_id) if batch_id is not None else None,
+                )
                 stats.rows_upserted += n_rows
             validated.unpersist()
         return stats
 
-    def _dead_letter(self, df: DataFrame) -> int:
+    def _dead_letter(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Append dead letters; returns how many were written (counted off
         the same materialization the write uses — no extra scan of the
-        upstream plan for stats)."""
+        upstream plan for stats). With ``txn``, a replayed batch (id at or
+        below the committed watermark) is skipped — appends are additive,
+        so without this a crash-before-checkpoint would duplicate them."""
         import os
 
+        path = os.path.join(self.registry.warehouse, DEAD_LETTER_TABLE)
+        table = ParquetTable(self.registry.spark, path)
+        if txn is not None and _txn_applied(table, txn[0], txn[1]):
+            return 0
         df = df.persist()
         try:
             n = df.count()
             if n:
-                path = os.path.join(self.registry.warehouse, DEAD_LETTER_TABLE)
-                table = ParquetTable(self.registry.spark, path)
-                table.append(df.withColumn("ts", F.current_timestamp()))
+                table.append(df.withColumn("ts", F.current_timestamp()), txn=txn)
             return n
         finally:
             df.unpersist()

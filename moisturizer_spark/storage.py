@@ -215,9 +215,16 @@ class ParquetTable:
         task out into one file per bucket it holds (K partitions × B
         buckets files per batch). With it, each version holds exactly one
         file per non-empty bucket; write parallelism is ``n_buckets``,
-        which is the knob that must grow with table size anyway."""
+        which is the knob that must grow with table size anyway.
+
+        Rows sort by key within each bucket before writing (ZORDER-lite):
+        parquet row-group min/max stats then let a pushed-down
+        ``key = x`` point lookup skip every row group but one, so the
+        point-read cost is O(row-group), not O(bucket)."""
         vdir = os.path.join(self.path, "data", f"v{version:06d}")
         df = df.repartition(self.n_buckets, F.col(_BUCKET_COL))
+        if self.key in df.columns:
+            df = df.sortWithinPartitions(_BUCKET_COL, self.key)
         df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
         produced: dict[int, list[str]] = {}
         for child in os.listdir(vdir):
@@ -248,9 +255,12 @@ class ParquetTable:
         self._commit(produced, _strip_internal(df.schema), prev,
                      txn=dict([txn]) if txn else None)
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         """Blind append (no key dedup): new files join each bucket's list.
-        The dead-letter log path — no read, no shuffle beyond the write."""
+        The dead-letter log path — no read, no shuffle beyond the write.
+        ``txn`` commits a writer watermark with the data (appends are NOT
+        idempotent, so replay-safe callers must check :meth:`txn_version`
+        and skip already-applied batches)."""
         prev = self._load_manifest()
         if prev is None and self._legacy_files():
             # fold pre-manifest files in once, then append normally
@@ -265,7 +275,7 @@ class ParquetTable:
         for b, dirs in produced.items():
             buckets.setdefault(b, []).extend(dirs)
         schema = _merge_schemas(prev, df.schema)
-        self._commit(buckets, schema, prev)
+        self._commit(buckets, schema, prev, txn=dict([txn]) if txn else None)
 
     def upsert(
         self,

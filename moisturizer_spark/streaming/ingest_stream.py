@@ -73,15 +73,16 @@ def start_ingest_stream(
     refresh / tests); ``False`` runs continuously (the daemon mode,
     reference ``__init__.py:45-59`` ``async_start``).
 
-    Effectively-once: offsets checkpoint per micro-batch, and the sink is
-    an idempotent keyed LWW MERGE, so a replayed batch converges to the
-    same table state — strictly stronger than the reference's
-    at-most-once (``consumer.py:79-83``).
+    Exactly-once: offsets checkpoint per micro-batch, the keyed LWW MERGE
+    is idempotent, and the batch id commits as a txn watermark inside each
+    table's manifest swap, so a replayed batch skips the non-idempotent
+    dead-letter appends and the already-applied MERGEs entirely — strictly
+    stronger than the reference's at-most-once (``consumer.py:79-83``).
     """
     engine = IngestEngine(registry)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        engine.ingest_batch(batch_df)
+        engine.ingest_batch(batch_df, batch_id=batch_id)
 
     writer = envelope_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

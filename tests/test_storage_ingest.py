@@ -367,3 +367,58 @@ def test_msgpack_envelopes_decode_distributed(spark, warehouse):
     stats = IngestEngine(reg).ingest_batch(df)
     assert stats.dead_letters == 1
     assert {r["id"] for r in reg.table("t").read().collect()} == {"1", "3"}
+
+
+def test_ingest_batch_replay_is_exactly_once(spark, warehouse):
+    # foreachBatch replay after crash-before-checkpoint: same batch_id must
+    # not duplicate dead letters, must not rewrite tables, and the next
+    # batch id must apply normally
+    reg = Registry(spark, warehouse)
+    engine = IngestEngine(reg)
+    batch = spark.createDataFrame(
+        [
+            Row(type_id="t", data=json.dumps({"id": "1", "v": 1})),
+            Row(type_id=None, data="{}"),  # dead letter
+        ]
+    )
+    s1 = engine.ingest_batch(batch, batch_id=0)
+    assert s1.rows_upserted == 1 and s1.dead_letters == 1
+    v_before = reg.table("t")._load_manifest()["version"]
+
+    s2 = engine.ingest_batch(batch, batch_id=0)  # replay
+    assert s2.rows_upserted == 0 and s2.dead_letters == 0
+    assert engine.dead_letters().count() == 1, "replayed dead letters duplicated"
+    assert reg.table("t")._load_manifest()["version"] == v_before, (
+        "replayed batch rewrote the table"
+    )
+
+    s3 = engine.ingest_batch(batch, batch_id=1)  # next batch applies
+    assert s3.rows_upserted == 1 and s3.dead_letters == 1
+    assert engine.dead_letters().count() == 2
+
+
+def test_bucket_files_sorted_by_key_with_stats(spark, warehouse):
+    # within-bucket key sort (ZORDER-lite): row-group min/max stats make a
+    # pushed-down id equality skip row groups inside the bucket file
+    import os
+
+    import pyarrow.parquet as pq
+
+    table = ParquetTable(spark, f"{warehouse}/srt")
+    df = spark.range(5_000).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    table.overwrite(df.repartition(16))
+    man = table._load_manifest()
+    (rel,) = next(iter(man["buckets"].values()))
+    d = os.path.join(table.path, rel)
+    (fname,) = [n for n in os.listdir(d) if n.endswith(".parquet")]
+    pf = pq.ParquetFile(os.path.join(d, fname))
+    ids = pf.read(columns=["id"])["id"].to_pylist()
+    assert ids == sorted(ids), "bucket file not sorted by key"
+    meta = pf.metadata.row_group(0).column(0)
+    assert meta.statistics is not None and meta.statistics.has_min_max
+
+    # and the point-lookup filter is pushed to the scan
+    plan = table.lookup("123")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,123)]" in plan
