@@ -348,6 +348,32 @@ class IngestEngine:
             validated.unpersist()
         return stats
 
+    def compact_warehouse(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, int]:
+        """Compact every type table plus the dead-letter log; returns
+        {table: file_count_after}.
+
+        Micro-batch MERGEs leave one fresh file per touched bucket per
+        batch and appends stack files per bucket, so file counts (and
+        manifest lists) grow with batch cadence. Run off the hot path —
+        the streaming sink can invoke it every N batches
+        (:func:`moisturizer_spark.streaming.ingest_stream.start_ingest_stream`
+        ``compact_every``); readers are never blocked (same atomic
+        manifest swap as any write).
+        """
+        import os
+
+        out: dict[str, int] = {}
+        for type_id in self.registry.list_ids():
+            table = self.registry.table(type_id)
+            if table.exists():
+                out[type_id] = table.compact(target_file_bytes)
+        dead = ParquetTable(
+            self.registry.spark, os.path.join(self.registry.warehouse, DEAD_LETTER_TABLE)
+        )
+        if dead.exists():
+            out[DEAD_LETTER_TABLE] = dead.compact(target_file_bytes)
+        return out
+
     def _dead_letter(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Append dead letters; returns how many were written (counted off
         the same materialization the write uses — no extra scan of the

@@ -66,6 +66,7 @@ def start_ingest_stream(
     envelope_stream: DataFrame,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Run the vectorized ingest pipeline over a stream via foreachBatch.
 
@@ -78,11 +79,18 @@ def start_ingest_stream(
     table's manifest swap, so a replayed batch skips the non-idempotent
     dead-letter appends and the already-applied MERGEs entirely — strictly
     stronger than the reference's at-most-once (``consumer.py:79-83``).
+
+    ``compact_every=N`` compacts the warehouse every N batches (the
+    small-file countermeasure: each batch adds ~one file per touched
+    bucket; compaction folds them back to one file per bucket without
+    blocking readers).
     """
     engine = IngestEngine(registry)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         engine.ingest_batch(batch_df, batch_id=batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            engine.compact_warehouse()
 
     writer = envelope_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -204,3 +204,29 @@ def test_stream_dedup_by_id_emits_first_only(spark, warehouse):
         {"event_id": 9, "ts": "2024-01-01 10:03:00", "user_id": 9, "event_type": "view", "value": 3.0},
     ])
     assert sorted(drain("dedup2")) == [9]
+
+
+def test_compact_warehouse_bounds_files(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from moisturizer_spark.ingest import IngestEngine
+    from moisturizer_spark.registry import Registry
+
+    reg = Registry(spark, str(tmp_path / "wh"))
+    engine = IngestEngine(reg)
+    mk = lambda i: spark.createDataFrame(
+        [Row(type_id="t", data=_json.dumps({"id": str(k), "v": i})) for k in range(i * 20, i * 20 + 20)]
+        + [Row(type_id=None, data="{}")]  # one dead letter per batch
+    )
+    for i in range(4):
+        engine.ingest_batch(mk(i), batch_id=i)
+
+    table = reg.table("t")
+    after = engine.compact_warehouse(target_file_bytes=1 << 30)
+    assert after["t"] <= table.n_buckets
+    assert after["_dead_letters"] >= 1
+    # data intact post-compaction
+    assert table.read().count() == 80
+    assert engine.dead_letters().count() == 4
