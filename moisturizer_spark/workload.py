@@ -1673,6 +1673,79 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "latest_event_per_user",
+    f"""
+    WITH {_SQL_EV}
+    SELECT user_id,
+           arg_max(event_type, printf('%020d%012d', epoch_us(ts), event_id))
+               AS last_event_type,
+           CAST(arg_max(event_id, printf('%020d%012d', epoch_us(ts), event_id))
+               AS BIGINT) AS last_event_id,
+           MAX(ts) AS last_ts
+    FROM ev
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregate (``max_by``): each user's most recent event in ONE
+    hash aggregation — no window, no self-join, no sort of the events.
+
+    The ordering key is a zero-padded ``(epoch_us, event_id)`` string so
+    both engines compare identically and ties on ts break
+    deterministically. Scale: this is the idiomatic replacement for the
+    rank-window 'latest row per key' pattern — map-side partial max_by
+    states merge, so the shuffle carries one candidate per (partition,
+    user), not the user's history.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    key = F.format_string("%020d%012d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", key).alias("last_event_type"),
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "lang_sources_csv",
+    """
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lang_sources_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation with deterministic ordering: the distinct
+    sources per language as a sorted CSV.
+
+    Spark side uses ``collect_set → array_sort → array_join`` (all JVM
+    built-ins) rather than ``listagg`` so element order is explicit, not
+    engine-dependent. Scale: distinct-set states merge map-side and the
+    result is O(groups × distinct sources) — safe whenever the distinct
+    domain is bounded (sources here), NOT for unbounded domains.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources_csv"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
 def events_hll_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch reach per event type (``approx_count_distinct``,
     rel. error ~2.3%) next to the exact count — approximate → rows-only
