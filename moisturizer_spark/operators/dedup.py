@@ -333,3 +333,61 @@ def simhash_near_duplicates(
     """
     sigs = simhash(df.select(id_col, text_col), id_col, text_col).select(id_col, "simhash")
     return simhash_candidate_pairs(sigs, id_col, max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Undirected connected components by min-label propagation: the
+    dedup-clustering primitive (near-dup PAIRS → duplicate GROUPS with a
+    canonical representative = the component's minimum id).
+
+    Iterative (converges in O(component diameter) rounds, each one
+    join + aggregate shuffled on the node id): every node adopts the
+    smallest label among itself and its neighbors until a fixpoint.
+    ``localCheckpoint`` cuts lineage each round so the plan stays flat
+    across iterations (no exponential re-analysis). Near-dup clusters
+    have tiny diameters, so this settles in a handful of rounds; for
+    adversarially long path-graphs at web scale, swap in the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce"), which is O(log n) rounds over
+    the same two primitives.
+
+    Returns (id, component) — component is the minimum node id reachable.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        neigh = (
+            labels.join(sym, labels["id"] == sym["src"])
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("_neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_neigh_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .head(1)
+        )
+        labels = updated
+        if not changed:
+            break
+    return labels

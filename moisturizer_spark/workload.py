@@ -1674,6 +1674,73 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_dedup_clusters",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 100
+    ), sh AS (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS g
+        FROM d, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labels AS (
+        SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src
+    )
+    SELECT l.doc_id,
+           CAST(l.rep AS BIGINT) AS cluster_rep,
+           CAST(s.n AS BIGINT) AS cluster_size
+    FROM labels l
+    JOIN (SELECT rep, COUNT(*) AS n FROM labels GROUP BY rep) s ON s.rep = l.rep
+    ORDER BY l.doc_id
+    """,
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING: near-dup pairs → duplicate groups with a
+    canonical representative (min doc_id) and group size — what a
+    training-data pipeline actually keeps/drops, one level above pair
+    output.
+
+    Spark side: exact Jaccard pairs on the bounded subset feed
+    :func:`~moisturizer_spark.operators.dedup.connected_components`
+    (iterative min-label propagation; the oracle expresses the same
+    fixpoint as a recursive CTE). At corpus scale the pair source swaps
+    to MinHash-LSH candidates and components settle in O(cluster
+    diameter) rounds — near-dup clusters are shallow.
+    """
+    from moisturizer_spark.operators.dedup import connected_components
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(subset, threshold=0.5)
+    labels = connected_components(
+        pairs, subset.select("doc_id"), id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep"))
+    sizes = labels.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sizes), "cluster_rep")
+        .select("doc_id", "cluster_rep", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "latest_event_per_user",
     f"""
     WITH {_SQL_EV}

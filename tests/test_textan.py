@@ -135,3 +135,15 @@ def test_cache_scope_releases_operator_persists(spark, sf_dir):
         assert n_persistent() > before  # the operator did persist
     assert len(pairs) >= 0
     assert n_persistent() == before, "cache_scope leaked persisted RDDs"
+
+
+def test_connected_components_hand_graph(spark):
+    from moisturizer_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (path), {10,11}, isolate {20}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
+    got = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
