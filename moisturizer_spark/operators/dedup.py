@@ -358,11 +358,26 @@ def connected_components(
     "Connected Components in MapReduce"), which is O(log n) rounds over
     the same two primitives.
 
+    Plan economics per round: ONE shuffle-bearing checkpointed job (the
+    neighbor-min join-aggregate fused with the label update). The edge
+    list is materialized up front — it is consumed every round, and its
+    lineage (at the call sites here, a shingle→inverted-index→verify
+    join over the corpus) must not re-execute per iteration. The
+    convergence check rides the same checkpointed result by carrying
+    the previous label in a sibling column, so it costs a filter over
+    stored rows, not a second join against the old labels. (A 2-hop
+    unroll per round was tried and rejected: halving the round count
+    did not pay for doubling each round's plan depth.)
+
     Returns (id, component) — component is the minimum node id reachable.
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     for _ in range(max_iter):
         neigh = (
@@ -375,19 +390,15 @@ def connected_components(
             labels.join(neigh, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("_neigh_min"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .head(1)
-        )
-        labels = updated
+        changed = updated.filter(F.col("component") != F.col("_prev")).head(1)
+        labels = updated.select("id", "component")
         if not changed:
             break
     return labels
