@@ -15,6 +15,11 @@ from moisturizer_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
+from moisturizer_spark.operators.sampling import (  # noqa: F401
+    hash_fraction,
+    hash_split,
+    quota_sample,
+)
 from moisturizer_spark.operators.similarity import (  # noqa: F401
     brute_force_top_k,
     cosine_similarity_col,

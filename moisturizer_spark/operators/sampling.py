@@ -1,0 +1,142 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on wholesale: it is split into
+train/validation/test, rebalanced across sources, and downsampled under
+per-domain quotas. Random sampling (``df.sample``) is useless for that at
+scale — it is neither reproducible across engines nor stable under
+re-partitioning, and a re-run reshuffles the split. Everything here keys
+the decision on a **content-derived hash** instead:
+
+- the same row lands in the same split on every engine, every run, every
+  partition layout (md5 is md5 — the DuckDB oracle reproduces each query
+  bit-for-bit);
+- membership survives incremental re-ingestion: adding documents never
+  moves an existing document between splits (the property that keeps a
+  held-out set held out as the corpus grows);
+- no shuffle is needed to *assign* — the hash is a narrow map-side
+  projection; only quota ranking shuffles, and then only ``(partition
+  key, hash, id)`` tuples, never payloads.
+
+The reference has no sampling surface (no sample/split code anywhere in
+``/root/reference/moisturizer/``, verified by module read); these are part
+of the mandated LLM-pipeline extension (SURVEY §2d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# First 8 hex chars of md5 → uniform 32-bit integer. 32 bits of the 128
+# are plenty for split thresholds (resolution 2^-32) while staying inside
+# BIGINT range in both engines.
+_HASH_BITS = 32
+_HASH_SPAN = float(1 << _HASH_BITS)
+
+
+def hash_fraction(key: Column, salt: str = "") -> Column:
+    """Uniform [0, 1) fraction derived from md5(salt || key).
+
+    The salt namespaces decisions: the same corpus can carry independent
+    splits (e.g. a dedup-holdout and an eval-holdout) by salting each.
+    Column-only expression — no UDF, stays inside whole-stage codegen.
+    """
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(_HASH_SPAN)
+
+
+def sql_hash_fraction(key_sql: str, salt: str = "") -> str:
+    """DuckDB rendering of :func:`hash_fraction` (oracle parity)."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) / {_HASH_SPAN!r}"
+    )
+
+
+DEFAULT_SPLITS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def split_thresholds(splits: dict[str, float] | None = None) -> list[tuple[str, float]]:
+    """(name, cumulative upper bound) per split, last bound exclusive-open.
+
+    Single source of truth for BOTH the Spark expression and the oracle
+    SQL: cumulative float addition is not exact (0.90 + 0.05 →
+    0.9500000000000001), so the two sides must compare against the *same*
+    accumulated constants, not re-derive them.
+    """
+    splits = splits or DEFAULT_SPLITS
+    total = sum(splits.values())
+    out, cum = [], 0.0
+    for name, w in splits.items():
+        cum += w / total
+        out.append((name, cum))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by thresholding its hash fraction.
+
+    ``splits`` maps name → weight (normalized internally); iteration order
+    fixes the threshold layout, so pass an ordered dict. Default 90/5/5
+    train/val/test. Assignment is a pure projection: at 100 TB this adds
+    zero shuffles — the split column rides along with whatever the
+    consumer does next, and parquet writers can partition by it.
+    """
+    frac = hash_fraction(F.col(key_col), salt)
+    thresholds = split_thresholds(splits)
+    expr: Column | None = None
+    for name, cum in thresholds[:-1]:
+        branch = F.when(frac < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(frac < F.lit(cum), F.lit(name))
+    last = F.lit(thresholds[-1][0])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def sql_hash_split_case(
+    key_sql: str, splits: dict[str, float] | None = None, salt: str = ""
+) -> str:
+    """DuckDB CASE expression mirroring :func:`hash_split` — same
+    accumulated threshold constants (see :func:`split_thresholds`)."""
+    frac = sql_hash_fraction(key_sql, salt)
+    thresholds = split_thresholds(splits)
+    arms = " ".join(
+        f"WHEN {frac} < {cum!r} THEN '{name}'" for name, cum in thresholds[:-1]
+    )
+    return f"CASE {arms} ELSE '{thresholds[-1][0]}' END"
+
+
+def quota_sample(
+    df: DataFrame,
+    partition_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``k`` rows per ``partition_col`` group, chosen by hash
+    rank — deterministic per-domain downsampling (the "cap every source at
+    N documents" rebalancing step of corpus curation).
+
+    Hash-rank selection is an unbiased uniform sample per group AND stable:
+    re-running over a grown corpus only ever *replaces* members when new
+    rows hash lower, never reshuffles wholesale. Scale: one shuffle on the
+    partition key carrying ``(partition, hash, key)`` plus surviving
+    columns; skewed domains are exactly the ones the quota truncates, so
+    the per-group sort is bounded by group size and AQE splits oversized
+    partitions. For extreme single-domain skew, pre-filter with an
+    approximate per-group count and a hash-threshold prepass so the sort
+    only sees ~k candidates per group.
+    """
+    # Rank by the md5 hex string itself (ASCII order is engine-invariant;
+    # no float conversion involved), tiebroken by the key for totality.
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(partition_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_qs_rank", F.row_number().over(w))
+        .filter(F.col("_qs_rank") <= k)
+        .drop("_qs_rank")
+    )

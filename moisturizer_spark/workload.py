@@ -1847,6 +1847,105 @@ def docs_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_near_duplicates(subset, min_common=10).orderBy("id_a", "id_b")
 
 
+# ---------------------------------------------------------------------------
+# Documents: deterministic sampling / corpus curation
+# ---------------------------------------------------------------------------
+
+
+def _hash_split_sql() -> str:
+    from moisturizer_spark.operators.sampling import sql_hash_split_case
+
+    case = sql_hash_split_case("doc_id", salt="split:")
+    return f"""
+    WITH s AS (SELECT lang, n_chars, {case} AS split FROM documents)
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """
+
+
+@query("docs_hash_split", _hash_split_sql())
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by content hash:
+    the split step of a training-data pipeline, with per-(split, lang)
+    volume stats.
+
+    ``df.sample`` would be wrong here: not reproducible cross-engine and
+    not stable as the corpus grows. md5-keyed assignment is both — a
+    document keeps its split forever (held-out stays held out under
+    incremental ingestion). Scale: the assignment itself is a map-side
+    projection (zero shuffles); only the tiny stats aggregation shuffles
+    (split, lang) pairs.
+    """
+    from moisturizer_spark.operators.sampling import hash_split
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        hash_split(t["documents"], "doc_id", salt="split:")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "source_quota_sample",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_min_doc
+    FROM ranked
+    WHERE rk <= 10
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: cap every source at 10 documents chosen
+    by hash rank — the rebalancing step that stops one crawl domain from
+    dominating the corpus.
+
+    Hash-rank selection (vs random) is reproducible and stable under
+    corpus growth. Scale: one shuffle on ``source`` carrying (hash, id,
+    n_chars) — never text; the per-group sort is quota-bounded and AQE
+    splits skewed domains, which are exactly the ones being truncated.
+    """
+    from moisturizer_spark.operators.sampling import quota_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    kept = quota_sample(
+        t["documents"].select("source", "doc_id", "n_chars"),
+        "source",
+        "doc_id",
+        k=10,
+        salt="quota:",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            F.min("doc_id").alias("sample_min_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
 QUERIES["simhash_near_dup"] = simhash_near_dup

@@ -1,0 +1,88 @@
+"""Deterministic sampling operators: split/quota invariants.
+
+The properties that make hash-keyed sampling the right primitive for a
+growing 100 TB corpus (vs ``df.sample``): reproducibility, partition/
+engine independence, and membership stability under corpus growth.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from moisturizer_spark.operators.sampling import (
+    DEFAULT_SPLITS,
+    hash_fraction,
+    hash_split,
+    quota_sample,
+    split_thresholds,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_fraction_uniform_range(spark, docs):
+    stats = docs.select(hash_fraction(F.col("doc_id")).alias("f")).agg(
+        F.min("f"), F.max("f"), F.avg("f")
+    ).first()
+    assert 0.0 <= stats[0] and stats[1] < 1.0
+    assert 0.3 < stats[2] < 0.7  # uniform-ish even on a small table
+
+
+def test_hash_split_partitions_completely(spark, docs):
+    out = hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(DEFAULT_SPLITS)
+    assert sum(counts.values()) == docs.count()
+    # train dominates under 90/5/5
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_hash_split_deterministic_and_salt_independent(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    assert a == b
+    salted = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", salt="x").collect()}
+    assert salted != a  # a different salt is a different (independent) split
+
+
+def test_hash_split_stable_under_corpus_growth(spark, docs):
+    """Adding documents never moves an existing document between splits."""
+    subset = docs.filter(F.col("doc_id") % 2 == 0)
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    sub = {r["doc_id"]: r["split"] for r in hash_split(subset, "doc_id").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_split_thresholds_shared_constants():
+    th = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert [n for n, _ in th] == ["train", "val", "test"]
+    assert th[-1][1] == pytest.approx(1.0)
+    # the accumulated constant is whatever float addition yields — both
+    # engine sides must consume THIS value, not a re-derived 0.95
+    assert th[1][1] == 0.9 + 0.05 / 1.0
+
+
+def test_quota_sample_bounds_and_determinism(spark, docs):
+    kept = quota_sample(docs, "source", "doc_id", k=5)
+    per = kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 5 for r in per)
+    again = quota_sample(docs, "source", "doc_id", k=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_quota_sample_keeps_columns_and_small_groups(spark):
+    df = spark.createDataFrame(
+        [("a", i, f"t{i}") for i in range(20)] + [("b", 100, "x")],
+        "grp string, id long, payload string",
+    )
+    kept = quota_sample(df, "grp", "id", k=3)
+    assert kept.columns == ["grp", "id", "payload"]
+    counts = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 3, "b": 1}  # under-quota groups survive whole
