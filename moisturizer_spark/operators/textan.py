@@ -106,6 +106,77 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams of a text column as an array of space-joined strings.
+
+    Built entirely from JVM array functions (tokenize → sequence →
+    slice → join); returns an empty array for texts shorter than ``n``
+    tokens — the ``when`` guard matters because ``sequence(1, 0)``
+    counts DOWN in Spark and would emit phantom grams.
+    """
+    # Bind the token array as a lambda variable (single-element array →
+    # transform → [0]): expressions captured inside HOF lambdas are
+    # re-evaluated PER ELEMENT, so referencing the raw tokenization from
+    # the per-gram lambda would re-run regex+split+filter once per gram —
+    # O(tokens²) work per row (measured 25× slowdown on the bench corpus).
+    def per_tokens(w):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+        return F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens_col(text)), per_tokens), 1)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: find training documents that share at
+    least ``min_shared`` distinct word ``n``-grams with an evaluation
+    corpus — the contamination check every serious LLM training pipeline
+    runs before a benchmark score means anything (the GPT-3 paper used
+    13-grams; pick ``n`` per tokenizer granularity).
+
+    Returns (id, n_shared) per contaminated training document.
+
+    Scale shape: both sides project to (md5(gram)) — 32-byte fixed keys,
+    never text. The eval side (a benchmark suite) is tiny relative to the
+    corpus, so Spark broadcasts its distinct gram set and the probe over
+    100 TB of training grams is a map-side hash lookup. Deliberately NO
+    pre-join distinct on the train side — that would shuffle every corpus
+    gram; instead duplicates are collapsed by count_distinct AFTER the
+    probe, so the only shuffle carries hit rows (rare by construction).
+    md5 (not xxhash64) so the DuckDB oracle reproduces the join keys
+    bit-for-bit; the 2^-64 collision regime is identical on both engines.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+            )
+            .filter(F.col("gram").isNotNull())  # null-check the raw gram, not md5(gram)
+            .select("_id", F.md5("gram").alias("gh"))
+        )
+
+    ev = grams(eval_df).select("gh").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(ev), "gh")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count_distinct(F.col("gh")).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -1946,6 +1946,93 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_decontaminated",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> md5(array_to_string(w[i:i+2], ' ')))) AS gh
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, CAST(COUNT(DISTINCT g.gh) AS BIGINT) AS n_shared
+    FROM g JOIN ev USING (gh)
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    HAVING COUNT(DISTINCT g.gh) >= 2
+    ORDER BY g.doc_id
+    """,
+)
+def docs_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥2 distinct
+    word 3-grams with the held-out eval subset (doc_id % 50 == 0 stands
+    in for a benchmark suite; real pipelines use 8-13-grams — this
+    corpus's synthetic texts shuffle their vocabulary, so 3 is the
+    calibrated overlap scale).
+
+    Scale shape (see :func:`~moisturizer_spark.operators.textan.
+    decontaminate`): the eval side's distinct gram hashes broadcast, the
+    100 TB train side probes map-side — no shuffle of corpus grams
+    before the per-doc hit count. Join keys are md5(gram): fixed-width,
+    oracle-reproducible.
+    """
+    from moisturizer_spark.operators.textan import decontaminate
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    return (
+        decontaminate(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=3,
+            min_shared=2,
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "top_bigrams",
+    f"""
+    WITH toks AS (SELECT {_SQL_TOKS} AS w FROM documents),
+    g AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS bigram
+        FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams — the corpus-statistics primitive behind
+    n-gram LM baselines and repetition diagnostics.
+
+    Scale: explode → two-phase hash aggregate (map-side combine absorbs
+    the Zipf head, so the shuffle carries one partial count per distinct
+    bigram per partition, not one row per occurrence); top-k is
+    TakeOrdered (per-partition heap + driver merge of 20-row heads), not
+    a global sort. Tiebreak by bigram keeps membership deterministic.
+    """
+    from moisturizer_spark.operators.textan import word_ngrams
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select(F.explode_outer(word_ngrams(F.col("text"), 2)).alias("bigram"))
+        .dropna(subset=["bigram"])
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
 QUERIES["simhash_near_dup"] = simhash_near_dup

@@ -147,3 +147,41 @@ def test_connected_components_hand_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
     got = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_word_ngrams_edges(spark):
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.textan import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("one",), ("",), ("x y",)], "text string"
+    )
+    got = [r[0] for r in df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []  # shorter than n: no phantom grams from sequence(1,0)
+    assert got[2] == []
+    assert got[3] == []
+
+
+def test_decontaminate_hand_corpus(spark):
+    from moisturizer_spark.operators.textan import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here only"),
+            (3, "quick brown fox appears here too"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in decontaminate(train, ev, n=3).collect()}
+    # doc 1 shares 'the quick brown', 'quick brown fox', 'brown fox jumps';
+    # doc 3 shares 'quick brown fox'; doc 2 shares nothing
+    assert got == {1: 3, 3: 1}
+    strict = {r["doc_id"]: r["n_shared"]
+              for r in decontaminate(train, ev, n=3, min_shared=2).collect()}
+    assert strict == {1: 3}
