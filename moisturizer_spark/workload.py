@@ -2033,6 +2033,154 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational breadth: unpivot, ntile, lag
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_unpivot",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1
+    )
+    SELECT day, metric, value
+    FROM (UNPIVOT d ON n_events, n_users INTO NAME metric VALUE value)
+    ORDER BY day, metric
+    """,
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-day metrics → long (day, metric, value)
+    rows — the inverse of ``events_user_pivot`` and the shape feeding
+    metric stores / plotting layers.
+
+    Spark's native ``DataFrame.unpivot`` is a zero-shuffle Expand over
+    the aggregated rows: row count multiplies by the metric count but no
+    exchange is added beyond the aggregation's own. Scale: melt AFTER
+    aggregating (here: 2 values per day), never before — unpivoting raw
+    events would multiply 100 TB by the metric count.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    d = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+    return d.unpivot(["day"], ["n_events", "n_users"], "metric", "value").orderBy(
+        "day", "metric"
+    )
+
+
+@query(
+    "customer_spend_ntile",
+    f"""
+    WITH spend AS (
+        SELECT o_custkey, SUM({_sql_p('o_totalprice')}) AS spend_dec
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+        SELECT o_custkey, spend_dec,
+               NTILE(10) OVER (ORDER BY spend_dec DESC, o_custkey) AS decile
+        FROM spend
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(spend_dec) AS VARCHAR) AS DOUBLE) AS decile_spend
+    FROM t
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def customer_spend_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE deciles of customer lifetime spend (who are the top-10%
+    buyers, and how much of the book do they hold).
+
+    The NTILE window is ordered by (spend, custkey) — the unique
+    tiebreaker makes bucket membership deterministic across engines.
+    Scale: the global sort ranks per-CUSTOMER aggregates (orders of
+    magnitude smaller than the fact table); at extreme customer
+    cardinality swap NTILE for approx-percentile boundaries joined back
+    broadcast — same output contract, no single-partition sort.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    spend = t["orders"].groupBy("o_custkey").agg(
+        F.sum(_p("o_totalprice")).alias("spend_dec")
+    )
+    w = Window.orderBy(F.col("spend_dec").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _d(F.sum("spend_dec")).alias("decile_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "orders_monthly_growth",
+    f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               SUM({_sql_p('o_totalprice')}) AS rev_dec,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT month, n_orders,
+               CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+               CAST(CAST(rev_dec - LAG(rev_dec) OVER (ORDER BY month) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(LAG(rev_dec) OVER (ORDER BY month) AS VARCHAR) AS DOUBLE)
+                 AS mom_growth
+        FROM m
+    )
+    WHERE mom_growth IS NOT NULL
+    ORDER BY month
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG month-over-month revenue growth — the offset-window shape
+    (trend lines, churn deltas) missing from the rank/frame windows
+    elsewhere in the suite.
+
+    Determinism: the delta is computed in decimal (exact), THEN cast to
+    double for the division — both engines divide identical doubles.
+    The first month (NULL growth by LAG semantics) is dropped: output
+    columns stay NULL-free, the suite's cross-engine convention. Scale:
+    the window runs over one row per month (post-aggregation), so the
+    unpartitioned sort is trivially bounded.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    m = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(
+            F.sum(_p("o_totalprice")).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_dec").over(w)
+    return (
+        m.select(
+            "month",
+            "n_orders",
+            _d(F.col("rev_dec")).alias("revenue"),
+            (_d(F.col("rev_dec") - prev) / _d(prev)).alias("mom_growth"),
+        )
+        .filter(F.col("mom_growth").isNotNull())
+        .orderBy("month")
+    )
+
+
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
 QUERIES["simhash_near_dup"] = simhash_near_dup
