@@ -10,6 +10,7 @@ from moisturizer_spark.streaming.rollup import (  # noqa: F401
 from moisturizer_spark.streaming.stateful import (  # noqa: F401
     running_user_stats,
     stream_dedup_by_id,
+    stream_dedup_within_watermark,
 )
 from moisturizer_spark.streaming.windows import (  # noqa: F401
     session_window_stats,

@@ -230,3 +230,67 @@ def test_compact_warehouse_bounds_files(spark, tmp_path):
     # data intact post-compaction
     assert table.read().count() == 80
     assert engine.dead_letters().count() == 4
+
+
+def test_stream_dedup_within_watermark(spark, warehouse):
+    """Built-in event-time dedup: duplicates within the watermark delay
+    are suppressed (in-batch and across batches); once the watermark has
+    evicted a key's state, a far-later duplicate re-emits — the bounded-
+    state residue the docstring promises."""
+    from moisturizer_spark.streaming import stream_dedup_within_watermark
+
+    src = os.path.join(warehouse, "ev")
+    ckpt = os.path.join(warehouse, "ckpt")
+    out = os.path.join(warehouse, "out")
+
+    def drain():
+        q = (
+            stream_dedup_within_watermark(
+                _event_stream(spark, src), watermark="10 minutes"
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["event_id"], r["ts"].strftime("%H:%M"))
+            for r in spark.read.parquet(out).collect()
+        )
+
+    _write_events(src, "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "c", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01 10:00:30", "user_id": 7, "event_type": "c", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 8, "event_type": "v", "value": 2.0},
+    ])
+    assert drain() == [(1, "10:00"), (2, "10:01")]  # in-batch dup suppressed
+
+    # replay id 1 inside the delay: still suppressed; id 3 an hour later
+    # advances the watermark past id 1's state lifetime
+    _write_events(src, "b2.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:02:00", "user_id": 7, "event_type": "c", "value": 1.0},
+        {"event_id": 3, "ts": "2024-01-01 11:00:00", "user_id": 9, "event_type": "v", "value": 3.0},
+    ])
+    assert drain() == [(1, "10:00"), (2, "10:01"), (3, "11:00")]
+
+    # watermark is now ~10:50 > 10:00 + 10min: id 1's marker is gone,
+    # a late duplicate re-emits (bounded state, documented tradeoff)
+    _write_events(src, "b3.json", [
+        {"event_id": 1, "ts": "2024-01-01 11:05:00", "user_id": 7, "event_type": "c", "value": 1.0},
+    ])
+    assert drain() == [(1, "10:00"), (1, "11:05"), (2, "10:01"), (3, "11:00")]
+
+
+def test_stream_dedup_within_watermark_batch_fallback(spark):
+    from moisturizer_spark.streaming import stream_dedup_within_watermark
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:30"), (2, "2024-01-01 10:01:00")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = stream_dedup_within_watermark(df)
+    assert out.count() == 2  # kappa symmetry: plain dropDuplicates in batch
