@@ -8,6 +8,12 @@ higher-order functions).
 """
 
 from moisturizer_spark.operators.asof import asof_join  # noqa: F401
+from moisturizer_spark.operators.clustering import (  # noqa: F401
+    assign_clusters,
+    cluster_sizes,
+    kmeans_fit,
+    kmeans_inertia,
+)
 from moisturizer_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     fingerprint,

@@ -2181,6 +2181,147 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    docfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+        SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY lang, term
+    ),
+    scored AS (
+        SELECT lang, term, tf,
+               ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf
+        JOIN docfreq USING (term)
+        CROSS JOIN n
+    )
+    SELECT lang, term, tf, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY tfidf DESC, term
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per language by corpus tf-idf (term count in
+    the language × ln(N_docs / doc-frequency)) — the keyword-extraction
+    primitive of corpus inspection.
+
+    Determinism: Spark's ``ln`` and DuckDB's differ in the final ulp for
+    ~1% of inputs (measured), so the score is ROUNDED TO 6 DIGITS before
+    ranking AND output — the suite's cosine convention — with the term
+    as tiebreaker. Scale: two aggregations + one equi-join, all keyed on
+    the term; the doc-frequency side is vocabulary-sized (≪ corpus) and
+    broadcasts; per-lang top-5 is a WindowGroupLimit, not a global sort.
+    N_docs is a driver-side count-star (parquet-metadata cheap) inlined
+    as a literal rather than a 1-row cross join, keeping the plan free
+    of nested-loop joins (pinned by ``tests/test_plans.py``).
+    """
+    from moisturizer_spark.operators.textan import tokens_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    docfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = float(t["documents"].count())
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(F.broadcast(docfreq), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "tf", "tfidf", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+@query(
+    "nation_wealth_full_outer",
+    """
+    WITH rich_c AS (
+        SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_customers
+        FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ),
+    rich_s AS (
+        SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_suppliers
+        FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_rich_customers, 0) AS n_rich_customers,
+           COALESCE(s.n_rich_suppliers, 0) AS n_rich_suppliers
+    FROM rich_c c FULL OUTER JOIN rich_s s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+)
+def nation_wealth_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation counts of high-balance customers vs
+    suppliers, where each side can be absent (thresholds chosen so both
+    one-sided cases occur) — the join shape missing from the suite's
+    inner/semi/anti/asof coverage.
+
+    NULL discipline: keys coalesce across sides and counts coalesce to
+    0, keeping the output NULL-free per suite convention. Scale: both
+    inputs are per-nation aggregates (bounded by nation cardinality), so
+    the full-outer sort-merge is trivially small; the heavy lifting is
+    the two pre-aggregations, which push their filters to the scans.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    rich_c = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    rich_s = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return (
+        rich_c.join(rich_s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+            F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=10, the corpus's planted cluster
+    count) over the embedding table; output is per-cluster size +
+    tightness. Deterministic init (hash-ordered seeds) makes cluster ids
+    stable, but centroid floats are iteration-order-sensitive →
+    rows-only driver check; quality is pinned by
+    ``tests/test_clustering.py`` (monotone inertia, planted-label
+    purity). Scale: assignment is map-side argmin against literal
+    centroids; each iteration shuffles only k·dim partial sums."""
+    from moisturizer_spark.operators.clustering import cluster_sizes, kmeans_fit
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    centroids = kmeans_fit(emb, k=10, max_iter=5)
+    return cluster_sizes(emb, centroids)
+
+
+QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
 QUERIES["simhash_near_dup"] = simhash_near_dup

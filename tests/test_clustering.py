@@ -1,0 +1,108 @@
+"""K-means operator: determinism, convergence, planted-cluster recovery."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from moisturizer_spark.operators.clustering import (
+    assign_clusters,
+    cluster_sizes,
+    kmeans_fit,
+    kmeans_inertia,
+    math_isclose_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_kmeans_deterministic(spark, emb):
+    a = kmeans_fit(emb, k=4, max_iter=3)
+    b = kmeans_fit(emb, k=4, max_iter=3)
+    assert math_isclose_matrix(a, b, tol=0.0)  # bit-identical, same plan
+
+
+def test_kmeans_inertia_monotone(spark, emb):
+    """More Lloyd iterations never increase inertia."""
+    prev = None
+    for iters in (1, 2, 4, 8):
+        c = kmeans_fit(emb, k=6, max_iter=iters)
+        inertia = kmeans_inertia(emb, c)
+        if prev is not None:
+            assert inertia <= prev + 1e-9, (iters, inertia, prev)
+        prev = inertia
+
+
+def test_kmeans_recovers_separable_blobs(spark):
+    """Three well-separated blobs: k=3 recovers them exactly. (The
+    corpus's planted labels are NOT separable — supervised nearest-
+    label-centroid classification only reaches 37% there, so recovery is
+    asserted on data where recovery is information-theoretically
+    possible.)"""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for b, center in enumerate([(0.0, 0.0), (50.0, 0.0), (0.0, 50.0)]):
+        for i in range(40):
+            rows.append(
+                (b * 100 + i, [center[0] + rng.gauss(0, 1), center[1] + rng.gauss(0, 1)], b)
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    centroids = kmeans_fit(df, k=3, max_iter=10)
+    assigned = assign_clusters(df, centroids)
+    per = assigned.groupBy("label", "cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    from collections import defaultdict
+
+    counts: dict[int, dict[int, int]] = defaultdict(dict)
+    for r in per:
+        counts[r["label"]][r["cluster"]] = r["n"]
+    majority = sum(max(d.values()) for d in counts.values())
+    assert majority / len(rows) == 1.0  # perfect recovery on separable data
+
+
+def test_kmeans_matches_numpy_reference(spark, emb):
+    """One Lloyd iteration from the same deterministic init must produce
+    the same centroids as a plain numpy implementation (the distributed
+    plan computes the same math)."""
+    import numpy as np
+
+    from moisturizer_spark.operators.clustering import _initial_centroids
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    init = np.array(_initial_centroids(emb, 4, "vec_id", "embedding"))
+    a = ((X[:, None, :] - init[None, :, :]) ** 2).sum(-1).argmin(1)
+    expected = np.stack(
+        [X[a == k].mean(0) if (a == k).any() else init[k] for k in range(4)]
+    )
+    got = np.array(kmeans_fit(emb, k=4, max_iter=1))
+    assert np.allclose(got, expected, atol=1e-9), np.abs(got - expected).max()
+
+
+def test_cluster_sizes_covers_corpus(spark, emb):
+    centroids = kmeans_fit(emb, k=5, max_iter=3)
+    sizes = cluster_sizes(emb, centroids)
+    rows = sizes.collect()
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    assert all(r["mean_sq_dist"] >= 0 for r in rows)
+    assert [r["cluster"] for r in rows] == sorted(r["cluster"] for r in rows)
+
+
+def test_kmeans_k_exceeds_corpus_raises(spark, emb):
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        kmeans_fit(emb.limit(3), k=5)
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    """Two far groups + a centroid seeded in between: no crash, empty
+    clusters retain their previous centroid."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 2 * 100), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(df, k=3, max_iter=4)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
