@@ -7,16 +7,21 @@ analog of ``sampling.quota_sample``), and near-dup blocking.
 
 Plan economics per Lloyd iteration, designed for a 100 TB corpus:
 
-- **Assignment is a pure map-side projection.** The k centroids (k × dim
-  doubles — kilobytes) are inlined as literal arrays into an argmin
-  expression over JVM higher-order functions; no join, no shuffle, no
-  Python. (On a real cluster the literals ride the task binary exactly
-  like a broadcast variable.)
-- **Re-centering shuffles k × dim partial sums per partition**, not the
-  corpus: posexplode(vector) → partial-sum on (cluster, dim) map-side →
-  final agg of k·dim·partitions tiny rows → k×dim means collected to the
-  driver (the only driver-side data is the centroid matrix itself).
+- **One Arrow-batched map stage, zero shuffle.** Assignment + partial
+  re-centering run fused in a vectorized numpy kernel (``mapInPandas``):
+  each partition emits at most k rows of (cluster, count, dim-length
+  sum vector). Iterative dense-vector math is the documented exception
+  to the built-ins-first rule — a JVM higher-order argmin over k literal
+  centroid arrays costs more in per-iteration plan analysis + codegen
+  (measured ~2s/iter at k=10, dim=64) than the whole numpy job (~0.2s),
+  and the kernel's plan is iteration-invariant so codegen caches.
+- **Driver folds k·dim·n_partitions partial sums** into new means —
+  ~k × dim × 8 bytes per partition (at 10k partitions, k=10, dim=64:
+  ~50 MB transient, bounded; the corpus itself never moves).
 - Convergence is judged on centroid movement (driver-side, tiny).
+- The one-shot operators (:func:`assign_clusters`,
+  :func:`kmeans_inertia`, :func:`cluster_sizes`) stay pure JVM column
+  expressions — literal centroids, no Python in those plans.
 
 Initialization is deterministic: the k vectors with the smallest
 md5(vec_id) — uniform over the corpus, stable across runs/engines/
@@ -33,6 +38,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from moisturizer_spark.operators.common import cache_scope, materialize
 
 
 def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
@@ -87,39 +94,77 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Lloyd k-means; returns the final k×dim centroid matrix.
 
-    Iterations: assignment (map-side argmin against literal centroids) →
-    per-(cluster, dimension) partial sums (the only shuffle, k·dim rows
-    per partition after map-side combine) → new means on the driver →
+    Iterations: one Arrow-batched map stage (numpy argmin assignment
+    fused with per-partition partial sums, ≤ k output rows per
+    partition, no shuffle) → driver folds partials into new means →
     stop when max centroid movement² ≤ ``tol`` or ``max_iter``. Empty
     clusters keep their previous centroid (standard Lloyd fallback).
+
+    The projected (id, vector-as-double) frame is persisted once for the
+    whole fit (released on return via :func:`cache_scope`) so each
+    iteration reads the cached columnar batch instead of re-scanning and
+    re-casting the source table ``max_iter`` times.
     """
-    centroids = _initial_centroids(df, k, id_col, vec_col)
-    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    for _ in range(max_iter):
-        assigned = assign_clusters(vecs, centroids, vec_col="_v")
-        sums = (
-            assigned.select("cluster", F.posexplode(F.col("_v").cast("array<double>")))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
+    with cache_scope():
+        vecs = materialize(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
         )
-        by_cluster: dict[int, dict[int, tuple[float, int]]] = {}
-        for r in sums:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
-        moved = 0.0
-        new_centroids = []
-        for ci, old in enumerate(centroids):
-            dims = by_cluster.get(ci)
-            if not dims:
-                new_centroids.append(old)  # empty cluster: keep centroid
+        return _fit_iterations(vecs, k, max_iter, tol)
+
+
+def _recenter_partials(vecs: DataFrame, centroids) -> list:
+    """One fused assignment+partial-sum pass; returns ≤ k rows per
+    partition of (cluster, n, sum-vector). The centroid matrix rides the
+    task closure (kilobytes — a broadcast variable in effect)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def part(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
                 continue
-            new = [dims[p][0] / dims[p][1] for p in range(len(old))]
-            moved = max(moved, sum((a - b) ** 2 for a, b in zip(old, new)))
-            new_centroids.append(new)
-        centroids = new_centroids
+            X = np.stack(pdf["_v"].to_numpy())
+            # batch×k×dim temp: bounded by the Arrow batch size (10k
+            # rows default), not the partition
+            a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            ks = np.unique(a)
+            yield pd.DataFrame(
+                {
+                    "cluster": ks.astype("int32"),
+                    "n": [int((a == ki).sum()) for ki in ks],
+                    "s": [X[a == ki].sum(0).tolist() for ki in ks],
+                }
+            )
+
+    return vecs.mapInPandas(part, "cluster int, n long, s array<double>").collect()
+
+
+def _fit_iterations(
+    vecs: DataFrame, k: int, max_iter: int, tol: float
+) -> list[list[float]]:
+    import numpy as np
+
+    centroids = np.asarray(_initial_centroids(vecs, k, "_id", "_v"))
+    dim = centroids.shape[1]
+    for _ in range(max_iter):
+        sums = np.zeros((k, dim))
+        ns = np.zeros(k)
+        for r in _recenter_partials(vecs, centroids):
+            sums[r["cluster"]] += np.asarray(r["s"])
+            ns[r["cluster"]] += r["n"]
+        nonempty = ns > 0
+        new = centroids.copy()  # empty clusters keep their centroid
+        new[nonempty] = sums[nonempty] / ns[nonempty, None]
+        moved = float(((new - centroids) ** 2).sum(axis=1).max())
+        centroids = new
         if moved <= tol:
             break
-    return centroids
+    return [[float(v) for v in row] for row in centroids]
 
 
 def kmeans_inertia(
