@@ -2304,6 +2304,125 @@ def nation_wealth_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    SELECT stage, n_users,
+           ROUND(CAST(n_users AS DOUBLE) / MAX(n_users) OVER (), 6) AS conversion
+    FROM counts
+    ORDER BY stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at stage N only with a stage-N event strictly after their stage-N-1
+    entry time (the classic min-timestamp chaining formulation).
+
+    Scale: each stage is a per-user MIN aggregate equi-joined to the
+    previous stage on user_id — shuffles are keyed on user_id throughout
+    and each stage's frame shrinks monotonically; no window over raw
+    events. The final 3-row union + share-of-entry window is driver
+    trivia. Conversion = stage count / entry count (funnel is monotone,
+    so MAX over the 3 rows is the entry count on both engines).
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+
+    def stage_entry(event_type: str, prev: DataFrame | None, prev_t: str, out_t: str):
+        s = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    s1 = stage_entry("view", None, "", "t1")
+    s2 = stage_entry("click", s1, "t1", "t2")
+    s3 = stage_entry("purchase", s2, "t2", "t3")
+    counts = None
+    for stage, s in enumerate((s1, s2, s3), start=1):
+        c = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    w = Window.partitionBy()  # 3 rows
+    return counts.withColumn(
+        "conversion",
+        F.round(F.col("n_users").cast("double") / F.max("n_users").over(w), 6),
+    ).orderBy("stage")
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH first_week AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, activity_week) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity JOIN first_week ON activity.user_id = first_week.user_id
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted in each later week they were active — the
+    product-analytics staple.
+
+    Both engines truncate weeks to Monday (`date_trunc('week')`) and the
+    offset divides an exact multiple of 7 days, so the matrix is
+    integer-exact; week columns are cast to DATE on both sides (Spark's
+    date_trunc returns TIMESTAMP, DuckDB's DATE). Scale: one per-user
+    MIN agg + one DISTINCT (both user-keyed shuffles), equi-joined on
+    user_id; the output is bounded by weeks², independent of corpus
+    size.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    first_week = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff("activity_week", "cohort_week") / 7).cast("bigint"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (k=10, the corpus's planted cluster
     count) over the embedding table; output is per-cluster size +
