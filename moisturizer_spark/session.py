@@ -109,10 +109,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
-    # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    # rejects; read nanos as raw int64 and truncate to microseconds —
-    # identical to DuckDB's TIMESTAMP_NS → TIMESTAMP truncation, so the
-    # oracle agrees bit-for-bit.
+    # Older harness data generations stored events.ts as TIMESTAMP(NANOS),
+    # which Spark's parquet reader rejects; read nanos as raw int64 and
+    # truncate to microseconds — identical to DuckDB's TIMESTAMP_NS →
+    # TIMESTAMP truncation, so the oracle agrees bit-for-bit. (Current
+    # generations store tz-less µs timestamps, read natively as
+    # TIMESTAMP_NTZ — the bigint branch below simply never triggers.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The caller may hand us a session without engine defaults (the driver
     # harness does); timestamps must collect as UTC wall-clock to match the

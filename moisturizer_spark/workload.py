@@ -59,6 +59,18 @@ def _d(col) -> F.Column:
     return col.cast("double")
 
 
+def _micros(col) -> F.Column:
+    """Epoch microseconds for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    The harness parquet stores tz-less timestamps, which Spark reads as
+    TIMESTAMP_NTZ — ``unix_micros`` rejects that type. The session tz is
+    pinned to UTC (session.py), so casting NTZ→TIMESTAMP is
+    value-preserving and agrees with DuckDB's ``epoch_us`` on naive
+    timestamps; for TIMESTAMP inputs the cast is a no-op.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 _SQL_PRICE = "DECIMAL(15,4)"
 _SQL_RATE = "DECIMAL(8,6)"
 
@@ -402,8 +414,9 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event-stream analytics
 # ---------------------------------------------------------------------------
 
-# events.ts is TIMESTAMP_NS in parquet; both engines truncate to µs (Spark
-# via `ts DIV 1000` in load_tables, DuckDB via this CAST) so values agree.
+# events.ts has varied across harness data generations (TIMESTAMP_NS, then
+# tz-less TIMESTAMP_US); both engines normalize to µs-precision naive/NTZ
+# timestamps (Spark in load_tables, DuckDB via this CAST) so values agree.
 _SQL_EV = (
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
     "event_type, value, props FROM events)"
@@ -521,7 +534,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, ("events",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = _micros(F.col("ts")) - _micros(F.lag("ts").over(w))
     flagged = t["events"].withColumn(
         "new_session",
         F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
@@ -604,7 +617,7 @@ def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.col("event_id_right").alias("view_event_id"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+        (_micros(F.col("ts")) - _micros(F.col("ts_right"))).alias("gap_us"),
     ).orderBy("event_id")
 
 
@@ -1767,7 +1780,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     user), not the user's history.
     """
     t = load_tables(spark, sf_dir, ("events",))
-    key = F.format_string("%020d%012d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    key = F.format_string("%020d%012d", _micros(F.col("ts")), F.col("event_id"))
     return (
         t["events"]
         .groupBy("user_id")
