@@ -106,6 +106,54 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition diagnostics (the Gopher repetition-rule
+    family, adapted to newline-free corpora): how much of a document is
+    the same thing said again.
+
+    Output columns (all exact integers, so downstream ratios are
+    bit-reproducible across engines as a single final division):
+
+    - ``n_tokens``           total word tokens
+    - ``top_bigram_n``       occurrences of the document's most frequent
+                             word bigram (0 when < 2 tokens)
+    - ``tri_total`` / ``tri_distinct``  trigram occurrence vs distinct
+                             counts — ``1 - distinct/total`` is the
+                             duplicate-trigram fraction
+
+    Scale shape: trigram totals are pure per-row JVM array expressions
+    (no shuffle). The top-bigram count needs a per-(doc, gram) count —
+    that is explode → two-phase hash aggregate, where map-side combine
+    collapses each document's repeated grams before the shuffle, so
+    shuffled rows ≤ distinct grams per doc, never occurrences. The final
+    doc-keyed join is co-partitioned with the aggregate output (same
+    key), and AQE handles skewed monster documents.
+    """
+    toks = tokens_col(F.col(text_col))
+    tri = word_ngrams(F.col(text_col), 3)
+    per_row = df.select(
+        F.col(id_col),
+        *[c for c in df.columns if c != id_col and c != text_col],
+        F.size(toks).alias("n_tokens"),
+        F.size(tri).alias("tri_total"),
+        F.size(F.array_distinct(tri)).alias("tri_distinct"),
+    )
+    top_bi = (
+        df.select(
+            F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), 2)).alias("g")
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        # explode_outer emits a null gram for gram-less docs; max_by would
+        # count it, so mask to 0 — "no bigram occurs" not "one null gram".
+        .agg(F.max(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("top_bigram_n"))
+    )
+    return per_row.join(top_bi, on=id_col)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Word n-grams of a text column as an array of space-joined strings.
 

@@ -2453,6 +2453,160 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_sizes(emb, centroids)
 
 
+@query(
+    "doc_repetition_by_source",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS w FROM documents),
+    base AS (
+        SELECT doc_id, source, len(w) AS n_tokens,
+               list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' ')) AS tg,
+               list_transform(range(1, len(w)),   i -> array_to_string(w[i:i+1], ' ')) AS bg
+        FROM toks
+    ),
+    bi AS (
+        SELECT doc_id, MAX(c) AS top_bigram_n
+        FROM (SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+              GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    per AS (
+        SELECT base.doc_id, source, n_tokens,
+               len(tg) AS tri_total, len(list_distinct(tg)) AS tri_distinct,
+               COALESCE(top_bigram_n, 0) AS top_bigram_n
+        FROM base LEFT JOIN bi ON base.doc_id = bi.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(top_bigram_n) AS BIGINT) AS max_top_bigram_n,
+           CAST(SUM(2*top_bigram_n) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS top_bigram_token_frac,
+           CAST(SUM(tri_total - tri_distinct) AS DOUBLE) / CAST(SUM(tri_total) AS DOUBLE)
+               AS dup_trigram_frac
+    FROM per
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus repetition report (Gopher repetition-rule family): per
+    source, what fraction of tokens sit in each document's most-repeated
+    bigram, and what fraction of trigram occurrences are duplicates —
+    the filters that catch boilerplate and degenerate generation loops
+    before training.
+
+    Determinism: every per-document feature is an exact integer
+    (:func:`moisturizer_spark.operators.textan.repetition_features`), and
+    the per-source ratios are ratio-of-sums — one IEEE division of two
+    exactly-summed integers, so Spark and the oracle agree bit-for-bit
+    regardless of aggregation order. Scale: trigram stats are per-row JVM
+    expressions; the bigram mode is explode → combinable two-phase agg
+    keyed (doc, gram); output is bounded by |sources|.
+    """
+    from moisturizer_spark.operators.textan import repetition_features
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    rep = repetition_features(t["documents"].select("doc_id", "source", "text"))
+    num = lambda c: F.sum(c).cast("double")  # noqa: E731 — exact int sums, one division
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("top_bigram_n").cast("bigint").alias("max_top_bigram_n"),
+            (num(F.lit(2) * F.col("top_bigram_n")) / num(F.col("n_tokens")))
+                .alias("top_bigram_token_frac"),
+            (num(F.col("tri_total") - F.col("tri_distinct")) / num(F.col("tri_total")))
+                .alias("dup_trigram_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_pack_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INTEGER) AS shard_id
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS cum_prev
+        FROM toks
+    )
+    SELECT doc_id, shard_id, n_tokens,
+           CAST(cum_prev // 256 AS BIGINT) AS seq_first,
+           CAST(greatest((cum_prev + n_tokens - 1) // 256, cum_prev // 256)
+                AS BIGINT) AS seq_last,
+           CAST(cum_prev % 256 AS BIGINT) AS offset_in_seq
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence layout: concatenate-then-chunk packing of the
+    corpus into 256-token sequences across 8 shards
+    (:func:`moisturizer_spark.operators.packing.pack_chunked`) — for each
+    document, which sequences its tokens land in and at what offset.
+
+    Scale: the only shuffle is the shard partition (parallelism =
+    n_shards, the dial that grows with the corpus); the running sum is
+    exact integer arithmetic, so the assignment is bit-reproducible —
+    pack twice, get the same layout, a property training-data lineage
+    audits rely on.
+    """
+    from moisturizer_spark.operators.packing import pack_chunked
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    from moisturizer_spark.operators.textan import tokens_col
+
+    docs = t["documents"].select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        pack_chunked(docs, ctx_len=256, n_shards=8)
+        .select("doc_id", "shard_id", "n_tokens", "seq_first", "seq_last", "offset_in_seq")
+        .orderBy("doc_id")
+    )
+
+
+def docs_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing summary: per shard, how many
+    256-token bins the corpus needs and how full they are
+    (:func:`moisturizer_spark.operators.packing.pack_first_fit`).
+    Arrow ``applyInPandas`` per shard → rows-only driver check; the
+    packing invariants (capacity, completeness, determinism, waste
+    bound) are pinned by ``tests/test_packing.py``."""
+    from moisturizer_spark.operators.packing import pack_first_fit
+    from moisturizer_spark.operators.textan import tokens_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_first_fit(docs, ctx_len=256, n_shards=8)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.max("bin_id") + 1).cast("bigint").alias("n_bins"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("truncated").cast("long")).cast("bigint").alias("n_truncated"),
+        )
+        .withColumn(
+            "utilization",
+            F.col("sum_tokens").cast("double") / (F.col("n_bins") * 256).cast("double"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+QUERIES["docs_pack_ffd"] = docs_pack_ffd
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup

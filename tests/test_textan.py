@@ -185,3 +185,25 @@ def test_decontaminate_hand_corpus(spark):
     strict = {r["doc_id"]: r["n_shared"]
               for r in decontaminate(train, ev, n=3, min_shared=2).collect()}
     assert strict == {1: 3}
+
+
+def test_repetition_features_hand_corpus(spark):
+    from moisturizer_spark.operators.textan import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            # "a b" occurs 3x (top bigram); trigrams: [a b a, b a b, a b a,
+            # b a b] -> 4 total, 2 distinct
+            (1, "a b a b a b"),
+            (2, "all distinct words here now"),  # no repeated bigram
+            (3, "one"),  # too short for any gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["top_bigram_n"] == 3
+    assert (got[1]["tri_total"], got[1]["tri_distinct"]) == (4, 2)
+    assert got[2]["top_bigram_n"] == 1  # every bigram occurs once
+    assert (got[2]["tri_total"], got[2]["tri_distinct"]) == (3, 3)
+    assert got[3]["top_bigram_n"] == 0 and got[3]["tri_total"] == 0
