@@ -13,6 +13,9 @@ Layout — a miniature transactional table format:
 
     <path>/
       _manifest.json            current-version pointer (atomic os.replace)
+      _versions/v000001.json    immutable manifest history (time travel /
+                                change-data-feed; data files survive vacuum
+                                for the last ``retain_versions`` versions)
       data/v000001/__bucket=0/  parquet files for bucket 0 written at v1
       data/v000002/__bucket=3/  bucket 3 as rewritten by the v2 commit
       ...
@@ -67,19 +70,41 @@ class EchoTooLarge(ValueError):
     collect; retry with echo=False (bulk delete) or a narrower predicate."""
 
 
+class VersionNotRetained(ValueError):
+    """Time-travel read of a version whose files were vacuumed (or that
+    never existed); raise ``retain_versions`` to keep more history."""
+
+
 class ParquetTable:
     """One keyed table stored as a bucketed parquet directory with
     manifest-pointer commits."""
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "id", n_buckets: int = 16):
+    def __init__(self, spark: SparkSession, path: str, key: str = "id",
+                 n_buckets: int = 16, retain_versions: int = 1):
         self.spark = spark
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
+        # how many table versions stay readable: 1 = current only (plus the
+        # immediately-prior grace set for in-flight readers). Raise to keep
+        # history for time travel / change-data-feed; data files of retained
+        # versions survive vacuum. Manifest copies under _versions/ are tiny
+        # and always kept (they alone don't preserve data files).
+        self.retain_versions = max(1, retain_versions)
 
     # -- manifest -----------------------------------------------------------
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)
+
+    def _version_dir(self) -> str:
+        return os.path.join(self.path, "_versions")
+
+    def _load_version_manifest(self, version: int) -> dict | None:
+        try:
+            with open(os.path.join(self._version_dir(), f"v{version:06d}.json")) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
 
     def _load_manifest(self) -> dict | None:
         try:
@@ -116,6 +141,14 @@ class ParquetTable:
             "txn": {**((prev or {}).get("txn") or {}), **(txn or {})},
         }
         os.makedirs(self.path, exist_ok=True)
+        # History copy first (crash between the two writes leaves only an
+        # extra history file, never a current pointer without history).
+        os.makedirs(self._version_dir(), exist_ok=True)
+        hist = os.path.join(self._version_dir(), f"v{manifest['version']:06d}.json")
+        tmp = hist + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, hist)
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -124,6 +157,10 @@ class ParquetTable:
 
     def _vacuum(self, manifest: dict) -> None:
         keep = _manifest_dirs(manifest) | set(manifest.get("prior_dirs", []))
+        # Retained history versions pin their data files (time travel / CDF).
+        current = manifest["version"]
+        for v in range(max(1, current - self.retain_versions + 1), current):
+            keep |= _manifest_dirs(self._load_version_manifest(v))
         data = os.path.join(self.path, "data")
         if os.path.isdir(data):
             for vname in os.listdir(data):
@@ -166,11 +203,32 @@ class ParquetTable:
     def exists(self) -> bool:
         return self._load_manifest() is not None or bool(self._legacy_files())
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current table state, or a historical version (time travel) when
+        ``version`` is given and still retained (see ``retain_versions``).
+        Raises :class:`VersionNotRetained` for vacuumed/unknown versions."""
+        if version is not None:
+            man = self._require_version(version)
+            return self._read_dirs(sorted(_manifest_dirs(man)), man)
         man = self._load_manifest()
         if man is None:
             return self.spark.read.parquet(self.path)  # legacy / external dir
         return self._read_dirs(sorted(_manifest_dirs(man)), man)
+
+    def _require_version(self, version: int) -> dict:
+        man = self._load_version_manifest(version)
+        if man is None:
+            raise VersionNotRetained(f"version {version} unknown for {self.path}")
+        missing = [
+            d for d in _manifest_dirs(man)
+            if not os.path.isdir(os.path.join(self.path, d))
+        ]
+        if missing:
+            raise VersionNotRetained(
+                f"version {version} vacuumed (retain_versions={self.retain_versions}); "
+                f"missing {missing[:3]}"
+            )
+        return man
 
     def _read_dirs(self, rel_dirs: list[str], man: dict) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(man["schema"]))
@@ -432,6 +490,88 @@ class ParquetTable:
         buckets.update(produced)
         self._commit(buckets, T.StructType.fromJson(json.loads(man["schema"])), man)
 
+    # -- change data feed ---------------------------------------------------
+    def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level changes between two retained versions — the Delta
+        change-data-feed surface, reconstructed by diffing version states.
+
+        Returns the table columns plus ``_change_type`` (``insert`` /
+        ``delete`` / ``update_preimage`` / ``update_postimage``) and
+        ``_commit_version`` (the later version of the pair that produced
+        the change). Ranges emit one diff per consecutive version pair,
+        so per-commit granularity is preserved.
+
+        Scale: a version pair is compared ONLY on buckets whose directory
+        lists differ between the two manifests — an upsert that touched 2
+        of 1024 buckets diffs 2 buckets' files, not the table. Within a
+        changed bucket the diff is one full-outer join on the key (both
+        sides arrive bucket-pruned) plus a null-safe struct comparison;
+        keys are co-partitioned so AQE can plan it shuffle-light.
+        """
+        cur = self._load_manifest()
+        if cur is None:
+            raise VersionNotRetained(f"{self.path} has no manifest")
+        if to_version is None:
+            to_version = cur["version"]
+        if not from_version < to_version:
+            raise ValueError("from_version must be < to_version")
+        diffs = [
+            self._diff_pair(v, v + 1) for v in range(from_version, to_version)
+        ]
+        out = diffs[0]
+        for d in diffs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def _diff_pair(self, v_old: int, v_new: int) -> DataFrame:
+        man_old = self._require_version(v_old)
+        man_new = self._require_version(v_new)
+        changed = _changed_buckets(man_old, man_new)
+        schema_new = T.StructType.fromJson(json.loads(man_new["schema"]))
+        cols = [f.name for f in schema_new.fields]
+        empty = self.spark.createDataFrame([], schema_new).select(
+            *cols,
+            F.lit("insert").alias("_change_type"),
+            F.lit(v_new).cast("int").alias("_commit_version"),
+        )
+        if not changed:
+            return empty
+        old = _with_missing(self._read_buckets(changed, man_old), schema_new, cols)
+        new = _with_missing(self._read_buckets(changed, man_new), schema_new, cols)
+        k = self.key
+        if k not in cols:  # keyless (append-only log): emit adds only
+            return new.exceptAll(old).select(
+                *cols,
+                F.lit("insert").alias("_change_type"),
+                F.lit(v_new).cast("int").alias("_commit_version"),
+            )
+        o = old.select(F.col(k).alias("_k"), F.struct(*cols).alias("_o"))
+        n = new.select(F.col(k).alias("_k"), F.struct(*cols).alias("_n"))
+        j = o.join(n, on="_k", how="full_outer")
+        typed = j.select(
+            "_o",
+            "_n",
+            F.when(F.col("_o").isNull(), F.lit("insert"))
+            .when(F.col("_n").isNull(), F.lit("delete"))
+            .when(~F.col("_o").eqNullSafe(F.col("_n")), F.lit("update"))
+            .alias("_ct"),
+        ).filter(F.col("_ct").isNotNull())
+        pre = typed.filter(F.col("_ct").isin("delete", "update")).select(
+            F.col("_o.*"),
+            F.when(F.col("_ct") == "delete", F.lit("delete"))
+            .otherwise(F.lit("update_preimage"))
+            .alias("_change_type"),
+        )
+        post = typed.filter(F.col("_ct").isin("insert", "update")).select(
+            F.col("_n.*"),
+            F.when(F.col("_ct") == "insert", F.lit("insert"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("_change_type"),
+        )
+        return pre.unionByName(post).withColumn(
+            "_commit_version", F.lit(v_new).cast("int")
+        )
+
     # -- maintenance --------------------------------------------------------
     def file_stats(self) -> tuple[int, int]:
         """(n_data_files, total_bytes) of the current table version."""
@@ -490,6 +630,16 @@ def _manifest_dirs(man: dict | None) -> set[str]:
     if not man:
         return set()
     return {d for dirs in man["buckets"].values() for d in dirs}
+
+
+def _changed_buckets(man_old: dict, man_new: dict) -> list[int]:
+    """Buckets whose file lists differ between two manifests — the only
+    buckets a version diff must read (directories are immutable once
+    written, so identical dir lists ⇒ identical rows)."""
+    a, b = man_old["buckets"], man_new["buckets"]
+    return sorted(
+        int(k) for k in set(a) | set(b) if a.get(k, []) != b.get(k, [])
+    )
 
 
 def _strip_internal(schema: T.StructType) -> T.StructType:

@@ -422,3 +422,91 @@ def test_bucket_files_sorted_by_key_with_stats(spark, warehouse):
     # and the point-lookup filter is pushed to the scan
     plan = table.lookup("123")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,123)]" in plan
+
+
+# -- time travel + change data feed -------------------------------------------
+
+
+def test_time_travel_reads_retained_versions(spark, warehouse):
+    from moisturizer_spark.storage import VersionNotRetained
+
+    table = ParquetTable(spark, f"{warehouse}/tt", retain_versions=3)
+    table.overwrite(spark.createDataFrame([("a", 1), ("b", 2)], "id string, v long"))
+    table.upsert(spark.createDataFrame([("a", 10)], "id string, v long"))
+    table.upsert(spark.createDataFrame([("c", 3)], "id string, v long"))
+
+    assert dict(table.read(version=1).collect()) == {"a": 1, "b": 2}
+    assert dict(table.read(version=2).collect()) == {"a": 10, "b": 2}
+    assert dict(table.read().collect()) == {"a": 10, "b": 2, "c": 3}
+    with pytest.raises(VersionNotRetained):
+        table.read(version=99)
+
+
+def test_time_travel_vacuumed_version_raises(spark, warehouse):
+    from moisturizer_spark.storage import VersionNotRetained
+
+    table = ParquetTable(spark, f"{warehouse}/ttv", retain_versions=1)
+    table.overwrite(spark.createDataFrame([("a", 1)], "id string, v long"))
+    table.upsert(spark.createDataFrame([("a", 2)], "id string, v long"))
+    table.upsert(spark.createDataFrame([("a", 3)], "id string, v long"))
+    # v1's files are out of the retain window (current + grace covers v2)
+    with pytest.raises(VersionNotRetained):
+        table.read(version=1).collect()
+
+
+def test_table_changes_classifies_ops(spark, warehouse):
+    table = ParquetTable(spark, f"{warehouse}/cdf", retain_versions=10)
+    table.overwrite(
+        spark.createDataFrame([("a", 1), ("b", 2), ("d", 4)], "id string, v long")
+    )
+    table.upsert(
+        spark.createDataFrame([("a", 10), ("c", 3)], "id string, v long")
+    )  # update a, insert c
+    table.delete_by_key(["b"])  # delete b
+
+    ch12 = table.table_changes(1, 2)
+    got = {(r["id"], r["_change_type"]) for r in ch12.collect()}
+    assert got == {
+        ("a", "update_preimage"),
+        ("a", "update_postimage"),
+        ("c", "insert"),
+    }
+    assert {r["_commit_version"] for r in ch12.collect()} == {2}
+
+    ch23 = table.table_changes(2, 3)
+    assert {(r["id"], r["_change_type"]) for r in ch23.collect()} == {("b", "delete")}
+
+    # full range unions per-commit diffs with their versions
+    full = table.table_changes(1, 3)
+    byv = {}
+    for r in full.collect():
+        byv.setdefault(r["_commit_version"], set()).add((r["id"], r["_change_type"]))
+    assert set(byv) == {2, 3}
+    assert ("b", "delete") in byv[3]
+
+
+def test_table_changes_prunes_to_changed_buckets(spark, warehouse):
+    from moisturizer_spark.storage import _changed_buckets
+
+    table = ParquetTable(spark, f"{warehouse}/cdfp", retain_versions=10)
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    table.overwrite(df)
+    table.upsert(spark.createDataFrame([("42", 4200)], "id string, v long"))
+    man1 = table._load_version_manifest(1)
+    man2 = table._load_version_manifest(2)
+    assert _changed_buckets(man1, man2) == [table.bucket_of("42")]
+    got = {(r["id"], r["_change_type"]) for r in table.table_changes(1, 2).collect()}
+    assert got == {("42", "update_preimage"), ("42", "update_postimage")}
+
+
+def test_unchanged_upsert_rows_are_not_change_rows(spark, warehouse):
+    # rows rewritten into a touched bucket with IDENTICAL values must not
+    # appear in the feed (the rewrite is physical, not logical)
+    table = ParquetTable(spark, f"{warehouse}/cdfu", retain_versions=10, n_buckets=2)
+    table.overwrite(
+        spark.createDataFrame([(str(i), i) for i in range(50)], "id string, v long")
+    )
+    table.upsert(spark.createDataFrame([("7", 7)], "id string, v long"))  # no-op value
+    assert table.table_changes(1, 2).count() == 0
