@@ -251,6 +251,164 @@ def ivf_top_k(
     )
 
 
+def pq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 16,
+    n_train: int = 256,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via product quantization (PQ) with exact
+    re-ranking — the memory-bound billion-scale ANN layout (IVF-PQ's
+    second stage, after Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011).
+
+    1. **Train** (driver): a deterministic hash-ordered sample of
+       ``n_train`` corpus vectors, L2-normalized, split into ``m``
+       subspaces; tiny numpy k-means learns ``n_codes`` centroids per
+       subspace. Codebooks are m×n_codes×(dim/m) — KBs, broadcast.
+    2. **Encode** (Arrow ``mapInPandas``): each corpus vector →
+       ``m`` uint8-sized code ids (argmin subspace centroid). The code
+       table is the compressed index: m bytes/vector instead of 4·dim —
+       at 100 TB of float32 embeddings with dim=1024, m=64 PQ codes are
+       a 64× memory cut, which is the entire point of PQ.
+    3. **ADC scan** (JVM): each query precomputes a lookup table of
+       subspace dot products (m·n_codes doubles, driver-side — queries
+       are small by the same contract as :func:`ivf_top_k`); the scan
+       scores every code row with ``Σ_j LUT[j, code_j]`` via higher-order
+       functions over the broadcast LUT — no Python, no vector reads.
+    4. **Refine**: the top ``k·refine`` ADC candidates per query fetch
+       their exact vectors by id (equi-join, AQE-planned) and re-rank by
+       exact cosine — output sims are exact, only the candidate set is
+       approximate.
+
+    Returns (query_id, neighbor_id, sim, rank); rows-only driver check,
+    recall vs :func:`brute_force_top_k` pinned in tests. Defaults (m=16,
+    n_codes=16, refine=8) are tuned for the test corpus's 64-dim
+    embeddings — at production dims, scale ``m`` with dim (PQ rule of
+    thumb: 4–8 dims per subspace) and let ``refine`` trade scan cost for
+    recall.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    train_rows = (
+        c.orderBy(F.xxhash64(F.col("neighbor_id").cast("string")))
+        .limit(n_train)
+        .collect()
+    )
+    X = np.array([r["_cv"] for r in train_rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    subs = np.array_split(np.arange(X.shape[1]), m)
+
+    def _kmeans(pts: np.ndarray, k_: int, iters: int = 10) -> np.ndarray:
+        cb = pts[:k_].copy()  # hash-ordered sample ⇒ pseudo-random, stable init
+        for _ in range(iters):
+            d = ((pts[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(k_):
+                sel = pts[assign == j]
+                if len(sel):
+                    cb[j] = sel.mean(0)
+        return cb
+
+    codebooks = [_kmeans(X[:, s], n_codes) for s in subs]
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.array(pdf["_cv"].tolist(), dtype=np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j, s in enumerate(subs):
+                d = ((V[:, None, s] - codebooks[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["neighbor_id"], "codes": list(codes)}
+            )
+
+    encoded = c.mapInPandas(encode, schema="neighbor_id long, codes array<int>")
+
+    # Per-query ADC lookup tables, flattened to one array<double> each.
+    q_rows = []
+    for row in queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).collect():
+        qv = np.asarray(row["_qv"], dtype=np.float64)
+        qv /= max(float(np.linalg.norm(qv)), 1e-12)
+        lut = np.concatenate([codebooks[j] @ qv[s] for j, s in enumerate(subs)])
+        q_rows.append((row["query_id"], [float(x) for x in lut]))
+    spark = corpus.sparkSession
+    from pyspark.sql import types as T
+
+    q_lut = spark.createDataFrame(
+        q_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("_lut", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_lut"),
+            (j * n_codes + F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    cand = (
+        encoded.crossJoin(F.broadcast(q_lut))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("_adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank of the shortlist only.
+    q_exact = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    refined = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q_exact), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity_col(F.col("_qv"), F.col("_cv")), round_digits
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1201,6 +1201,19 @@ def embedding_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate PQ top-5 with exact re-rank (ADC over m-byte codes →
+    rows-only; recall + exactness of refined sims pinned in
+    ``tests/test_similarity.py``)."""
+    from moisturizer_spark.operators.similarity import pq_top_k
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return pq_top_k(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 @query(
     "q14_promo_revenue",
     f"""
@@ -2613,4 +2626,5 @@ QUERIES["minhash_near_dup"] = minhash_near_dup
 QUERIES["simhash_near_dup"] = simhash_near_dup
 QUERIES["embedding_lsh_top5"] = embedding_lsh_top5
 QUERIES["embedding_ivf_top5"] = embedding_ivf_top5
+QUERIES["embedding_pq_top5"] = embedding_pq_top5
 QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup

@@ -76,3 +76,39 @@ def test_embedding_cosine_pairs_threshold(emb):
     assert all(r["sim"] >= 0.0 for r in rows)
     n = subset.count()
     assert len(rows) <= n * (n - 1) / 2
+
+
+def test_pq_recall_against_brute_force(emb):
+    from moisturizer_spark.operators.similarity import pq_top_k
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(brute_force_top_k(emb, queries, k=5).collect())
+    approx = _topk_sets(pq_top_k(emb, queries, k=5).collect())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"PQ recall {hits}/{total}"
+
+
+def test_pq_sims_are_exact_on_candidates(emb):
+    # the refine stage re-ranks with exact cosine: any (q, n) pair PQ
+    # returns must carry the same sim brute force computes for that pair
+    from moisturizer_spark.operators.similarity import pq_top_k
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in brute_force_top_k(emb, queries, k=50).collect()
+    }
+    for r in pq_top_k(emb, queries, k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(r["sim"] - bf[key]) < 1e-9
+
+
+def test_pq_deterministic(emb):
+    from moisturizer_spark.operators.similarity import pq_top_k
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, pq_top_k(emb, queries, k=3).collect()))
+    b = sorted(map(tuple, pq_top_k(emb, queries, k=3).collect()))
+    assert a == b
