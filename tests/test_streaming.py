@@ -294,3 +294,50 @@ def test_stream_dedup_within_watermark_batch_fallback(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = stream_dedup_within_watermark(df)
     assert out.count() == 2  # kappa symmetry: plain dropDuplicates in batch
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, warehouse):
+    from moisturizer_spark.streaming.joins import stream_interval_join
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    batch = stream_interval_join(purchases, views, lookback="1 hour").select(
+        "event_id", "event_id_right"
+    )
+    batch_pairs = {(r[0], r[1]) for r in batch.collect()}
+    assert batch_pairs, "fixture must produce at least one in-window pair"
+
+    # identical operator over file-backed streams
+    src_p, src_v = os.path.join(warehouse, "p"), os.path.join(warehouse, "v")
+    for df, src in ((purchases, src_p), (views, src_v)):
+        df.select(
+            "event_id", F.col("ts").cast("string").alias("ts"), "user_id"
+        ).coalesce(1).write.mode("overwrite").json(src)
+    schema = "event_id long, ts string, user_id long"
+
+    def stream(src):
+        return (
+            spark.readStream.schema(schema)
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    q = (
+        stream_interval_join(stream(src_p), stream(src_v), lookback="1 hour")
+        .select("event_id", "event_id_right")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_pairs = {
+        (r[0], r[1]) for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert stream_pairs == batch_pairs
