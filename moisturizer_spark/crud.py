@@ -52,9 +52,13 @@ def _now() -> _dt.datetime:
 class Engine:
     """The typed-CRUD engine over a warehouse directory."""
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 retain_versions: int = 10):
         self.spark = spark
-        self.registry = Registry(spark, warehouse)
+        # CRUD tables keep version history by default: point ops produce
+        # small commits, and the history powers the change-feed surface
+        # (GET /types/{t}/changes) and incremental view maintenance.
+        self.registry = Registry(spark, warehouse, retain_versions=retain_versions)
         self._bootstrap_auth()
 
     # ------------------------------------------------------------------ types
@@ -221,6 +225,60 @@ class Engine:
         # point delete: reads + rewrites only the bucket owning the id
         self.registry.table(type_id).delete_by_key([str(object_id)])
         return row
+
+    def object_changes(
+        self,
+        type_id: str,
+        from_version: int,
+        to_version: int | None = None,
+        user: str | None = None,
+        limit: int = 10_000,
+    ) -> dict:
+        """Change feed for a type: row-level insert/delete/update_pre/
+        postimage records between two table versions (read permission).
+
+        Returns ``{"version": current, "from": .., "to": .., "changes":
+        [...]}`` with each change carrying ``_change_type`` and
+        ``_commit_version`` beside the (unflattened) object fields —
+        the consumer cursor pattern: poll with ``from`` = last seen
+        ``version``. A feed wider than ``limit`` raises ValidationError
+        (pull a narrower version range) — the driver never collects
+        unbounded results.
+        """
+        self._check(user, type_id, "read")
+        self._descriptor_or_403(type_id)
+        table = self.registry.table(type_id)
+        if not table.exists():
+            raise ObjectNotFound(f"{type_id} has no stored objects")
+        man = table._load_manifest()
+        current = man["version"] if man else 0
+        to_version = current if to_version is None else to_version
+        try:
+            feed = table.table_changes(from_version, to_version)
+        except ValueError as exc:  # bad range / vacuumed version → 400
+            raise ValidationError(str(exc)) from None
+        rows = feed.limit(limit + 1).collect()
+        if len(rows) > limit:
+            raise ValidationError(
+                f"change feed exceeds {limit} rows; narrow the version range"
+            )
+        changes = []
+        for r in rows:
+            d = {k: v for k, v in r.asDict().items() if v is not None}
+            meta = {
+                "_change_type": d.pop("_change_type"),
+                "_commit_version": d.pop("_commit_version"),
+            }
+            changes.append({**unflatten_dict(d), **meta})
+        order = {"delete": 0, "update_preimage": 1, "insert": 2, "update_postimage": 3}
+        changes.sort(key=lambda c: (c["_commit_version"], str(c.get("id")),
+                                    order[c["_change_type"]]))
+        return {
+            "version": current,
+            "from": from_version,
+            "to": to_version,
+            "changes": changes,
+        }
 
     def delete_collection(self, type_id: str, user: str | None = None) -> list[dict]:
         """DELETE collection: truncate + echo the rows

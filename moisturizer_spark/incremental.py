@@ -1,0 +1,114 @@
+"""Incremental view maintenance over the change data feed.
+
+A materialized aggregate (counts + sums per group) kept in sync with a
+source :class:`~moisturizer_spark.storage.ParquetTable` by consuming its
+:meth:`~moisturizer_spark.storage.ParquetTable.table_changes` feed instead
+of recomputing — the classic IVM delta algebra for distributive
+aggregates: ``insert/update_postimage`` rows contribute +1/+value,
+``delete/update_preimage`` rows −1/−value, and groups folding to zero
+rows drop out.
+
+The view's refresh cursor rides the same txn-watermark mechanism the
+streaming sinks use (:meth:`ParquetTable.txn_version`): the last applied
+source version commits atomically with the view data, so a crashed or
+replayed refresh can never double-apply a delta.
+
+Scale: each refresh reads ONLY the changed buckets of the changed
+versions (the CDC pruning), aggregates the delta map-side to one row per
+touched group, and merges into a view whose size is |groups| — a 100 TB
+source with a 10-group view refreshes by reading the feed, never the
+table. This is the batch analog of ``streaming/rollup.py``'s
+foreachBatch path, driven by table versions instead of micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from moisturizer_spark.storage import ParquetTable
+
+_TXN_APP = "ivm"
+
+
+class IncrementalAggView:
+    """Maintains ``group_col → (n_rows, sum_<value_col>)`` for a source
+    table, incrementally. ``refresh()`` applies any unapplied source
+    versions; ``read()`` returns the current view."""
+
+    def __init__(
+        self,
+        source: ParquetTable,
+        view_path: str,
+        group_col: str,
+        value_col: str | None = None,
+    ):
+        self.source = source
+        self.group_col = group_col
+        self.value_col = value_col
+        self.view = ParquetTable(
+            source.spark, view_path, key=group_col, n_buckets=source.n_buckets
+        )
+
+    # -- aggregation pieces --------------------------------------------------
+    def _agg_cols(self, weight):
+        cols = [F.sum(weight).alias("n_rows")]
+        if self.value_col is not None:
+            cols.append(
+                F.sum(weight * F.coalesce(F.col(self.value_col), F.lit(0)))
+                .alias(f"sum_{self.value_col}")
+            )
+        return cols
+
+    def _full(self) -> DataFrame:
+        return self.source.read().groupBy(self.group_col).agg(
+            *self._agg_cols(F.lit(1))
+        )
+
+    def _delta(self, feed: DataFrame) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        return feed.groupBy(self.group_col).agg(*self._agg_cols(sign))
+
+    # -- public surface ------------------------------------------------------
+    def refresh(self) -> int:
+        """Bring the view up to the source's current version; returns that
+        version. First call materializes the full aggregate; later calls
+        fold the CDC delta of the unapplied version range."""
+        man = self.source._load_manifest()
+        if man is None:
+            raise ValueError(f"source {self.source.path} has no manifest")
+        current = man["version"]
+        applied = self.view.txn_version(_TXN_APP)
+        if applied is None:
+            self.view.overwrite(self._full(), txn=(_TXN_APP, current))
+            return current
+        if applied >= current:
+            return current  # nothing to do (idempotent replay lands here)
+        from moisturizer_spark.storage import VersionNotRetained
+
+        try:
+            feed = self.source.table_changes(applied, current)
+        except VersionNotRetained:
+            # fell behind the retention window: full recompute, new cursor
+            self.view.overwrite(self._full(), txn=(_TXN_APP, current))
+            return current
+        delta = self._delta(feed)
+        merged = (
+            self.view.read()
+            .unionByName(delta)
+            .groupBy(self.group_col)
+            .agg(
+                *[
+                    F.sum(c).alias(c)
+                    for c in (["n_rows"]
+                              + ([f"sum_{self.value_col}"] if self.value_col else []))
+                ]
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        self.view.overwrite(merged, txn=(_TXN_APP, current))
+        return current
+
+    def read(self) -> DataFrame:
+        return self.view.read()

@@ -56,9 +56,13 @@ REGISTRY_SCHEMA = T.StructType(
 class Registry:
     """Driver-side descriptor store, persisted to ``<warehouse>/_descriptors.json``."""
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 retain_versions: int = 1):
         self.spark = spark
         self.warehouse = warehouse
+        # version history depth for every table this registry hands out
+        # (time travel / change-data-feed; see ParquetTable.retain_versions)
+        self.retain_versions = retain_versions
         os.makedirs(warehouse, exist_ok=True)
         self._path = os.path.join(warehouse, "_descriptors.json")
         self._cache: dict[str, Descriptor] = {}
@@ -144,7 +148,11 @@ class Registry:
     # -- physical tables ----------------------------------------------------
     def table(self, type_id: str) -> ParquetTable:
         safe = "".join(c if c.isalnum() or c in "_-" else "_" for c in type_id)
-        return ParquetTable(self.spark, os.path.join(self.warehouse, f"objects_{safe}"))
+        return ParquetTable(
+            self.spark,
+            os.path.join(self.warehouse, f"objects_{safe}"),
+            retain_versions=self.retain_versions,
+        )
 
     # -- introspection ------------------------------------------------------
     def to_df(self) -> DataFrame:

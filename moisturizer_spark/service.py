@@ -21,6 +21,7 @@ GET    /types/{t}                             get_type(t)
 PUT    /types/{t}                             migrate_type(t, body)
 DELETE /types/{t}                             delete_type(t)
 GET    /types/{t}/objects                     list_objects(t)
+GET    /types/{t}/changes?from=N[&to=M]       object_changes(t, N, M)
 POST   /types/{t}/objects                     create_object(t, body)
 DELETE /types/{t}/objects                     delete_collection(t)
 GET    /types/{t}/objects/{id}                get_object(t, id)
@@ -53,6 +54,7 @@ import binascii
 import json
 import re
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from moisturizer_spark.crud import ADMIN_USER, Engine
@@ -63,6 +65,7 @@ _ROUTES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"^/types$"), "types"),
     (re.compile(r"^/types/(?P<type_id>[^/]+)$"), "type"),
     (re.compile(r"^/types/(?P<type_id>[^/]+)/objects$"), "objects"),
+    (re.compile(r"^/types/(?P<type_id>[^/]+)/changes$"), "changes"),
     (re.compile(r"^/types/(?P<type_id>[^/]+)/objects/(?P<object_id>[^/]+)$"), "object"),
     (re.compile(r"^/users$"), "users"),
     (re.compile(r"^/users/(?P<user_id>[^/]+)$"), "user"),
@@ -117,8 +120,10 @@ class _Handler(BaseHTTPRequestHandler):
     # -- dispatch -----------------------------------------------------------
     def _handle(self, method: str) -> None:
         try:
+            path, _, query = self.path.partition("?")
+            self._query = dict(urllib.parse.parse_qsl(query))
             for pattern, name in _ROUTES:
-                m = pattern.match(self.path)
+                m = pattern.match(path)
                 if m:
                     caller = self._caller()
                     fn = getattr(self, f"_{name}_{method}", None)
@@ -127,7 +132,7 @@ class _Handler(BaseHTTPRequestHandler):
                         return
                     self._reply(200, fn(caller, **m.groupdict()))
                     return
-            self._reply(404, {"error": f"no route for {self.path}"})
+            self._reply(404, {"error": f"no route for {path}"})
         except MoisturizerError as exc:
             self._reply(exc.status, {"error": str(exc) or type(exc).__name__})
         except Exception as exc:  # pragma: no cover - last-resort 500
@@ -186,6 +191,20 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _objects_DELETE(self, caller, type_id):
         return self.engine.delete_collection(type_id, user=caller)
+
+    def _changes_GET(self, caller, type_id):
+        try:
+            from_version = int(self._query.get("from", ""))
+        except ValueError:
+            raise ValidationError("changes requires an integer ?from=N") from None
+        to_raw = self._query.get("to")
+        try:
+            to_version = int(to_raw) if to_raw is not None else None
+        except ValueError:
+            raise ValidationError("?to must be an integer") from None
+        return self.engine.object_changes(
+            type_id, from_version, to_version, user=caller
+        )
 
     def _object_GET(self, caller, type_id, object_id):
         return self.engine.get_object(type_id, object_id, user=caller)

@@ -216,6 +216,17 @@ class ParquetTable:
         return self._read_dirs(sorted(_manifest_dirs(man)), man)
 
     def _require_version(self, version: int) -> dict:
+        if version == 0:
+            # synthetic pre-creation state: an empty table. Lets change
+            # feeds start from 0 ("everything since the table existed").
+            ref = self._load_version_manifest(1) or self._load_manifest() or {}
+            return {
+                "version": 0,
+                "key": self.key,
+                "n_buckets": self.n_buckets,
+                "schema": ref.get("schema", T.StructType([]).json()),
+                "buckets": {},
+            }
         man = self._load_version_manifest(version)
         if man is None:
             raise VersionNotRetained(f"version {version} unknown for {self.path}")

@@ -1,0 +1,145 @@
+"""Incremental view maintenance over the CDC feed, and the change-feed
+CRUD/HTTP surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from moisturizer_spark.incremental import IncrementalAggView
+from moisturizer_spark.storage import ParquetTable
+
+
+def _tbl(spark, warehouse, name="src", retain=20):
+    return ParquetTable(spark, f"{warehouse}/{name}", retain_versions=retain)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(
+        [(k, g, v) for k, g, v in pairs], "id string, grp string, v long"
+    )
+
+
+def _as_dict(df):
+    return {r["grp"]: (r["n_rows"], r["sum_v"]) for r in df.collect()}
+
+
+def test_incremental_matches_recompute(spark, warehouse):
+    src = _tbl(spark, warehouse)
+    src.overwrite(_rows(spark, [("a", "x", 1), ("b", "x", 2), ("c", "y", 5)]))
+    view = IncrementalAggView(src, f"{warehouse}/view", "grp", "v")
+    assert view.refresh() == 1
+    assert _as_dict(view.read()) == {"x": (2, 3), "y": (1, 5)}
+
+    # update (a: 1→10), insert (d), delete (c) across two commits
+    src.upsert(_rows(spark, [("a", "x", 10), ("d", "z", 7)]))
+    src.delete_by_key(["c"])
+    assert view.refresh() == 3
+    got = _as_dict(view.read())
+    # recompute ground truth from the current table state
+    truth = {
+        r["grp"]: (r["n"], r["s"])
+        for r in src.read()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == truth
+    assert "y" not in got  # group folded to zero rows drops out
+
+
+def test_incremental_refresh_is_idempotent(spark, warehouse):
+    src = _tbl(spark, warehouse)
+    src.overwrite(_rows(spark, [("a", "x", 1)]))
+    view = IncrementalAggView(src, f"{warehouse}/view", "grp", "v")
+    view.refresh()
+    before = _as_dict(view.read())
+    view.refresh()  # no new source version: must be a no-op
+    assert _as_dict(view.read()) == before
+
+
+def test_incremental_group_move_between_partitions(spark, warehouse):
+    # an update that MOVES a row between groups must adjust both groups
+    src = _tbl(spark, warehouse)
+    src.overwrite(_rows(spark, [("a", "x", 3), ("b", "y", 4)]))
+    view = IncrementalAggView(src, f"{warehouse}/view", "grp", "v")
+    view.refresh()
+    src.upsert(_rows(spark, [("a", "y", 3)]))  # a: x→y
+    view.refresh()
+    assert _as_dict(view.read()) == {"y": (2, 7)}
+
+
+def test_incremental_falls_back_when_history_vacuumed(spark, warehouse):
+    src = _tbl(spark, warehouse, retain=1)  # no history kept
+    src.overwrite(_rows(spark, [("a", "x", 1)]))
+    view = IncrementalAggView(src, f"{warehouse}/view", "grp", "v")
+    view.refresh()
+    src.upsert(_rows(spark, [("b", "x", 2)]))
+    src.upsert(_rows(spark, [("c", "y", 9)]))
+    view.refresh()  # feed vacuumed → full recompute path
+    assert _as_dict(view.read()) == {"x": (2, 3), "y": (1, 9)}
+
+
+def test_object_changes_crud_surface(spark, warehouse):
+    from moisturizer_spark.crud import Engine
+    from moisturizer_spark.errors import ValidationError
+
+    eng = Engine(spark, f"{warehouse}/wh")
+    eng.upsert_object("things", "t1", {"name": "one"})
+    eng.upsert_object("things", "t2", {"name": "two"})
+    eng.upsert_object("things", "t1", {"name": "uno"})
+    eng.delete_object("things", "t2")
+
+    feed = eng.object_changes("things", 0)
+    assert feed["version"] == feed["to"] == 4
+    kinds = {(c["id"], c["_change_type"], c["_commit_version"])
+             for c in feed["changes"]}
+    assert ("t1", "insert", 1) in kinds
+    assert ("t2", "insert", 2) in kinds
+    assert ("t1", "update_postimage", 3) in kinds
+    assert ("t2", "delete", 4) in kinds
+
+    with pytest.raises(ValidationError):
+        eng.object_changes("things", 4, 4)  # empty/invalid range
+
+
+def test_object_changes_http_route(spark, warehouse):
+    import base64
+    import http.client
+    import json as _json
+
+    from moisturizer_spark.crud import Engine
+    from moisturizer_spark.service import serve_background
+
+    eng = Engine(spark, f"{warehouse}/http_wh")
+    server = serve_background(eng)
+    try:
+        key = eng.get_user("admin")["api_key"]
+        eng.upsert_object("widgets", "w1", {"n": 1})
+        eng.upsert_object("widgets", "w1", {"n": 2})
+
+        def call(path):
+            conn = http.client.HTTPConnection(*server.server_address, timeout=60)
+            conn.request(
+                "GET",
+                path,
+                headers={
+                    "Authorization": "Basic "
+                    + base64.b64encode(f"admin:{key}".encode()).decode()
+                },
+            )
+            resp = conn.getresponse()
+            out = resp.status, _json.loads(resp.read() or b"null")
+            conn.close()
+            return out
+
+        status, feed = call("/types/widgets/changes?from=1")
+        assert status == 200
+        assert [c["_change_type"] for c in feed["changes"]] == [
+            "update_preimage",
+            "update_postimage",
+        ]
+        status, _ = call("/types/widgets/changes")  # missing ?from
+        assert status == 400
+    finally:
+        server.shutdown()
