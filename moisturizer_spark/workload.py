@@ -2586,6 +2586,62 @@ def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_frequent_users",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= (SELECT (COUNT(*) * 7 + 999) // 1000 FROM events)
+    ORDER BY n DESC, user_id
+    """,
+)
+def events_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users appearing in ≥ 0.7% of events, via the
+    candidate/verify frequent-items operator
+    (:func:`moisturizer_spark.operators.frequent.frequent_items`).
+
+    Same rows as GROUP BY + HAVING, but the shuffle carries only
+    per-partition candidates (≤ ⌈1/support⌉ each) and their verify
+    counts — at 100 TB the all-keys shuffle is the cost, and this skips
+    it. Integer-arithmetic threshold (ceil(n·7/1000)) matches the oracle
+    bit-for-bit.
+    """
+    from moisturizer_spark.operators.frequent import frequent_items
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        frequent_items(t["events"], "user_id", support=(7, 1000))
+        .select("user_id", F.col("n").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+    )
+
+
+def events_reach_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type answered from a STORED daily sketch
+    rollup (HLL cells per day × type, merged up to type) — the
+    pre-aggregation pattern that answers any-range distinct counts at
+    100 TB without rescanning facts. Estimates are sketch-based →
+    rows-only check; accuracy + lossless-merge invariants pinned in
+    ``tests/test_approx.py``."""
+    from moisturizer_spark.operators.sketches import hll_merge_estimate, hll_rollup
+
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = hll_rollup(
+        t["events"].withColumn("day", F.date_trunc("day", F.col("ts"))),
+        ["day", "event_type"],
+        "user_id",
+    )
+    return (
+        hll_merge_estimate(daily, ["event_type"])
+        .select("event_type", F.col("approx_distinct").cast("bigint").alias("approx_distinct"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_reach_sketch_rollup"] = events_reach_sketch_rollup
+
+
 def docs_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing summary: per shard, how many
     256-token bins the corpus needs and how full they are

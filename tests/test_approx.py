@@ -36,3 +36,70 @@ def test_hll_reach_within_tolerance(spark, sf_dir):
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert err <= 0.05, f"{r['event_type']}: HLL error {err:.3f}"
+
+
+def test_frequent_items_equals_group_by_having(spark, sf_dir):
+    from moisturizer_spark.operators.frequent import frequent_items
+    from moisturizer_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    n = events.count()
+    threshold = (n * 7 + 999) // 1000
+    exact = {
+        (r["user_id"], r["n"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["n"])
+        for r in frequent_items(events, "user_id", support=(7, 1000)).collect()
+    }
+    assert got == exact and got  # non-trivial fixture
+
+
+def test_frequent_items_tiny_support_and_validation(spark):
+    import pytest
+    from moisturizer_spark.operators.frequent import frequent_items
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    got = {(r["k"], r["n"]) for r in frequent_items(df, "k", support=(3, 10)).collect()}
+    assert got == {("a", 6), ("b", 3)}
+    with pytest.raises(ValueError):
+        frequent_items(df, "k", support=(0, 10))
+
+
+def test_hll_rollup_merge_accuracy_and_losslessness(spark, sf_dir):
+    from moisturizer_spark.operators.sketches import hll_merge_estimate, hll_rollup
+    from moisturizer_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    daily = hll_rollup(events, ["day", "event_type"], "user_id")
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_merge_estimate(daily, ["event_type"]).collect()
+    }
+    assert set(merged) == set(exact)
+    for et, ex in exact.items():
+        assert abs(merged[et] - ex) / ex <= 0.05, (et, merged[et], ex)
+
+    # lossless merge: sketching directly at the coarse grain estimates
+    # the same as merging the stored fine-grained cells
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_merge_estimate(
+            hll_rollup(events, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct

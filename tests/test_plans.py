@@ -23,6 +23,10 @@ QUERIES = entry_mod.queries()
 BNLJ_ALLOWED = {
     "embedding_top5_cosine",
     "embedding_cosine_near_dup",
+    # PQ's ADC stage deliberately broadcasts the per-query lookup tables
+    # against the compressed code table (the linear sketch scan IS the
+    # operator); the candidate fetch afterwards is an equi-join.
+    "embedding_pq_top5",
 }
 
 
