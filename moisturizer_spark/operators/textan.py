@@ -179,6 +179,100 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.element_at(F.transform(F.array(tokens_col(text)), per_tokens), 1)
 
 
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    ``chunk_tokens``-token windows every ``stride`` tokens — the RAG /
+    retrieval-ingestion primitive (overlap keeps answers that straddle a
+    boundary findable).
+
+    Returns one row per chunk: (id, chunk_id, chunk_start, chunk_len,
+    chunk_text). The final window is the remainder (shorter than
+    ``chunk_tokens``); windows starting at or past the token count are
+    not emitted, and an empty document yields no chunks. Pure JVM array
+    expressions (tokenize once, slice per window) + ``posexplode`` — a
+    linear scan with no shuffle; downstream embedding/indexing stages
+    consume the exploded rows in whatever partitioning they need.
+    """
+    toks = tokens_col(F.col(text_col))
+    # Bind toks once via the single-element-array trick (see word_ngrams:
+    # HOF lambdas re-evaluate captured projections per element).
+    bound = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.element_at(
+                F.transform(
+                    F.array(toks),
+                    lambda w: F.transform(
+                        F.when(
+                            F.size(w) > 0,
+                            F.sequence(F.lit(0), F.size(w) - 1, F.lit(stride)),
+                        ).otherwise(F.array().cast("array<int>")),
+                        lambda s: F.struct(
+                            s.alias("start"),
+                            F.array_join(F.slice(w, s + 1, chunk_tokens), " ").alias(
+                                "txt"
+                            ),
+                            F.least(F.size(w) - s, F.lit(chunk_tokens)).alias("len"),
+                        ),
+                    ),
+                ),
+                1,
+            )
+        ).alias("_c"),
+    ).filter(F.col("_c").isNotNull())
+    return bound.select(
+        id_col,
+        (F.col("_c.start") / stride).cast("bigint").alias("chunk_id"),
+        F.col("_c.start").cast("bigint").alias("chunk_start"),
+        F.col("_c.len").cast("bigint").alias("chunk_len"),
+        F.col("_c.txt").alias("chunk_text"),
+    )
+
+
+# PII patterns restricted to the regex subset Java and RE2 (DuckDB) treat
+# identically: no lookaround, no \b against unicode classes. Deliberately
+# simple — a *scanner*, not a validator; precision/recall trade-offs are
+# the caller's via replacement.
+PII_PATTERNS = {
+    # Order matters for redaction: specific before general, or the broad
+    # phone pattern would consume SSN-shaped digit runs first.
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII hit counts: one ``n_<kind>`` column per pattern.
+    JVM ``regexp_extract_all`` — linear scan, no UDF."""
+    return df.withColumns(
+        {
+            f"n_{kind}": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+            )
+            for kind, pat in PII_PATTERNS.items()
+        }
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str | None = None) -> DataFrame:
+    """Replace every PII match with ``[<KIND>]`` markers, in pattern
+    order. Chained JVM ``regexp_replace`` — stays in whole-stage
+    codegen."""
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return df.withColumn(out_col or text_col, out)
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -2587,6 +2587,88 @@ def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_chunk_sliding",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    s AS (
+        SELECT doc_id, w, unnest(range(0, len(w), 32)) AS start
+        FROM toks WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 32 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS chunk_start,
+           CAST(least(len(w) - start, 64) AS BIGINT) AS chunk_len,
+           array_to_string(w[start+1:start+64], ' ') AS chunk_text
+    FROM s
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ingestion chunking: overlapping 64-token windows every 32
+    tokens per document
+    (:func:`moisturizer_spark.operators.textan.chunk_sliding`) — the RAG
+    indexing primitive; overlap keeps boundary-straddling answers
+    findable.
+
+    Scale: tokenize-once + slice-per-window JVM expressions feeding
+    ``posexplode`` — a linear scan with NO shuffle (the orderBy here is
+    oracle determinism only); chunk rows flow straight into embedding /
+    indexing stages in whatever partitioning they need.
+    """
+    from moisturizer_spark.operators.textan import chunk_sliding
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return chunk_sliding(
+        t["documents"].select("doc_id", "text"), chunk_tokens=64, stride=32
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _sql_pii_counts() -> str:
+    from moisturizer_spark.operators.textan import PII_PATTERNS
+
+    cols = ", ".join(
+        f"CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    return f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, {cols}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("docs_pii_scan", _sql_pii_counts())
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report per source: hit counts for email / IPv4 /
+    phone / SSN-like patterns
+    (:func:`moisturizer_spark.operators.textan.pii_counts`; the paired
+    :func:`redact_pii` rewrites matches to ``[KIND]`` markers —
+    behavior pinned on synthetic PII in ``tests/test_textan.py``).
+
+    Patterns are restricted to the Java∩RE2 regex subset so the oracle
+    scans identically. Pure ``regexp_extract_all`` column expressions —
+    linear scan, one combinable aggregation, output bounded by
+    |sources|.
+    """
+    from moisturizer_spark.operators.textan import PII_PATTERNS, pii_counts
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    counted = pii_counts(t["documents"].select("source", "text"))
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *[
+                F.sum(f"n_{kind}").cast("bigint").alias(f"n_{kind}")
+                for kind in PII_PATTERNS
+            ],
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "events_frequent_users",
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n

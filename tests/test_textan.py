@@ -207,3 +207,48 @@ def test_repetition_features_hand_corpus(spark):
     assert got[2]["top_bigram_n"] == 1  # every bigram occurs once
     assert (got[2]["tri_total"], got[2]["tri_distinct"]) == (3, 3)
     assert got[3]["top_bigram_n"] == 0 and got[3]["tri_total"] == 0
+
+
+def test_chunk_sliding_hand_corpus(spark):
+    from moisturizer_spark.operators.textan import chunk_sliding
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_sliding(df, chunk_tokens=4, stride=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["chunk_len"], r["chunk_text"])
+        )
+    assert got[1] == [
+        (0, 0, 4, "a b c d"),
+        (1, 2, 4, "c d e f"),
+        (2, 4, 3, "e f g"),
+        (3, 6, 1, "g"),
+    ]
+    assert got[2] == [(0, 0, 2, "x y")]
+    assert 3 not in got  # empty doc emits no chunks
+
+
+def test_pii_counts_and_redaction(spark):
+    from moisturizer_spark.operators.textan import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@example.co.uk or 192.168.0.1"),
+            (2, "call +1 (555) 123-4567; ssn 123-45-6789"),
+            (3, "clean text, nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_counts(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ipv4"] == 1
+    assert got[2]["n_phone"] >= 1 and got[2]["n_ssn_like"] == 1
+    assert all(got[3][f"n_{k}"] == 0 for k in ("email", "ipv4", "phone", "ssn_like"))
+
+    red = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
+    assert "[EMAIL]" in red[1] and "[IPV4]" in red[1]
+    assert "example.co.uk" not in red[1]
+    assert "[SSN_LIKE]" in red[2] and "123-45-6789" not in red[2]
+    assert red[3] == "clean text, nothing here"
