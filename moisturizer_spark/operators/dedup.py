@@ -335,6 +335,72 @@ def simhash_near_duplicates(
     return simhash_candidate_pairs(sigs, id_col, max_hamming)
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    str_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance similarity join: (id_a, id_b, dist) for all pairs
+    with ``levenshtein ≤ max_dist`` — typo/variant detection over keys,
+    names, and titles.
+
+    Blocking: two strings within distance d differ in length by ≤ d, so
+    rows bucket by ``len div (d+1)`` and each probes its own and the
+    next bucket (pairs ordered a<b by length then id, so one-sided
+    probing suffices). That is *complete* — no qualifying pair is
+    missed — and turns the all-pairs scan into per-bucket joins. The
+    verify uses Spark's thresholded ``levenshtein(l, r, d)``, which
+    early-exits DP rows once the band exceeds d (O(d·len) per pair,
+    not O(len²)).
+
+    Scale: within-bucket pairing is still quadratic in bucket size —
+    fine for key/name domains (bounded length ⇒ bounded buckets). For
+    long-text corpora use the q-gram count-filter family
+    (:func:`ngram_jaccard_pairs`) for candidates and this verifier on
+    the survivors.
+    """
+    d1 = max_dist + 1
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(str_col).alias("s_a"),
+        F.length(str_col).alias("len_a"),
+        F.expr(f"length({str_col}) div {d1}").alias("_b"),
+    )
+    # probe own bucket and the one above: for any qualifying pair, the
+    # shorter string's bucket is either equal to or one below the
+    # longer's (lengths differ ≤ d < d+1)
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(str_col).alias("s_b"),
+        F.length(str_col).alias("len_b"),
+        F.explode(
+            F.array(
+                F.expr(f"length({str_col}) div {d1}"),
+                F.expr(f"length({str_col}) div {d1} - 1"),
+            )
+        ).alias("_b"),
+    )
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"), max_dist)
+    return (
+        a.join(b, on="_b")
+        .filter(
+            (F.col("len_a") < F.col("len_b"))
+            | ((F.col("len_a") == F.col("len_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        # the dedup ordering above is (length, id); normalize the OUTPUT
+        # to the family's id_a < id_b contract
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

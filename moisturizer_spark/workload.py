@@ -2587,6 +2587,117 @@ def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_name_typo_pairs",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 200)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def customer_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (typo/variant detection): customer
+    name pairs within Levenshtein distance 1, via
+    :func:`moisturizer_spark.operators.dedup.levenshtein_pairs` —
+    length-band blocking (complete by the |Δlen| ≤ d argument) + the
+    banded O(d·len) thresholded verifier. The oracle recomputes the
+    same pairs quadratically on the bounded subset.
+    """
+    from moisturizer_spark.operators.dedup import levenshtein_pairs
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    subset = t["customer"].filter(F.col("c_custkey") <= 200)
+    return (
+        levenshtein_pairs(subset, id_col="c_custkey", str_col="c_name", max_dist=1)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "dist",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "events_volume_anomalies",
+    f"""
+    WITH {_SQL_EV}, d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT day, event_type, n_events,
+               CAST(SUM(n_events) OVER win AS BIGINT) AS s,
+               CAST(SUM(n_events * n_events) OVER win AS BIGINT) AS ss,
+               CAST(COUNT(*) OVER win AS BIGINT) AS c
+        FROM d
+        WINDOW win AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, event_type, n_events,
+           CASE WHEN c >= 2 AND (c*ss - s*s) > 0 THEN
+               ROUND((CAST(c*n_events - s AS DOUBLE) / c)
+                     / sqrt(CAST(c*ss - s*s AS DOUBLE) / (c*(c-1))), 6)
+           END AS zscore
+    FROM w
+    ORDER BY day, event_type
+    """,
+)
+def events_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: each (day, event_type) cell's z-score
+    against its trailing 7-day window (window excludes the current day,
+    so a spike can't mask itself).
+
+    Determinism: mean/variance are derived from exact integer window
+    sums (Σn, Σn², count) with one fixed-shape float expression at the
+    end — both engines do the identical IEEE ops, so even sqrt hashes
+    equal. Scale: one shuffle on event_type for both the daily rollup
+    and the window (same key reused); window state is 7 rows of 3
+    integers per partition.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    d = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = d.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.sum("n_events").over(win).cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(win).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(win).cast("bigint").alias("c"),
+    )
+    c, s, ss, n = F.col("c"), F.col("s"), F.col("ss"), F.col("n_events")
+    z = F.round(
+        ((c * n - s).cast("double") / c)
+        / F.sqrt((c * ss - s * s).cast("double") / (c * (c - 1))),
+        6,
+    )
+    return (
+        w.select(
+            "day",
+            "event_type",
+            "n_events",
+            F.when((c >= 2) & ((c * ss - s * s) > 0), z).alias("zscore"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
     "docs_chunk_sliding",
     f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),

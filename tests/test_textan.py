@@ -252,3 +252,36 @@ def test_pii_counts_and_redaction(spark):
     assert "example.co.uk" not in red[1]
     assert "[SSN_LIKE]" in red[2] and "123-45-6789" not in red[2]
     assert red[3] == "clean text, nothing here"
+
+
+def test_levenshtein_pairs_complete_vs_quadratic(spark):
+    from moisturizer_spark.operators.dedup import levenshtein_pairs
+
+    rows = [
+        (1, "kitten"), (2, "sitten"), (3, "sittin"),   # chain of 1-edits
+        (4, "kitten!"),                                  # +1 length
+        (5, "dog"), (6, "dig"), (7, "dogs"),
+        (8, "completely different"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in levenshtein_pairs(df, max_dist=d).collect()
+        }
+        # quadratic ground truth
+        import itertools
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                             prev + (ca != cb))
+            return dp[len(b)]
+        truth = {
+            (a[0], b[0], lev(a[1], b[1]))
+            for a, b in itertools.combinations(rows, 2)
+            if lev(a[1], b[1]) <= d
+        }
+        assert got == truth, f"d={d}"
