@@ -2587,6 +2587,67 @@ def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_expectations",
+    """
+    SELECT 'not_null(l_orderkey)' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range(l_quantity,1,50)',
+           CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1
+                                    OR l_quantity > 50) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range(l_discount,0.0,0.05)',
+           CAST(COUNT(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0.0
+                                    OR l_discount > 0.05) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values(l_returnflag)',
+           CAST(COUNT(*) FILTER (WHERE l_returnflag IS NULL
+                                    OR l_returnflag NOT IN ('A','N','R')) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)',
+           COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM (
+               SELECT COUNT(*) AS n FROM lineitem
+               GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), 0)
+    UNION ALL
+    SELECT 'foreign_key(l_orderkey)',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)
+    ORDER BY rule
+    """,
+)
+def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over the fact table
+    (:mod:`moisturizer_spark.operators.expectations`): null/range/domain
+    checks, key uniqueness, and referential integrity, as one
+    |rules|-row report.
+
+    Scale: the four row-local rules fuse into ONE aggregate scan (sums
+    of indicator expressions, map-side combined); uniqueness is one
+    groupBy on the key; the FK check is a broadcast anti-join counting
+    orphans. The discount range rule is a deliberately tight soft check
+    so the report shows non-zero violation counting.
+    """
+    from moisturizer_spark.operators import expectations as X
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    rules = [
+        X.not_null("l_orderkey"),
+        X.in_range("l_quantity", 1, 50),
+        X.in_range("l_discount", 0.0, 0.05),
+        X.accepted_values("l_returnflag", "A", "N", "R"),
+        X.unique("l_orderkey", "l_linenumber"),
+        X.foreign_key("l_orderkey", t["orders"], "o_orderkey",
+                      broadcast_ref=False),
+    ]
+    return X.check(t["lineitem"], rules).orderBy("rule")
+
+
+@query(
     "customer_name_typo_pairs",
     """
     WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 200)
