@@ -2587,6 +2587,68 @@ def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_type_audience_overlap",
+    f"""
+    WITH {_SQL_EV}, u AS (SELECT DISTINCT event_type, user_id FROM ev),
+    sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: exact Jaccard of
+    user sets via a distinct-projected self-equi-join on user_id —
+    set similarity BETWEEN groups, the segment-overlap question product
+    analytics asks constantly.
+
+    Scale: the join input is the DISTINCT (type, user) projection (one
+    combinable dedup shuffle), self-joined on user_id — co-partitioned,
+    never the raw events; with T event types a user contributes at most
+    T(T-1)/2 pair rows. Jaccard derives from exact integer counts, one
+    rounded division at the end. At extreme audience sizes the same
+    report runs over the HLL sketch cells (events_reach_sketch_rollup)
+    with union-based intersection estimates.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    u = t["events"].select("event_type", "user_id").distinct()
+    a = u.select(F.col("event_type").alias("type_a"), "user_id")
+    b = u.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, on="user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        inter.join(sizes.select(F.col("event_type").alias("type_a"),
+                                F.col("n").alias("n_a")), "type_a")
+        .join(sizes.select(F.col("event_type").alias("type_b"),
+                           F.col("n").alias("n_b")), "type_b")
+        .select(
+            "type_a", "type_b", "n_common", "n_a", "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
     "lineitem_expectations",
     """
     SELECT 'not_null(l_orderkey)' AS rule,

@@ -143,3 +143,50 @@ def test_object_changes_http_route(spark, warehouse):
         assert status == 400
     finally:
         server.shutdown()
+
+
+def test_stream_ingest_feeds_incremental_view(spark, warehouse):
+    """End-to-end composition: streaming ingest commits table versions →
+    the incremental view folds exactly the CDC delta of each round."""
+    import json
+    import os
+
+    from moisturizer_spark.registry import Registry
+    from moisturizer_spark.streaming import file_envelope_stream, start_ingest_stream
+
+    def write_batch(src, name, payloads):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as fh:
+            for p in payloads:
+                fh.write(json.dumps(p) + "\n")
+
+    src = os.path.join(warehouse, "in")
+    write_batch(src, "b1.json", [
+        {"type_id": "m", "data": json.dumps({"id": "a", "site": "x", "v": 1})},
+        {"type_id": "m", "data": json.dumps({"id": "b", "site": "y", "v": 5})},
+    ])
+    registry = Registry(spark, os.path.join(warehouse, "wh"), retain_versions=10)
+    q = start_ingest_stream(
+        registry, file_envelope_stream(spark, src), os.path.join(warehouse, "ck")
+    )
+    q.awaitTermination(120)
+
+    view = IncrementalAggView(
+        registry.table("m"), os.path.join(warehouse, "view"), "site"
+    )
+    view.refresh()
+    counts = {r["site"]: r["n_rows"] for r in view.read().collect()}
+    assert counts == {"x": 1, "y": 1}
+
+    # second micro-batch: update a (site move x→y) + insert c
+    write_batch(src, "b2.json", [
+        {"type_id": "m", "data": json.dumps({"id": "a", "site": "y", "v": 2})},
+        {"type_id": "m", "data": json.dumps({"id": "c", "site": "y", "v": 3})},
+    ])
+    q2 = start_ingest_stream(
+        registry, file_envelope_stream(spark, src), os.path.join(warehouse, "ck")
+    )
+    q2.awaitTermination(120)
+    view.refresh()
+    counts = {r["site"]: r["n_rows"] for r in view.read().collect()}
+    assert counts == {"y": 3}  # x folded to zero and dropped
