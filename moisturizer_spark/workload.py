@@ -2587,6 +2587,125 @@ def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year, {_SQL_REV} AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND year(l_shipdate) IN (1995, 1996)
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year —
+    a 6-table snowflake with a disjunctive cross-nation predicate.
+
+    Scale: lineitem is the only big input; supplier/customer/nation all
+    broadcast, so the plan is one pipelined scan of lineitem through
+    four broadcast hash joins (zero fact shuffles before the final tiny
+    agg). The year + nation-pair filters reach the scans. Decimal
+    accumulation keeps revenue exact cross-engine.
+    """
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "supplier", "orders", "customer", "nation")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"), _rev().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_d(F.sum("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q18_large_orders",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(CAST(CAST(o_totalprice AS {_SQL_PRICE}) AS VARCHAR) AS DOUBLE)
+               AS o_totalprice,
+           CAST(CAST(SUM({_sql_p('l_quantity')}) AS VARCHAR) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM({_sql_p('l_quantity')}) > 270
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with very large orders — an agg-filtered IN
+    subquery (HAVING over a grouped fact) driving a 3-table join.
+
+    Scale: the qualifying-orderkey set is aggregated first (combinable,
+    ~1% of orders survive) and semi-joins the fact BEFORE the wide join,
+    so the expensive join runs on the filtered slice; customers
+    broadcast. The extra o_orderkey tiebreaker makes LIMIT
+    deterministic.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_p("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 270)
+        .select("l_orderkey")
+    )
+    li = t["lineitem"].join(big.withColumnRenamed("l_orderkey", "_ok"),
+                            F.col("l_orderkey") == F.col("_ok"), "left_semi")
+    return (
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_d(F.sum(_p("l_quantity"))).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _d(_p("o_totalprice")).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
     "event_type_audience_overlap",
     f"""
     WITH {_SQL_EV}, u AS (SELECT DISTINCT event_type, user_id FROM ev),
