@@ -273,7 +273,8 @@ class ParquetTable:
         return self.spark.createDataFrame([], schema)
 
     # -- writes -------------------------------------------------------------
-    def _write_version(self, df: DataFrame, version: int) -> dict[int, list[str]]:
+    def _write_version(self, df: DataFrame, version: int,
+                       cluster_by: list[str] | None = None) -> dict[int, list[str]]:
         """Write one version's data files, partitioned into bucket
         subdirectories. Data lands in a fresh ``data/v{N}`` dir, so this is
         invisible to readers until the manifest commit — and safe even when
@@ -292,8 +293,11 @@ class ParquetTable:
         point-read cost is O(row-group), not O(bucket)."""
         vdir = os.path.join(self.path, "data", f"v{version:06d}")
         df = df.repartition(self.n_buckets, F.col(_BUCKET_COL))
-        if self.key in df.columns:
-            df = df.sortWithinPartitions(_BUCKET_COL, self.key)
+        sort_cols = cluster_by if cluster_by else (
+            [self.key] if self.key in df.columns else []
+        )
+        if sort_cols:
+            df = df.sortWithinPartitions(_BUCKET_COL, *sort_cols)
         df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(vdir)
         produced: dict[int, list[str]] = {}
         for child in os.listdir(vdir):
@@ -605,7 +609,8 @@ class ParquetTable:
                     total += os.path.getsize(os.path.join(d, name))
         return n, total
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
+                cluster_by: list[str] | None = None) -> int:
         """Rewrite the table into one file per non-empty bucket (capped by
         ``target_file_bytes`` total sizing); returns the new file count.
 
@@ -617,19 +622,28 @@ class ParquetTable:
         path as every rewrite, so readers never see a half-compacted table.
         On Delta this maps to OPTIMIZE (+ ZORDER); run it off the ingest
         path on a schedule.
+
+        ``cluster_by`` re-sorts each bucket by the given columns instead
+        of the key (OPTIMIZE ZORDER-lite, lexicographic): parquet
+        row-group min/max stats on those columns then let pushed-down
+        range/equality predicates skip row groups — choose the columns
+        your scans filter on. When clustering, ``cluster_by`` should
+        lead with the most selective filter column; a ``cluster_by``
+        compact always rewrites (the point is the new sort order, not
+        the file count).
         """
         n_files, total_bytes = self.file_stats()
         target = max(1, -(-total_bytes // max(target_file_bytes, 1)))
         df = self.read()
         with_b = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
         nonempty = with_b.select(_BUCKET_COL).distinct().count()
-        if n_files <= max(target, nonempty):
+        if cluster_by is None and n_files <= max(target, nonempty):
             return n_files
         # One partition per bucket → one file per non-empty bucket dir.
         prev = self._load_manifest()
         version = (prev["version"] + 1) if prev else 1
         compacted = with_b.repartition(self.n_buckets, F.col(_BUCKET_COL))
-        produced = self._write_version(compacted, version)
+        produced = self._write_version(compacted, version, cluster_by=cluster_by)
         self._commit(produced, _strip_internal(df.schema), prev)
         return self.file_stats()[0]
 

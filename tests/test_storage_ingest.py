@@ -510,3 +510,41 @@ def test_unchanged_upsert_rows_are_not_change_rows(spark, warehouse):
     )
     table.upsert(spark.createDataFrame([("7", 7)], "id string, v long"))  # no-op value
     assert table.table_changes(1, 2).count() == 0
+
+
+def test_compact_cluster_by_sorts_row_groups(spark, warehouse):
+    import os
+
+    import pyarrow.parquet as pq
+
+    table = ParquetTable(spark, f"{warehouse}/zo", n_buckets=2)
+    # write in value-scrambled order across several commits
+    for lo in (500, 0, 250, 750):
+        table.upsert(
+            spark.range(lo, lo + 250).select(
+                F.col("id").cast("string").alias("id"),
+                (F.col("id") * 7919 % 1000).alias("v"),
+            )
+        )
+    table.compact(cluster_by=["v"])
+    man = table._load_manifest()
+    for dirs in man["buckets"].values():
+        for rel in dirs:
+            d = os.path.join(table.path, rel)
+            for name in os.listdir(d):
+                if not name.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, name)).metadata
+                vi = next(
+                    i for i in range(md.num_columns)
+                    if md.schema.column(i).name == "v"
+                )
+                prev_max = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(vi).statistics
+                    if prev_max is not None:
+                        # clustered: row groups cover disjoint ascending ranges
+                        assert st.min >= prev_max
+                    prev_max = st.max
+    # data survives byte-for-byte semantics
+    assert table.read().count() == 1000
