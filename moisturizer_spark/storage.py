@@ -505,6 +505,34 @@ class ParquetTable:
         buckets.update(produced)
         self._commit(buckets, T.StructType.fromJson(json.loads(man["schema"])), man)
 
+    def history(self) -> list[dict]:
+        """Commit log (newest first): one entry per known version with the
+        buckets it rewrote and the txn watermarks it carried — the DESCRIBE
+        HISTORY surface. Reads only the tiny manifest JSONs."""
+        cur = self._load_manifest()
+        if cur is None:
+            return []
+        out = []
+        prev = None
+        for v in range(1, cur["version"] + 1):
+            man = self._load_version_manifest(v)
+            if man is None:
+                prev = None
+                continue
+            entry = {
+                "version": v,
+                "buckets_changed": _changed_buckets(prev, man) if prev
+                else sorted(int(b) for b in man["buckets"]),
+                "txn": man.get("txn") or {},
+                "readable": not any(
+                    not os.path.isdir(os.path.join(self.path, d))
+                    for d in _manifest_dirs(man)
+                ),
+            }
+            out.append(entry)
+            prev = man
+        return list(reversed(out))
+
     # -- change data feed ---------------------------------------------------
     def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level changes between two retained versions — the Delta

@@ -548,3 +548,17 @@ def test_compact_cluster_by_sorts_row_groups(spark, warehouse):
                     prev_max = st.max
     # data survives byte-for-byte semantics
     assert table.read().count() == 1000
+
+
+def test_history_lists_commits_newest_first(spark, warehouse):
+    table = ParquetTable(spark, f"{warehouse}/hist", retain_versions=10)
+    table.overwrite(
+        spark.createDataFrame([("a", 1), ("b", 2)], "id string, v long")
+    )
+    table.upsert(spark.createDataFrame([("a", 9)], "id string, v long"),
+                 txn=("app1", 7))
+    h = table.history()
+    assert [e["version"] for e in h] == [2, 1]
+    assert h[0]["buckets_changed"] == [table.bucket_of("a")]
+    assert h[0]["txn"] == {"app1": 7}
+    assert all(e["readable"] for e in h)
