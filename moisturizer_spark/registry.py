@@ -154,6 +154,31 @@ class Registry:
             retain_versions=self.retain_versions,
         )
 
+    def register_views(self, prefix: str = "", include_meta: bool = False) -> list[str]:
+        """Expose every type's table as a Spark SQL temp view named
+        ``<prefix><type_id>`` (sanitized), so the whole warehouse is
+        queryable via ``spark.sql`` — joins across types, window
+        functions, the works — with no data movement: views are logical,
+        so Catalyst still prunes columns and pushes filters into each
+        table's parquet scan.
+
+        Returns the view names registered. Call again after DDL to pick
+        up new/changed types (views re-register idempotently). The meta
+        descriptor pseudo-type is skipped unless ``include_meta``.
+        """
+        names = []
+        for type_id in self.list_ids():
+            if type_id == META_DESCRIPTOR_ID and not include_meta:
+                continue
+            table = self.table(type_id)
+            if not table.exists():
+                continue
+            safe = "".join(c if c.isalnum() or c == "_" else "_" for c in type_id)
+            view = f"{prefix}{safe}"
+            table.read().createOrReplaceTempView(view)
+            names.append(view)
+        return names
+
     # -- introspection ------------------------------------------------------
     def to_df(self) -> DataFrame:
         rows = []

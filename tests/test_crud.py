@@ -205,3 +205,27 @@ def test_type_migration_drops_undeclared_columns(engine):
     assert row["keep"] == 5
     assert "drop_me" not in row
     assert "drop_me" not in engine.get_type("m2")["properties"]
+
+
+def test_register_views_sql_over_warehouse(spark, warehouse):
+    from moisturizer_spark.crud import Engine
+
+    eng = Engine(spark, warehouse)
+    eng.upsert_object("accounts", "a1", {"plan": "pro", "seats": 5})
+    eng.upsert_object("accounts", "a2", {"plan": "free", "seats": 1})
+    eng.upsert_object("usage", "u1", {"account": "a1", "events": 100})
+    eng.upsert_object("usage", "u2", {"account": "a2", "events": 7})
+
+    views = eng.registry.register_views(prefix="wh_")
+    assert {"wh_accounts", "wh_usage"}.issubset(set(views))
+    got = {
+        r["plan"]: r["total_events"]
+        for r in spark.sql(
+            """
+            SELECT a.plan, SUM(u.events) AS total_events
+            FROM wh_usage u JOIN wh_accounts a ON u.account = a.id
+            GROUP BY a.plan
+            """
+        ).collect()
+    }
+    assert {k: int(v) for k, v in got.items()} == {"pro": 100, "free": 7}
