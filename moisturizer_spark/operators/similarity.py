@@ -157,41 +157,34 @@ def ivf_top_k(
         v = row["_cv"]
         norm = sum(x * x for x in v) ** 0.5 or 1.0
         unit.append([x / norm for x in v])
-    # The literal centroid matrix appears ONCE per plan — expression size
-    # stays linear in n_lists×dim. Written as a SQL expression because
-    # Python-side nested lambdas that capture an outer lambda variable
-    # (cv inside zip_with) miscompile into dangling attribute references
-    # under the self-join; the SQL parser scopes them correctly.
-    mat_sql = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in cv) + ")"
-            for cv in unit
-        )
-        + ")"
-    )
+    # Corpus→list assignment runs as a fused Arrow numpy kernel (one
+    # n×dim @ dim×n_lists matmul per batch) instead of a JVM
+    # higher-order-function expression: HOFs are interpreted (outside
+    # whole-stage codegen), so the n_lists×dim literal-matrix dot was
+    # both the round's hottest expression AND the trigger surface for
+    # 4.1's alias-expansion miscompile under self-joins (see the
+    # eqNullSafe note below). Ties argmax to the lowest list id —
+    # identical to the previous sort-by-(-dot, id) semantics.
+    import numpy as np
+    import pandas as pd
 
-    def nearest_lists(vec_name: str, n: int) -> Column:
-        """array of the n nearest centroid list-ids for a vector column."""
-        return F.expr(
-            f"""slice(transform(array_sort(zip_with(
-                  transform({mat_sql}, cv ->
-                    aggregate(zip_with({vec_name}, cv, (x, y) -> x * y),
-                              CAST(0 AS DOUBLE), (acc, v) -> acc + v)),
-                  sequence(0, {n_lists - 1}),
-                  (d, i) -> struct(-d AS d, i AS list_id))),
-                s -> s.list_id), 1, {n})"""
-        )
+    U = np.array(unit, dtype=np.float64)  # n_lists × dim, L2-normalized
 
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                V = np.array(pdf["_cv"].tolist(), dtype=np.float64)
+                codes = (V @ U.T).argmax(1).astype("int32")
+            else:
+                codes = pd.Series([], dtype="int32")
+            yield pdf.assign(_c_list=codes)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
     # Repartition on the list id after assignment. At scale this is the
     # IVF clustering step itself (vectors of one list co-located, so a
-    # probe touches n_probe partitions). It also pins the assignment
-    # projection into its own stage: when Spark fuses this projection
-    # into the broadcast-join stage, it mis-binds the corpus-side HOF
-    # expression against the build side's schema
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in 4.1's codegen).
-    assigned = c.select(
-        "neighbor_id", "_cv", nearest_lists("_cv", 1)[0].alias("_c_list")
+    # probe touches n_probe partitions).
+    assigned = c.mapInPandas(
+        _assign, schema=f"neighbor_id {id_type}, _cv array<double>, _c_list int"
     ).repartition(F.col("_c_list"))
     # Probe assignment for the QUERY side runs driver-side in plain
     # Python: the query set is small by contract (it becomes the
