@@ -401,6 +401,52 @@ def levenshtein_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood.
+
+    Emits {(v, m(u)) : v ∈ Γ(u), v > u} with m(u) = min(Γ(u) ∪ {u}),
+    over the symmetrized edge set. One groupBy shuffle on the node id
+    plus one co-partitioned join back.
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least(F.col("src"), F.col("_mn")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its SMALLER-OR-EQUAL
+    neighbors (and itself) to the minimum of that set.
+
+    Orients each edge high→low first, so the per-node neighbor set is
+    exactly the smaller side; emits {(v, m) : v ∈ N(u) ∪ {u}, v ≠ m}
+    with m = min(N(u) ∪ {u}). Same shuffle shape as large-star.
+    """
+    oriented = edges.filter(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("_mn"))
+    joined = oriented.join(mins, "src")
+    # smaller neighbors point at the min...
+    nbr_edges = joined.filter(F.col("dst") != F.col("_mn")).select(
+        F.col("dst").alias("src"), F.col("_mn").alias("dst")
+    )
+    # ...and the center itself points at the min (center > all its
+    # oriented neighbors, so it is never the min here)
+    center_edges = mins.select("src", F.col("_mn").alias("dst"))
+    return nbr_edges.unionByName(center_edges).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -409,62 +455,59 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Undirected connected components by min-label propagation: the
-    dedup-clustering primitive (near-dup PAIRS → duplicate GROUPS with a
-    canonical representative = the component's minimum id).
+    """Undirected connected components by alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): the dedup-clustering primitive (near-dup
+    PAIRS → duplicate GROUPS with canonical representative = the
+    component's minimum id).
 
-    Iterative (converges in O(component diameter) rounds, each one
-    join + aggregate shuffled on the node id): every node adopts the
-    smallest label among itself and its neighbors until a fixpoint.
-    ``localCheckpoint`` cuts lineage each round so the plan stays flat
-    across iterations (no exponential re-analysis). Near-dup clusters
-    have tiny diameters, so this settles in a handful of rounds; for
-    adversarially long path-graphs at web scale, swap in the
-    alternating large-star/small-star formulation (Kiveris et al.,
-    "Connected Components in MapReduce"), which is O(log n) rounds over
-    the same two primitives.
+    Each round applies one large-star then one small-star step — both a
+    single groupBy-min shuffle plus a co-partitioned join — and the edge
+    set provably contracts to a forest of stars rooted at component
+    minima in **O(log n) rounds regardless of component diameter** (a
+    10k-node path settles in ~14 rounds; min-label propagation, the
+    previous implementation here, needed ~10k). ``localCheckpoint``
+    cuts lineage each round so the plan stays flat across iterations.
 
-    Plan economics per round: ONE shuffle-bearing checkpointed job (the
-    neighbor-min join-aggregate fused with the label update). The edge
-    list is materialized up front — it is consumed every round, and its
-    lineage (at the call sites here, a shingle→inverted-index→verify
-    join over the corpus) must not re-execute per iteration. The
-    convergence check rides the same checkpointed result by carrying
-    the previous label in a sibling column, so it costs a filter over
-    stored rows, not a second join against the old labels. (A 2-hop
-    unroll per round was tried and rejected: halving the round count
-    did not pay for doubling each round's plan depth.)
+    Convergence is detected from a count + order-independent checksum
+    (sum of xxhash64(src, dst)) of the star edge set — one tiny
+    aggregate per round over the already-checkpointed frame, no
+    edge-set anti-join. The input edge list's lineage (at the call
+    sites here, a shingle→inverted-index→verify join over the corpus)
+    executes once at the first checkpoint, never per round.
 
-    Returns (id, component) — component is the minimum node id reachable.
+    Returns (id, component) — component is the minimum node id
+    reachable; isolated nodes map to themselves.
     """
-    sym = (
+    cur = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: immune to ANSI bigint overflow on large edge sets
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    prev = _sig(cur)
     for _ in range(max_iter):
-        neigh = (
-            labels.join(sym, labels["id"] == sym["src"])
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("_neigh_min"))
-        )
-        updated = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.col("component").alias("_prev"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_neigh_min"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = updated.filter(F.col("component") != F.col("_prev")).head(1)
-        labels = updated.select("id", "component")
-        if not changed:
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _sig(cur)
+        if sig == prev:
             break
-    return labels
+        prev = sig
+    # stars point member → component min; roots/isolated nodes fall back
+    # to their own id via the left join
+    member = cur.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("_comp"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(member, "id", "left")
+        .select("id", F.coalesce(F.col("_comp"), F.col("id")).alias("component"))
+    )

