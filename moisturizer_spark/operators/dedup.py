@@ -174,15 +174,21 @@ def minhash_near_duplicates(
     band the signature into (bands × rows) and explode one row per band →
     self-join on (band, band_hash) — the LSH bucket shuffle; only pairs
     agreeing on ≥1 band meet — → verify candidates EXACTLY: join each
-    side's distinct-shingle set and compute true Jaccard via
+    side's distinct-shingle-HASH set and compute true Jaccard via
     array_intersect, filter ≥ threshold. Banding prunes the O(n²) pair
     space; exact verification removes estimator noise, so the only
     approximation left is candidate recall (banding chosen ≥0.9 at the
-    threshold, see :func:`_band_shape`).
+    threshold, see :func:`_band_shape`) plus a negligible 64-bit
+    hash-collision term on the verify sets.
 
-    Everything stays JVM-side in whole-stage codegen (no ML Vector
-    boxing, no per-row Python); the bucket join shuffles 16-byte band
-    keys, and only *candidate* pairs ever see shingle sets. Returns
+    The verify state per document is ``collect_set(xxhash64(shingle))``
+    — 8 bytes per distinct shingle instead of the raw shingle string
+    (~5-10× smaller at corpus scale): set identity is all exact Jaccard
+    needs, so hashing shrinks the cached per-doc state AND the two
+    verify-join payloads without changing the result. Everything stays
+    JVM-side in whole-stage codegen (no ML Vector boxing, no per-row
+    Python); the bucket join shuffles 16-byte band keys, and only
+    *candidate* pairs ever see the hashed sets. Returns
     (id_a, id_b, jaccard_distance) with id_a < id_b, deterministic
     (seeded xxhash64).
     """
@@ -196,7 +202,7 @@ def minhash_near_duplicates(
             F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"_mh{k}")
             for k in range(num_hashes)
         ],
-        F.collect_set("shingle").alias("_grams"),
+        F.collect_set(F.xxhash64("shingle")).alias("_grams"),
     ))
     sigs = per_doc.select(
         "_id", F.array(*[f"_mh{k}" for k in range(num_hashes)]).alias("sig")

@@ -72,6 +72,29 @@ def test_frequent_items_tiny_support_and_validation(spark):
         frequent_items(df, "k", support=(0, 10))
 
 
+def test_frequent_items_null_heavy_hitter_and_single_pass(spark):
+    from moisturizer_spark.operators.frequent import frequent_items
+
+    # null is the most common value: it must appear in the result with
+    # its exact count (null-safe verify join), matching GROUP BY output
+    df = spark.createDataFrame(
+        [(None,)] * 5 + [("a",)] * 4 + [("b",)] * 1, "k string"
+    )
+    got = {(r["k"], r["n"]) for r in frequent_items(df, "k", support=(3, 10)).collect()}
+    assert got == {(None, 5), ("a", 4)}
+
+    # the candidate phase folds the global count into its one job — no
+    # separate df.count() scan
+    sc = spark.sparkContext
+    sc.setJobGroup("fi_single_pass", "frequent_items candidate phase")
+    try:
+        frequent_items(df, "k", support=(3, 10))  # no action on the result
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = spark._jsc.sc().statusTracker().getJobIdsForGroup("fi_single_pass")
+    assert len(jobs) == 1, f"candidate phase ran {len(jobs)} jobs, want 1"
+
+
 def test_hll_rollup_merge_accuracy_and_losslessness(spark, sf_dir):
     from moisturizer_spark.operators.sketches import hll_merge_estimate, hll_rollup
     from moisturizer_spark.session import load_tables

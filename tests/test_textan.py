@@ -137,6 +137,36 @@ def test_cache_scope_releases_operator_persists(spark, sf_dir):
     assert n_persistent() == before, "cache_scope leaked persisted RDDs"
 
 
+def test_minhash_verify_matches_exact_jaccard(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"]): 1.0 - r["jaccard_distance"]
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    # precision 1.0: every reported pair IS an exact-Jaccard pair at the
+    # threshold, with the SAME similarity (the hashed verify sets must
+    # compute true Jaccard, not an estimate)
+    for pair, sim in found.items():
+        assert pair in exact, f"false positive {pair}"
+        assert abs(sim - exact[pair]) < 1e-9, (pair, sim, exact[pair])
+    # recall: banding is chosen for >=0.9 at the threshold
+    if exact:
+        assert len(found) / len(exact) >= 0.9
+
+
 def test_connected_components_hand_graph(spark):
     from moisturizer_spark.operators.dedup import connected_components
 
