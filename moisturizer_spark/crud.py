@@ -253,6 +253,16 @@ class Engine:
         man = table._load_manifest()
         current = man["version"] if man else 0
         to_version = current if to_version is None else to_version
+        if from_version == to_version:
+            # idle poller: "from" = last seen version and nothing new is
+            # an EMPTY feed, not a bad request — the documented cursor
+            # pattern must be able to poll without special-casing
+            return {
+                "version": current,
+                "from": from_version,
+                "to": to_version,
+                "changes": [],
+            }
         try:
             feed = table.table_changes(from_version, to_version)
         except ValueError as exc:  # bad range / vacuumed version → 400

@@ -328,7 +328,10 @@ def pq_top_k(
                 {"neighbor_id": pdf["neighbor_id"], "codes": list(codes)}
             )
 
-    encoded = c.mapInPandas(encode, schema="neighbor_id long, codes array<int>")
+    # id type comes from the corpus schema (mirrors ivf_top_k's _assign):
+    # string / int / any orderable corpus id round-trips unchanged
+    _id_type = corpus.schema[id_col].dataType.simpleString()
+    encoded = c.mapInPandas(encode, schema=f"neighbor_id {_id_type}, codes array<int>")
 
     # Per-query ADC lookup tables, flattened to one array<double> each.
     q_rows = []

@@ -66,6 +66,8 @@ class Registry:
         os.makedirs(warehouse, exist_ok=True)
         self._path = os.path.join(warehouse, "_descriptors.json")
         self._cache: dict[str, Descriptor] = {}
+        # type_id -> registered SQL view name (see register_views)
+        self._views: dict[str, str] = {}
         self._load()
         self._bootstrap()
 
@@ -148,11 +150,27 @@ class Registry:
     # -- physical tables ----------------------------------------------------
     def table(self, type_id: str) -> ParquetTable:
         safe = "".join(c if c.isalnum() or c in "_-" else "_" for c in type_id)
+        on_commit = None
+        if type_id in self._views:
+            # writes through this handle keep the registered view on the
+            # table head (a temp view pins the file snapshot it was built
+            # on; without the refresh, vacuum of the next-next commit
+            # would delete the files the stale view references)
+            on_commit = lambda: self._refresh_view(type_id)  # noqa: E731
         return ParquetTable(
             self.spark,
             os.path.join(self.warehouse, f"objects_{safe}"),
             retain_versions=self.retain_versions,
+            on_commit=on_commit,
         )
+
+    def _refresh_view(self, type_id: str) -> None:
+        view = self._views.get(type_id)
+        if view is None:
+            return
+        table = self.table(type_id)
+        if table.exists():
+            table.read().createOrReplaceTempView(view)
 
     def register_views(self, prefix: str = "", include_meta: bool = False) -> list[str]:
         """Expose every type's table as a Spark SQL temp view named
@@ -162,9 +180,15 @@ class Registry:
         so Catalyst still prunes columns and pushes filters into each
         table's parquet scan.
 
-        Returns the view names registered. Call again after DDL to pick
-        up new/changed types (views re-register idempotently). The meta
-        descriptor pseudo-type is skipped unless ``include_meta``.
+        A temp view pins BOTH the schema and the data snapshot current at
+        registration time. To keep views live, every commit made through
+        a table handle from THIS registry re-registers the view on the
+        new head (see :meth:`table`), so CRUD/ingest through the same
+        registry is always visible to SQL. Writers constructed
+        independently on the same warehouse path bypass the hook — call
+        ``register_views`` again (idempotent) after external writes or
+        DDL. The meta descriptor pseudo-type is skipped unless
+        ``include_meta``. Returns the view names registered.
         """
         names = []
         for type_id in self.list_ids():
@@ -176,6 +200,7 @@ class Registry:
             safe = "".join(c if c.isalnum() or c == "_" else "_" for c in type_id)
             view = f"{prefix}{safe}"
             table.read().createOrReplaceTempView(view)
+            self._views[type_id] = view
             names.append(view)
         return names
 

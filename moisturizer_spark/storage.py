@@ -80,7 +80,8 @@ class ParquetTable:
     manifest-pointer commits."""
 
     def __init__(self, spark: SparkSession, path: str, key: str = "id",
-                 n_buckets: int = 16, retain_versions: int = 1):
+                 n_buckets: int = 16, retain_versions: int = 1,
+                 on_commit=None):
         self.spark = spark
         self.path = path
         self.key = key
@@ -91,6 +92,10 @@ class ParquetTable:
         # versions survive vacuum. Manifest copies under _versions/ are tiny
         # and always kept (they alone don't preserve data files).
         self.retain_versions = max(1, retain_versions)
+        # optional zero-arg callback fired after each committed version —
+        # the registry uses it to keep registered SQL views tracking the
+        # table head (temp views pin the file snapshot they were built on)
+        self.on_commit = on_commit
 
     # -- manifest -----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -139,6 +144,14 @@ class ParquetTable:
             "buckets": {str(b): dirs for b, dirs in sorted(buckets.items()) if dirs},
             "prior_dirs": sorted(_manifest_dirs(prev)) if prev else [],
             "txn": {**((prev or {}).get("txn") or {}), **(txn or {})},
+            # retention is a property of the TABLE, not of whichever handle
+            # happens to write next: persist the max ever requested so a
+            # low-retention writer (e.g. a default Registry beside a
+            # retain_versions=10 Engine) cannot vacuum history that other
+            # handles' time travel / CDF / incremental views depend on
+            "retain_versions": max(
+                self.retain_versions, (prev or {}).get("retain_versions", 1)
+            ),
         }
         os.makedirs(self.path, exist_ok=True)
         # History copy first (crash between the two writes leaves only an
@@ -154,12 +167,16 @@ class ParquetTable:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path())  # the commit point
         self._vacuum(manifest)
+        if self.on_commit is not None:
+            self.on_commit()
 
     def _vacuum(self, manifest: dict) -> None:
         keep = _manifest_dirs(manifest) | set(manifest.get("prior_dirs", []))
         # Retained history versions pin their data files (time travel / CDF).
+        # Honor the manifest's persisted retention, not just this handle's.
+        retain = max(self.retain_versions, manifest.get("retain_versions", 1))
         current = manifest["version"]
-        for v in range(max(1, current - self.retain_versions + 1), current):
+        for v in range(max(1, current - retain + 1), current):
             keep |= _manifest_dirs(self._load_version_manifest(v))
         data = os.path.join(self.path, "data")
         if os.path.isdir(data):

@@ -229,3 +229,23 @@ def test_register_views_sql_over_warehouse(spark, warehouse):
         ).collect()
     }
     assert {k: int(v) for k, v in got.items()} == {"pro": 100, "free": 7}
+
+
+def test_registered_views_track_commits(spark, warehouse):
+    # A temp view pins the snapshot it was built on; writes through the
+    # same registry must re-register it, or (with default retention) the
+    # second-next commit's vacuum deletes the files the view references.
+    from moisturizer_spark.crud import Engine
+
+    eng = Engine(spark, f"{warehouse}/wh_views", retain_versions=1)
+    eng.upsert_object("metrics", "m1", {"v": 1})
+    eng.registry.register_views(prefix="live_")
+
+    eng.upsert_object("metrics", "m2", {"v": 2})   # commit +1
+    eng.upsert_object("metrics", "m3", {"v": 3})   # commit +2: vacuums v1 files
+    eng.upsert_object("metrics", "m1", {"v": 10})  # update in place
+
+    rows = {r["id"]: int(r["v"]) for r in spark.sql(
+        "SELECT id, v FROM live_metrics"
+    ).collect()}
+    assert rows == {"m1": 10, "m2": 2, "m3": 3}

@@ -99,8 +99,16 @@ def test_object_changes_crud_surface(spark, warehouse):
     assert ("t1", "update_postimage", 3) in kinds
     assert ("t2", "delete", 4) in kinds
 
+    # idle poller: from == current (nothing new) is an EMPTY feed, not
+    # an error — the documented cursor pattern polls with from = last
+    # seen version
+    idle = eng.object_changes("things", 4, 4)
+    assert idle["changes"] == [] and idle["from"] == idle["to"] == 4
+    idle = eng.object_changes("things", 4)
+    assert idle["changes"] == []
+
     with pytest.raises(ValidationError):
-        eng.object_changes("things", 4, 4)  # empty/invalid range
+        eng.object_changes("things", 5)  # beyond current → invalid range
 
 
 def test_object_changes_http_route(spark, warehouse):

@@ -105,6 +105,22 @@ def test_pq_sims_are_exact_on_candidates(emb):
             assert abs(r["sim"] - bf[key]) < 1e-9
 
 
+def test_pq_string_ids_round_trip(emb):
+    # encode schema derives the id type from the corpus schema: string
+    # corpus ids must come back unchanged, not break or corrupt
+    from moisturizer_spark.operators.similarity import pq_top_k
+
+    s = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    queries = s.filter(F.col("vec_id").isin("doc-0", "doc-1"))
+    rows = pq_top_k(s, queries, k=3).collect()
+    assert rows
+    assert all(isinstance(r["neighbor_id"], str) for r in rows)
+    assert all(r["neighbor_id"].startswith("doc-") for r in rows)
+
+
 def test_pq_deterministic(emb):
     from moisturizer_spark.operators.similarity import pq_top_k
 

@@ -454,6 +454,25 @@ def test_time_travel_vacuumed_version_raises(spark, warehouse):
         table.read(version=1).collect()
 
 
+def test_retain_versions_persisted_in_manifest(spark, warehouse):
+    # retention is a table property: a low-retention handle on the same
+    # path must NOT vacuum history a high-retention handle committed to
+    # keep (the manifest stores the max ever requested)
+    path = f"{warehouse}/rvp"
+    keeper = ParquetTable(spark, path, retain_versions=5)
+    keeper.overwrite(spark.createDataFrame([("a", 1)], "id string, v long"))
+    keeper.upsert(spark.createDataFrame([("a", 2)], "id string, v long"))
+
+    low = ParquetTable(spark, path, retain_versions=1)
+    low.upsert(spark.createDataFrame([("a", 3)], "id string, v long"))
+    low.upsert(spark.createDataFrame([("a", 4)], "id string, v long"))
+
+    # v1/v2 would be gone if the low-retention writer's vacuum had won
+    assert dict(keeper.read(version=1).collect()) == {"a": 1}
+    assert dict(keeper.read(version=2).collect()) == {"a": 2}
+    assert dict(keeper.read().collect()) == {"a": 4}
+
+
 def test_table_changes_classifies_ops(spark, warehouse):
     table = ParquetTable(spark, f"{warehouse}/cdf", retain_versions=10)
     table.overwrite(
