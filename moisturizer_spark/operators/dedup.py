@@ -55,6 +55,44 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against a persisted fingerprint store
+    — the streaming-corpus pattern: dedup state is a keyed table
+    (:class:`~moisturizer_spark.storage.ParquetTable` keyed on the
+    fingerprint), so it survives restarts, is shared across pipelines,
+    and grows by one tiny upsert per batch instead of re-scanning the
+    historical corpus.
+
+    Semantics: returns the batch rows that are (a) first of their
+    content group WITHIN the batch (min id wins, deterministic) and
+    (b) unseen in the store; then records the survivors' fingerprints.
+    Calling it from ``foreachBatch`` gives exactly-once streaming dedup
+    when the caller threads the batch id through ``txn`` upserts.
+
+    Scale: the anti-join runs on (fingerprint, id) projections only —
+    document text never shuffles. The store is bucketed on the
+    fingerprint, so at 100 TB the join co-partitions store-side reads
+    by bucket; the store row is 2 small strings per unique document.
+    """
+    batch = exact_dedup(new_docs, text_col=text_col, id_col=id_col)
+    if store.exists():
+        seen = store.read().select(F.col(store.key).alias("fp"))
+        batch = batch.join(seen, on="fp", how="left_anti")
+    # cut the plan: the upsert below reads the survivors, and the caller
+    # reads them again — one computation, two consumers
+    batch = materialize(batch)
+    fps = batch.select(
+        F.col("fp").alias(store.key), F.col(id_col).cast("string").alias("first_doc_id")
+    )
+    store.upsert(fps)
+    return batch
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingle") -> DataFrame:
     """Explode a text column into its distinct character n-grams.
 

@@ -145,26 +145,41 @@ def ivf_top_k(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
+    unit = _ivf_train(c, n_lists)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    # Repartition on the list id after assignment. At scale this is the
+    # IVF clustering step itself (vectors of one list co-located, so a
+    # probe touches n_probe partitions).
+    assigned = _ivf_assign(c, unit, id_type).repartition(F.col("_c_list"))
+    q = _ivf_probe_df(queries, unit, n_probe, id_col, vec_col)
+    return _ivf_score(assigned, q, k, round_digits)
+
+
+def _ivf_train(c: DataFrame, n_lists: int) -> list[list[float]]:
+    """Deterministic centroid pick: the ``n_lists`` lowest-xxhash64
+    corpus vectors (stable pseudo-random sample, no RNG), L2-normalized
+    driver-side — ranking by dot(v, ĉ) then equals ranking by cosine."""
     raw = (
         c.orderBy(F.xxhash64(F.col("neighbor_id").cast("string")))
         .limit(n_lists)
         .collect()
     )
-    # L2-normalize driver-side: ranking by dot(v, ĉ) equals ranking by
-    # cosine (|v| is constant per row), so the hot expression is dot-only.
     unit = []
     for row in raw:
         v = row["_cv"]
         norm = sum(x * x for x in v) ** 0.5 or 1.0
         unit.append([x / norm for x in v])
-    # Corpus→list assignment runs as a fused Arrow numpy kernel (one
-    # n×dim @ dim×n_lists matmul per batch) instead of a JVM
-    # higher-order-function expression: HOFs are interpreted (outside
-    # whole-stage codegen), so the n_lists×dim literal-matrix dot was
-    # both the round's hottest expression AND the trigger surface for
-    # 4.1's alias-expansion miscompile under self-joins (see the
-    # eqNullSafe note below). Ties argmax to the lowest list id —
-    # identical to the previous sort-by-(-dot, id) semantics.
+    return unit
+
+
+def _ivf_assign(c: DataFrame, unit: list[list[float]], id_type: str) -> DataFrame:
+    """Corpus→list assignment as a fused Arrow numpy kernel (one
+    n×dim @ dim×n_lists matmul per batch) instead of a JVM
+    higher-order-function expression: HOFs are interpreted (outside
+    whole-stage codegen), so the n_lists×dim literal-matrix dot was
+    both the hottest expression AND the trigger surface for 4.1's
+    alias-expansion miscompile under self-joins (see the eqNullSafe
+    note in :func:`_ivf_score`). Ties argmax to the lowest list id."""
     import numpy as np
     import pandas as pd
 
@@ -179,21 +194,22 @@ def ivf_top_k(
                 codes = pd.Series([], dtype="int32")
             yield pdf.assign(_c_list=codes)
 
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    # Repartition on the list id after assignment. At scale this is the
-    # IVF clustering step itself (vectors of one list co-located, so a
-    # probe touches n_probe partitions).
-    assigned = c.mapInPandas(
+    return c.mapInPandas(
         _assign, schema=f"neighbor_id {id_type}, _cv array<double>, _c_list int"
-    ).repartition(F.col("_c_list"))
-    # Probe assignment for the QUERY side runs driver-side in plain
-    # Python: the query set is small by contract (it becomes the
-    # broadcast build input), and expressing this tiny computation as a
-    # second Catalyst plan over the same scan trips Spark's self-join
-    # deduplication (probe explode + large HOF expression ⇒ dangling
-    # corpus attribute, INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime).
-    # n_queries × n_lists dot products cost microseconds on the driver.
-    spark = corpus.sparkSession
+    )
+
+
+def _ivf_probe_df(
+    queries: DataFrame, unit: list[list[float]], n_probe: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Probe assignment for the QUERY side, driver-side in plain Python:
+    the query set is small by contract (it becomes the broadcast build
+    input), and expressing this tiny computation as a second Catalyst
+    plan over the same scan trips Spark's self-join deduplication (probe
+    explode + large HOF expression ⇒ dangling corpus attribute,
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime). n_queries × n_lists
+    dot products cost microseconds on the driver."""
     q_rows = []
     for row in queries.select(
         F.col(id_col).alias("query_id"),
@@ -209,7 +225,7 @@ def ivf_top_k(
             q_rows.append((row["query_id"], row["_qv"], list_id))
     from pyspark.sql import types as T
 
-    q = spark.createDataFrame(
+    return queries.sparkSession.createDataFrame(
         q_rows,
         T.StructType(
             [
@@ -219,12 +235,17 @@ def ivf_top_k(
             ]
         ),
     )
-    # Null-safe equality on purpose: a plain `=` join key makes Catalyst
-    # infer an isnotnull() constraint, expand the key's alias into its
-    # full HOF definition (which references the corpus column), and push
-    # that filter into the OTHER side — a dangling-attribute internal
-    # error at runtime in Spark 4.1. `<=>` still hash-joins but
-    # generates no not-null constraints; list ids are never null anyway.
+
+
+def _ivf_score(assigned: DataFrame, q: DataFrame, k: int, round_digits: int) -> DataFrame:
+    """Probed-list equi-join + cosine + per-query top-k window.
+
+    Null-safe equality on purpose: a plain `=` join key makes Catalyst
+    infer an isnotnull() constraint, expand the key's alias into its
+    full HOF definition (which references the corpus column), and push
+    that filter into the OTHER side — a dangling-attribute internal
+    error at runtime in Spark 4.1. `<=>` still hash-joins but
+    generates no not-null constraints; list ids are never null anyway."""
     joined = assigned.join(
         F.broadcast(q), assigned["_c_list"].eqNullSafe(q["_q_list"])
     )
@@ -242,6 +263,147 @@ def ivf_top_k(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023): k-means-partition the embedding space, then
+    prune near-identical pairs WITHIN each cluster only.
+
+    Returns the SURVIVORS — one representative (min id) per
+    semantic-duplicate group: rows whose cosine-nearest kept neighbor
+    within the cluster is below ``threshold``. Cross-cluster duplicate
+    pairs are sacrificed by construction (the SemDeDup trade: recall for
+    a k-fold smaller pair space); raise ``k`` with corpus size to hold
+    cluster sizes roughly constant.
+
+    Plan: one Arrow k-means fit (:func:`kmeans_fit`, no shuffle per
+    iteration) → map-side cluster assignment → ONE shuffle on the
+    cluster id for the within-cluster self-join → pairwise cosine on
+    co-clustered pairs only → greedy min-id representative via
+    connected components over above-threshold pairs (duplicate groups
+    are cliques-ish and tiny, so CC settles in ~2 rounds).
+    """
+    from moisturizer_spark.operators.clustering import assign_clusters, kmeans_fit
+    from moisturizer_spark.operators.dedup import connected_components
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    centroids = kmeans_fit(base, k, id_col="_id", vec_col="_v", max_iter=max_iter)
+    assigned = assign_clusters(base, centroids, vec_col="_v", out_col="_cl")
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_cl"
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_cl"
+    )
+    sim = F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), round_digits)
+    pairs = (
+        a.join(b, on="_cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    labels = connected_components(
+        pairs, df.select(F.col(id_col).alias("id")), id_col="id"
+    )
+    return (
+        labels.filter(F.col("id") == F.col("component"))
+        .select(F.col("id").alias(id_col))
+        .join(df, on=id_col, how="inner")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build and PERSIST an IVF index: assign once, store the corpus
+    partitioned by list id, keep centroids in a sidecar.
+
+    :func:`ivf_top_k` re-trains and re-assigns on every call — fine for
+    one-shot queries, wasteful for repeated query batches. At 100 TB the
+    assignment scan is the dominant cost, so the index layout IS the
+    point: ``ivf_build`` writes the corpus hive-partitioned on
+    ``_c_list`` (one directory per inverted list) and
+    :func:`ivf_query` prunes to the probed lists at the SCAN — no
+    assignment stage, no full-corpus read, just ``n_probe/n_lists`` of
+    the files.
+
+    Layout: ``<path>/data/_c_list=<i>/*.parquet`` + ``<path>/_ivf.json``
+    (unit centroids, id/vec column names and types — KBs).
+    Returns the sidecar metadata dict.
+    """
+    import json
+    import os
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    unit = _ivf_train(c, n_lists)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    assigned = _ivf_assign(c, unit, id_type).repartition(F.col("_c_list"))
+    assigned.write.partitionBy("_c_list").mode("overwrite").parquet(
+        os.path.join(path, "data")
+    )
+    meta = {
+        "n_lists": len(unit),
+        "centroids": unit,
+        "id_col": id_col,
+        "id_type": id_type,
+        "vec_col": vec_col,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_ivf.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivf_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_build`) — NO assignment
+    stage: centroids load from the sidecar (driver, KBs), probe lists
+    are computed driver-side, and the corpus scan carries an
+    ``isin(probed lists)`` filter on the PARTITION column, so Spark
+    prunes to the probed lists' directories before reading a byte
+    (``PartitionFilters`` in the scan; pinned by a plan test).
+
+    Returns (query_id, neighbor_id, sim, rank), identical semantics to
+    :func:`ivf_top_k` with the same centroids.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf.json")) as fh:
+        meta = json.load(fh)
+    unit = meta["centroids"]
+    q = _ivf_probe_df(queries, unit, n_probe, meta["id_col"], meta["vec_col"])
+    probed = sorted({r["_q_list"] for r in q.select("_q_list").collect()})
+    assigned = (
+        spark.read.parquet(os.path.join(path, "data"))
+        .filter(F.col("_c_list").isin(probed))
+    )
+    return _ivf_score(assigned, q, k, round_digits)
 
 
 def pq_top_k(

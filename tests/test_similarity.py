@@ -105,6 +105,55 @@ def test_pq_sims_are_exact_on_candidates(emb):
             assert abs(r["sim"] - bf[key]) < 1e-9
 
 
+def test_ivf_build_query_matches_ivf_top_k(emb, spark, warehouse):
+    from moisturizer_spark.operators.similarity import ivf_build, ivf_query
+
+    ivf_build(emb, f"{warehouse}/ivf", n_lists=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    live = sorted(map(tuple, ivf_top_k(emb, queries, k=5, n_lists=8, n_probe=4).collect()))
+    stored = sorted(map(tuple, ivf_query(spark, f"{warehouse}/ivf", queries, k=5, n_probe=4).collect()))
+    assert stored == live  # same centroids (deterministic) ⇒ same answers
+
+
+def test_ivf_query_has_no_assignment_stage_and_prunes(emb, spark, warehouse):
+    from moisturizer_spark.operators.similarity import ivf_build, ivf_query
+
+    ivf_build(emb, f"{warehouse}/ivf2", n_lists=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    df = ivf_query(spark, f"{warehouse}/ivf2", queries, k=3, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no assignment stage: the Arrow mapInPandas kernel must not appear
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan, plan
+    # the probed-list filter reaches the scan as a PARTITION filter, so
+    # unprobed list directories are never read
+    assert "PartitionFilters" in plan and "_c_list" in plan.split("PartitionFilters", 1)[1][:200], plan
+    assert df.count() > 0
+
+
+def test_semantic_dedup_keeps_one_rep_per_group(spark):
+    from moisturizer_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.999, 0.001, 0.0]),   # near-dup of 2
+        (4, [0.0, 0.0, 0.0, 1.0]),       # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in semantic_dedup(df, threshold=0.99, k=2).collect()}
+    assert got == {0, 2, 4}
+
+
+def test_semantic_dedup_threshold_one_keeps_all_distinct(emb):
+    from moisturizer_spark.operators.similarity import semantic_dedup
+
+    subset = emb.filter(F.col("vec_id") < 50)
+    survivors = semantic_dedup(subset, threshold=1.0, k=4).count()
+    # only exact-cosine duplicates collapse at threshold 1.0
+    assert 0 < survivors <= 50
+
+
 def test_pq_string_ids_round_trip(emb):
     # encode schema derives the id type from the corpus schema: string
     # corpus ids must come back unchanged, not break or corrupt

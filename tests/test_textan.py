@@ -137,6 +137,35 @@ def test_cache_scope_releases_operator_persists(spark, sf_dir):
     assert n_persistent() == before, "cache_scope leaked persisted RDDs"
 
 
+def test_incremental_exact_dedup_across_batches(spark, warehouse):
+    from moisturizer_spark.operators.dedup import incremental_exact_dedup
+    from moisturizer_spark.storage import ParquetTable
+
+    store = ParquetTable(spark, f"{warehouse}/fp_store", key="fp")
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  WORLD"), (3, "unique one")],
+        "doc_id long, text string",
+    )
+    out1 = {r["doc_id"] for r in incremental_exact_dedup(b1, store).collect()}
+    assert out1 == {1, 3}  # 2 is a within-batch dup of 1 (normalized text)
+
+    b2 = spark.createDataFrame(
+        [(4, "Hello World"), (5, "brand new")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"] for r in incremental_exact_dedup(b2, store).collect()}
+    assert out2 == {5}  # 4 duplicates batch-1 content via the store
+
+    # restart: a FRESH handle over the same path still knows history
+    store2 = ParquetTable(spark, f"{warehouse}/fp_store", key="fp")
+    b3 = spark.createDataFrame(
+        [(6, "BRAND NEW"), (7, "never seen")], "doc_id long, text string"
+    )
+    out3 = {r["doc_id"] for r in incremental_exact_dedup(b3, store2).collect()}
+    assert out3 == {7}
+    # store holds one row per unique content, keyed by fingerprint
+    assert store2.read().count() == 4
+
+
 def test_minhash_verify_matches_exact_jaccard(spark, sf_dir):
     import pyspark.sql.functions as F
 
