@@ -33,7 +33,13 @@ ENVELOPE_SCHEMA = T.StructType(
 
 
 def kafka_envelope_stream(
-    spark: SparkSession, bootstrap_servers: str, topics: list[str]
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: list[str],
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    source_format: str = "kafka",
+    extra_options: dict | None = None,
 ) -> DataFrame:
     """Kafka source → envelope columns (reference ``consumer.py:72-77``).
 
@@ -41,14 +47,24 @@ def kafka_envelope_stream(
     decodes JVM-side. (MsgPack envelopes would add a mapInPandas decode
     using :func:`moisturizer_spark.ingest.decode_envelope_bytes`; the
     msgpack package is optional.)
+
+    ``max_offsets_per_trigger`` caps each micro-batch's size (backpressure
+    for catch-up reads). ``source_format`` swaps the connector for a
+    contract-compatible stand-in — e.g. ``kafka_fake``
+    (:mod:`moisturizer_spark.streaming.fake_kafka`) for broker-less e2e
+    tests; everything downstream of ``load()`` is identical.
     """
-    raw = (
-        spark.readStream.format("kafka")
+    reader = (
+        spark.readStream.format(source_format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", ",".join(topics))
-        .option("startingOffsets", "earliest")
-        .load()
+        .option("startingOffsets", starting_offsets)
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for key, value in (extra_options or {}).items():
+        reader = reader.option(key, value)
+    raw = reader.load()
     decoded = F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA)
     return raw.select(
         decoded["type_id"].alias("type_id"), decoded["data"].alias("data")
