@@ -18,7 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from moisturizer_spark.operators.common import materialize
 
@@ -498,6 +498,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Undirected connected components by alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
@@ -522,6 +523,16 @@ def connected_components(
 
     Returns (id, component) — component is the minimum node id
     reachable; isolated nodes map to themselves.
+
+    **Size-gated local solve** (the GraphFrames pattern): after the
+    dedup/verify pipeline, the surviving EDGE set is usually tiny even
+    when the corpus is not — duplicate pairs, not documents. When it
+    fits under ``local_threshold`` edges (known from the checkpoint,
+    no extra scan), a driver-side union-find answers in one bounded
+    collect instead of log-n distributed rounds whose per-round job
+    overhead would dominate. Above the threshold, star contraction
+    runs fully distributed. Node mapping stays in Spark either way —
+    only (src, dst) id pairs are ever collected.
     """
     cur = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -529,6 +540,52 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if cur.count() <= local_threshold:
+        member = _local_components(cur)
+    else:
+        member = _star_components(cur, max_iter)
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(member, "id", "left")
+        .select("id", F.coalesce(F.col("_comp"), F.col("id")).alias("component"))
+    )
+
+
+def _local_components(cur: DataFrame) -> DataFrame:
+    """Union-find over a BOUNDED collected edge list → (id, _comp) rows
+    for non-isolated nodes. Path-halving find, union by min root so the
+    representative is the component minimum."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = cur.collect()
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(node, find(node)) for node in parent]
+    id_field = cur.schema["src"]
+    schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType),
+            T.StructField("_comp", id_field.dataType),
+        ]
+    )
+    return cur.sparkSession.createDataFrame(out, schema)
+
+
+def _star_components(cur: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed star contraction → (id, _comp) rows for non-isolated
+    nodes. See :func:`connected_components` for the algorithm notes."""
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -547,11 +604,7 @@ def connected_components(
         if sig == prev:
             break
         prev = sig
-    # stars point member → component min; roots/isolated nodes fall back
-    # to their own id via the left join
-    member = cur.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("_comp"))
-    return (
-        nodes.select(F.col(id_col).alias("id"))
-        .join(member, "id", "left")
-        .select("id", F.coalesce(F.col("_comp"), F.col("id")).alias("component"))
-    )
+    # stars point member → component min. A star ROOT never appears as
+    # src here, so it has no row — the caller's left-join coalesce maps
+    # it to its own id, which IS the component minimum.
+    return cur.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("_comp"))

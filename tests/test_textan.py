@@ -222,7 +222,9 @@ def test_connected_components_long_path_log_rounds(spark):
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
     nodes = spark.range(n).select("id")
-    labels = connected_components(edges, nodes, max_iter=16)
+    # local_threshold=0 forces the distributed star-contraction path —
+    # the size gate would otherwise solve this locally
+    labels = connected_components(edges, nodes, max_iter=16, local_threshold=0)
     rows = labels.collect()
     assert len(rows) == n
     assert all(r["component"] == 0 for r in rows)
@@ -236,8 +238,15 @@ def test_connected_components_two_components_and_dupes(spark):
         [(2, 1), (1, 2), (2, 2), (3, 2), (5, 6), (6, 5)], "id_a long, id_b long"
     )
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], "id long")
-    got = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+    expect = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+    # both paths must agree: local union-find (default gate) and
+    # distributed star contraction (gate forced off)
+    local = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, nodes, local_threshold=0).collect()
+    }
+    assert local == expect and dist == expect
 
 
 def test_word_ngrams_edges(spark):
