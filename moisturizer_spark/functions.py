@@ -30,6 +30,7 @@ __all__ = [
     "cosine_similarity_col",
     "ngrams_col",
     "row_fingerprint",
+    "term_counts_udtf",
     "tokens_col",
 ]
 
@@ -80,3 +81,40 @@ def ngrams_col(text: Column, n: int = 3) -> Column:
         return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
 
     return F.transform(F.array(normalized), grams).getItem(0)
+
+
+def term_counts_udtf():
+    """User-defined TABLE function (Python UDTF, Spark 3.5+ surface):
+    ``(doc_id, text) → (doc_id, term, n)`` rows, one per distinct
+    whitespace token after the same punctuation-strip normalization as
+    :func:`tokens_col`.
+
+    This is the engine's UDTF extension template — lateral row
+    expansion with user Python logic — registered per-session via
+    ``spark.udtf.register``. The built-in equivalent (``explode`` over
+    :func:`tokens_col` + groupBy) stays JVM-side and is what the
+    packaged operators use; a real UDTF earns its Python-worker cost
+    only when the expansion logic can't be expressed in Catalyst
+    expressions (custom parsers, stateful tokenizers). Semantics are
+    deliberately oracle-reproducible so correctness of the UDTF path
+    itself is hash-checked against DuckDB.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, term: string, n: bigint")
+    class TermCounts:
+        def eval(self, doc_id: int, text: str):
+            toks = [
+                t
+                for t in re.sub(r"[^a-z0-9\s]", " ", (text or "").lower()).split()
+                if t
+            ]
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for term in sorted(counts):
+                yield (doc_id, term, counts[term])
+
+    return TermCounts

@@ -140,3 +140,25 @@ def quota_sample(
         .filter(F.col("_qs_rank") <= k)
         .drop("_qs_rank")
     )
+
+
+def temperature_weights(
+    sizes: DataFrame, size_col: str, alpha: float = 0.5, out_col: str = "mix_weight"
+) -> DataFrame:
+    """Temperature-based mixture weights over corpus slices (the
+    multilingual/multi-source rebalancing rule: sampling probability
+    ∝ size^α, α<1 up-weights small slices, α=1 is proportional, α=0 is
+    uniform — the mixing scheme of multilingual pretraining recipes).
+
+    ``sizes`` is an already-aggregated frame (one row per slice, e.g.
+    the output of ``groupBy(source).agg(sum(n_tokens))``); the window
+    normalization runs over those few rows, never the corpus. Weights
+    are rounded to 6 digits so both engines agree after the
+    order-dependent float sum (error ~1e-15, far below the rounding
+    grain).
+    """
+    w = Window.partitionBy()
+    pw = F.pow(F.col(size_col).cast("double"), F.lit(float(alpha)))
+    return sizes.withColumn(
+        out_col, F.round(pw / F.sum(pw).over(w), 6)
+    )

@@ -458,3 +458,117 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     )
     pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("other"))
     return df.withColumn(out_col, pred).drop("_lid_toks")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    by_col: str = "source",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus-duplicate n-gram span coverage per group — the
+    exact-substring-dedup *diagnostic* (how much of each slice of the
+    corpus is text that also occurs elsewhere), the measurement behind
+    "deduplicating training data makes language models better"-style
+    span dedup: a span is duplicated when its word ``n``-gram occurs
+    more than once across the WHOLE corpus (same doc or another doc).
+
+    Returns one row per ``by_col`` value that has at least one ``n``-gram:
+    ``(by, total_spans, dup_spans, dup_span_frac)`` where the counts are
+    exact integers (ratio is a single final IEEE division, so engines
+    agree bit-for-bit).
+
+    Scale plan: occurrence rows never carry document text — only
+    ``(by, gram)``. Phase 1 aggregates to ``(by, gram, count)`` with
+    map-side combine (the heavy reduction happens before the shuffle);
+    phase 2 is a window-sum keyed on ``gram`` over the already-aggregated
+    frame (rows bounded by |distinct grams| × |groups touching them|, not
+    corpus token count); phase 3 reduces to |groups| rows. No join
+    carries text, no all-pairs anything. At 100 TB the gram column can be
+    swapped for ``xxhash64(gram)`` (8 bytes) without changing semantics —
+    kept as the string here so the DuckDB oracle can reproduce it.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(by_col).alias("_by"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_gram"),
+    )
+    per = g.groupBy("_by", "_gram").agg(F.count(F.lit(1)).alias("_c"))
+    tot = per.withColumn(
+        "_cg", F.sum("_c").over(Window.partitionBy("_gram"))
+    )
+    return (
+        tot.groupBy("_by")
+        .agg(
+            F.sum("_c").cast("bigint").alias("total_spans"),
+            F.sum(F.when(F.col("_cg") >= 2, F.col("_c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("dup_spans"),
+        )
+        .select(
+            F.col("_by").alias(by_col),
+            "total_spans",
+            "dup_spans",
+            (F.col("dup_spans").cast("double") / F.col("total_spans").cast("double"))
+            .alias("dup_span_frac"),
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4/RefinedWeb preprocessing
+    step): every distinct line is kept exactly once across the WHOLE
+    corpus — at its first occurrence in ``(id, position)`` order — and
+    each document is reassembled from its surviving lines. Documents
+    whose lines all occur earlier elsewhere disappear entirely.
+
+    Returns ``(id, text, n_lines_kept, n_lines_dropped)``.
+
+    Scale plan: ``posexplode`` keeps line provenance without a join; the
+    first-occurrence choice is one ``row_number`` window keyed on the
+    line content (the only heavy shuffle, and its payload is the line
+    itself — which the reassembly needs anyway); reassembly is a
+    ``groupBy(id)`` of ``(position, line)`` structs. Both shuffles are
+    map-combinable or single-pass; nothing is quadratic in corpus size.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    first = Window.partitionBy("_line").orderBy("_id", "_pos")
+    kept = lines.withColumn("_rn", F.row_number().over(first))
+    per_doc = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_rn") == 1,
+                        F.struct(F.col("_pos"), F.col("_line")),
+                    )
+                )
+            ).alias("_kept"),
+            F.sum(F.when(F.col("_rn") != 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lines_dropped"),
+        )
+        .filter(F.size("_kept") > 0)
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["_line"]), sep
+        ).alias(text_col),
+        F.size("_kept").cast("bigint").alias("n_lines_kept"),
+        "n_lines_dropped",
+    )

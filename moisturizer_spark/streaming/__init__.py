@@ -12,6 +12,10 @@ from moisturizer_spark.streaming.stateful import (  # noqa: F401
     stream_dedup_by_id,
     stream_dedup_within_watermark,
 )
+from moisturizer_spark.streaming.stateful_v2 import (  # noqa: F401
+    ROCKSDB_PROVIDER,
+    running_user_topk,
+)
 from moisturizer_spark.streaming.windows import (  # noqa: F401
     session_window_stats,
     sliding_counts,

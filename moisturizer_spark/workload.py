@@ -3129,6 +3129,241 @@ def docs_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["docs_pack_ffd"] = docs_pack_ffd
 
 
+@query(
+    "doc_dup_span_coverage",
+    f"""
+    WITH toks AS (SELECT source, {_SQL_TOKS} AS w FROM documents),
+    g AS (SELECT source, unnest(list_transform(range(1, len(w)-3),
+              i -> array_to_string(w[i:i+4], ' '))) AS gram FROM toks),
+    per AS (SELECT source, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    tot AS (SELECT source, c, SUM(c) OVER (PARTITION BY gram) AS cg FROM per)
+    SELECT source, CAST(SUM(c) AS BIGINT) AS total_spans,
+           CAST(SUM(CASE WHEN cg >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_spans,
+           CAST(SUM(CASE WHEN cg >= 2 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE) AS dup_span_frac
+    FROM tot GROUP BY source ORDER BY source
+    """,
+)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span diagnostic per source: the fraction of each
+    source's word 5-gram occurrences that appear more than once across
+    the whole corpus — the measurement behind exact-substring span
+    dedup of training data (repeated boilerplate inflates it long
+    before whole-document dedup fires).
+
+    Scale: :func:`moisturizer_spark.operators.textan.dup_span_stats` —
+    occurrence rows carry (source, gram) only, aggregate map-side to
+    (source, gram, count) before the shuffle, then one window-sum keyed
+    on gram over the aggregated frame; nothing touches document text
+    after tokenization and nothing is pairwise."""
+    from moisturizer_spark.operators.textan import dup_span_stats
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dup_span_stats(
+        t["documents"].select("source", "text"), by_col="source", n=5
+    ).orderBy("source")
+
+
+@query(
+    "source_mix_temperature",
+    f"""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+      ROUND(POW(CAST(n_tokens AS DOUBLE), 0.5)
+            / SUM(POW(CAST(n_tokens AS DOUBLE), 0.5)) OVER (), 6) AS mix_weight,
+      ROUND(CAST(n_tokens AS DOUBLE)
+            / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS raw_share
+    FROM s ORDER BY source
+    """,
+)
+def source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing weights (sampling probability ∝
+    token-count^0.5): the multilingual/multi-source rebalancing recipe —
+    α<1 up-weights small sources so the mixture isn't dominated by the
+    largest crawl.
+
+    Exact integer token counts per source; the two normalizations are
+    windows over the 20-row aggregated frame
+    (:func:`moisturizer_spark.operators.sampling.temperature_weights`),
+    never the corpus. Rounded to 6 digits so the order-dependent float
+    sum (error ~1e-15) can't flip a digit between engines."""
+    from moisturizer_spark.operators.sampling import temperature_weights
+    from moisturizer_spark.operators.textan import tokens_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    sizes = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokens_col(F.col("text"))))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        temperature_weights(sizes, "n_tokens", alpha=0.5)
+        .withColumn(
+            "raw_share",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(w).cast("double"),
+                6,
+            ),
+        )
+        .select("source", "n_docs", "n_tokens", "mix_weight", "raw_share")
+        .orderBy("source")
+    )
+
+
+@query(
+    "crosslingual_near_dup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 200),
+    j AS (SELECT e.vec_id, v, lang FROM e JOIN documents d ON e.vec_id = d.doc_id)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.lang AS lang_a, b.lang AS lang_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM j a JOIN j b ON a.vec_id < b.vec_id AND a.lang <> b.lang
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicate candidates: embedding pairs above
+    cosine 0.35 whose documents carry DIFFERENT language tags — the
+    translated-duplicate detector (text-level dedup is blind to these;
+    only the embedding space sees them).
+
+    Plan: the bounded embedding subset joins the document metadata on
+    id (broadcast — the subset side is tiny), then exact all-pairs with
+    one broadcast side and the language inequality folded into the join
+    condition so same-language pairs never materialize. At corpus scale
+    the pair source swaps to IVF/LSH candidates, scoring unchanged."""
+    from moisturizer_spark.operators.similarity import _dot, _norm
+
+    t = load_tables(spark, sf_dir, ("embeddings", "documents"))
+    j = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(
+            t["documents"].select(F.col("doc_id").alias("vec_id"), "lang"),
+            "vec_id",
+        )
+    )
+    # Pre-compute each side's norm ONCE per row (200 evaluations), so the
+    # per-pair work is a single dot product — the norm is two-thirds of
+    # the cosine HOF cost and would otherwise run per PAIR (40k×). The
+    # float result is identical: sqrt-then-multiply is exactly what
+    # cosine_similarity_col's denominator computes.
+    a = j.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("_va"),
+        _norm(F.col("v")).alias("_na"),
+        F.col("lang").alias("lang_a"),
+    )
+    b = j.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("_vb"),
+        _norm(F.col("v")).alias("_nb"),
+        F.col("lang").alias("lang_b"),
+    )
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b")) & (F.col("lang_a") != F.col("lang_b")),
+        )
+        .select("id_a", "id_b", "lang_a", "lang_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "doc_term_counts_udtf",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents WHERE doc_id < 50),
+    t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+    per AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1, 2)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_n
+    FROM per GROUP BY term HAVING COUNT(*) >= 5 ORDER BY term
+    """,
+)
+def doc_term_counts_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python **UDTF** surface exercised end-to-end: a lateral
+    table function (:func:`moisturizer_spark.functions.term_counts_udtf`)
+    expands each document into (term, count) rows inside the Python
+    worker, and the result is hash-checked against the oracle — proving
+    the UDTF path itself, not just built-in explode.
+
+    The packaged operators use the JVM equivalent (explode over
+    ``tokens_col``); a UDTF earns its per-row Python cost only for
+    logic Catalyst can't express. Bounded here to a 50-doc subset:
+    the point is the API contract, not throughput."""
+    from moisturizer_spark.functions import term_counts_udtf
+
+    spark.udtf.register("term_counts", term_counts_udtf())
+    t = load_tables(spark, sf_dir, ("documents",))
+    t["documents"].filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    per = spark.sql(
+        "SELECT t.doc_id, t.term, t.n "
+        "FROM _udtf_docs d, LATERAL term_counts(d.doc_id, d.text) t"
+    )
+    return (
+        per.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_n"),
+        )
+        .filter(F.col("n_docs") >= 5)
+        .orderBy("term")
+    )
+
+
+@query(
+    "docs_line_dedup",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+               i -> struct_pack(pos := i-1, line := ls[i]))) AS u FROM base),
+    r AS (SELECT doc_id, u.pos AS pos, u.line AS line,
+                 ROW_NUMBER() OVER (PARTITION BY u.line ORDER BY doc_id, u.pos) AS rn
+          FROM l)
+    SELECT doc_id,
+      array_to_string(list(line ORDER BY pos) FILTER (WHERE rn = 1), chr(10)) AS text,
+      CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_lines_kept,
+      CAST(COUNT(*) FILTER (WHERE rn <> 1) AS BIGINT) AS n_lines_dropped
+    FROM r GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE rn = 1) > 0 ORDER BY doc_id
+    """,
+)
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (the C4/RefinedWeb step): each distinct
+    line survives exactly once — at its first (doc, position)
+    occurrence — and documents are reassembled from surviving lines
+    (:func:`moisturizer_spark.operators.textan.line_dedup`).
+
+    The harness corpus is newline-free, so here every document is its
+    own single line and the query degenerates to pass-through — the
+    oracle still pins the full split → first-occurrence window →
+    reassembly pipeline bit-for-bit; the multi-line behavior (cross-doc
+    boilerplate removal, vanishing fully-duplicate docs) is pinned by
+    ``tests/test_textan.py`` on synthetic multi-line corpora."""
+    from moisturizer_spark.operators.textan import line_dedup
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return line_dedup(t["documents"].select("doc_id", "text")).orderBy("doc_id")
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -3157,6 +3392,11 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 #      invariant tests), so a driver slot adds the least for them.
 
 _NEEDS_DRIVER_ROW = [
+    "doc_dup_span_coverage",
+    "source_mix_temperature",
+    "crosslingual_near_dup",
+    "doc_term_counts_udtf",
+    "docs_line_dedup",
     "events_funnel",
     "events_cohort_retention",
     "doc_repetition_by_source",

@@ -55,3 +55,21 @@ def test_median_udaf_template_matches_builtin(spark):
         for r in df.groupBy("k").agg(median_udaf()(F.col("v")).alias("m")).collect()
     }
     assert got == {"a": 2.0, "b": 5.0}
+
+
+def test_term_counts_udtf_lateral_expansion(spark):
+    from moisturizer_spark.functions import term_counts_udtf
+
+    spark.udtf.register("term_counts_t", term_counts_udtf())
+    spark.createDataFrame(
+        [(1, "Red red BLUE!"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("_udtf_t_docs")
+    rows = spark.sql(
+        "SELECT t.* FROM _udtf_t_docs d, "
+        "LATERAL term_counts_t(d.doc_id, d.text) t ORDER BY doc_id, term"
+    ).collect()
+    assert [(r["doc_id"], r["term"], r["n"]) for r in rows] == [
+        (1, "blue", 1),
+        (1, "red", 2),
+    ]  # empty/null docs expand to zero rows; punctuation stripped

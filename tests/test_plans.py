@@ -23,6 +23,11 @@ QUERIES = entry_mod.queries()
 BNLJ_ALLOWED = {
     "embedding_top5_cosine",
     "embedding_cosine_near_dup",
+    # bounded all-pairs over a metadata-joined embedding subset; the
+    # language-inequality + id ordering live in the join condition, so
+    # there are no equi-keys by construction (scale path = IVF/LSH
+    # candidates through the same scoring)
+    "crosslingual_near_dup",
     # PQ's ADC stage deliberately broadcasts the per-query lookup tables
     # against the compressed code table (the linear sketch scan IS the
     # operator); the candidate fetch afterwards is an equi-join.

@@ -86,3 +86,21 @@ def test_quota_sample_keeps_columns_and_small_groups(spark):
     assert kept.columns == ["grp", "id", "payload"]
     counts = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert counts == {"a": 3, "b": 1}  # under-quota groups survive whole
+
+
+def test_temperature_weights_normalize_and_flatten(spark):
+    from moisturizer_spark.operators.sampling import temperature_weights
+
+    sizes = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "source string, n long"
+    )
+    w = {r["source"]: r["mix_weight"] for r in
+         temperature_weights(sizes, "n", alpha=0.5).collect()}
+    # sqrt weighting: 30 / (30+10) = 0.75 -- flatter than raw 0.9
+    assert abs(w["big"] - 0.75) < 1e-6 and abs(w["small"] - 0.25) < 1e-6
+    u = {r["source"]: r["mix_weight"] for r in
+         temperature_weights(sizes, "n", alpha=0.0).collect()}
+    assert abs(u["big"] - 0.5) < 1e-6  # alpha=0 -> uniform
+    p = {r["source"]: r["mix_weight"] for r in
+         temperature_weights(sizes, "n", alpha=1.0).collect()}
+    assert abs(p["big"] - 0.9) < 1e-6  # alpha=1 -> proportional

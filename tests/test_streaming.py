@@ -2,8 +2,11 @@
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -413,3 +416,70 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, warehouse):
         (r[0], r[1]) for r in spark.sql("SELECT * FROM ssj_test").collect()
     }
     assert stream_pairs == batch_pairs
+
+
+def _has_protobuf() -> bool:
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas drives its state-server protocol "
+    "over protobuf; package absent in this container (operator is "
+    "import-gated the same way msgpack/cassandra paths are)",
+)
+def test_running_user_topk_transform_with_state(spark, warehouse):
+    """The Spark-4 arbitrary-state API (transformWithStateInPandas +
+    RocksDB state store): per-user top-k survives micro-batch boundaries
+    AND a checkpoint restart; state stays O(k) per key."""
+    from moisturizer_spark.streaming import ROCKSDB_PROVIDER, running_user_topk
+
+    src = os.path.join(warehouse, "ev_v2")
+    ckpt = os.path.join(warehouse, "ckpt_v2")
+    out = os.path.join(warehouse, "out_v2")
+    _write_events(src, "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "c", "value": 1.5},
+        {"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 7, "event_type": "v", "value": 9.0},
+        {"event_id": 3, "ts": "2024-01-01 10:06:00", "user_id": 7, "event_type": "c", "value": 5.0},
+        {"event_id": 4, "ts": "2024-01-01 10:07:00", "user_id": 8, "event_type": "c", "value": 2.0},
+    ])
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        def drain():
+            q = (
+                running_user_topk(_event_stream(spark, src), k=2)
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(out)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = sorted(spark.read.parquet(out).collect(),
+                          key=lambda r: r["n_events"])
+            return {r["user_id"]: r for r in rows}
+
+        got = drain()
+        assert got[7]["n_events"] == 3
+        assert list(got[7]["top_values"]) == [9.0, 5.0]  # k=2 survivors only
+        assert list(got[8]["top_values"]) == [2.0]
+
+        # value 7.5 displaces 5.0 after the restart -> state carried over
+        _write_events(src, "b2.json", [
+            {"event_id": 5, "ts": "2024-01-01 10:30:00", "user_id": 7, "event_type": "c", "value": 7.5},
+        ])
+        got = drain()
+        assert got[7]["n_events"] == 4
+        assert list(got[7]["top_values"]) == [9.0, 7.5]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

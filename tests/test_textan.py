@@ -385,3 +385,57 @@ def test_levenshtein_pairs_complete_vs_quadratic(spark):
             if lev(a[1], b[1]) <= d
         }
         assert got == truth, f"d={d}"
+
+
+def test_line_dedup_multi_line_corpus(spark):
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.textan import line_dedup
+
+    docs = [
+        (0, "alpha\nshared line\nbeta"),
+        (1, "shared line\ngamma"),          # loses the boilerplate line
+        (2, "alpha\nshared line"),          # loses BOTH -> vanishes
+        (3, "delta"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert got[0]["text"] == "alpha\nshared line\nbeta"
+    assert got[0]["n_lines_dropped"] == 0
+    assert got[1]["text"] == "gamma"
+    assert (got[1]["n_lines_kept"], got[1]["n_lines_dropped"]) == (1, 1)
+    assert 2 not in got  # every line seen earlier -> document disappears
+    assert got[3]["text"] == "delta"
+
+
+def test_line_dedup_first_occurrence_order(spark):
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.textan import line_dedup
+
+    # the same line twice WITHIN one doc: position breaks the tie
+    df = spark.createDataFrame([Row(doc_id=7, text="x\ny\nx")])
+    row = line_dedup(df).collect()[0]
+    assert row["text"] == "x\ny"
+    assert (row["n_lines_kept"], row["n_lines_dropped"]) == (2, 1)
+
+
+def test_dup_span_stats_hand_corpus(spark):
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.textan import dup_span_stats
+
+    # n=2 grams: "a b","b c" in doc0; "a b","b d" in doc1 (same source);
+    # "e f" twice in doc2 (other source, within-doc duplicate)
+    docs = [
+        ("s1", "a b c"),
+        ("s1", "a b d"),
+        ("s2", "e f e f"),
+    ]
+    df = spark.createDataFrame([Row(source=s, text=t) for s, t in docs])
+    got = {r["source"]: r for r in dup_span_stats(df, n=2).collect()}
+    # s1: grams {a b, b c, a b, b d} -> "a b" duplicated (2 of 4)
+    assert (got["s1"]["total_spans"], got["s1"]["dup_spans"]) == (4, 2)
+    # s2: grams {e f, f e, e f} -> "e f" twice (2 of 3), within one doc
+    assert (got["s2"]["total_spans"], got["s2"]["dup_spans"]) == (3, 2)
+    assert abs(got["s1"]["dup_span_frac"] - 0.5) < 1e-12
