@@ -231,29 +231,12 @@ def minhash_near_duplicates(
     (seeded xxhash64).
     """
     bands, rows = _band_shape(num_hashes, threshold)
-    base = df.select(id_col, text_col)
     # ONE shingle scan + ONE shuffle yields both the signature (32 min
     # aggregates) and the exact-verify shingle set per document.
-    sh = shingles(base, text_col).select(F.col(id_col).alias("_id"), "shingle")
-    per_doc = materialize(sh.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"_mh{k}")
-            for k in range(num_hashes)
-        ],
-        F.collect_set(F.xxhash64("shingle")).alias("_grams"),
-    ))
-    sigs = per_doc.select(
-        "_id", F.array(*[f"_mh{k}" for k in range(num_hashes)]).alias("sig")
+    per_doc = materialize(
+        _minhash_per_doc(df, id_col, text_col, num_hashes, n=3)
     )
-    banded = sigs.select(
-        "_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), i -> "
-                f"struct(i AS band, xxhash64(slice(sig, i * {rows} + 1, {rows})) AS bsig))"
-            )
-        ).alias("_b"),
-    ).select("_id", "_b.band", "_b.bsig")
+    banded = _minhash_banded(per_doc.select("_id", "sig"), bands, rows)
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bsig"])
@@ -273,6 +256,186 @@ def minhash_near_duplicates(
         )
         .filter(F.col("jaccard_distance") <= 1.0 - threshold)
         .select("id_a", "id_b", "jaccard_distance")
+    )
+
+
+def _minhash_per_doc(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, n: int
+) -> DataFrame:
+    """One shingle scan + one shuffle → (_id, sig array, _grams verify set).
+
+    Shared by the transient pair finder and the persisted index: the
+    signature is 32 min-aggregates and the exact-verify state is the
+    8-byte-hashed shingle set (see :func:`minhash_near_duplicates`)."""
+    sh = shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("_id"), "shingle"
+    )
+    per = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"_mh{k}")
+            for k in range(num_hashes)
+        ],
+        F.collect_set(F.xxhash64("shingle")).alias("_grams"),
+    )
+    return per.select(
+        "_id",
+        F.array(*[f"_mh{k}" for k in range(num_hashes)]).alias("sig"),
+        "_grams",
+    )
+
+
+def _minhash_banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(_id, sig) → one (_id, band, bsig) row per band."""
+    return sigs.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), i -> "
+                f"struct(i AS band, xxhash64(slice(sig, i * {rows} + 1, {rows})) AS bsig))"
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bsig")
+
+
+def minhash_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    threshold: float = 0.6,
+    n: int = 3,
+) -> dict:
+    """Build and PERSIST a MinHash-LSH near-dup index — the streaming-
+    corpus complement of :func:`minhash_near_duplicates`, analogous to
+    ``similarity.ivf_build``: shingle + sign the corpus ONCE and store
+    what queries actually join against, so deduping each incoming batch
+    against a 100 TB corpus never re-reads or re-hashes corpus text.
+
+    Layout under ``path``:
+
+    - ``bands/``  — (_id, band, bsig) rows, repartitioned on the join
+      key ``bsig`` (16-byte LSH bucket keys; at scale this is the only
+      corpus-side table the candidate join touches)
+    - ``grams/``  — (_id, _grams array<bigint>) 8-byte hashed shingle
+      sets, read only for candidate ids (the exact-Jaccard verify state)
+    - ``_minhash.json`` — banding shape + column metadata (KBs)
+
+    Returns the sidecar metadata dict. Grow the index with
+    :func:`minhash_append` after clearing each batch.
+    """
+    import json
+    import os
+
+    bands, rows = _band_shape(num_hashes, threshold)
+    per = materialize(_minhash_per_doc(corpus, id_col, text_col, num_hashes, n))
+    _minhash_banded(per.select("_id", "sig"), bands, rows).repartition(
+        "bsig"
+    ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    per.select("_id", "_grams").write.mode("overwrite").parquet(
+        os.path.join(path, "grams")
+    )
+    meta = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "rows": rows,
+        "shingle_n": n,
+        "threshold": threshold,
+        "id_col": id_col,
+        "id_type": corpus.schema[id_col].dataType.simpleString(),
+        "text_col": text_col,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_minhash.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def minhash_query(spark, path: str, batch: DataFrame) -> DataFrame:
+    """Near-duplicate pairs between a NEW batch and a persisted index
+    (:func:`minhash_build`) — the incremental-dedup hot path: one scan
+    of the batch (signatures + verify sets), a bucket join against the
+    stored band table, and exact-Jaccard verification joining stored
+    verify sets for CANDIDATE ids only.
+
+    Returns (corpus_id, batch_id, jaccard_distance), both sides in the
+    index's id type. Batch-internal duplicates are not this function's
+    job (run the transient pair finder on the batch, it's tiny); corpus
+    text is never touched.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_minhash.json")) as fh:
+        meta = json.load(fh)
+    per = materialize(
+        _minhash_per_doc(
+            batch, meta["id_col"], meta["text_col"], meta["num_hashes"],
+            meta["shingle_n"],
+        )
+    )
+    q_banded = _minhash_banded(
+        per.select("_id", "sig"), meta["bands"], meta["rows"]
+    )
+    stored = spark.read.parquet(os.path.join(path, "bands"))
+    candidates = (
+        stored.alias("c")
+        .join(q_banded.alias("q"), on=["band", "bsig"])
+        # a batch doc already appended to the index must not pair with
+        # itself; near-dups that ARE in both sides keep one direction
+        .filter(F.col("c._id") != F.col("q._id"))
+        .select(
+            F.col("c._id").alias("corpus_id"), F.col("q._id").alias("batch_id")
+        )
+        .dropDuplicates(["corpus_id", "batch_id"])
+    )
+    corpus_grams = spark.read.parquet(os.path.join(path, "grams"))
+    return (
+        candidates.join(
+            corpus_grams.select(
+                F.col("_id").alias("corpus_id"), F.col("_grams").alias("_ga")
+            ),
+            "corpus_id",
+        )
+        .join(
+            per.select(F.col("_id").alias("batch_id"), F.col("_grams").alias("_gb")),
+            "batch_id",
+        )
+        .withColumn(
+            "jaccard_distance",
+            1.0
+            - F.size(F.array_intersect("_ga", "_gb")).cast("double")
+            / F.size(F.array_union("_ga", "_gb")).cast("double"),
+        )
+        .filter(F.col("jaccard_distance") <= 1.0 - meta["threshold"])
+        .select("corpus_id", "batch_id", "jaccard_distance")
+    )
+
+
+def minhash_append(spark, path: str, batch: DataFrame) -> None:
+    """Add a cleared batch's documents to a persisted MinHash index:
+    append their band rows and verify sets (one batch scan, two small
+    appended files) — no corpus rewrite, which is what makes
+    build-once/append-forever viable on an ever-growing corpus.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_minhash.json")) as fh:
+        meta = json.load(fh)
+    per = materialize(
+        _minhash_per_doc(
+            batch, meta["id_col"], meta["text_col"], meta["num_hashes"],
+            meta["shingle_n"],
+        )
+    )
+    _minhash_banded(
+        per.select("_id", "sig"), meta["bands"], meta["rows"]
+    ).repartition("bsig").write.mode("append").parquet(
+        os.path.join(path, "bands")
+    )
+    per.select("_id", "_grams").write.mode("append").parquet(
+        os.path.join(path, "grams")
     )
 
 

@@ -439,3 +439,59 @@ def test_dup_span_stats_hand_corpus(spark):
     # s2: grams {e f, f e, e f} -> "e f" twice (2 of 3), within one doc
     assert (got["s2"]["total_spans"], got["s2"]["dup_spans"]) == (3, 2)
     assert abs(got["s1"]["dup_span_frac"] - 0.5) < 1e-12
+
+
+def test_minhash_persisted_index_incremental(spark, warehouse):
+    import os
+
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_append,
+        minhash_build,
+        minhash_near_duplicates,
+        minhash_query,
+    )
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text)
+
+    corpus = [
+        doc(i, f"the quick brown fox number {i} jumps over the lazy dog "
+               f"while reciting poem {i * 7} in the rain")
+        for i in range(20)
+    ]
+    cdf = spark.createDataFrame(corpus)
+    path = os.path.join(warehouse, "mh_index")
+    meta = minhash_build(cdf, path, threshold=0.6)
+    assert meta["bands"] * meta["rows"] == meta["num_hashes"]
+
+    # batch 1: two near-dups of corpus docs (one-word edits) + one novel
+    b1 = spark.createDataFrame([
+        doc(100, "the quick brown fox number 3 jumps over the lazy cat "
+                 "while reciting poem 21 in the rain"),
+        doc(101, "the quick brown fox number 11 jumps over the lazy dog "
+                 "while reciting poem 77 in the snow"),
+        doc(102, "completely unrelated text about spark shuffle partitions"),
+    ])
+    got = {(r["corpus_id"], r["batch_id"])
+           for r in minhash_query(spark, path, b1).collect()}
+    assert (3, 100) in got and (11, 101) in got
+    assert not any(b == 102 for _, b in got)
+
+    # ground truth: transient pair finder on the union, cross pairs only
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(cdf.union(b1), threshold=0.6).collect()
+        if r["id_b"] >= 100 and r["id_a"] < 100
+    }
+    assert got == truth
+
+    # append batch 1; batch 2 near-dups a batch-1 doc -> found via index
+    minhash_append(spark, path, b1)
+    b2 = spark.createDataFrame([
+        doc(200, "completely unrelated text about spark shuffle partition"),
+    ])
+    got2 = {(r["corpus_id"], r["batch_id"])
+            for r in minhash_query(spark, path, b2).collect()}
+    assert (102, 200) in got2
