@@ -3364,6 +3364,93 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(t["documents"].select("doc_id", "text")).orderBy("doc_id")
 
 
+@query(
+    "events_conversion_paths",
+    f"""
+    WITH {_SQL_EV},
+    s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS j
+          FROM ev GROUP BY user_id)
+    SELECT regexp_matches(j, 'view.*click.*purchase') AS converted,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events
+    FROM s GROUP BY converted ORDER BY converted
+    """,
+)
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection over per-user event journeys (the
+    MATCH_RECOGNIZE-shaped question): did the user view, LATER click,
+    LATER purchase — any events in between — and how long are
+    converting vs non-converting journeys?
+
+    Spark has no MATCH_RECOGNIZE; the idiomatic equivalent is one
+    aggregation that builds each user's time-ordered journey string
+    (sort by (ts, event_id) inside ``array_sort`` of structs — a total
+    order, so engines agree) and a regexp over it. One shuffle keyed by
+    user; the journey string stays bounded by per-user event counts and
+    never leaves the executor — the final frame is 2 rows."""
+    t = load_tables(spark, sf_dir, ("events",))
+    seq = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts").cast("timestamp").alias("ts"),
+                                F.col("event_id").alias("event_id"),
+                                F.col("event_type").alias("event_type"),
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("j"),
+        )
+    )
+    return (
+        seq.select(
+            F.col("j").rlike("view.*click.*purchase").alias("converted"),
+            "n_events",
+        )
+        .groupBy("converted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+                "avg_events"
+            ),
+        )
+        .orderBy("converted")
+    )
+
+
+def order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch rollup (DDSketch log buckets,
+    :func:`moisturizer_spark.operators.sketches.ddsketch_rollup`):
+    store per-(priority) bucket counts once, answer p50/p90/p99 from the
+    stored cells — within 1% relative error, exactly mergeable to any
+    coarser grain (accuracy + merge-losslessness pinned in
+    ``tests/test_approx.py``). Rows-only: bucket edges are float-log
+    boundaries the oracle can't be trusted to reproduce bit-for-bit."""
+    from moisturizer_spark.operators.sketches import (
+        ddsketch_quantiles,
+        ddsketch_rollup,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    roll = ddsketch_rollup(t["orders"], ["o_orderpriority"], "o_totalprice")
+    return ddsketch_quantiles(
+        roll, ["o_orderpriority"], [0.5, 0.9, 0.99]
+    ).orderBy("o_orderpriority", "q")
+
+
+QUERIES["order_price_quantile_sketch"] = order_price_quantile_sketch
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -3392,6 +3479,7 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 #      invariant tests), so a driver slot adds the least for them.
 
 _NEEDS_DRIVER_ROW = [
+    "events_conversion_paths",
     "doc_dup_span_coverage",
     "source_mix_temperature",
     "crosslingual_near_dup",

@@ -126,3 +126,66 @@ def test_hll_rollup_merge_accuracy_and_losslessness(spark, sf_dir):
         ).collect()
     }
     assert merged == direct
+
+
+def test_ddsketch_quantiles_relative_error_bound(spark, sf_dir):
+    """Sketch quantiles must honor DDSketch's guarantee: within alpha
+    (relative) of a true quantile — checked against exact percentiles
+    over o_totalprice per priority."""
+    from moisturizer_spark.operators.sketches import (
+        ddsketch_quantiles,
+        ddsketch_rollup,
+    )
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    alpha = 0.01
+    qs = [0.1, 0.5, 0.9, 0.99]
+    roll = ddsketch_rollup(orders, ["o_orderpriority"], "o_totalprice", alpha)
+    est = {
+        (r["o_orderpriority"], r["q"]): r["quantile_est"]
+        for r in ddsketch_quantiles(roll, ["o_orderpriority"], qs, alpha).collect()
+    }
+    # ground truth = the rank-ceil(q*n) DATA value (the sketch's actual
+    # guarantee target), not an interpolated percentile
+    exact = {
+        r["o_orderpriority"]: sorted(r["vals"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.collect_list("o_totalprice").alias("vals"))
+        .collect()
+    }
+    assert est
+    import math
+
+    for (prio, q), v in est.items():
+        vals = exact[prio]
+        true = float(vals[max(math.ceil(q * len(vals)), 1) - 1])
+        assert abs(v - true) / true <= alpha + 1e-9, (prio, q, v, true)
+
+
+def test_ddsketch_merge_equals_direct_and_nonpositive_bucket(spark):
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.sketches import (
+        ddsketch_quantiles,
+        ddsketch_rollup,
+    )
+
+    rows = [Row(g=("a" if i % 2 else "b"), sub=i % 4, v=float(i)) for i in range(1, 401)]
+    rows += [Row(g="a", sub=9, v=0.0), Row(g="a", sub=9, v=-5.0)]
+    df = spark.createDataFrame(rows)
+    fine = ddsketch_rollup(df, ["g", "sub"], "v")
+    # merging the fine-grain cells == sketching at the coarse grain
+    direct = ddsketch_rollup(df, ["g"], "v")
+    merged = {
+        (r["g"], r["_qbin"]): r["_qn"]
+        for r in fine.groupBy("g", "_qbin").agg(F.sum("_qn").alias("_qn")).collect()
+    }
+    want = {(r["g"], r["_qbin"]): r["_qn"] for r in direct.collect()}
+    assert merged == want
+    # the two non-positive values occupy the lowest ranks of group "a"
+    est = {
+        (r["g"], r["q"]): r["quantile_est"]
+        for r in ddsketch_quantiles(fine, ["g"], [0.0, 0.5]).collect()
+    }
+    assert est[("a", 0.0)] == 0.0  # min of group a is the reserved bucket
+    assert est[("b", 0.5)] > 0

@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     # there are no equi-keys by construction (scale path = IVF/LSH
     # candidates through the same scoring)
     "crosslingual_near_dup",
+    # the quantile probe list (a literal handful of q values) broadcasts
+    # against the already-aggregated bucket frame — deliberate, bounded
+    "order_price_quantile_sketch",
     # PQ's ADC stage deliberately broadcasts the per-query lookup tables
     # against the compressed code table (the linear sketch scan IS the
     # operator); the candidate fetch afterwards is an equi-join.
