@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Inject bloom-filter runtime filters on shuffle joins whose
+        # creation side carries a selective filter: at the 100 TB target
+        # the probe side skips shuffling rows that cannot join. The
+        # default 10 GB application-side threshold keeps it dormant at
+        # local test scale (plans stay stable); tests/test_plans.py pins
+        # the activation behavior with the threshold lowered.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

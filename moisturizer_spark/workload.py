@@ -3451,6 +3451,116 @@ def order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["order_price_quantile_sketch"] = order_price_quantile_sketch
 
 
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this schema's columns): a join whose
+    FILTER is an OR of per-branch conjunctions mixing both sides'
+    columns — the classic disjunctive-predicate optimizer test.
+
+    Scale: the join key stays the clean equi-join on partkey (Catalyst
+    must not fall into a nested loop; pinned by the plan suite), part
+    broadcasts, and the disjunction evaluates as a post-join filter in
+    the same codegen stage. The common p_brand IN (...) implied
+    prefilter is pushed to the part scan so the broadcast side shrinks
+    before shipping."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    part = t["part"].filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    li = t["lineitem"]
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            _d(F.sum(_rev())).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+    o AS (SELECT o_orderkey, o_orderdate FROM orders),
+    late AS (SELECT l.l_orderkey, l.l_suppkey
+             FROM l JOIN o ON l_orderkey = o_orderkey
+             WHERE l_shipdate > o_orderdate + INTERVAL 110 DAY)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness = shipped >110 days after the order
+    date, since this schema has no receipt/commit dates): suppliers who
+    were the SOLE late supplier on a multi-supplier order — correlated
+    EXISTS + NOT EXISTS over the same fact.
+
+    Scale: both correlated subqueries decorrelate into per-order
+    aggregates (distinct-supplier counts — combinable, one shuffle each
+    on orderkey) joined back to the late rows on the same key, so
+    nothing is re-scanned per outer row; supplier broadcasts. The
+    ORDER BY (numwait, s_name) + LIMIT is a total order, so top-10 is
+    deterministic."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    late = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 110))
+        .select("l_orderkey", "l_suppkey")
+    )
+    ostats = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp")
+    )
+    lstats = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_late_supp")
+    )
+    return (
+        late.join(ostats, "l_orderkey")
+        .join(lstats, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -3480,6 +3590,8 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 
 _NEEDS_DRIVER_ROW = [
     "events_conversion_paths",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     "doc_dup_span_coverage",
     "source_mix_temperature",
     "crosslingual_near_dup",

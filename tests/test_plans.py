@@ -105,3 +105,52 @@ def test_doc_median_tokens_stays_jvm_side(spark, sf_dir):
         "pandas UDAF leaked into the median plan"
     )
     assert "median" in plan.lower()
+
+
+def test_q19_brand_prefilter_pushed_to_part_scan(spark, sf_dir):
+    """The disjunction's common p_brand IN (...) factor must reach the
+    part scan (shrinks the broadcast side before shipping), and the
+    join itself must stay a broadcast hash join on partkey."""
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "In(p_brand" in plan, "brand prefilter not pushed to part scan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_activates_on_large_scans(spark, sf_dir):
+    """Session config enables runtime bloom-filter injection; it stays
+    dormant below the 10 GB application-side scan threshold (so local
+    plans are unchanged) and must inject a might_contain probe-side
+    filter once the scan qualifies — pinned here by lowering the
+    threshold, i.e. exactly what a 100 TB fact scan looks like to the
+    optimizer."""
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.session import load_tables
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    sel = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+
+    def exec_plan():
+        j = (
+            t["lineitem"]
+            .join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    thresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    prev_bcast = spark.conf.get(bcast)
+    try:
+        spark.conf.set(bcast, "-1")  # force the shuffle join bloom targets
+        assert "might_contain" not in exec_plan(), "should be dormant at 10GB"
+        spark.conf.set(thresh, "0")
+        assert "might_contain" in exec_plan(), "bloom filter not injected"
+    finally:
+        spark.conf.unset(thresh)
+        spark.conf.set(bcast, prev_bcast)
