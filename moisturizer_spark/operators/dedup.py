@@ -351,6 +351,28 @@ def minhash_build(
     return meta
 
 
+def _check_minhash_batch(batch: DataFrame, meta: dict) -> None:
+    """Validate a batch against the index sidecar BEFORE any plan is
+    built: a missing column otherwise fails deep inside the signature
+    pipeline with an opaque analysis error, and a differently-typed id
+    column silently implicit-casts in the self-pair exclusion and the
+    output (e.g. string '7' vs bigint 7 never excluding itself)."""
+    cols = set(batch.columns)
+    for key in ("id_col", "text_col"):
+        if meta[key] not in cols:
+            raise ValueError(
+                f"batch is missing the index's {key} column "
+                f"{meta[key]!r} (batch columns: {sorted(cols)})"
+            )
+    got = batch.schema[meta["id_col"]].dataType.simpleString()
+    if got != meta["id_type"]:
+        raise ValueError(
+            f"batch id column {meta['id_col']!r} has type {got}, but the "
+            f"index was built with {meta['id_type']} — cast the batch id "
+            "explicitly; implicit casts would corrupt self-pair exclusion"
+        )
+
+
 def minhash_query(spark, path: str, batch: DataFrame) -> DataFrame:
     """Near-duplicate pairs between a NEW batch and a persisted index
     (:func:`minhash_build`) — the incremental-dedup hot path: one scan
@@ -368,6 +390,7 @@ def minhash_query(spark, path: str, batch: DataFrame) -> DataFrame:
 
     with open(os.path.join(path, "_minhash.json")) as fh:
         meta = json.load(fh)
+    _check_minhash_batch(batch, meta)
     per = materialize(
         _minhash_per_doc(
             batch, meta["id_col"], meta["text_col"], meta["num_hashes"],
@@ -382,7 +405,12 @@ def minhash_query(spark, path: str, batch: DataFrame) -> DataFrame:
         stored.alias("c")
         .join(q_banded.alias("q"), on=["band", "bsig"])
         # a batch doc already appended to the index must not pair with
-        # itself; near-dups that ARE in both sides keep one direction
+        # itself. When a near-dup PAIR exists on both sides (both docs
+        # appended, then re-queried) BOTH directions appear —
+        # (corpus=X, batch=Y) and (corpus=Y, batch=X) — because the
+        # sides carry different roles; callers deduping a batch keep
+        # the batch_id column and don't care, callers wanting one
+        # undirected pair per duplicate apply least/greatest outside
         .filter(F.col("c._id") != F.col("q._id"))
         .select(
             F.col("c._id").alias("corpus_id"), F.col("q._id").alias("batch_id")
@@ -423,6 +451,7 @@ def minhash_append(spark, path: str, batch: DataFrame) -> None:
 
     with open(os.path.join(path, "_minhash.json")) as fh:
         meta = json.load(fh)
+    _check_minhash_batch(batch, meta)
     per = materialize(
         _minhash_per_doc(
             batch, meta["id_col"], meta["text_col"], meta["num_hashes"],
@@ -761,12 +790,25 @@ def _star_components(cur: DataFrame, max_iter: int) -> DataFrame:
         return (row["n"], row["h"])
 
     prev = _sig(cur)
+    converged = False
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _sig(cur)
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # Returning the partially-contracted labeling would be silently
+        # WRONG (members could point at non-minimum intermediates). With
+        # O(log n) round complexity this needs a ~2^max_iter-node
+        # component to fire legitimately — so a trip here means either a
+        # pathological graph or a bug, and both deserve a loud stop.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds (edge-set checksum still "
+            "changing); raise max_iter"
+        )
     # stars point member → component min. A star ROOT never appears as
     # src here, so it has no row — the caller's left-join coalesce maps
     # it to its own id, which IS the component minimum.

@@ -68,7 +68,10 @@ def ddsketch_rollup(
     ``(keys..., _qbin, _qn)`` rows — the stored, exactly-mergeable
     quantile rollup. Non-positive values go to the reserved bucket
     ``_qbin = NULL`` (counted, surfaced as rank 0 mass at estimate
-    time as value 0.0).
+    time as value 0.0). NULL values of ``col`` are IGNORED — matching
+    ``percentile``/``approx_percentile`` semantics, which skip NULLs
+    (they are filtered before bucketing so they cannot masquerade as
+    zero mass).
 
     Bucket count is O(log(max/min)/alpha) per cell (~2.3k buckets for
     9 decades at 1%), each an 8+8-byte row: the shuffle carries
@@ -80,7 +83,8 @@ def ddsketch_rollup(
     v = F.col(col).cast("double")
     bin_ = F.when(v > 0, F.ceil(F.log(v) / F.lit(lg)).cast("int"))
     return (
-        df.select(*keys, bin_.alias("_qbin"))
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, bin_.alias("_qbin"))
         .groupBy(*keys, "_qbin")
         .agg(F.count(F.lit(1)).alias("_qn"))
     )
@@ -104,6 +108,12 @@ def ddsketch_quantiles(
 
     from pyspark.sql import Window
 
+    bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"quantiles must be in [0, 1], got {bad!r}"
+        )  # out-of-range q would silently drop its group (no bucket's
+        #    cumulative count can reach ceil(q*n) for q > 1)
     gamma = (1.0 + relative_accuracy) / (1.0 - relative_accuracy)
     merged = rollup.groupBy(*keys, "_qbin").agg(F.sum("_qn").alias("_qn"))
     # NULL bin (non-positives) sorts FIRST so its mass occupies the

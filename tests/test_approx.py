@@ -189,3 +189,43 @@ def test_ddsketch_merge_equals_direct_and_nonpositive_bucket(spark):
     }
     assert est[("a", 0.0)] == 0.0  # min of group a is the reserved bucket
     assert est[("b", 0.5)] > 0
+
+
+def test_ddsketch_ignores_nulls_and_validates_qs(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.sketches import (
+        ddsketch_quantiles,
+        ddsketch_rollup,
+    )
+
+    rows = [Row(g="a", v=float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows)
+    with_nulls = df.unionByName(
+        spark.createDataFrame([Row(g="a", v=None)] * 50, df.schema)
+    )
+    # NULLs are skipped (percentile/approx_percentile semantics): the
+    # sketch of the null-padded frame equals the sketch without nulls —
+    # in particular the nulls do NOT surface as value-0.0 mass deflating
+    # low quantiles
+    a = {(r["_qbin"], r["_qn"]) for r in ddsketch_rollup(df, ["g"], "v").collect()}
+    b = {
+        (r["_qbin"], r["_qn"])
+        for r in ddsketch_rollup(with_nulls, ["g"], "v").collect()
+    }
+    assert a == b
+    est = {
+        r["q"]: r["quantile_est"]
+        for r in ddsketch_quantiles(
+            ddsketch_rollup(with_nulls, ["g"], "v"), ["g"], [0.1]
+        ).collect()
+    }
+    assert est[0.1] > 5.0  # would be 0.0 if nulls counted as zero mass
+
+    # out-of-range quantiles raise instead of silently dropping the group
+    roll = ddsketch_rollup(df, ["g"], "v")
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        ddsketch_quantiles(roll, ["g"], [0.5, 1.5])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        ddsketch_quantiles(roll, ["g"], [-0.1])

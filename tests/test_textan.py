@@ -495,3 +495,58 @@ def test_minhash_persisted_index_incremental(spark, warehouse):
     got2 = {(r["corpus_id"], r["batch_id"])
             for r in minhash_query(spark, path, b2).collect()}
     assert (102, 200) in got2
+
+
+def test_minhash_query_validates_batch_schema(spark, warehouse):
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_append,
+        minhash_build,
+        minhash_query,
+    )
+
+    cdf = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some corpus document number {i}") for i in range(5)]
+    )
+    path = os.path.join(warehouse, "mh_schema_index")
+    minhash_build(cdf, path)
+
+    # missing text column -> clear error naming the column
+    with pytest.raises(ValueError, match="text"):
+        minhash_query(spark, path, cdf.select("doc_id"))
+    # differently-typed id column -> clear error, no silent implicit cast
+    bad_id = cdf.select(
+        cdf.doc_id.cast("string").alias("doc_id"), "text"
+    )
+    with pytest.raises(ValueError, match="id"):
+        minhash_query(spark, path, bad_id)
+    with pytest.raises(ValueError, match="id"):
+        minhash_append(spark, path, bad_id)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from moisturizer_spark.operators.dedup import connected_components
+
+    # a 10-node path cannot contract to its star form AND prove
+    # stability in a single round: max_iter=1 must raise loudly rather
+    # than return a partially-contracted (wrong) labeling
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, nodes, max_iter=1, local_threshold=0)
+    # same graph with headroom converges fine to one component
+    got = {
+        r["component"]
+        for r in connected_components(
+            edges, nodes, max_iter=16, local_threshold=0
+        ).collect()
+    }
+    assert got == {0}
