@@ -516,6 +516,116 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the ExactSubstr step of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022), at word n-gram granularity: every corpus-duplicated
+    word ``n``-gram run survives at exactly ONE place (its first
+    occurrence in ``(id, position)`` order); every other occurrence is
+    removed and the documents are reassembled from their surviving
+    tokens. :func:`dup_span_stats` is the measurement; this is the
+    surgery. :func:`line_dedup` is the line-granularity special case.
+
+    Semantics, precisely: an ``n``-gram occurrence at ``(doc, p)`` is
+    *removable* when the same gram occurs elsewhere in the corpus AND
+    this occurrence is not the globally first one. A token is removed
+    when ANY removable occurrence covers it (i.e. some removable gram
+    starts within the ``n`` positions ending at the token). Keep-first
+    guarantees the duplicated text still exists somewhere, so no
+    information leaves the corpus — only repetition.
+
+    Returns ``(id, text, n_tokens_kept, n_tokens_removed)``; documents
+    whose every token is covered (pure boilerplate) disappear, and
+    documents with no tokens are dropped.
+
+    Scale plan (all linear, nothing pairwise):
+
+    - ONE tokenize pass builds the token array and the gram-at-position
+      array together; one ``posexplode`` of their zip yields the only
+      per-token frame.
+    - The first-occurrence choice is one ``row_number`` window keyed on
+      the gram. Positions where no gram starts (the last ``n-1`` of
+      each doc) get a per-row unique sentinel key instead of landing in
+      a shared NULL partition — singleton windows, no skew magnet. At
+      corpus scale the gram key can be swapped for ``xxhash64(gram)``
+      (8 bytes) without changing semantics; kept as the string here so
+      the DuckDB oracle reproduces it bit-for-bit. A pathologically hot
+      gram (one string repeated 10^8 times) skews this window; the
+      standard fix — pre-aggregate per (gram, doc) before ranking —
+      composes here but isn't needed below that regime.
+    - Coverage is a ``max`` over a ROWS window of width ``n`` per doc —
+      no self-join of token rows against span rows.
+    - Reassembly is the same shuffle as the coverage window (same key,
+      one exchange): ``groupBy(id)`` of ``(position, token)`` structs.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    # gram starting at 1-based position i, NULL where no full gram fits
+    gram_at = F.transform(
+        F.sequence(F.lit(1), F.size("_toks")),
+        lambda i: F.when(
+            i + F.lit(n - 1) <= F.size("_toks"),
+            F.array_join(F.slice(F.col("_toks"), i, n), " "),
+        ),
+    )
+    ex = base.select(
+        "_id",
+        F.posexplode(F.arrays_zip(F.col("_toks"), gram_at.alias("_grams"))).alias(
+            "_pos", "_z"
+        ),
+    ).select(
+        "_id",
+        "_pos",
+        F.col("_z._toks").alias("_tok"),
+        F.col("_z._grams").alias("_gram"),
+    )
+    # tokens are [a-z0-9]+ so a NUL-prefixed key can never collide with
+    # a real gram; tail positions rank alone instead of forming one
+    # giant NULL partition
+    gkey = F.coalesce(
+        F.col("_gram"),
+        F.concat_ws(":", F.lit("\x00"), F.col("_id").cast("string"),
+                    F.col("_pos").cast("string")),
+    )
+    rn = F.row_number().over(Window.partitionBy(gkey).orderBy("_id", "_pos"))
+    flagged = ex.withColumn(
+        "_ds", F.when(F.col("_gram").isNotNull() & (rn >= 2), 1).otherwise(0)
+    )
+    cover = Window.partitionBy("_id").orderBy("_pos").rowsBetween(-(n - 1), 0)
+    covered = flagged.withColumn("_cov", F.max("_ds").over(cover))
+    per_doc = (
+        covered.groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_cov") == 0,
+                        F.struct(F.col("_pos"), F.col("_tok")),
+                    )
+                )
+            ).alias("_kept"),
+            F.sum("_cov").cast("bigint").alias("n_tokens_removed"),
+        )
+        .filter(F.size("_kept") > 0)
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["_tok"]), " "
+        ).alias(text_col),
+        F.size("_kept").cast("bigint").alias("n_tokens_kept"),
+        "n_tokens_removed",
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

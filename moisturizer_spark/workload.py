@@ -3365,6 +3365,117 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_remove_dup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+                  WHERE len({_SQL_TOKS}) > 0),
+    t AS (SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+              i -> struct_pack(pos := i-1, tok := w[i],
+                               gram := CASE WHEN i+4 <= len(w)
+                                       THEN array_to_string(w[i:i+4], ' ') END))) AS u
+          FROM toks),
+    f AS (SELECT doc_id, u.pos AS pos, u.tok AS tok,
+                 CASE WHEN u.gram IS NOT NULL AND
+                      ROW_NUMBER() OVER (PARTITION BY u.gram
+                                         ORDER BY doc_id, u.pos) >= 2
+                 THEN 1 ELSE 0 END AS ds
+          FROM t),
+    c AS (SELECT doc_id, pos, tok,
+                 MAX(ds) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cov
+          FROM f)
+    SELECT doc_id,
+      array_to_string(list(tok ORDER BY pos) FILTER (WHERE cov = 0), ' ') AS text,
+      CAST(COUNT(*) FILTER (WHERE cov = 0) AS BIGINT) AS n_tokens_kept,
+      CAST(COUNT(*) FILTER (WHERE cov = 1) AS BIGINT) AS n_tokens_removed
+    FROM c GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE cov = 0) > 0 ORDER BY doc_id
+    """,
+)
+def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (the ExactSubstr dedup step): every
+    corpus-duplicated word 5-gram run survives only at its first
+    ``(doc, position)`` occurrence; covered tokens elsewhere are excised
+    and documents reassembled
+    (:func:`moisturizer_spark.operators.textan.remove_dup_spans`).
+    ``doc_dup_span_coverage`` measures this duplication; this query
+    performs the removal the measurement motivates.
+
+    Scale: one tokenize pass feeds token AND gram rows; first-occurrence
+    ranking is one window keyed on the gram (sentinel keys keep gram-less
+    tail positions out of a shared NULL partition); coverage is a
+    width-5 ROWS window per doc; reassembly shares the doc-keyed
+    exchange. Multi-occurrence surgery is pinned token-exactly by
+    ``tests/test_textan.py`` on planted corpora."""
+    from moisturizer_spark.operators.textan import remove_dup_spans
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return remove_dup_spans(
+        t["documents"].select("doc_id", "text"), n=5
+    ).orderBy("doc_id")
+
+
+@query(
+    "docs_chunk_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    base AS (SELECT doc_id, list_transform(range(1, len(w)+1, 4),
+                i -> array_to_string(w[i:i+3], ' ')) AS ls FROM toks),
+    l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+               i -> struct_pack(pos := i-1, line := ls[i]))) AS u FROM base),
+    r AS (SELECT doc_id, u.pos AS pos, u.line AS line,
+                 ROW_NUMBER() OVER (PARTITION BY u.line ORDER BY doc_id, u.pos) AS rn
+          FROM l)
+    SELECT doc_id,
+      array_to_string(list(line ORDER BY pos) FILTER (WHERE rn = 1), chr(10)) AS text,
+      CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_chunks_kept,
+      CAST(COUNT(*) FILTER (WHERE rn <> 1) AS BIGINT) AS n_chunks_dropped
+    FROM r GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE rn = 1) > 0 ORDER BY doc_id
+    """,
+)
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup of fixed-width pseudo-sentences: each doc is
+    segmented into consecutive 4-token chunks and every distinct chunk
+    survives once across the WHOLE corpus, at its first occurrence —
+    the same first-occurrence-wins machinery as ``docs_line_dedup``
+    (:func:`moisturizer_spark.operators.textan.line_dedup`), but on a
+    unit that actually REPEATS in this newline-free corpus (~6% of
+    chunks at sf0.01 are later occurrences), so the driver hash
+    exercises real cross-document removal: kept text ≠ input text for
+    many documents, and the chunk counts differ per doc.
+
+    Scale: the chunking is a per-row array expression (no shuffle); the
+    rest is line_dedup's plan — one content-keyed window plus one
+    doc-keyed reassembly groupBy."""
+    from moisturizer_spark.operators.textan import line_dedup, tokens_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = tokens_col(F.col("text"))
+    # guard: sequence(1, 0, 4) would raise on a token-less doc
+    chunked = t["documents"].filter(F.size(w) > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w), F.lit(4)),
+                lambda i: F.array_join(F.slice(w, i, 4), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return (
+        line_dedup(chunked)
+        .select(
+            "doc_id",
+            "text",
+            F.col("n_lines_kept").alias("n_chunks_kept"),
+            F.col("n_lines_dropped").alias("n_chunks_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "events_conversion_paths",
     f"""
     WITH {_SQL_EV},

@@ -550,3 +550,55 @@ def test_connected_components_raises_on_nonconvergence(spark):
         ).collect()
     }
     assert got == {0}
+
+
+def test_remove_dup_spans_planted_corpus(spark):
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.textan import remove_dup_spans
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "intro alpha beta gamma delta epsilon outro two"),
+        (3, "alpha beta gamma delta epsilon zeta"),  # exact copy of doc 1
+        (4, "tiny doc here"),  # < n tokens: no grams, untouched
+        (5, "one two three four five one two three four five end"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {r["doc_id"]: r for r in remove_dup_spans(df, n=5).collect()}
+
+    # first occurrence keeps the span intact
+    assert got[1]["text"] == "alpha beta gamma delta epsilon zeta"
+    assert got[1]["n_tokens_removed"] == 0
+    # later cross-doc occurrence: the 5 covered tokens are excised,
+    # surrounding tokens survive in order
+    assert got[2]["text"] == "intro outro two"
+    assert (got[2]["n_tokens_kept"], got[2]["n_tokens_removed"]) == (3, 5)
+    # a fully-duplicated document disappears entirely
+    assert 3 not in got
+    # short documents carry no n-grams and pass through
+    assert got[4]["text"] == "tiny doc here"
+    # within-doc repetition: second run removed, first kept
+    assert got[5]["text"] == "one two three four five end"
+    assert got[5]["n_tokens_removed"] == 5
+
+
+def test_remove_dup_spans_overlapping_runs(spark):
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.textan import remove_dup_spans
+
+    # a 2-gram duplicated THREE times: occurrences after the first are
+    # all removed, and coverage from overlapping removable grams unions
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y tail"),
+            Row(doc_id=2, text="head x y x y mid"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in remove_dup_spans(df, n=2).collect()}
+    assert got[1]["text"] == "x y tail"
+    # doc 2 grams: (head x) (x y)* (y x) (x y)* (y mid); "x y" at pos 1
+    # and pos 3 are removable -> covers tokens 1-2 and 3-4; kept 0, 5
+    assert got[2]["text"] == "head mid"
+    assert got[2]["n_tokens_removed"] == 4
