@@ -406,6 +406,52 @@ def ivf_query(
     return _ivf_score(assigned, q, k, round_digits)
 
 
+def ivf_append(spark, path: str, batch: DataFrame) -> None:
+    """Append new embeddings to a persisted IVF index
+    (:func:`ivf_build`) — the :func:`~moisturizer_spark.operators.dedup.
+    minhash_append` analog for vectors: assign the batch to the
+    EXISTING centroids from the sidecar and append its rows to the
+    per-list partition directories. One batch-sized Arrow assignment
+    pass and an append of ~``n_lists`` small files — no corpus rewrite,
+    no retrain, which is what makes a growing embedding corpus viable
+    without rebuilding the index per batch.
+
+    Centroids are frozen (standard IVF practice — faiss ``add`` vs
+    ``train``): recall on appended data equals build-time recall while
+    the batch distribution matches the training corpus, and a periodic
+    :func:`ivf_build` refresh re-trains if it drifts. With
+    ``n_probe = n_lists`` a query is exhaustive regardless of centroid
+    placement (pinned by the cross-batch append test).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf.json")) as fh:
+        meta = json.load(fh)
+    cols = set(batch.columns)
+    for key in ("id_col", "vec_col"):
+        if meta[key] not in cols:
+            raise ValueError(
+                f"batch is missing the index's {key} column "
+                f"{meta[key]!r} (batch columns: {sorted(cols)})"
+            )
+    got = batch.schema[meta["id_col"]].dataType.simpleString()
+    if got != meta["id_type"]:
+        raise ValueError(
+            f"batch id column {meta['id_col']!r} has type {got}, but the "
+            f"index was built with {meta['id_type']} — cast explicitly"
+        )
+    c = batch.select(
+        F.col(meta["id_col"]).alias("neighbor_id"),
+        F.col(meta["vec_col"]).cast("array<double>").alias("_cv"),
+    )
+    _ivf_assign(c, meta["centroids"], meta["id_type"]).repartition(
+        F.col("_c_list")
+    ).write.partitionBy("_c_list").mode("append").parquet(
+        os.path.join(path, "data")
+    )
+
+
 def pq_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -58,6 +58,20 @@ def hll_merge_estimate(
 # alpha of the bucket's representative 2*gamma^i/(gamma+1).
 
 
+def ddsketch_bin(col, relative_accuracy: float = 0.01):
+    """The DDSketch bucket index expression: ``ceil(log_gamma(v))`` for
+    positive ``v``, NULL (the reserved non-positive bucket) otherwise.
+    Shared by :func:`ddsketch_rollup` and the incremental CDC fold
+    (:class:`moisturizer_spark.incremental.IncrementalDDSketchView`) so
+    both paths bucket identically by construction."""
+    import math
+
+    gamma = (1.0 + relative_accuracy) / (1.0 - relative_accuracy)
+    lg = math.log(gamma)
+    v = F.col(col).cast("double") if isinstance(col, str) else col.cast("double")
+    return F.when(v > 0, F.ceil(F.log(v) / F.lit(lg)).cast("int"))
+
+
 def ddsketch_rollup(
     df: DataFrame,
     keys: list[str],
@@ -76,12 +90,7 @@ def ddsketch_rollup(
     Bucket count is O(log(max/min)/alpha) per cell (~2.3k buckets for
     9 decades at 1%), each an 8+8-byte row: the shuffle carries
     O(cells × occupied buckets), never the fact rows."""
-    import math
-
-    gamma = (1.0 + relative_accuracy) / (1.0 - relative_accuracy)
-    lg = math.log(gamma)
-    v = F.col(col).cast("double")
-    bin_ = F.when(v > 0, F.ceil(F.log(v) / F.lit(lg)).cast("int"))
+    bin_ = ddsketch_bin(col, relative_accuracy)
     return (
         df.filter(F.col(col).isNotNull())
         .select(*keys, bin_.alias("_qbin"))

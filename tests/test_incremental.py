@@ -198,3 +198,63 @@ def test_stream_ingest_feeds_incremental_view(spark, warehouse):
     view.refresh()
     counts = {r["site"]: r["n_rows"] for r in view.read().collect()}
     assert counts == {"y": 3}  # x folded to zero and dropped
+
+
+def test_incremental_ddsketch_matches_direct_after_batches(spark, warehouse):
+    """The stored-quantile IVM story: after 3 update batches (inserts,
+    value updates, deletes), the incrementally-folded sketch cells equal
+    a direct ddsketch_rollup of the final table state — losslessly, not
+    approximately — and quantiles answer from the view."""
+    from moisturizer_spark.incremental import IncrementalDDSketchView
+    from moisturizer_spark.operators.sketches import ddsketch_rollup
+
+    src = _tbl(spark, warehouse, "ddsrc")
+    view = IncrementalDDSketchView(src, f"{warehouse}/ddview", ["grp"], "v")
+
+    src.overwrite(_rows(spark, [(f"a{i}", "x", i) for i in range(1, 40)]
+                              + [(f"b{i}", "y", i * 10) for i in range(1, 20)]))
+    view.refresh()
+    # batch 2: value updates (a1: 1→500) + inserts + a NULL value row
+    src.upsert(
+        spark.createDataFrame(
+            [("a1", "x", 500), ("c1", "x", 7), ("n1", "x", None)],
+            "id string, grp string, v long",
+        )
+    )
+    # batch 3: deletes
+    src.delete_by_key(["b1", "b2", "a3"])
+    view.refresh()
+
+    direct = {
+        (r["grp"], r["_qbin"]): r["_qn"]
+        for r in ddsketch_rollup(src.read(), ["grp"], "v").collect()
+    }
+    folded = {(r["grp"], r["_qbin"]): r["_qn"] for r in view.read().collect()}
+    assert folded == direct  # exact cell equality, not tolerance
+
+    est = {
+        (r["grp"], r["q"]): r["quantile_est"]
+        for r in view.quantiles([0.5, 0.9]).collect()
+    }
+    assert est[("x", 0.5)] > 0
+    # idempotent re-refresh
+    view.refresh()
+    assert {(r["grp"], r["_qbin"]): r["_qn"] for r in view.read().collect()} == direct
+
+
+def test_incremental_ddsketch_falls_back_when_vacuumed(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalDDSketchView
+    from moisturizer_spark.operators.sketches import ddsketch_rollup
+
+    src = _tbl(spark, warehouse, "ddsrc2", retain=1)
+    view = IncrementalDDSketchView(src, f"{warehouse}/ddview2", ["grp"], "v")
+    src.overwrite(_rows(spark, [("a", "x", 5)]))
+    view.refresh()
+    src.upsert(_rows(spark, [("b", "x", 9)]))
+    src.upsert(_rows(spark, [("c", "y", 2)]))
+    view.refresh()  # history gone → full recompute path
+    direct = {
+        (r["grp"], r["_qbin"]): r["_qn"]
+        for r in ddsketch_rollup(src.read(), ["grp"], "v").collect()
+    }
+    assert {(r["grp"], r["_qbin"]): r["_qn"] for r in view.read().collect()} == direct
