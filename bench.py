@@ -100,6 +100,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        # per-pass times in PASS ORDER (pass 1 first): lets a
+        # median-vs-best gap be attributed — a slow pass 1 only is page
+        # cache / JIT warmup; a slow random pass is GC or co-tenant
+        # noise; consistently-rising passes would be a leak
+        "queries_passes": runs,
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

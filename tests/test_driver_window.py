@@ -1,0 +1,160 @@
+"""Mechanical driver-window rotation policy.
+
+The correctness harness snapshots only the first ~50 registered queries
+each round (see the registration-order note in ``workload.py``), so a
+query whose implementation changes mid-round MUST be re-ordered into
+that window or its green rows go stale (round 3 shipped a modified
+``events_grouping_sets`` outside the window — VERDICT r03 "What's
+wrong" #1). This test makes the policy self-enforcing: it diffs the
+repo against the previous round's end commit (the driver's
+``round N:`` marker), computes every query whose implementation — or a
+transitively-referenced operator symbol — changed this round, and fails
+unless each one sits inside the first-50 window. No human has to
+remember to rotate the list; pytest flags the omission at commit time.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+PKG = "moisturizer_spark"
+WINDOW = 50
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _baseline_commit() -> str | None:
+    """The previous round's end commit: the newest commit whose message
+    carries the driver's ``round N:`` marker."""
+    out = _git("log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H")
+    return out.strip() or None
+
+
+def _old_text(commit: str, relpath: str) -> str | None:
+    try:
+        return _git("show", f"{commit}:{relpath}")
+    except subprocess.CalledProcessError:
+        return None  # file didn't exist at baseline
+
+
+def _toplevel_segments(text: str) -> dict[str, str]:
+    """name → exact source segment for every top-level def/class/assign."""
+    tree = ast.parse(text)
+    out: dict[str, str] = {}
+    for node in tree.body:
+        names: list[str] = []
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = [node.name]
+        elif isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names = [node.target.id]
+        seg = ast.get_source_segment(text, node)
+        for n in names:
+            out[n] = seg or ""
+    return out
+
+
+def _changed_symbols(old: str | None, new: str) -> set[str]:
+    """Top-level names whose source segment changed (or is new), closed
+    transitively over intra-module references: if helper ``_h`` changed
+    and public ``f`` references ``_h``, ``f`` is tainted too."""
+    new_segs = _toplevel_segments(new)
+    old_segs = _toplevel_segments(old) if old else {}
+    tainted = {n for n, seg in new_segs.items() if old_segs.get(n) != seg}
+    # reference graph over the NEW module: name → referenced top-level names
+    refs = {
+        n: {w for w in re.findall(r"\b\w+\b", seg) if w in new_segs and w != n}
+        for n, seg in new_segs.items()
+    }
+    while True:
+        grown = {
+            n for n, rs in refs.items() if n not in tainted and rs & tainted
+        }
+        if not grown:
+            return tainted
+        tainted |= grown
+
+
+def _changed_query_names() -> tuple[set[str], str | None]:
+    base = _baseline_commit()
+    if base is None:
+        return set(), None
+    changed_files = {
+        f
+        for f in _git("diff", "--name-only", base).splitlines()
+        if f.startswith(f"{PKG}/") and f.endswith(".py")
+    }
+    from moisturizer_spark import workload
+
+    wl_rel = f"{PKG}/workload.py"
+    wl_new = (REPO / wl_rel).read_text()
+    wl_segs = _toplevel_segments(wl_new)  # parse the big file ONCE
+    query_src = {
+        name: wl_segs.get(fn.__name__, "")
+        for name, fn in workload.QUERIES.items()
+    }
+
+    tainted_queries: set[str] = set()
+    # 1) queries (or workload helpers they reference) changed directly
+    if wl_rel in changed_files:
+        wl_tainted = _changed_symbols(_old_text(base, wl_rel), wl_new)
+        fn_to_query = {
+            workload.QUERIES[n].__name__: n for n in workload.QUERIES
+        }
+        for sym in wl_tainted:
+            if sym in fn_to_query:
+                tainted_queries.add(fn_to_query[sym])
+        # changed non-query helpers taint every query referencing them
+        helper_syms = {s for s in wl_tainted if s not in fn_to_query}
+        for name, src in query_src.items():
+            if any(re.search(rf"\b{re.escape(s)}\b", src) for s in helper_syms):
+                tainted_queries.add(name)
+    # 2) changed operator-module symbols taint queries referencing them
+    for relpath in changed_files - {wl_rel}:
+        new_text = (REPO / relpath).read_text() if (REPO / relpath).exists() else None
+        if new_text is None:
+            continue  # deleted module: its symbols can't be referenced
+        syms = _changed_symbols(_old_text(base, relpath), new_text)
+        for name, src in query_src.items():
+            if any(re.search(rf"\b{re.escape(s)}\b", src) for s in syms):
+                tainted_queries.add(name)
+    return tainted_queries, base
+
+
+def test_changed_queries_sit_inside_driver_window():
+    from moisturizer_spark import workload
+
+    tainted, base = _changed_query_names()
+    if base is None:
+        pytest.skip("no round marker commit to diff against")
+    all_order = list(workload.QUERIES)
+    oracle_order = list(workload.ORACLE)
+    missing = [
+        q
+        for q in sorted(tainted)
+        if q not in all_order[:WINDOW]
+        or (q in workload.ORACLE and q not in oracle_order[:WINDOW])
+    ]
+    assert not missing, (
+        f"queries changed since round baseline {base[:9]} but OUTSIDE the "
+        f"first-{WINDOW} driver window: {missing} — add them to "
+        "_NEEDS_DRIVER_ROW in workload.py"
+    )
+
+
+def test_needs_driver_row_names_are_real():
+    from moisturizer_spark import workload
+
+    unknown = [n for n in workload._NEEDS_DRIVER_ROW if n not in workload.QUERIES]
+    assert not unknown, f"_NEEDS_DRIVER_ROW lists unknown queries: {unknown}"
