@@ -400,7 +400,7 @@ def minhash_query(spark, path: str, batch: DataFrame) -> DataFrame:
     q_banded = _minhash_banded(
         per.select("_id", "sig"), meta["bands"], meta["rows"]
     )
-    stored = spark.read.parquet(os.path.join(path, "bands"))
+    stored = spark.read.parquet(os.path.join(path, meta.get("bands_dir", "bands")))
     candidates = (
         stored.alias("c")
         .join(q_banded.alias("q"), on=["band", "bsig"])
@@ -417,7 +417,9 @@ def minhash_query(spark, path: str, batch: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["corpus_id", "batch_id"])
     )
-    corpus_grams = spark.read.parquet(os.path.join(path, "grams"))
+    corpus_grams = spark.read.parquet(
+        os.path.join(path, meta.get("grams_dir", "grams"))
+    )
     return (
         candidates.join(
             corpus_grams.select(
@@ -461,11 +463,56 @@ def minhash_append(spark, path: str, batch: DataFrame) -> None:
     _minhash_banded(
         per.select("_id", "sig"), meta["bands"], meta["rows"]
     ).repartition("bsig").write.mode("append").parquet(
-        os.path.join(path, "bands")
+        os.path.join(path, meta.get("bands_dir", "bands"))
     )
     per.select("_id", "_grams").write.mode("append").parquet(
-        os.path.join(path, "grams")
+        os.path.join(path, meta.get("grams_dir", "grams"))
     )
+
+
+def minhash_compact(spark, path: str) -> dict:
+    """Compact a persisted MinHash index after many appends — the
+    small-file healing step every append-forever layout eventually
+    needs: each :func:`minhash_append` adds ~shuffle-partitions files to
+    ``bands/`` and ``grams/``, and after thousands of batches the file
+    COUNT (driver listing, parquet footers, task scheduling) dominates
+    query cost even though total bytes are unchanged.
+
+    Rewrites both tables into fresh generation directories —
+    ``bands`` re-clustered on the join key ``bsig`` exactly like the
+    original build — then atomically swaps the sidecar to point at them
+    (JSON written to a temp file + ``os.replace``) and removes the old
+    generation. Readers resolve directories through the sidecar, so a
+    reader holding the OLD sidecar finishes against the old files; the
+    swap assumes the index's single-writer discipline (same as append).
+    Returns the updated metadata dict.
+    """
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(path, "_minhash.json")) as fh:
+        meta = json.load(fh)
+    gen = meta.get("compaction_gen", 0) + 1
+    old_bands = meta.get("bands_dir", "bands")
+    old_grams = meta.get("grams_dir", "grams")
+    new_bands, new_grams = f"bands_g{gen}", f"grams_g{gen}"
+    spark.read.parquet(os.path.join(path, old_bands)).repartition(
+        "bsig"
+    ).write.mode("overwrite").parquet(os.path.join(path, new_bands))
+    spark.read.parquet(os.path.join(path, old_grams)).repartition(
+        "_id"
+    ).write.mode("overwrite").parquet(os.path.join(path, new_grams))
+    meta.update(
+        {"bands_dir": new_bands, "grams_dir": new_grams, "compaction_gen": gen}
+    )
+    tmp = os.path.join(path, "_minhash.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_minhash.json"))
+    shutil.rmtree(os.path.join(path, old_bands), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, old_grams), ignore_errors=True)
+    return meta
 
 
 def simhash(

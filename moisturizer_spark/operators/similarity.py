@@ -400,7 +400,7 @@ def ivf_query(
     q = _ivf_probe_df(queries, unit, n_probe, meta["id_col"], meta["vec_col"])
     probed = sorted({r["_q_list"] for r in q.select("_q_list").collect()})
     assigned = (
-        spark.read.parquet(os.path.join(path, "data"))
+        spark.read.parquet(os.path.join(path, meta.get("data_dir", "data")))
         .filter(F.col("_c_list").isin(probed))
     )
     return _ivf_score(assigned, q, k, round_digits)
@@ -448,8 +448,43 @@ def ivf_append(spark, path: str, batch: DataFrame) -> None:
     _ivf_assign(c, meta["centroids"], meta["id_type"]).repartition(
         F.col("_c_list")
     ).write.partitionBy("_c_list").mode("append").parquet(
-        os.path.join(path, "data")
+        os.path.join(path, meta.get("data_dir", "data"))
     )
+
+
+def ivf_compact(spark, path: str) -> dict:
+    """Compact a persisted IVF index after many appends — the
+    :func:`~moisturizer_spark.operators.dedup.minhash_compact` analog:
+    each :func:`ivf_append` adds one file per touched list directory,
+    so a long-lived index accumulates file-count overhead (listing,
+    footers, task scheduling) without growing in bytes.
+
+    Rewrites the data into a fresh generation directory (one shuffle
+    keyed on the list id, restoring one-ish file per list), atomically
+    swaps the sidecar pointer, and removes the old generation. Same
+    single-writer discipline as append. Returns the updated metadata.
+    """
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(path, "_ivf.json")) as fh:
+        meta = json.load(fh)
+    gen = meta.get("compaction_gen", 0) + 1
+    old_dir = meta.get("data_dir", "data")
+    new_dir = f"data_g{gen}"
+    spark.read.parquet(os.path.join(path, old_dir)).repartition(
+        F.col("_c_list")
+    ).write.partitionBy("_c_list").mode("overwrite").parquet(
+        os.path.join(path, new_dir)
+    )
+    meta.update({"data_dir": new_dir, "compaction_gen": gen})
+    tmp = os.path.join(path, "_ivf.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_ivf.json"))
+    shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
+    return meta
 
 
 def pq_top_k(

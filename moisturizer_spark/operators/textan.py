@@ -521,6 +521,7 @@ def remove_dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the ExactSubstr step of
     "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -551,13 +552,17 @@ def remove_dup_spans(
     - The first-occurrence choice is one ``row_number`` window keyed on
       the gram. Positions where no gram starts (the last ``n-1`` of
       each doc) get a per-row unique sentinel key instead of landing in
-      a shared NULL partition — singleton windows, no skew magnet. At
-      corpus scale the gram key can be swapped for ``xxhash64(gram)``
-      (8 bytes) without changing semantics; kept as the string here so
-      the DuckDB oracle reproduces it bit-for-bit. A pathologically hot
-      gram (one string repeated 10^8 times) skews this window; the
-      standard fix — pre-aggregate per (gram, doc) before ranking —
-      composes here but isn't needed below that regime.
+      a shared NULL partition — singleton windows, no skew magnet.
+      ``hash_grams=True`` is the corpus-scale path: the ranking key
+      becomes ``xxhash64`` of the gram and the gram STRING is dropped
+      before the shuffle, so the heavy exchange carries an 8-byte key
+      per occurrence instead of ~n words of text (identical output up
+      to 2^-64 hash collisions; parity is pinned by a test). The
+      default keeps the string so the DuckDB oracle reproduces the
+      choice bit-for-bit. A pathologically hot gram (one string
+      repeated 10^8 times) skews this window; the standard fix —
+      pre-aggregate per (gram, doc) before ranking — composes here but
+      isn't needed below that regime.
     - Coverage is a ``max`` over a ROWS window of width ``n`` per doc —
       no self-join of token rows against span rows.
     - Reassembly is the same shuffle as the coverage window (same key,
@@ -595,9 +600,18 @@ def remove_dup_spans(
         F.concat_ws(":", F.lit("\x00"), F.col("_id").cast("string"),
                     F.col("_pos").cast("string")),
     )
-    rn = F.row_number().over(Window.partitionBy(gkey).orderBy("_id", "_pos"))
-    flagged = ex.withColumn(
-        "_ds", F.when(F.col("_gram").isNotNull() & (rn >= 2), 1).otherwise(0)
+    if hash_grams:
+        gkey = F.xxhash64(gkey)
+    # project the gram string away BEFORE the ranking shuffle: only the
+    # key and a has-gram bit cross the wire
+    keyed = ex.select(
+        "_id", "_pos", "_tok",
+        F.col("_gram").isNotNull().alias("_hasg"),
+        gkey.alias("_gk"),
+    )
+    rn = F.row_number().over(Window.partitionBy("_gk").orderBy("_id", "_pos"))
+    flagged = keyed.withColumn(
+        "_ds", F.when(F.col("_hasg") & (rn >= 2), 1).otherwise(0)
     )
     cover = Window.partitionBy("_id").orderBy("_pos").rowsBetween(-(n - 1), 0)
     covered = flagged.withColumn("_cov", F.max("_ds").over(cover))

@@ -154,3 +154,41 @@ def test_runtime_bloom_filter_activates_on_large_scans(spark, sf_dir):
     finally:
         spark.conf.unset(thresh)
         spark.conf.set(bcast, prev_bcast)
+
+
+def test_remove_dup_spans_plan_shape(spark, sf_dir):
+    """The span-removal plan must stay linear: ONE scan of documents, no
+    join of token rows against span rows, and exactly the three
+    shuffles the algorithm needs (gram ranking, doc window+reassembly,
+    final presentation sort)."""
+    plan = plan_of(spark, sf_dir, "docs_remove_dup_spans")
+    tree = plan.split("\n\n", 1)[0]  # formatted mode: tree, blank, details
+    assert tree.count("Scan parquet") == 1, tree
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, f"unexpected {bad} in span-removal plan"
+    n_exchanges = tree.count("Exchange")
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges (expected ≤3):\n{tree}"
+
+
+def test_remove_dup_spans_hashed_key_drops_gram_string(spark, sf_dir):
+    """In the corpus-scale variant the ranking exchange must carry the
+    8-byte hashed key, not the gram text."""
+    import contextlib
+    import io
+
+    from moisturizer_spark.operators.textan import remove_dup_spans
+    from moisturizer_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    df = remove_dup_spans(docs, n=5, hash_grams=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "xxhash64" in plan
+    # projection collapse must eliminate the gram STRING column entirely
+    # (only the 8-byte _gk key and the _hasg bit reach the exchange)
+    assert "_gram#" not in plan, plan
+    assert "_gk#" in plan and "_hasg#" in plan

@@ -228,3 +228,33 @@ def test_ivf_append_validates_batch_schema(emb, spark, warehouse):
             spark, path,
             emb.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding"),
         )
+
+
+def test_ivf_compact_preserves_results_and_heals_files(emb, spark, warehouse):
+    import glob
+    import os
+
+    from moisturizer_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_compact,
+        ivf_query,
+    )
+
+    path = f"{warehouse}/ivf_compact"
+    ivf_build(emb.filter(F.col("vec_id") >= 100), path, n_lists=4)
+    for lo in (0, 30, 60):  # three appends fragment the list dirs
+        ivf_append(
+            spark, path,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)),
+        )
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = sorted(map(tuple, ivf_query(spark, path, queries, k=5, n_probe=4).collect()))
+
+    n_files = len(glob.glob(os.path.join(path, "data", "_c_list=*", "*.parquet")))
+    meta = ivf_compact(spark, path)
+    n_after = len(glob.glob(os.path.join(path, meta["data_dir"], "_c_list=*", "*.parquet")))
+    assert n_after < n_files, (n_after, n_files)
+    assert not os.path.exists(os.path.join(path, "data"))
+    after = sorted(map(tuple, ivf_query(spark, path, queries, k=5, n_probe=4).collect()))
+    assert after == before and before

@@ -602,3 +602,72 @@ def test_remove_dup_spans_overlapping_runs(spark):
     # and pos 3 are removable -> covers tokens 1-2 and 3-4; kept 0, 5
     assert got[2]["text"] == "head mid"
     assert got[2]["n_tokens_removed"] == 4
+
+
+def test_remove_dup_spans_hash_grams_parity(spark, sf_dir):
+    """hash_grams=True (8-byte shuffle keys, gram strings dropped before
+    the exchange) must produce byte-identical output to the string-keyed
+    oracle path on a real corpus."""
+    from moisturizer_spark.operators.textan import remove_dup_spans
+    from moisturizer_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    a = sorted(map(tuple, remove_dup_spans(docs, n=5).collect()))
+    b = sorted(map(tuple, remove_dup_spans(docs, n=5, hash_grams=True).collect()))
+    assert a == b
+    assert any(r[3] > 0 for r in a)  # the corpus actually exercises removal
+
+
+def test_minhash_compact_preserves_results_and_heals_files(spark, warehouse):
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_append,
+        minhash_build,
+        minhash_compact,
+        minhash_query,
+    )
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text)
+
+    corpus = [doc(i, f"the quick brown fox number {i} jumps over the lazy dog")
+              for i in range(10)]
+    path = os.path.join(warehouse, "mh_compact")
+    minhash_build(spark.createDataFrame(corpus), path)
+    for j in range(3):  # appends fragment the band/gram tables
+        minhash_append(
+            spark,
+            path,
+            spark.createDataFrame(
+                [doc(100 + j, f"some totally different text batch {j}")]
+            ),
+        )
+    batch = spark.createDataFrame(
+        [doc(500, "the quick brown fox number 3 jumps over the lazy cat")]
+    )
+    before = sorted(map(tuple, minhash_query(spark, path, batch).collect()))
+
+    n_files = lambda d: len(glob.glob(os.path.join(path, d, "*.parquet")))
+    frag = n_files("bands")
+    meta = minhash_compact(spark, path)
+    assert meta["compaction_gen"] == 1
+    compacted = n_files(meta["bands_dir"])
+    assert compacted < frag, (compacted, frag)
+    assert not os.path.exists(os.path.join(path, "bands"))  # old gen removed
+    after = sorted(map(tuple, minhash_query(spark, path, batch).collect()))
+    assert after == before and before  # identical answers, non-empty
+    # appends keep working against the new generation
+    minhash_append(spark, path, batch)
+    again = minhash_query(
+        spark, path,
+        spark.createDataFrame(
+            [doc(600, "the quick brown fox number 3 jumps over the lazy cats")]
+        ),
+    )
+    assert any(r["corpus_id"] == 500 for r in again.collect())
