@@ -142,6 +142,71 @@ def quota_sample(
     )
 
 
+def shard_assign(
+    key: Column, n_shards: int, salt: str = ""
+) -> Column:
+    """Deterministic shard id in ``[0, n_shards)`` from md5(salt || key).
+
+    The output-layout step of a training run: documents are hashed into a
+    fixed number of shards so (a) every writer task owns disjoint files,
+    (b) a document lands in the same shard on every re-run (resumable,
+    diffable output), and (c) shard sizes concentrate tightly around
+    corpus_size / n_shards (md5 is uniform). Uses the md5 *hex prefix*
+    (not xxhash64) so the assignment is reproducible by any engine that
+    can md5 — including the DuckDB oracle, bit-for-bit.
+
+    Pure column expression: at 100 TB the assignment is a map-side
+    projection fused into the scan; the subsequent
+    ``repartition(n_shards, shard)`` is the single intentional shuffle
+    that physically groups each shard's rows for its writer.
+    """
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+
+
+def sql_shard_assign(key_sql: str, n_shards: int, salt: str = "") -> str:
+    """DuckDB rendering of :func:`shard_assign` (oracle parity)."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {n_shards} AS INT)"
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Shard-level manifest for a deterministic hash-sharded write: one
+    row per shard with row count, byte/char volume, and a key checksum —
+    the sidecar a downstream loader reads to plan balanced data-parallel
+    input without listing files.
+
+    The checksum (sum of key hash prefixes mod 2^31) lets an auditor
+    verify a shard's membership without re-reading content. Scale: one
+    partial-aggregated shuffle of ``n_shards`` groups.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    hash32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+        (F.sum(hash32) % F.lit(2**31)).cast("bigint").alias("key_checksum"),
+    ]
+    if size_col is not None:
+        agg.append(F.sum(size_col).cast("bigint").alias("sum_size"))
+    return (
+        df.withColumn("shard", shard_assign(F.col(key_col), n_shards, salt))
+        .groupBy("shard")
+        .agg(*agg)
+    )
+
+
 def temperature_weights(
     sizes: DataFrame, size_col: str, alpha: float = 0.5, out_col: str = "mix_weight"
 ) -> DataFrame:

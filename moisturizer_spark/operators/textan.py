@@ -330,6 +330,110 @@ def decontaminate(
     )
 
 
+def containment_scores(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Per-pair n-gram *containment* against an evaluation corpus: for
+    every (training doc, eval doc) pair sharing at least one word
+    ``n``-gram, the fraction of the eval doc's distinct grams found in
+    the training doc — ``|G(e) ∩ G(t)| / |G(e)|``.
+
+    Containment (not Jaccard) is the right contamination metric when the
+    eval item is much shorter than the training document: a benchmark
+    question fully embedded in a long web page has Jaccard ≈ 0 but
+    containment = 1. This refines :func:`decontaminate` (which only
+    counts shared grams corpus-wide) into attribution — WHICH benchmark
+    item leaked, and how completely.
+
+    Returns (train_id, eval_id, n_shared, containment) with containment
+    rounded to 6 digits (cross-engine float stability) and thresholded
+    at ``min_containment``.
+
+    Scale shape: the eval side is a benchmark suite — thousands of rows
+    against a 100 TB corpus — so its (eval_id, gram-hash) pairs AND its
+    per-item gram counts both broadcast; the corpus side streams its
+    grams through a map-side hash probe, and the only shuffle carries
+    hit pairs (rare by construction) keyed by the (train, eval) pair.
+    Keys are md5(gram): fixed 32-byte width, oracle-reproducible.
+    """
+    def grams(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(tag),
+                F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+            )
+            .filter(F.col("gram").isNotNull())
+            .select(tag, F.md5("gram").alias("gh"))
+        )
+
+    ev = grams(eval_df, "eval_id").distinct()
+    ev_sizes = ev.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("_ev_grams")
+    )
+    return (
+        grams(train, "train_id")
+        .join(F.broadcast(ev), "gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count_distinct("gh").alias("n_shared"))
+        .join(F.broadcast(ev_sizes), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("_ev_grams"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
+def cascade_filter_stats(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quality-filter funnel: evaluate an ordered rule cascade (C4 /
+    Gopher style) and report, per group, how many documents each rule
+    removed — attributing every document to the FIRST rule it fails,
+    exactly like a short-circuiting filter pipeline would.
+
+    ``rules`` is an ordered list of (rule_name, keep_condition). Output
+    is one row per (group, stage) with stage ∈ rule names + 'kept',
+    n_docs, and the stage ordinal — the numbers a pipeline owner reads
+    to see which filter is doing the work before committing to a full
+    100 TB run.
+
+    Scale: the cascade is a single CASE-WHEN projection (zero shuffles,
+    whole-stage codegen); the only shuffle aggregates (group, stage)
+    pairs — cardinality = groups × (rules + 1), trivially small.
+    """
+    first_fail = F.coalesce(
+        *[F.when(~cond, F.lit(name)) for name, cond in rules],
+        F.lit("kept"),
+    )
+    ordinal = {name: i for i, (name, _) in enumerate(rules)}
+    ordinal["kept"] = len(rules)
+    stage_ord = F.coalesce(
+        *[
+            F.when(F.col("stage") == F.lit(k), F.lit(v))
+            for k, v in ordinal.items()
+        ]
+    )
+    gcols = group_cols or []
+    return (
+        df.withColumn("stage", first_fail)
+        .groupBy(*gcols, "stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("stage_idx", stage_ord.cast("int"))
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

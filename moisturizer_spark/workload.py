@@ -3672,6 +3672,442 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q9_product_type_profit",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name, o_orderdate,
+               CAST({_SQL_REV} AS DECIMAL(28,10))
+               - CAST({_sql_p('p_retailprice')}
+                      * CAST(l_quantity AS DECIMAL(3,0))
+                      * CAST(0.6 AS DECIMAL(8,6)) AS DECIMAL(28,10)) AS amount
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): five-table join measuring
+    per-nation, per-year profit on a part family. This schema has no
+    partsupp, so supply cost is modeled as 60% of retail price — the
+    join topology (fact → part filter → orders date → supplier →
+    nation) is the point, not the cost model.
+
+    Scale: the ``p_name LIKE`` filter prunes part BEFORE the join and
+    the pruned part broadcasts, so the fact scan is filtered by a
+    broadcast hash probe; supplier and nation broadcast; the only big
+    shuffle is lineitem⋈orders on orderkey. Profit terms are decimal
+    (order-independent sums) at matching (28,10) scales so both engines
+    subtract identical exact values."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "orders", "supplier", "nation")
+    )
+    part = t["part"].filter(F.col("p_name").like("%gear%"))
+    amount = _rev().cast("decimal(28,10)") - (
+        _p("p_retailprice")
+        * F.col("l_quantity").cast("decimal(3,0)")
+        * F.lit(0.6).cast(_RATE)
+    ).cast("decimal(28,10)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_d(F.sum("amount")).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q13_customer_order_counts",
+    """
+    WITH c_orders AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer order
+    counts, zeros included — the LEFT OUTER JOIN with an extra join-time
+    predicate (priority exclusion stands in for the comment filter this
+    schema lacks) is the shape Catalyst must NOT push into a WHERE.
+
+    Scale: one shuffle joins orders to customer on custkey (AQE handles
+    the skewed high-order customers), the first aggregate rides the same
+    key so it reuses the shuffle partitioning, and the histogram
+    re-aggregates ~hundreds of distinct counts — negligible."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    joined = t["customer"].join(
+        t["orders"],
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    counts = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH pq AS (
+        SELECT l_partkey AS a_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_li
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM({_sql_p('l_extendedprice')}) AS VARCHAR) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON a_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
+    whose quantity is below 20% of that part's average order quantity.
+
+    The correlated AVG subquery decorrelates into one per-part aggregate
+    joined back on partkey. The threshold test is rewritten
+    multiply-both-sides (``5 · qty · n < Σqty``) over integral
+    quantities — exact bigint math, no cross-engine float-division
+    boundary cases and no DuckDB decimal-multiplication overflow.
+
+    Scale: the brand filter prunes part to ~1/25 and broadcasts; the
+    per-part aggregate is one combinable shuffle on partkey; the
+    aggregate↔fact join rides that same partitioning. Global sum is a
+    single-group partial agg."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    pq = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    part = t["part"].filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("a_partkey") == F.col("p_partkey"))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (_d(F.sum(_p("l_extendedprice"))) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    f"""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    ranked AS (
+        SELECT l_suppkey, l_partkey, supp_qty,
+               CAST(SUM(supp_qty) OVER (PARTITION BY l_partkey) AS BIGINT)
+                   AS part_qty
+        FROM sp
+    )
+    SELECT s_name, n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+    FROM ranked
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE supp_qty * 5 > part_qty * 2
+    GROUP BY s_name, n_name
+    ORDER BY n_dominant_parts DESC, s_name
+    LIMIT 20
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (surplus/dominant suppliers): suppliers who in
+    1996 shipped more than 40% of a part's total shipped quantity, with
+    how many parts they dominate. No partsupp in this schema, so
+    "available quantity" becomes shipped-quantity share — preserving
+    Q20's nested-aggregate-then-semijoin structure.
+
+    Scale: the ship-year filter pushes to the scan; one combinable
+    shuffle aggregates (suppkey, partkey); the part-total is a window
+    over that aggregate (second shuffle on partkey, carrying only
+    aggregate rows, never lineitems); supplier and nation broadcast.
+    The 40% test multiplies both sides (5·supp > 2·total) over integral
+    bigint quantities — exact on both engines."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    sp = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    )
+    part_total = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    return (
+        sp.withColumn("part_qty", part_total)
+        .filter(F.col("supp_qty") * 5 > F.col("part_qty") * 2)
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominant_parts"))
+        .orderBy(F.col("n_dominant_parts").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_idle_customers",
+    f"""
+    WITH pos AS (
+        SELECT SUM({_sql_p('c_acctbal')}) AS sum_bal, COUNT(*) AS n_pos
+        FROM customer WHERE {_sql_p('c_acctbal')} > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM({_sql_p('c_acctbal')}) AS VARCHAR) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE {_sql_p('c_acctbal')} * n_pos > sum_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with
+    above-average positive account balance who never placed an order,
+    grouped by market segment (standing in for the phone country code
+    this schema lacks). Scalar-aggregate subquery + anti join.
+
+    Scale: the global (sum, count) pair is a two-value broadcast; the
+    above-average test multiplies both sides (bal·n > Σ) for exact
+    decimal comparison; the NOT EXISTS is a left-anti shuffle join on
+    custkey against orders' projected custkey column — the only real
+    shuffle. Output is 5 segment rows."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"]
+    pos = cust.filter(_p("c_acctbal") > 0).agg(
+        F.sum(_p("c_acctbal")).alias("sum_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(_p("c_acctbal") * F.col("n_pos") > F.col("sum_bal"))
+        .join(
+            t["orders"].select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            _d(F.sum(_p("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "docs_benchmark_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> md5(array_to_string(w[i:i+2], ' '))))) AS gh
+        FROM toks
+    ),
+    ev AS (SELECT doc_id AS eval_id, gh FROM g WHERE doc_id % 50 = 0),
+    evn AS (SELECT eval_id, COUNT(*) AS ev_grams FROM ev GROUP BY eval_id),
+    hits AS (
+        SELECT g.doc_id AS train_id, ev.eval_id,
+               CAST(COUNT(DISTINCT g.gh) AS BIGINT) AS n_shared
+        FROM g JOIN ev USING (gh)
+        WHERE g.doc_id % 50 <> 0
+        GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / ev_grams, 6) AS containment
+    FROM hits JOIN evn USING (eval_id)
+    WHERE ROUND(CAST(n_shared AS DOUBLE) / ev_grams, 6) >= 0.03
+    ORDER BY train_id, eval_id
+    """,
+)
+def docs_benchmark_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair benchmark containment: for each (training doc, eval doc)
+    pair, the fraction of the eval item's distinct word 3-grams found in
+    the training doc — the attribution refinement of
+    ``docs_decontaminated`` (WHICH benchmark item leaked, how fully; a
+    fully-embedded item scores 1.0 even when Jaccard ≈ 0).
+
+    Scale (see :func:`~moisturizer_spark.operators.textan.
+    containment_scores`): eval gram set AND per-item gram counts both
+    broadcast; corpus grams probe map-side; only hit pairs shuffle."""
+    from moisturizer_spark.operators.textan import containment_scores
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    return containment_scores(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+        min_containment=0.03,
+    ).orderBy("train_id", "eval_id")
+
+
+def _shard_manifest_sql() -> str:
+    from moisturizer_spark.operators.sampling import sql_shard_assign
+
+    shard = sql_shard_assign("doc_id", 16, salt="shard:")
+    h32 = (
+        "CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT)"
+    )
+    return f"""
+    WITH s AS (
+        SELECT {shard} AS shard, doc_id, n_chars, {h32} AS h32
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(doc_id) AS min_key,
+           MAX(doc_id) AS max_key,
+           CAST(SUM(h32) % 2147483648 AS BIGINT) AS key_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_size
+    FROM s
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+@query("corpus_shard_manifest", _shard_manifest_sql())
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way hash-shard manifest of the corpus: per shard,
+    row count, key range, membership checksum, and char volume — the
+    sidecar a training-data writer emits so loaders can plan balanced
+    data-parallel reads without listing files, and auditors can verify
+    shard membership without re-reading content.
+
+    Scale (see :func:`~moisturizer_spark.operators.sampling.
+    shard_manifest`): assignment is a map-side md5 projection fused into
+    the scan; the manifest aggregation is one partial-agg shuffle of 16
+    groups. The physical write would add exactly one intentional
+    ``repartition(16, shard)`` shuffle."""
+    from moisturizer_spark.operators.sampling import shard_manifest
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return shard_manifest(
+        t["documents"], "doc_id", 16, salt="shard:", size_col="n_chars"
+    ).orderBy("shard")
+
+
+def _quality_funnel_sql() -> str:
+    n_words = f"len({_SQL_TOKS})"
+    n_uniq = f"len(list_distinct({_SQL_TOKS}))"
+    alnum = "length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+    return f"""
+    WITH m AS (
+        SELECT source, n_chars, {n_words} AS n_words, {n_uniq} AS n_uniq,
+               {alnum} AS alnum
+        FROM documents
+    ),
+    staged AS (
+        SELECT source,
+               CASE WHEN NOT (n_chars >= 100)          THEN 'min_chars'
+                    WHEN NOT (n_words >= 20)           THEN 'min_words'
+                    WHEN NOT (alnum <= 5 * n_words)    THEN 'mean_word_len'
+                    WHEN NOT (5 * n_uniq >= 2 * n_words) THEN 'repetition'
+                    ELSE 'kept' END AS stage,
+               CASE WHEN NOT (n_chars >= 100)          THEN 0
+                    WHEN NOT (n_words >= 20)           THEN 1
+                    WHEN NOT (alnum <= 5 * n_words)    THEN 2
+                    WHEN NOT (5 * n_uniq >= 2 * n_words) THEN 3
+                    ELSE 4 END AS stage_idx
+        FROM m
+    )
+    SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(stage_idx AS INT) AS stage_idx
+    FROM staged
+    GROUP BY source, stage, stage_idx
+    ORDER BY source, stage_idx
+    """
+
+
+@query("docs_quality_funnel", _quality_funnel_sql())
+def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-filter funnel: an ordered rule cascade
+    (min length → min words → mean word length → repetitiveness) where
+    every document is attributed to the FIRST rule it fails — per
+    source, the drop counts a pipeline owner reads before committing the
+    filters to a full 100 TB run.
+
+    All thresholds are integer-exact (ratio tests are multiplied
+    through: ``alnum ≤ 5·words`` is "mean token length ≤ 5") so both
+    engines bucket identically — no float boundaries. Scale (see
+    :func:`~moisturizer_spark.operators.textan.cascade_filter_stats`):
+    the cascade is one CASE projection inside whole-stage codegen; the
+    only shuffle aggregates (source, stage) pairs."""
+    from moisturizer_spark.operators.textan import cascade_filter_stats
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    alnum = F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9]", ""))
+    rules = [
+        ("min_chars", F.col("n_chars") >= 100),
+        ("min_words", n_words >= 20),
+        ("mean_word_len", alnum <= 5 * n_words),
+        ("repetition", 5 * n_uniq >= 2 * n_words),
+    ]
+    return (
+        cascade_filter_stats(docs, rules, group_cols=["source"])
+        .select("source", "stage", F.col("n_docs").cast("bigint").alias("n_docs"), "stage_idx")
+        .orderBy("source", "stage_idx")
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -3713,6 +4149,14 @@ _NEEDS_DRIVER_ROW = [
     # round 4: new queries
     "docs_remove_dup_spans",
     "docs_chunk_dedup",
+    "q9_product_type_profit",
+    "q13_customer_order_counts",
+    "q17_small_quantity_revenue",
+    "q20_dominant_suppliers",
+    "q22_idle_customers",
+    "docs_benchmark_containment",
+    "corpus_shard_manifest",
+    "docs_quality_funnel",
     # round 4: tainted by operator changes (connected_components raise,
     # ddsketch NULL/validation hardening)
     "doc_dedup_clusters",

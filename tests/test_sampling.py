@@ -104,3 +104,33 @@ def test_temperature_weights_normalize_and_flatten(spark):
     p = {r["source"]: r["mix_weight"] for r in
          temperature_weights(sizes, "n", alpha=1.0).collect()}
     assert abs(p["big"] - 0.9) < 1e-6  # alpha=1 -> proportional
+
+
+def test_shard_assign_deterministic_and_balanced(spark):
+    from moisturizer_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = df.select("id", shard_assign(F.col("id"), 16, salt="s:").alias("sh"))
+    # deterministic across plans/partitionings
+    b = df.repartition(7).select(
+        "id", shard_assign(F.col("id"), 16, salt="s:").alias("sh")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    counts = [r["n"] for r in a.groupBy("sh").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == 16
+    # md5 uniformity: every shard within 3x of the mean at n=2000
+    assert max(counts) < 3 * (2000 / 16) and min(counts) > (2000 / 16) / 3
+
+
+def test_shard_manifest_partitions_corpus_exactly(spark):
+    from moisturizer_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(500)], "id long, nb long"
+    )
+    m = shard_manifest(df, "id", 8, salt="m:", size_col="nb").collect()
+    assert sum(r["n_rows"] for r in m) == 500
+    assert sum(r["sum_size"] for r in m) == sum(i % 7 + 1 for i in range(500))
+    assert all(0 <= r["shard"] < 8 for r in m)
+    assert all(0 <= r["key_checksum"] < 2**31 for r in m)
+    assert all(r["min_key"] <= r["max_key"] for r in m)

@@ -671,3 +671,80 @@ def test_minhash_compact_preserves_results_and_heals_files(spark, warehouse):
         ),
     )
     assert any(r["corpus_id"] == 500 for r in again.collect())
+
+
+# -- containment scoring ------------------------------------------------------
+
+
+def test_containment_full_embed_scores_one(spark):
+    """A benchmark item fully embedded in a longer training doc has
+    containment exactly 1.0 even though Jaccard is far below any
+    near-dup threshold — the property that makes containment (not
+    Jaccard) the contamination metric."""
+    from moisturizer_spark.operators.textan import containment_scores
+
+    bench = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(80))
+    train = spark.createDataFrame(
+        [(1, f"{filler} {bench} {filler}"), (2, filler)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    rows = containment_scores(
+        train, ev, n=3, min_containment=0.0
+    ).collect()
+    got = {(r["train_id"], r["eval_id"]): r["containment"] for r in rows}
+    assert got[(1, 100)] == 1.0
+    assert (2, 100) not in got  # disjoint vocab: no candidate pair at all
+
+
+def test_containment_partial_and_threshold(spark):
+    from moisturizer_spark.operators.textan import containment_scores
+
+    # eval doc has 6 tokens -> 4 distinct 3-grams; train shares the
+    # first 3 tokens -> exactly 1 gram -> containment 0.25
+    ev = spark.createDataFrame(
+        [(9, "a b c d e f")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "a b c x y z"), (2, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    rows = containment_scores(train, ev, n=3, min_containment=0.0).collect()
+    assert {(r["train_id"], r["n_shared"], r["containment"]) for r in rows} == {
+        (1, 1, 0.25)
+    }
+    # thresholding drops the pair
+    assert (
+        containment_scores(train, ev, n=3, min_containment=0.5).count() == 0
+    )
+
+
+# -- cascade filter funnel ----------------------------------------------------
+
+
+def test_cascade_attributes_first_failing_rule(spark):
+    """A doc failing several rules counts ONLY against the first — the
+    short-circuit semantics of a real filter pipeline."""
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.textan import cascade_filter_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, 5, 1),    # fails min_len AND min_uniq -> attributed min_len
+            (2, 50, 1),   # fails min_uniq only
+            (3, 50, 9),   # kept
+            (4, 2, 9),    # fails min_len
+        ],
+        "doc_id long, length long, uniq long",
+    )
+    rules = [
+        ("min_len", F.col("length") >= 10),
+        ("min_uniq", F.col("uniq") >= 5),
+    ]
+    out = {
+        r["stage"]: (r["n_docs"], r["stage_idx"])
+        for r in cascade_filter_stats(df, rules).collect()
+    }
+    assert out == {"min_len": (2, 0), "min_uniq": (1, 1), "kept": (1, 2)}
