@@ -3637,36 +3637,38 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     were the SOLE late supplier on a multi-supplier order — correlated
     EXISTS + NOT EXISTS over the same fact.
 
-    Scale: both correlated subqueries decorrelate into per-order
-    aggregates (distinct-supplier counts — combinable, one shuffle each
-    on orderkey) joined back to the late rows on the same key, so
-    nothing is re-scanned per outer row; supplier broadcasts. The
-    ORDER BY (numwait, s_name) + LIMIT is a total order, so top-10 is
-    deterministic."""
+    Scale: both correlated subqueries collapse into ONE per-order
+    aggregate over the lineitem⋈orders join — the groupBy rides the
+    join's orderkey partitioning, so the whole query is a single big
+    shuffle. The trick: a qualifying order has EXACTLY ONE distinct
+    late supplier, so ``max(when(late, suppkey))`` recovers that
+    supplier and ``sum(when(late, 1))`` its late-row count (all late
+    rows in a sole-late order belong to it) — no join back to the late
+    rows. Supplier broadcasts; ORDER BY (numwait, s_name) + LIMIT is a
+    total order, so top-10 is deterministic."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
     l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     o = t["orders"].select("o_orderkey", "o_orderdate")
-    late = (
+    is_late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 110)
+    late_supp = F.when(is_late, F.col("l_suppkey"))
+    per_order = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 110))
-        .select("l_orderkey", "l_suppkey")
-    )
-    ostats = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp")
-    )
-    lstats = late.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_late_supp")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(late_supp).alias("_n_late_supp"),
+            F.max(late_supp).alias("_late_supp"),
+            F.sum(F.when(is_late, 1).otherwise(0)).alias("_n_late_rows"),
+        )
     )
     return (
-        late.join(ostats, "l_orderkey")
-        .join(lstats, "l_orderkey")
-        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
         .join(
             F.broadcast(t["supplier"]),
-            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("_late_supp") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("_n_late_rows").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
@@ -4157,6 +4159,8 @@ _NEEDS_DRIVER_ROW = [
     "docs_benchmark_containment",
     "corpus_shard_manifest",
     "docs_quality_funnel",
+    # round 4: single-shuffle rewrite
+    "q21_waiting_suppliers",
     # round 4: tainted by operator changes (connected_components raise,
     # ddsketch NULL/validation hardening)
     "doc_dedup_clusters",

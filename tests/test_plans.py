@@ -35,6 +35,10 @@ BNLJ_ALLOWED = {
     # against the compressed code table (the linear sketch scan IS the
     # operator); the candidate fetch afterwards is an equi-join.
     "embedding_pq_top5",
+    # the global (sum, count) scalar aggregate — a literal ONE-row frame —
+    # broadcasts against customer for the above-average test; there is no
+    # equi-key by construction and the inner side is a single row
+    "q22_idle_customers",
 }
 
 
@@ -154,6 +158,60 @@ def test_runtime_bloom_filter_activates_on_large_scans(spark, sf_dir):
     finally:
         spark.conf.unset(thresh)
         spark.conf.set(bcast, prev_bcast)
+
+
+def test_q9_part_filter_pushed_and_dims_broadcast(spark, sf_dir):
+    """The part-family predicate must reach the part scan (shrinking the
+    broadcast side before it ships), and part/supplier/nation must all
+    broadcast — the fact table never shuffles for a dimension."""
+    plan = plan_of(spark, sf_dir, "q9_product_type_profit")
+    assert "StringContains(p_name,gear)" in plan, "p_name filter not pushed"
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_q21_single_pass_aggregate(spark, sf_dir):
+    """The rewrite folds both correlated subqueries into one per-order
+    aggregate over the l⋈o join: the plan must contain NO join back to
+    the late rows — just the orderkey join, the riding aggregate, and
+    one broadcast join to supplier."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    tree = plan.split("\n\n", 1)[0]
+    n_joins = sum(
+        tree.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 2, f"expected 2 joins (l⋈o + supplier), got {n_joins}:\n{tree}"
+
+
+def test_shard_manifest_single_scan_single_shuffle(spark, sf_dir):
+    """Shard assignment is a map-side md5 projection: one corpus scan,
+    partial aggregation before the only (16-group) exchange."""
+    plan = plan_of(spark, sf_dir, "corpus_shard_manifest")
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert plan.count("HashAggregate") >= 2, "no map-side partial agg"
+    # agg exchange + presentation-sort range exchange, nothing else
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_quality_funnel_single_scan_no_join(spark, sf_dir):
+    """The rule cascade is one CASE projection: a single scan, no joins,
+    partial agg before the (source, stage) exchange."""
+    plan = plan_of(spark, sf_dir, "docs_quality_funnel")
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1, tree
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, f"unexpected {bad} in funnel plan"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_containment_eval_side_broadcasts(spark, sf_dir):
+    """Both eval-side frames (gram set, per-item gram counts) must
+    broadcast — the corpus side probes map-side and never shuffles its
+    grams before the hit aggregation."""
+    plan = plan_of(spark, sf_dir, "docs_benchmark_containment")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
 
 
 def test_remove_dup_spans_plan_shape(spark, sf_dir):
