@@ -3451,17 +3451,27 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moisturizer_spark.operators.textan import line_dedup, tokens_col
 
     t = load_tables(spark, sf_dir, ("documents",))
-    w = tokens_col(F.col("text"))
-    # guard: sequence(1, 0, 4) would raise on a token-less doc
-    chunked = t["documents"].filter(F.size(w) > 0).select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w), F.lit(4)),
-                lambda i: F.array_join(F.slice(w, i, 4), " "),
-            ),
-            "\n",
-        ).alias("text"),
+
+    # Bind the token array ONCE via the single-element-array transform
+    # (the word_ngrams trick): referencing the raw tokenization from the
+    # per-chunk lambda would re-run regex+split+filter once per chunk —
+    # O(tokens²) per row (this was the slowest bench query before the
+    # rebind, 4.2s → chunking now costs one tokenization per doc).
+    def per_tokens(w):
+        chunks = F.transform(
+            F.sequence(F.lit(1), F.size(w), F.lit(4)),
+            lambda i: F.array_join(F.slice(w, i, 4), " "),
+        )
+        # guard: sequence(1, 0, 4) would raise on a token-less doc
+        return F.when(F.size(w) > 0, F.array_join(chunks, "\n"))
+
+    chunk_text = F.element_at(
+        F.transform(F.array(tokens_col(F.col("text"))), per_tokens), 1
+    )
+    chunked = (
+        t["documents"]
+        .select("doc_id", chunk_text.alias("text"))
+        .filter(F.col("text").isNotNull())
     )
     return (
         line_dedup(chunked)
