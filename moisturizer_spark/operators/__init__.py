@@ -45,3 +45,7 @@ from moisturizer_spark.operators.textan import (  # noqa: F401
     winnowing_fingerprints,
     winnowing_near_duplicates,
 )
+from moisturizer_spark.operators.tokenizer import (  # noqa: F401
+    bpe_segment,
+    bpe_train,
+)

@@ -142,6 +142,54 @@ def quota_sample(
     )
 
 
+def epoch_plan(
+    sizes: DataFrame,
+    size_col: str,
+    budget: int | Column,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Mixture → epoch planner: given per-slice available token counts
+    and a total training-token budget, compute each slice's temperature
+    weight, target token draw, and implied epoch count (passes over the
+    slice), capping repetition at ``max_epochs`` (the "don't repeat a
+    small source 40×" rule from data-constrained scaling studies).
+
+    Adds: ``mix_weight`` (∝ size^α, normalized, 6-dp), ``target_tokens``
+    (weight × budget, rounded to a whole token), ``epochs``
+    (target/available, 6-dp), ``over_cap`` (epochs exceeded the cap),
+    ``effective_tokens`` (target clamped to cap × available). The
+    uncovered remainder (Σ target − Σ effective) is the budget the
+    caller re-allocates or shrinks to.
+
+    Like :func:`temperature_weights`, this runs on an ALREADY-AGGREGATED
+    frame (one row per source/language) — window normalization over a
+    handful of rows, never the corpus. Every derived number is either an
+    exact integer or one IEEE op on identical inputs, so the plan is
+    reproducible across engines.
+    """
+    w = Window.partitionBy()
+    pw = F.pow(F.col(size_col).cast("double"), F.lit(float(alpha)))
+    weight = F.round(pw / F.sum(pw).over(w), 6)
+    budget_expr = (
+        budget if isinstance(budget, Column) else F.lit(float(budget))
+    ).cast("double")
+    out = sizes.withColumn("mix_weight", weight).withColumn(
+        "target_tokens",
+        F.round(F.col("mix_weight") * budget_expr, 0).cast("bigint"),
+    )
+    avail = F.col(size_col).cast("double")
+    epochs = F.round(F.col("target_tokens") / avail, 6)
+    cap_tokens = F.round(F.lit(float(max_epochs)) * avail, 0).cast("bigint")
+    return (
+        out.withColumn("epochs", epochs)
+        .withColumn("over_cap", F.col("epochs") > F.lit(float(max_epochs)))
+        .withColumn(
+            "effective_tokens", F.least(F.col("target_tokens"), cap_tokens)
+        )
+    )
+
+
 def shard_assign(
     key: Column, n_shards: int, salt: str = ""
 ) -> Column:

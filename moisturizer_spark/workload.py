@@ -4120,6 +4120,97 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_epoch_plan",
+    f"""
+    WITH s AS (SELECT source, CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    w AS (
+        SELECT source, n_tokens,
+               ROUND(POW(CAST(n_tokens AS DOUBLE), 0.3)
+                     / SUM(POW(CAST(n_tokens AS DOUBLE), 0.3)) OVER (), 6)
+                   AS mix_weight,
+               CAST(2 * SUM(n_tokens) OVER () AS DOUBLE) AS budget
+        FROM s
+    ),
+    t AS (
+        SELECT source, n_tokens, mix_weight,
+               CAST(ROUND(mix_weight * budget) AS BIGINT) AS target_tokens
+        FROM w
+    )
+    SELECT source, n_tokens, mix_weight, target_tokens,
+           ROUND(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS epochs,
+           ROUND(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               > 3.0 AS over_cap,
+           LEAST(target_tokens,
+                 CAST(ROUND(3.0 * CAST(n_tokens AS DOUBLE)) AS BIGINT))
+               AS effective_tokens
+    FROM t ORDER BY source
+    """,
+)
+def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture → epoch planner: turn per-source token counts plus a
+    training budget (2× the corpus here) into per-source target draws
+    and epoch counts under temperature weighting (α=0.3), capping
+    repetition at 3 epochs — the "how many passes over each source"
+    planning step that data-constrained scaling work (repeat small
+    high-quality sources a bounded number of times, never 40×) makes
+    standard before any 100 TB run.
+
+    Scale (see :func:`~moisturizer_spark.operators.sampling.
+    epoch_plan`): one corpus aggregation to ~|sources| rows; every
+    window and division after that runs on the 20-row frame. Weights are
+    6-dp-rounded before downstream arithmetic so both engines derive
+    bit-identical targets."""
+    from moisturizer_spark.operators.sampling import epoch_plan
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    sizes = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(tokens_col(F.col("text"))))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    budget = 2 * F.sum("n_tokens").over(Window.partitionBy())
+    return (
+        epoch_plan(sizes, "n_tokens", budget, alpha=0.3, max_epochs=3.0)
+        .select(
+            "source", "n_tokens", "mix_weight", "target_tokens",
+            "epochs", "over_cap", "effective_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (10 merges) over the document corpus —
+    tokenizer induction as a pipeline stage. Deterministic (count
+    argmax, lexicographic ties) but iterative, so there is no
+    single-statement SQL oracle → rows-only driver check; the merge
+    SEQUENCE is pinned against a pure-Python reference implementation in
+    ``tests/test_tokenizer.py``.
+
+    Scale (see :mod:`moisturizer_spark.operators.tokenizer`): one
+    corpus-sized word-frequency aggregation, then every iteration runs
+    on the vocabulary table only (one combinable pair-count shuffle + a
+    1-row argmax collect per merge)."""
+    from moisturizer_spark.operators.tokenizer import bpe_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    merges, vocab = bpe_train(t["documents"], n_merges=10)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")
+
+
+QUERIES["bpe_merge_table"] = bpe_merge_table
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -4171,6 +4262,11 @@ _NEEDS_DRIVER_ROW = [
     "docs_quality_funnel",
     # round 4: single-shuffle rewrite
     "q21_waiting_suppliers",
+    # round 4: mixture/epoch planner (new)
+    "source_epoch_plan",
+    # round 4: BPE trainer (new; rows-only probe — no SQL oracle for an
+    # iterative algorithm, see bpe_merge_table docstring)
+    "bpe_merge_table",
     # round 4: tainted by operator changes (connected_components raise,
     # ddsketch NULL/validation hardening)
     "doc_dedup_clusters",

@@ -134,3 +134,28 @@ def test_shard_manifest_partitions_corpus_exactly(spark):
     assert all(0 <= r["shard"] < 8 for r in m)
     assert all(0 <= r["key_checksum"] < 2**31 for r in m)
     assert all(r["min_key"] <= r["max_key"] for r in m)
+
+
+def test_epoch_plan_caps_and_targets(spark):
+    from moisturizer_spark.operators.sampling import epoch_plan
+
+    sizes = spark.createDataFrame(
+        [("big", 9_000_000), ("small", 10_000)], "source string, n long"
+    )
+    rows = {
+        r["source"]: r
+        for r in epoch_plan(
+            sizes, "n", budget=10_000_000, alpha=0.5, max_epochs=4.0
+        ).collect()
+    }
+    big, small = rows["big"], rows["small"]
+    # sqrt weighting: 3000/(3000+100) ~ 0.967742, 100/3100 ~ 0.032258
+    assert abs(big["mix_weight"] - 0.967742) < 1e-9
+    assert big["target_tokens"] == 9_677_420
+    # big source: ~1.08 epochs, under cap
+    assert not big["over_cap"]
+    assert big["effective_tokens"] == big["target_tokens"]
+    # small source: 322,580 target over 10k available = 32 epochs -> capped
+    assert small["over_cap"]
+    assert small["effective_tokens"] == 40_000  # 4 epochs x 10k
+    assert small["target_tokens"] == 322_580
