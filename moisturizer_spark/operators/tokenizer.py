@@ -113,10 +113,24 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _merge_local(syms: list[str], left: str, right: str) -> list[str]:
+    """Driver-side mirror of :func:`merge_pair_expr` (same greedy scan)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    local_vocab_threshold: int = 100_000,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merge rules from a corpus.
 
@@ -124,14 +138,47 @@ def bpe_train(
     (rank, left, right, weighted_pair_count) in learn order, and
     ``vocab`` the final (word, freq, syms) frame with all merges applied.
 
-    Per iteration: one pair-count shuffle over the VOCAB table (not the
-    corpus) and one 1-row argmax collect — bounded by construction. The
-    vocab frame is re-cached each iteration so merge ``i`` never
-    re-derives merges ``1..i-1``; peak storage is two vocab-sized frames.
+    Size-gated execution (the connected-components pattern,
+    ``dedup._star_components``): after the one corpus-sized
+    word-frequency aggregation, a vocabulary of ≤ ``local_vocab_threshold``
+    rows is collected ONCE (a bounded collect — vocabularies are 10^5–10^7
+    entries regardless of corpus size; the default gate is ~10 MB) and the
+    merge loop runs on the driver — 10 Spark jobs become 1, and the loop
+    is pure integer counting. Above the gate, the loop stays distributed:
+    per iteration one combinable pair-count shuffle over the vocab table
+    plus a 1-row argmax collect, the merge applied as a JVM ``aggregate``
+    fold, and the frame re-cached so merge ``i`` never re-derives merges
+    ``1..i-1``. Both paths implement the identical deterministic
+    algorithm (count argmax, lexicographic ties) and are pinned equal in
+    ``tests/test_tokenizer.py``.
     """
     vocab = word_freq_table(df, text_col).cache()
-    vocab.count()  # materialize before the loop
+    n_vocab = vocab.count()  # materialize before the loop
     merges: list[tuple[int, str, str, int]] = []
+
+    if n_vocab <= local_vocab_threshold:
+        rows = vocab.collect()  # bounded by the gate above
+        vocab.unpersist()
+        freq = {r["word"]: r["freq"] for r in rows}
+        local = {r["word"]: list(r["syms"]) for r in rows}
+        for rank in range(n_merges):
+            pairs: dict[tuple[str, str], int] = {}
+            for w, syms in local.items():
+                f = freq[w]
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + f
+            if not pairs:
+                break
+            (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, int(n)))
+            local = {w: _merge_local(s, l, r) for w, s in local.items()}
+        spark = df.sparkSession
+        out_vocab = spark.createDataFrame(
+            [(w, freq[w], local[w]) for w in sorted(local)],
+            "word string, freq bigint, syms array<string>",
+        )
+        return merges, out_vocab
+
     for rank in range(n_merges):
         top = (
             _pair_counts(vocab)

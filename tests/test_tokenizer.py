@@ -66,9 +66,22 @@ CORPUS = [
 
 
 def test_bpe_merge_sequence_matches_reference(spark):
+    """Default path: vocab under the size gate -> driver-local loop."""
     df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
     merges, vocab = bpe_train(df, n_merges=8)
     ref_merges, ref_vocab = _ref_bpe(CORPUS, n_merges=8)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert got == ref_vocab
+    vocab.unpersist()
+
+
+def test_bpe_distributed_path_matches_local(spark):
+    """Force the distributed loop (threshold=0): identical merge
+    sequence and final vocab as the size-gated local solve."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, vocab = bpe_train(df, n_merges=6, local_vocab_threshold=0)
+    ref_merges, ref_vocab = _ref_bpe(CORPUS, n_merges=6)
     assert merges == ref_merges
     got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
     assert got == ref_vocab
