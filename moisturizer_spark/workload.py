@@ -3647,38 +3647,40 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     were the SOLE late supplier on a multi-supplier order — correlated
     EXISTS + NOT EXISTS over the same fact.
 
-    Scale: both correlated subqueries collapse into ONE per-order
-    aggregate over the lineitem⋈orders join — the groupBy rides the
-    join's orderkey partitioning, so the whole query is a single big
-    shuffle. The trick: a qualifying order has EXACTLY ONE distinct
-    late supplier, so ``max(when(late, suppkey))`` recovers that
-    supplier and ``sum(when(late, 1))`` its late-row count (all late
-    rows in a sole-late order belong to it) — no join back to the late
-    rows. Supplier broadcasts; ORDER BY (numwait, s_name) + LIMIT is a
-    total order, so top-10 is deterministic."""
+    Scale: both correlated subqueries decorrelate into per-order
+    aggregates (distinct-supplier counts — combinable, one shuffle each
+    on orderkey) joined back to the late rows on the same key, so
+    nothing is re-scanned per outer row; supplier broadcasts. The
+    ORDER BY (numwait, s_name) + LIMIT is a total order, so top-10 is
+    deterministic. Two alternatives were measured SLOWER at sf0.1 and
+    rejected: folding both subqueries into one groupBy with two
+    countDistincts (Expand triples the aggregate input), and a
+    two-level (orderkey, suppkey) → orderkey rollup (little map-side
+    collapse, one extra full shuffle of the pairs)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
     l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     o = t["orders"].select("o_orderkey", "o_orderdate")
-    is_late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 110)
-    late_supp = F.when(is_late, F.col("l_suppkey"))
-    per_order = (
+    late = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("_n_supp"),
-            F.countDistinct(late_supp).alias("_n_late_supp"),
-            F.max(late_supp).alias("_late_supp"),
-            F.sum(F.when(is_late, 1).otherwise(0)).alias("_n_late_rows"),
-        )
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 110))
+        .select("l_orderkey", "l_suppkey")
+    )
+    ostats = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp")
+    )
+    lstats = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_late_supp")
     )
     return (
-        per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        late.join(ostats, "l_orderkey")
+        .join(lstats, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
         .join(
             F.broadcast(t["supplier"]),
-            F.col("_late_supp") == F.col("s_suppkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.sum("_n_late_rows").cast("bigint").alias("numwait"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
@@ -4186,6 +4188,65 @@ def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_vocab_growth",
+    f"""
+    WITH w AS (
+        SELECT source, doc_id, unnest({_SQL_TOKS}) AS word
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*), 6)
+               AS type_token_ratio,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 10 = 0 THEN word END)
+                AS BIGINT) AS n_types_10pct
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth diagnostics per source: distinct word types,
+    token volume, type-token ratio, and the type count of a
+    deterministic 10% document sample — the Heaps'-law curvature check
+    (types(10%) vs types(100%)) that distinguishes an open-vocabulary
+    crawl from template spam before tokenizer training.
+
+    Scale: written as a two-level aggregation — (source, word) partials
+    first, then per-source totals — instead of multi-DISTINCT
+    aggregates, which would Expand-duplicate every token row 3× before
+    the shuffle. The heavy shuffle is keyed (source, word) with map-side
+    combine; the second aggregation runs over vocabulary-sized rows.
+    The ratio is one IEEE division of two exact integers."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = t["documents"].select(
+        "source",
+        "doc_id",
+        F.explode(tokens_col(F.col("text"))).alias("word"),
+    )
+    per_word = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("_n_occ"),
+        F.max(
+            F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
+        ).alias("_in_sample"),
+    )
+    n_types = F.count(F.lit(1))
+    return (
+        per_word.groupBy("source")
+        .agg(
+            n_types.cast("bigint").alias("n_types"),
+            F.sum("_n_occ").cast("bigint").alias("n_tokens"),
+            F.round(
+                n_types.cast("double") / F.sum("_n_occ"), 6
+            ).alias("type_token_ratio"),
+            F.sum("_in_sample").cast("bigint").alias("n_types_10pct"),
+        )
+        .orderBy("source")
+    )
+
+
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (10 merges) over the document corpus —
     tokenizer induction as a pipeline stage. Deterministic (count
@@ -4267,6 +4328,8 @@ _NEEDS_DRIVER_ROW = [
     # round 4: BPE trainer (new; rows-only probe — no SQL oracle for an
     # iterative algorithm, see bpe_merge_table docstring)
     "bpe_merge_table",
+    # round 4: vocabulary-growth diagnostics (new)
+    "docs_vocab_growth",
     # round 4: tainted by operator changes (connected_components raise,
     # ddsketch NULL/validation hardening)
     "doc_dedup_clusters",

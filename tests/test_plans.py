@@ -169,18 +169,15 @@ def test_q9_part_filter_pushed_and_dims_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
 
 
-def test_q21_single_pass_aggregate(spark, sf_dir):
-    """The rewrite folds both correlated subqueries into one per-order
-    aggregate over the l⋈o join: the plan must contain NO join back to
-    the late rows — just the orderkey join, the riding aggregate, and
-    one broadcast join to supplier."""
+def test_q21_no_expand_in_distinct_aggs(spark, sf_dir):
+    """Q21's two distinct-supplier counts must stay SEPARATE single-
+    distinct aggregates (each plans as a two-level partial agg). Folding
+    them into one groupBy looks tidier but makes Catalyst emit an Expand
+    that triples the aggregate input — measured ~25% slower end-to-end
+    at sf0.1 (see the query docstring for the rejected alternatives)."""
     plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
     tree = plan.split("\n\n", 1)[0]
-    n_joins = sum(
-        tree.count(j)
-        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
-    )
-    assert n_joins == 2, f"expected 2 joins (l⋈o + supplier), got {n_joins}:\n{tree}"
+    assert "Expand" not in tree, f"Expand leaked into the q21 plan:\n{tree}"
 
 
 def test_shard_manifest_single_scan_single_shuffle(spark, sf_dir):
