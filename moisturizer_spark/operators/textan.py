@@ -393,6 +393,27 @@ def containment_scores(
     )
 
 
+def default_quality_rules(
+    text_col: str = "text", n_chars_col: str = "n_chars"
+) -> list[tuple[str, Column]]:
+    """The calibrated C4/Gopher-style rule cascade shared by the quality
+    funnel and the curation pipeline (kept in ONE place so their driver
+    checks can never drift): min length → min words → mean token length
+    → repetitiveness. All thresholds are integer-exact (ratio tests
+    multiplied through) so any engine buckets identically."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    alnum = F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9]", ""))
+    return [
+        ("min_chars", F.col(n_chars_col) >= 100),
+        ("min_words", n_words >= 20),
+        ("mean_word_len", alnum <= 5 * n_words),
+        ("repetition", 5 * n_uniq >= 2 * n_words),
+    ]
+
+
 def cascade_filter_stats(
     df: DataFrame,
     rules: list[tuple[str, Column]],

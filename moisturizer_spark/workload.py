@@ -4100,21 +4100,14 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~moisturizer_spark.operators.textan.cascade_filter_stats`):
     the cascade is one CASE projection inside whole-stage codegen; the
     only shuffle aggregates (source, stage) pairs."""
-    from moisturizer_spark.operators.textan import cascade_filter_stats
+    from moisturizer_spark.operators.textan import (
+        cascade_filter_stats,
+        default_quality_rules,
+    )
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    text = F.col("text")
-    toks = tokens_col(text)
-    n_words = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    alnum = F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9]", ""))
-    rules = [
-        ("min_chars", F.col("n_chars") >= 100),
-        ("min_words", n_words >= 20),
-        ("mean_word_len", alnum <= 5 * n_words),
-        ("repetition", 5 * n_uniq >= 2 * n_words),
-    ]
+    rules = default_quality_rules()
     return (
         cascade_filter_stats(docs, rules, group_cols=["source"])
         .select("source", "stage", F.col("n_docs").cast("bigint").alias("n_docs"), "stage_idx")
@@ -4186,6 +4179,96 @@ def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _curation_report_sql() -> str:
+    n_words = f"len({_SQL_TOKS})"
+    n_uniq = f"len(list_distinct({_SQL_TOKS}))"
+    alnum = "length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+    q = (
+        f"(n_chars >= 100 AND {n_words} >= 20 AND {alnum} <= 5 * {n_words} "
+        f"AND 5 * {n_uniq} >= 2 * {n_words})"
+    )
+    return f"""
+    WITH fp AS (
+        SELECT doc_id, n_chars, {q} AS q, md5({_SQL_NORM_TEXT}) AS fp
+        FROM documents WHERE doc_id % 50 <> 0
+    ),
+    rn AS (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp WHERE q
+    ),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> md5(array_to_string(w[i:i+2], ' ')))) AS gh
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0),
+    hits AS (
+        SELECT g.doc_id, COUNT(DISTINCT g.gh) AS ns
+        FROM g JOIN ev USING (gh)
+        WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id
+    ),
+    flags AS (
+        SELECT f.n_chars, f.q,
+               (f.q AND COALESCE(r.rn, 0) = 1) AS uniq,
+               (f.q AND COALESCE(r.rn, 0) = 1 AND COALESCE(h.ns, 0) < 2) AS clean
+        FROM fp f
+        LEFT JOIN rn r USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT * FROM (
+        SELECT 'input' AS stage, CAST(0 AS INT) AS stage_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars
+        FROM flags
+        UNION ALL
+        SELECT 'quality', CAST(1 AS INT),
+               CAST(COUNT(*) FILTER (WHERE q) AS BIGINT),
+               CAST(COALESCE(SUM(n_chars) FILTER (WHERE q), 0) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'exact_dedup', CAST(2 AS INT),
+               CAST(COUNT(*) FILTER (WHERE uniq) AS BIGINT),
+               CAST(COALESCE(SUM(n_chars) FILTER (WHERE uniq), 0) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'decontaminated', CAST(3 AS INT),
+               CAST(COUNT(*) FILTER (WHERE clean) AS BIGINT),
+               CAST(COALESCE(SUM(n_chars) FILTER (WHERE clean), 0) AS BIGINT)
+        FROM flags
+    ) ORDER BY stage_idx
+    """
+
+
+@query("docs_curation_report", _curation_report_sql())
+def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: quality cascade → exact dedup →
+    benchmark decontamination, reported as per-stage survivor counts
+    (docs + chars) from one composed plan — the go/no-go report a
+    pipeline owner reads before committing a 100 TB run, and the query
+    that proves the three stages compose without three separate jobs.
+
+    Stage semantics nest (each survivor set is a subset of the
+    previous); the quality rules are shared with ``docs_quality_funnel``
+    via :func:`~moisturizer_spark.operators.textan.
+    default_quality_rules` so the two reports can never drift. Scale
+    (see :func:`~moisturizer_spark.operators.pipeline.curation_report`):
+    two pruned corpus scans; the dedup window shuffles (id, size, flag,
+    hash) — never text; contamination grams probe a broadcast eval set
+    map-side."""
+    from moisturizer_spark.operators.pipeline import curation_report
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    return curation_report(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+        min_shared=2,
+    ).orderBy("stage_idx")
 
 
 @query(
@@ -4330,6 +4413,9 @@ _NEEDS_DRIVER_ROW = [
     "bpe_merge_table",
     # round 4: vocabulary-growth diagnostics (new)
     "docs_vocab_growth",
+    # round 4: end-to-end curation funnel (new; docs_quality_funnel —
+    # which shares default_quality_rules with it — is already above)
+    "docs_curation_report",
     # round 4: tainted by operator changes (connected_components raise,
     # ddsketch NULL/validation hardening)
     "doc_dedup_clusters",
