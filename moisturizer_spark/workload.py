@@ -4181,6 +4181,400 @@ def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    with at least one slow lineitem (shipped >90 days after the order —
+    this schema's stand-in for commit-vs-receipt lateness), counted by
+    priority. The correlated EXISTS must become a LEFT SEMI join, not a
+    per-order subquery.
+
+    Scale: the quarter filter pushes to the orders scan (~1/27 of
+    rows); the semi join is the only real shuffle and its probe side
+    carries (orderkey, shipdate) only; the priority aggregate is 5
+    groups with map-side combine."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(CAST(SUM({_sql_p('l_extendedprice')} * {_sql_r('l_discount')})
+                AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND {_sql_r('l_discount')} BETWEEN CAST(0.05 AS {_SQL_RATE})
+                                     AND CAST(0.07 AS {_SQL_RATE})
+      AND l_quantity < 24
+    GROUP BY ALL
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): a pure filter-aggregate —
+    the canonical predicate-pushdown / whole-stage-codegen probe. Every
+    predicate (date range, discount band, quantity) must reach the
+    parquet scan; the single-group sum is map-combined partials with no
+    meaningful shuffle.
+
+    Decimal discount comparisons (not doubles) so the band edges bucket
+    identically in both engines."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & _r("l_discount").between(
+                F.lit(0.05).cast(_RATE), F.lit(0.07).cast(_RATE)
+            )
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _d(F.sum(_p("l_extendedprice") * _r("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    WITH base AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST({_SQL_REV} AS DECIMAL(28,10)) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                              ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR)
+                AS DOUBLE)
+           / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM base
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    share of revenue delivered into one customer region, by year —
+    the deepest join tree in the suite (lineitem⋈orders⋈customer⋈
+    nation⋈region⋈supplier⋈nation, nation twice under different roles).
+
+    Scale: customer-side dims (customer, nation, region) and
+    supplier-side dims broadcast — the region filter prunes the
+    customer side before its broadcast; the only corpus-sized shuffle
+    is lineitem⋈orders on orderkey. Share is a ratio of two exact
+    decimal sums per year, divided once."""
+    t = load_tables(
+        spark, sf_dir,
+        ("lineitem", "orders", "customer", "nation", "region", "supplier"),
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    amer = t["region"].filter(F.col("r_name") == "AMERICA")
+    cust = (
+        t["customer"]
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(amer), F.col("cn_region") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    vol = _rev().cast("decimal(28,10)")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                _d(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "BRAZIL", F.col("volume"))
+                        .otherwise(zero)
+                    )
+                )
+                / _d(F.sum("volume"))
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name AS nation,
+           CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers who returned
+    the most revenue in a half-year — the "who should support call
+    first" top-k over a 4-table join.
+
+    Scale: the returnflag filter pushes to the lineitem scan and the
+    date window to orders BEFORE the join; customer and nation
+    broadcast; one orderkey shuffle + one custkey aggregate. Top-20 is
+    totally ordered by (revenue, custkey)."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation")
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            _d(F.sum(_rev())).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM({_sql_p('l_extendedprice')}) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'GERMANY'
+        GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(value) AS total FROM pv)
+    SELECT l_partkey,
+           CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE value * 1000 > total
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    traded value through one nation's suppliers exceeds 0.1% of that
+    nation's total — the HAVING-against-a-scalar-subquery shape. (No
+    partsupp in this schema; lineitem value through the nation's
+    suppliers stands in for stock value.)
+
+    Scale: the nation filter prunes supplier before its broadcast; one
+    partkey aggregate; the global total is a one-row broadcast and the
+    0.1% test multiplies through (value·1000 > total) so the comparison
+    is exact decimal — no division, no float threshold."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    de = t["nation"].filter(F.col("n_name") == "GERMANY")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(de), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_p("l_extendedprice")).alias("value"))
+    )
+    tot = pv.agg(F.sum("value").alias("total"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select("l_partkey", _d(F.col("value")).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH sr AS (
+        SELECT l_suppkey, SUM({_SQL_REV}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(total_revenue) AS m FROM sr)
+    SELECT s_suppkey, s_name,
+           CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM sr CROSS JOIN mx JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = m
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) achieving the maximum
+    quarterly revenue — the view-plus-scalar-max shape. Equality
+    against the max is EXACT because revenues are decimal sums; ties
+    (all qualifying suppliers) are returned, as the spec requires.
+
+    Scale: quarter filter pushes to the scan; one suppkey aggregate;
+    the max is a one-row broadcast back onto the aggregate (no second
+    scan); supplier dim broadcasts."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    sr = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("total_revenue"))
+    )
+    mx = sr.agg(F.max("total_revenue").alias("m"))
+    return (
+        sr.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", _d(F.col("total_revenue")).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    WITH bad AS (
+        SELECT l_suppkey AS bad_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 150 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) >= 40
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l_suppkey NOT IN (SELECT bad_suppkey FROM bad)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 30
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers serve each (brand, type, size) combination, excluding a
+    blocklist of suppliers derived by a HAVING aggregate (habitually
+    very-late shippers stand in for the complaint filter) — the NOT IN
+    → left-anti shape over an aggregated subquery.
+
+    Scale: part predicates prune before the broadcast; the blocklist is
+    a tiny aggregate broadcast as an anti join (NOT IN with no nulls in
+    the key — suppkey is non-null — so anti join is semantics-exact);
+    the distinct-supplier count is one (brand,type,size)-keyed
+    aggregate. Top-30 is totally ordered."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "orders"))
+    bad = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 150), 1
+                ).otherwise(0)
+            ).alias("_n_late")
+        )
+        .filter(F.col("_n_late") >= 40)
+        .select(F.col("l_suppkey").alias("bad_suppkey"))
+    )
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(30)
+    )
+
+
 def _curation_report_sql() -> str:
     n_words = f"len({_SQL_TOKS})"
     n_uniq = f"len(list_distinct({_SQL_TOKS}))"
@@ -4416,6 +4810,14 @@ _NEEDS_DRIVER_ROW = [
     # round 4: end-to-end curation funnel (new; docs_quality_funnel —
     # which shares default_quality_rules with it — is already above)
     "docs_curation_report",
+    # round 4: completing the TPC-H shape family (new)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
     # round 4: tainted by operator changes (connected_components raise,
     # ddsketch NULL/validation hardening)
     "doc_dedup_clusters",

@@ -39,6 +39,10 @@ BNLJ_ALLOWED = {
     # broadcasts against customer for the above-average test; there is no
     # equi-key by construction and the inner side is a single row
     "q22_idle_customers",
+    # same one-row scalar-aggregate broadcast shape: the 0.1%-of-total
+    # threshold (Q11) and the max-revenue equality (Q15)
+    "q11_important_stock",
+    "q15_top_supplier",
 }
 
 
