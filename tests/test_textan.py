@@ -748,3 +748,71 @@ def test_cascade_attributes_first_failing_rule(spark):
         for r in cascade_filter_stats(df, rules).collect()
     }
     assert out == {"min_len": (2, 0), "min_uniq": (1, 1), "kept": (1, 2)}
+
+
+# -- remove_dup_spans: property test vs a pure-Python reference ---------------
+
+
+def _span_removal_ref(corpus: dict[int, str], n: int) -> dict[int, tuple]:
+    """Reference ExactSubstr semantics (see remove_dup_spans docstring):
+    a gram occurrence is removable iff its gram occurs elsewhere in the
+    corpus and this occurrence is not globally first in (id, pos) order;
+    a token dies when any removable occurrence covers it."""
+    import re as _re
+
+    toks = {
+        i: [w for w in _re.split(r"\s+", _re.sub(r"[^a-z0-9\s]", " ", t.lower())) if w]
+        for i, t in corpus.items()
+    }
+    occ: dict[str, list] = {}
+    for i in sorted(toks):
+        ws = toks[i]
+        for p in range(len(ws) - n + 1):
+            occ.setdefault(" ".join(ws[p : p + n]), []).append((i, p))
+    out = {}
+    for i in sorted(toks):
+        ws = toks[i]
+        if not ws:
+            continue
+        dead = [False] * len(ws)
+        for g, sites in occ.items():
+            if len(sites) < 2:
+                continue
+            first = min(sites)
+            for (d, p) in sites:
+                if d == i and (d, p) != first:
+                    for t in range(p, p + n):
+                        dead[t] = True
+        kept = [w for w, dd in zip(ws, dead) if not dd]
+        if kept:
+            out[i] = (" ".join(kept), len(kept), sum(dead))
+    return out
+
+
+def test_remove_dup_spans_random_corpora_match_reference(spark):
+    """Randomized corpora over a tiny alphabet (forcing gram collisions)
+    must match the reference implementation exactly — text, kept count,
+    and removed count per document."""
+    import random
+
+    from moisturizer_spark.operators.textan import remove_dup_spans
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n_docs = rng.randint(1, 6)
+        corpus = {
+            i: " ".join(
+                rng.choice("a b c d".split())
+                for _ in range(rng.randint(0, 12))
+            )
+            for i in range(n_docs)
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_removed"])
+            for r in remove_dup_spans(df, n=3).collect()
+        }
+        ref = _span_removal_ref(corpus, n=3)
+        assert got == ref, f"trial {trial}: corpus={corpus}"
