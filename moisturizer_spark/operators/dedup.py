@@ -60,6 +60,7 @@ def incremental_exact_dedup(
     store,
     text_col: str = "text",
     id_col: str = "doc_id",
+    record: bool = True,
 ) -> DataFrame:
     """Exact dedup of a NEW batch against a persisted fingerprint store
     — the streaming-corpus pattern: dedup state is a keyed table
@@ -78,6 +79,14 @@ def incremental_exact_dedup(
     document text never shuffles. The store is bucketed on the
     fingerprint, so at 100 TB the join co-partitions store-side reads
     by bucket; the store row is 2 small strings per unique document.
+
+    ``record=False`` skips the store upsert and only computes the
+    survivors — for callers that must sequence the two table writes
+    themselves under per-table txn watermarks (the replay-safe streaming
+    pattern in :func:`moisturizer_spark.streaming.curation.
+    start_curation_stream`, which appends survivors to the curated table
+    BEFORE recording their fingerprints so a crash between the writes
+    re-derives the identical survivor set on replay).
     """
     batch = exact_dedup(new_docs, text_col=text_col, id_col=id_col)
     if store.exists():
@@ -86,10 +95,12 @@ def incremental_exact_dedup(
     # cut the plan: the upsert below reads the survivors, and the caller
     # reads them again — one computation, two consumers
     batch = materialize(batch)
-    fps = batch.select(
-        F.col("fp").alias(store.key), F.col(id_col).cast("string").alias("first_doc_id")
-    )
-    store.upsert(fps)
+    if record:
+        fps = batch.select(
+            F.col("fp").alias(store.key),
+            F.col(id_col).cast("string").alias("first_doc_id"),
+        )
+        store.upsert(fps)
     return batch
 
 
