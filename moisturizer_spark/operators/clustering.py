@@ -91,19 +91,27 @@ def kmeans_fit(
     vec_col: str = "embedding",
     max_iter: int = 10,
     tol: float = 1e-6,
+    local_threshold: int = 200_000,
 ) -> list[list[float]]:
     """Lloyd k-means; returns the final k×dim centroid matrix.
 
-    Iterations: one Arrow-batched map stage (numpy argmin assignment
-    fused with per-partition partial sums, ≤ k output rows per
-    partition, no shuffle) → driver folds partials into new means →
-    stop when max centroid movement² ≤ ``tol`` or ``max_iter``. Empty
-    clusters keep their previous centroid (standard Lloyd fallback).
+    Size-gated execution (the connected-components / BPE pattern): a
+    corpus of ≤ ``local_threshold`` vectors is collected ONCE (bounded:
+    200k × dim-64 doubles ≈ 100 MB) and all Lloyd iterations run as one
+    driver-side numpy loop — ``max_iter`` Spark jobs become one collect.
+    Above the gate, each iteration is one Arrow-batched map stage (numpy
+    argmin assignment fused with per-partition partial sums, ≤ k output
+    rows per partition, no shuffle) → driver folds partials into new
+    means. Both paths: deterministic md5-ranked init, empty clusters
+    keep their previous centroid, stop when max centroid movement² ≤
+    ``tol`` or ``max_iter``. Assignments are identical across paths;
+    centroid floats can differ in the last ulp (partial-sum association)
+    — pinned ≈-equal in ``tests/test_clustering.py``.
 
     The projected (id, vector-as-double) frame is persisted once for the
     whole fit (released on return via :func:`cache_scope`) so each
-    iteration reads the cached columnar batch instead of re-scanning and
-    re-casting the source table ``max_iter`` times.
+    distributed iteration reads the cached columnar batch instead of
+    re-scanning and re-casting the source table ``max_iter`` times.
     """
     with cache_scope():
         vecs = materialize(
@@ -112,7 +120,55 @@ def kmeans_fit(
                 F.col(vec_col).cast("array<double>").alias("_v"),
             )
         )
+        if vecs.count() <= local_threshold:
+            return _fit_local(vecs.collect(), k, max_iter, tol)
         return _fit_iterations(vecs, k, max_iter, tol)
+
+
+def _fit_local(rows, k: int, max_iter: int, tol: float) -> list[list[float]]:
+    """Driver-side Lloyd mirroring :func:`_fit_iterations` semantics
+    exactly (same init ranking as :func:`_initial_centroids`: md5 of the
+    stringified id, id tiebreak)."""
+    import hashlib
+
+    import numpy as np
+
+    ranked = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(str(r["_id"]).encode("utf-8")).hexdigest(),
+            r["_id"],
+        ),
+    )
+    if len(ranked) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(ranked)}")
+    centroids = np.asarray(
+        [[float(v) for v in r["_v"]] for r in ranked[:k]], dtype=np.float64
+    )
+    X = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+
+    def assign(C):
+        # blocked argmin: caps the n×k×dim broadcast temp at ~40 MB
+        # (8192 × k × dim doubles), same bound the Arrow kernel gets
+        # from its batch size
+        out = np.empty(len(X), dtype=np.int64)
+        for s in range(0, len(X), 8192):
+            blk = X[s : s + 8192]
+            out[s : s + 8192] = (
+                ((blk[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            )
+        return out
+
+    for _ in range(max_iter):
+        a = assign(centroids)
+        new = centroids.copy()  # empty clusters keep their centroid
+        for ki in np.unique(a):
+            new[ki] = X[a == ki].mean(0)
+        moved = float(((new - centroids) ** 2).sum(axis=1).max())
+        centroids = new
+        if moved <= tol:
+            break
+    return [[float(v) for v in row] for row in centroids]
 
 
 def _recenter_partials(vecs: DataFrame, centroids) -> list:

@@ -106,3 +106,20 @@ def test_empty_cluster_keeps_centroid(spark):
     )
     cents = kmeans_fit(df, k=3, max_iter=4)
     assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+
+
+def test_local_and_distributed_paths_agree(spark, sf_dir):
+    """The size-gated driver solve and the Arrow partial-sum loop must
+    produce the same assignments and ≈-equal centroids (floats may
+    differ in the last ulp from partial-sum association)."""
+    import numpy as np
+
+    from moisturizer_spark.operators.clustering import assign_clusters, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    local = kmeans_fit(emb, k=5, max_iter=3)                      # gated path
+    dist = kmeans_fit(emb, k=5, max_iter=3, local_threshold=0)    # forced distributed
+    assert np.allclose(np.asarray(local), np.asarray(dist), atol=1e-8)
+    a = assign_clusters(emb, local).select("vec_id", "cluster")
+    b = assign_clusters(emb, dist).select("vec_id", "cluster")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
