@@ -71,3 +71,83 @@ def test_sample_frames(media):
     assert [bytes(r["frame"]) for r in got] == [b"\x89PNG", b"-fak"]
     # null-payload rows produce no frames
     assert frames.filter(F.col("doc_id") == 4).count() == 0
+
+
+# -- real decoders (library-free formats) -------------------------------------
+
+
+def _make_ppm(w, h, comment=False):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    header = b"P6\n"
+    if comment:
+        header += b"# a comment line\n"
+    header += f"{w} {h}\n255\n".encode()
+    return header + img.tobytes(), img
+
+
+def _make_wav(rate=8000, n=1600, ch=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n) / rate
+    x = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    data = np.repeat(x[:, None], ch, axis=1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(data.tobytes())
+    return buf.getvalue(), data
+
+
+def test_decode_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import decode_ppm
+
+    payload, img = _make_ppm(5, 4, comment=True)
+    out = decode_ppm(payload)
+    assert out.shape == (4, 5, 3)
+    assert np.array_equal(out, img)
+
+
+def test_decode_wav_roundtrip():
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import decode_wav
+
+    payload, data = _make_wav(rate=8000, n=1600, ch=2)
+    rate, out = decode_wav(payload)
+    assert rate == 8000
+    assert out.shape == (1600, 2)
+    assert np.array_equal(out, data)
+
+
+def test_real_feature_extraction_through_spark(spark):
+    """End-to-end: PPM and WAV payloads as binary columns, features
+    extracted via the Arrow mapInPandas path with the REAL decoders."""
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import (
+        extract_features,
+        ppm_features,
+        wav_features,
+    )
+
+    ppm, img = _make_ppm(6, 2)
+    df = spark.createDataFrame([(1, bytearray(ppm))], "doc_id long, content binary")
+    feats = extract_features(df, extractor=ppm_features).first()["features"]
+    assert feats[:3] == [6.0, 2.0, 3.0]
+    assert abs(feats[3] - img[:, :, 0].mean()) < 0.01
+
+    wav, _ = _make_wav(rate=4000, n=800)
+    df2 = spark.createDataFrame([(2, bytearray(wav))], "doc_id long, content binary")
+    f2 = extract_features(df2, extractor=wav_features).first()["features"]
+    assert f2[0] == 4000.0 and f2[1] == 800.0
+    assert abs(f2[3] - 0.2) < 1e-6  # 800 samples at 4 kHz = 0.2 s
