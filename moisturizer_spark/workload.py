@@ -4810,6 +4810,8 @@ _NEEDS_DRIVER_ROW = [
     # round 4: end-to-end curation funnel (new; docs_quality_funnel —
     # which shares default_quality_rules with it — is already above)
     "docs_curation_report",
+    # round 4: tainted by the real PPM/WAV decoders landing in multimodal.py
+    "multimodal_payload_stats",
     # round 4: completing the TPC-H shape family (new)
     "q4_order_priority",
     "q6_forecast_revenue",
