@@ -190,6 +190,61 @@ def epoch_plan(
     )
 
 
+def expand_epochs(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    size_col: str = "n_tokens",
+    out_col: str = "epoch_idx",
+    salt: str = "epoch:",
+) -> DataFrame:
+    """EXECUTE an epoch plan (:func:`epoch_plan`): materialize the
+    per-source repetition as (document, epoch_idx) rows — ``⌊e⌋`` full
+    passes over every document plus a deterministic hash-selected
+    fraction ``e − ⌊e⌋`` of documents in the final partial epoch, where
+    ``e = effective_tokens / available``.
+
+    Selection for the partial epoch is md5-keyed on (id, epoch) — the
+    same document set is chosen on every run and engine (the property
+    ``df.sample`` lacks), and distinct epochs draw independent samples.
+    ``e`` is an IEEE division of two exact integers, so ``⌊e⌋`` and the
+    fraction agree bit-for-bit across engines.
+
+    Scale: ``plan`` is a ~|sources|-row frame — it broadcasts; the
+    explode multiplies rows by ≤ cap (the plan's ``max_epochs``), which
+    is the intended output size of the mixing step; nothing shuffles
+    until the caller aggregates or writes.
+    """
+    e = (
+        F.col("effective_tokens").cast("double")
+        / F.col(size_col).cast("double")
+    )
+    joined = docs.join(
+        F.broadcast(plan.select(source_col, size_col, "effective_tokens")),
+        source_col,
+    )
+    with_e = joined.withColumn("_n_full", F.floor(e).cast("int")).withColumn(
+        "_frac", e - F.floor(e)
+    )
+    exploded = with_e.withColumn(
+        out_col, F.explode(F.sequence(F.lit(0), F.col("_n_full")))
+    )
+    pick_key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col(out_col).cast("string")
+    )
+    return exploded.filter(
+        (F.col(out_col) < F.col("_n_full"))
+        | (hash_fraction(pick_key, salt) < F.col("_frac"))
+    ).drop("_n_full", "_frac", size_col, "effective_tokens")
+
+
+def sql_epoch_pick(id_sql: str, epoch_sql: str, salt: str = "epoch:") -> str:
+    """DuckDB rendering of :func:`expand_epochs`'s partial-epoch pick."""
+    key = f"CAST({id_sql} AS VARCHAR) || ':' || CAST({epoch_sql} AS VARCHAR)"
+    return sql_hash_fraction(key, salt)
+
+
 def shard_assign(
     key: Column, n_shards: int, salt: str = ""
 ) -> Column:

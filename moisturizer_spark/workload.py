@@ -4724,6 +4724,86 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_mixture_sql() -> str:
+    from moisturizer_spark.operators.sampling import sql_epoch_pick
+
+    pick = sql_epoch_pick("doc_id", "epoch_idx")
+    return f"""
+    WITH s AS (SELECT source, CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    w AS (
+        SELECT source, n_tokens,
+               ROUND(POW(CAST(n_tokens AS DOUBLE), 0.3)
+                     / SUM(POW(CAST(n_tokens AS DOUBLE), 0.3)) OVER (), 6)
+                   AS mix_weight,
+               CAST(2 * SUM(n_tokens) OVER () AS DOUBLE) AS budget
+        FROM s
+    ),
+    p AS (
+        SELECT source, n_tokens,
+               LEAST(CAST(ROUND(mix_weight * budget) AS BIGINT),
+                     CAST(ROUND(3.0 * CAST(n_tokens AS DOUBLE)) AS BIGINT))
+                   AS effective_tokens
+        FROM w
+    ),
+    x AS (
+        SELECT d.source, d.doc_id, d.n_chars,
+               CAST(effective_tokens AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS e
+        FROM documents d JOIN p USING (source)
+    ),
+    ex AS (
+        SELECT source, doc_id, n_chars, e,
+               unnest(range(0, CAST(floor(e) AS BIGINT) + 1)) AS epoch_idx
+        FROM x
+    )
+    SELECT source, CAST(epoch_idx AS INT) AS epoch_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ex
+    WHERE epoch_idx < floor(e) OR {pick} < e - floor(e)
+    GROUP BY source, epoch_idx
+    ORDER BY source, epoch_idx
+    """
+
+
+@query("source_epoch_mixture", _epoch_mixture_sql())
+def source_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the epoch plan (`source_epoch_plan` materialized): every
+    document appears once per full epoch of its source plus a
+    deterministic md5-selected fraction in the final partial epoch —
+    reported as per-(source, epoch) document and char volumes, the
+    manifest of what a mixing writer would actually emit.
+
+    Scale (see :func:`~moisturizer_spark.operators.sampling.
+    expand_epochs`): the plan is a ~20-row broadcast; the explode's
+    fan-out is bounded by the 3-epoch cap and IS the intended output;
+    the only shuffle aggregates (source, epoch) groups."""
+    from moisturizer_spark.operators.sampling import epoch_plan, expand_epochs
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("source", "doc_id", "n_chars")
+    sizes = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(tokens_col(F.col("text"))))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    budget = 2 * F.sum("n_tokens").over(Window.partitionBy())
+    plan = epoch_plan(sizes, "n_tokens", budget, alpha=0.3, max_epochs=3.0)
+    return (
+        expand_epochs(docs, plan)
+        .groupBy("source", "epoch_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source", "epoch_idx")
+    )
+
+
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (10 merges) over the document corpus —
     tokenizer induction as a pipeline stage. Deterministic (count
@@ -4800,8 +4880,9 @@ _NEEDS_DRIVER_ROW = [
     "docs_quality_funnel",
     # round 4: single-shuffle rewrite
     "q21_waiting_suppliers",
-    # round 4: mixture/epoch planner (new)
+    # round 4: mixture/epoch planner + its materialization (new)
     "source_epoch_plan",
+    "source_epoch_mixture",
     # round 4: BPE trainer (new; rows-only probe — no SQL oracle for an
     # iterative algorithm, see bpe_merge_table docstring)
     "bpe_merge_table",

@@ -159,3 +159,34 @@ def test_epoch_plan_caps_and_targets(spark):
     assert small["over_cap"]
     assert small["effective_tokens"] == 40_000  # 4 epochs x 10k
     assert small["target_tokens"] == 322_580
+
+
+def test_expand_epochs_full_and_partial(spark):
+    from moisturizer_spark.operators.sampling import expand_epochs
+
+    docs = spark.createDataFrame(
+        [("a", i, 10) for i in range(100)], "source string, doc_id long, n_chars long"
+    )
+    # available 1000 tokens, effective 2500 -> e = 2.5: two full epochs
+    # plus ~half the docs in epoch 2
+    plan = spark.createDataFrame(
+        [("a", 1000, 2500)], "source string, n_tokens long, effective_tokens long"
+    )
+    out = expand_epochs(docs, plan)
+    per_epoch = {
+        r["epoch_idx"]: r["n"]
+        for r in out.groupBy("epoch_idx").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_epoch[0] == 100 and per_epoch[1] == 100
+    assert 25 <= per_epoch[2] <= 75  # hash-uniform ~50
+    # determinism: same selection on re-run
+    again = expand_epochs(docs, plan)
+    assert sorted(map(tuple, out.select("doc_id", "epoch_idx").collect())) == \
+           sorted(map(tuple, again.select("doc_id", "epoch_idx").collect()))
+    # integral e: no partial epoch at all
+    plan2 = spark.createDataFrame(
+        [("a", 1000, 2000)], "source string, n_tokens long, effective_tokens long"
+    )
+    out2 = expand_epochs(docs, plan2)
+    assert out2.count() == 200
+    assert out2.agg(F.max("epoch_idx")).first()[0] == 1
