@@ -263,3 +263,36 @@ def math_isclose_matrix(a: list[list[float]], b: list[list[float]], tol: float =
         for ra, rb in zip(a, b)
         for x, y in zip(ra, rb)
     )
+
+
+def diversity_sample(
+    df: DataFrame,
+    k: int,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    salt: str = "div:",
+) -> DataFrame:
+    """Semantic diversity / coverage sampling: cap the corpus at
+    ``per_cluster`` documents per k-means cluster — the embedding-space
+    analog of per-domain quota sampling (`sampling.quota_sample`), used
+    to keep a training mix from being dominated by one dense semantic
+    region (the SemDeDup/D4 curation family's coverage step).
+
+    Fully deterministic: k-means init is md5-ranked, assignment is
+    argmin over literal centroids, and within-cluster selection is
+    hash-ranked — the same sample on every run and partitioning.
+
+    Scale: the fit is the size-gated :func:`kmeans_fit`; assignment is a
+    map-side JVM expression; the only shuffle is the per-cluster quota
+    window keyed on the cluster id (k groups — AQE splits the skewed
+    dense clusters, which are exactly the ones being truncated).
+    """
+    from moisturizer_spark.operators.sampling import quota_sample
+
+    centroids = kmeans_fit(
+        df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter
+    )
+    assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    return quota_sample(assigned, "cluster", id_col, per_cluster, salt=salt)

@@ -107,3 +107,72 @@ def jdbc_writer(
         df.write.mode(mode).options(**options).jdbc(url, table)
 
     return write
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shard:",
+    size_col: str | None = None,
+) -> list[dict]:
+    """Physically write a corpus as deterministic hash shards — the
+    output-layout step of a training-data pipeline: one partition
+    directory per shard (``shard=<i>/``), plus a ``_manifest.json``
+    sidecar with per-shard row counts, key ranges, membership checksums,
+    and byte volume (:func:`~moisturizer_spark.operators.sampling.
+    shard_manifest`'s rows) so a loader plans balanced data-parallel
+    reads without listing files, and re-runs land every document in the
+    same shard (resumable, diffable output).
+
+    Scale: the shard id is a map-side md5 projection; the ONE
+    intentional shuffle is ``repartition(n_shards, shard)`` so each
+    shard's rows are physically grouped and each writer task owns
+    exactly one output directory. The manifest aggregation re-uses the
+    same assignment expression (consistency pinned in tests); its
+    ``n_shards`` rows collect to the driver — bounded by construction.
+
+    Returns the manifest as a list of dicts (also written to the
+    sidecar).
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.sampling import shard_assign, shard_manifest
+
+    sharded = df.withColumn(
+        "shard", shard_assign(F.col(key_col), n_shards, salt)
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    manifest_rows = [
+        r.asDict()
+        for r in shard_manifest(
+            df, key_col, n_shards, salt=salt, size_col=size_col
+        )
+        .orderBy("shard")
+        .collect()  # bounded: n_shards rows
+    ]
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"n_shards": n_shards, "key_col": key_col, "salt": salt,
+             "shards": manifest_rows},
+            fh,
+        )
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return manifest_rows
+
+
+def read_shard(spark, path: str, shard: int) -> DataFrame:
+    """Read ONE shard of a :func:`write_training_shards` layout — the
+    loader side: partition pruning keeps the scan to that shard's
+    directory (a data-parallel worker reads only its slice)."""
+    return spark.read.parquet(path).filter(f"shard = {shard}")

@@ -4826,6 +4826,36 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic diversity sampling: cap the corpus at 20 vectors per
+    k-means cluster (the coverage step that stops one dense semantic
+    region from dominating a training mix). Deterministic end to end —
+    md5-ranked k-means init, literal-centroid argmin assignment,
+    hash-ranked within-cluster quota — but k-means is iterative, so no
+    single-statement SQL oracle → rows-only; quota/determinism
+    invariants are pytest-pinned (`tests/test_clustering.py`).
+
+    Scale (see :func:`~moisturizer_spark.operators.clustering.
+    diversity_sample`): size-gated fit, map-side assignment, one
+    cluster-keyed quota window."""
+    from moisturizer_spark.operators.clustering import diversity_sample
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    kept = diversity_sample(t["embeddings"], k=10, per_cluster=20)
+    return (
+        kept.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+QUERIES["embedding_diversity_sample"] = embedding_diversity_sample
+
+
 QUERIES["bpe_merge_table"] = bpe_merge_table
 
 
@@ -4886,6 +4916,8 @@ _NEEDS_DRIVER_ROW = [
     # round 4: BPE trainer (new; rows-only probe — no SQL oracle for an
     # iterative algorithm, see bpe_merge_table docstring)
     "bpe_merge_table",
+    # round 4: semantic diversity sampling (new; rows-only, k-means-based)
+    "embedding_diversity_sample",
     # round 4: vocabulary-growth diagnostics (new)
     "docs_vocab_growth",
     # round 4: end-to-end curation funnel (new; docs_quality_funnel —

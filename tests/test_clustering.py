@@ -123,3 +123,26 @@ def test_local_and_distributed_paths_agree(spark, sf_dir):
     a = assign_clusters(emb, local).select("vec_id", "cluster")
     b = assign_clusters(emb, dist).select("vec_id", "cluster")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_diversity_sample_quota_and_determinism(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.clustering import diversity_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = diversity_sample(emb, k=5, per_cluster=7)
+    counts = {
+        r["cluster"]: r["n"]
+        for r in kept.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 7 for n in counts.values())
+    # under-quota clusters keep everything; total is bounded by corpus
+    assert sum(counts.values()) <= emb.count()
+    # deterministic end to end
+    a = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    b = sorted(
+        r["vec_id"]
+        for r in diversity_sample(emb, k=5, per_cluster=7).select("vec_id").collect()
+    )
+    assert a == b

@@ -44,3 +44,50 @@ def test_cassandra_writer_gated_without_connector(spark):
     # fast with actionable instructions, not mid-stream
     with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
         cassandra_writer(spark, "ks", "tbl")
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.sinks import read_shard, write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i % 5) for i in range(300)],
+        "doc_id long, text string, nb long",
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, path, key_col="doc_id", n_shards=8, size_col="nb"
+    )
+    assert len(manifest) == 8
+    assert sum(m["n_rows"] for m in manifest) == 300
+
+    # sidecar matches the returned manifest
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        side = json.load(fh)
+    assert side["n_shards"] == 8 and side["shards"] == manifest
+
+    # physical layout: one partition dir per shard, counts match manifest
+    back = spark.read.parquet(path)
+    counts = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {m["shard"]: m["n_rows"] for m in manifest}
+
+    # loader side: a single-shard read returns exactly that shard's rows,
+    # and the plan prunes to its partition directory
+    one = read_shard(spark, path, manifest[0]["shard"])
+    assert one.count() == manifest[0]["n_rows"]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # stability: a second write assigns every doc to the same shard
+    path2 = str(tmp_path / "shards2")
+    manifest2 = write_training_shards(
+        df, path2, key_col="doc_id", n_shards=8, size_col="nb"
+    )
+    assert manifest == manifest2
