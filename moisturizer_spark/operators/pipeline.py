@@ -1,10 +1,11 @@
 """End-to-end corpus-curation pipeline report.
 
 The standard pre-training sequence — quality filter → exact dedup →
-benchmark decontamination — composed into ONE per-document flag pass, so
-a pipeline owner gets the full survivor funnel (how many documents and
-characters survive each stage) from a single corpus scan instead of
-running three jobs and diffing counts.
+benchmark decontamination — composed into ONE per-document flag frame
+(two pruned corpus scans: one for quality+fingerprint, one for grams),
+so a pipeline owner gets the full survivor funnel (how many documents
+and characters survive each stage) from a single composed job instead
+of running three pipelines and diffing counts.
 
 Everything is deterministic and oracle-reproducible: quality rules are
 integer-exact (`textan.default_quality_rules`), the dedup key is
