@@ -4925,6 +4925,23 @@ _NEEDS_DRIVER_ROW = [
     "docs_curation_report",
     # round 4: tainted by the real PPM/WAV decoders landing in multimodal.py
     "multimodal_payload_stats",
+    # round 4: tainted by the single-pass tokens_col rewrite (token-for-
+    # token identical, 1.7x faster; every tokenizing query re-verifies)
+    "doc_dup_span_coverage",
+    "doc_median_tokens",
+    "doc_repetition_by_source",
+    "doc_term_counts_udtf",
+    "docs_chunk_sliding",
+    "docs_decontaminated",
+    "docs_pack_chunks",
+    "docs_pack_ffd",
+    "source_mix_temperature",
+    "tfidf_top_terms",
+    "top_bigrams",
+    "top_words_per_lang",
+    "langid_confusion",
+    "quality_by_source",
+    "token_stats_by_lang",
     # round 4: completing the TPC-H shape family (new)
     "q4_order_priority",
     "q6_forecast_revenue",
