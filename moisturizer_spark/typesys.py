@@ -288,7 +288,23 @@ def _coerce(fd: FieldDescriptor, value):
     if pair == ("number", None):
         import decimal
 
-        return decimal.Decimal(str(value))
+        d = decimal.Decimal(str(value))
+        # Quantize to the storage scale: DecimalType(38,18) cannot carry
+        # more than 18 fractional digits, and Arrow's safe cast REFUSES
+        # (rather than rounds) a finer value — a payload like 2.2e-16
+        # would otherwise crash the whole micro-batch in the serializer
+        # (found by hypothesis, tests/test_ingest_properties.py). SQL
+        # CAST semantics round; mirror that here. Values whose integer
+        # part exceeds the 20 digits of headroom overflow -> raise ->
+        # per-record dead letter.
+        try:
+            return d.quantize(
+                decimal.Decimal("1E-18"), rounding=decimal.ROUND_HALF_UP
+            )
+        except decimal.InvalidOperation as exc:
+            raise ValidationError(
+                f"number {value!r} overflows DECIMAL(38,18) storage"
+            ) from exc
     if pair == ("string", "date-time") and isinstance(value, str):
         try:
             return _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
