@@ -36,3 +36,50 @@ def test_unflatten_df_rebuilds_structs(spark):
     assert row["a"]["b"] == 1
     assert row["a"]["c"]["d"] == "x"
     assert row["e"] == "top"
+
+
+# -- property: flatten/unflatten are inverses (modulo null/empty drops) -------
+
+from hypothesis import given, settings, strategies as st
+
+_keys = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")), min_size=1, max_size=6
+)
+_nested = st.recursive(
+    st.one_of(
+        st.booleans(),
+        st.integers(),
+        st.floats(allow_nan=False),
+        st.text(max_size=10),
+        st.none(),
+    ),
+    lambda kids: st.dictionaries(_keys, kids, max_size=4),
+    max_leaves=12,
+)
+
+
+def _strip_nulls(obj):
+    """The canonical form both directions converge to: no None leaves,
+    no dict branches that became empty after the drop."""
+    if not isinstance(obj, dict):
+        return obj
+    out = {}
+    for k, v in obj.items():
+        if v is None:
+            continue
+        sv = _strip_nulls(v)
+        if isinstance(sv, dict) and not sv:
+            continue
+        out[k] = sv
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.dictionaries(_keys, _nested, max_size=5))
+def test_flatten_unflatten_roundtrip(obj):
+    from moisturizer_spark.flatten import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(obj)
+    # flatten output is genuinely flat and never carries None
+    assert all(not isinstance(v, dict) and v is not None for v in flat.values())
+    assert unflatten_dict(flat) == _strip_nulls(obj)
