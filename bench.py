@@ -105,6 +105,14 @@ def main() -> None:
         # cache / JIT warmup; a slow random pass is GC or co-tenant
         # noise; consistently-rising passes would be a leak
         "queries_passes": runs,
+        # mean max/min across queries' passes: ~1.0 on a quiet host;
+        # >1.5 means the median totals above are dominated by external
+        # noise, and the best-of-3 "value" is the comparable number
+        "pass_dispersion": round(
+            sum(max(ts) / min(ts) for ts in runs.values() if min(ts) > 0)
+            / max(len(runs), 1),
+            2,
+        ),
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
