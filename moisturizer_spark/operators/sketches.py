@@ -158,3 +158,73 @@ def ddsketch_quantiles(
         .agg(F.min_by(rep, F.col("_cum")).alias("quantile_est"))
     )
     return hit.select(*keys, "q", "quantile_est")
+
+
+# -- KMV (k-minimum-values) theta-style sketches ------------------------------
+#
+# HLL unions losslessly but cannot INTERSECT; the audience questions a
+# pipeline actually asks ("users who did A and B") need a theta-family
+# sketch. KMV keeps the k smallest hash values of a set: union = merge
+# and re-truncate (exact — the k smallest of A∪B), intersection via the
+# Jaccard of the union's sample. Hashes are md5 hex prefixes, so the
+# whole algebra is DETERMINISTIC and bit-for-bit reproducible by the
+# DuckDB oracle — no randomness anywhere, unlike library theta sketches.
+
+_KMV_SPAN = float(1 << 32)
+
+
+def _kmv_frac(h):
+    """Uniform (0,1] fraction from an md5 hex string's 8-hex prefix."""
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 1.0) / _KMV_SPAN
+
+
+def kmv_sketch(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    k: int = 64,
+    out_col: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the SORTED array of the k smallest
+    md5(value) hashes. One combinable aggregation — collect_set of
+    hashes per group is truncated via slice(array_sort(...), 1, k), so
+    the shuffled state is bounded by the group's distinct values and
+    the stored cell is ≤ k × 32 bytes.
+
+    At corpus scale, pre-aggregate per (group, hash) first if a single
+    group's distinct count is huge; for the stored-rollup pattern the
+    cells are fine-grained, which bounds set sizes by construction.
+    """
+    h = F.md5(F.col(col).cast("string"))
+    return df.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.collect_set(h)), 1, k).alias(out_col)
+    )
+
+
+def kmv_merge(a, b, k: int = 64):
+    """Union of two KMV sketches: k smallest of the merged hash sets —
+    EXACTLY the sketch of the unioned data (pinned by test), so stored
+    cells roll up to any grain without estimate degradation."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_estimate(kmv, k: int = 64):
+    """Distinct-count estimate: (k-1)/m with m the k-th smallest hash
+    fraction; exact (= array size) when the set had fewer than k
+    distinct values. Deterministic — identical IEEE ops both engines —
+    and rounded to 6 digits for cross-engine hashing."""
+    n = F.size(kmv)
+    kth = _kmv_frac(F.element_at(kmv, k))
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.round((F.lit(float(k - 1))) / kth, 6)
+    )
+
+
+def kmv_intersect_estimate(a, b, k: int = 64):
+    """|A∩B| estimate: Jaccard over the union's k-sample × |A∪B|
+    estimate — the theta-sketch intersection rule. All terms derive
+    from the two stored arrays; no data rescan."""
+    u = kmv_merge(a, b, k)
+    in_both = F.size(F.array_intersect(F.array_intersect(u, a), b))
+    jacc = in_both.cast("double") / F.size(u)
+    return F.round(jacc * kmv_estimate(u, k), 6)

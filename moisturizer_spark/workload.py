@@ -4575,6 +4575,122 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_sql() -> str:
+    frac = (
+        "((CAST(('0x' || substr({h}, 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)"
+    )
+    est = (
+        "CASE WHEN len({l}) < 64 THEN CAST(len({l}) AS DOUBLE) "
+        "ELSE ROUND(63.0 / " + frac.format(h="{l}[64]") + ", 6) END"
+    )
+    return f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+        FROM events
+    ),
+    kmv AS (
+        SELECT event_type,
+               list_slice(list(DISTINCT hh ORDER BY hh), 1, 64) AS l
+        FROM h GROUP BY event_type
+    ),
+    per_type AS (
+        SELECT event_type AS cohort,
+               {est.format(l='l')} AS est_users,
+               (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events e
+                WHERE e.event_type = kmv.event_type) AS exact_users
+        FROM kmv
+    ),
+    pair AS (
+        SELECT a.l AS la, b.l AS lb,
+               list_slice(list_sort(list_distinct(list_concat(a.l, b.l))),
+                          1, 64) AS u
+        FROM kmv a, kmv b
+        WHERE a.event_type = 'view' AND b.event_type = 'click'
+    ),
+    pair_est AS (
+        SELECT 'view&click' AS cohort,
+               ROUND(CAST(len(list_filter(u,
+                          x -> list_contains(la, x) AND list_contains(lb, x)))
+                     AS DOUBLE) / len(u) * ({est.format(l='u')}), 6)
+                   AS est_users,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT user_id FROM events GROUP BY user_id
+                    HAVING COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                               THEN 1 END) > 0
+                       AND COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                               THEN 1 END) > 0
+               )) AS exact_users
+        FROM pair
+    )
+    SELECT * FROM (
+        SELECT * FROM per_type UNION ALL SELECT * FROM pair_est
+    ) ORDER BY cohort
+    """
+
+
+@query("events_kmv_audience", _kmv_sql())
+def events_kmv_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style audience algebra over stored KMV sketches: per-type
+    distinct-user estimates AND an intersection estimate ("users who did
+    view AND click") — the set operation HLL sketches cannot answer.
+    Estimates sit beside exact counts so the driver hash also pins the
+    estimator's accuracy at this scale.
+
+    KMV here is md5-deterministic (no library randomness), so the whole
+    algebra — union = re-truncated merge, intersection = Jaccard of the
+    union's k-sample × union estimate — reproduces bit-for-bit in the
+    DuckDB oracle. Scale (see ``operators/sketches.py``): sketch cells
+    are ≤ k × 32 bytes, built in one combinable aggregation; the
+    algebra runs on stored cells, never rescanning the fact table."""
+    from moisturizer_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    kmv = kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    per_type = (
+        kmv.join(exact, "event_type")
+        .select(
+            F.col("event_type").alias("cohort"),
+            kmv_estimate(F.col("kmv"), 64).alias("est_users"),
+            "exact_users",
+        )
+    )
+    a = kmv.filter(F.col("event_type") == "view").select(
+        F.col("kmv").alias("_a")
+    )
+    b = kmv.filter(F.col("event_type") == "click").select(
+        F.col("kmv").alias("_b")
+    )
+    both_exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("_v"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("_c"),
+        )
+        .filter((F.col("_v") == 1) & (F.col("_c") == 1))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_users"))
+    )
+    pair = (
+        a.join(b)  # two single-row frames: literal cross of 1x1
+        .join(both_exact)
+        .select(
+            F.lit("view&click").alias("cohort"),
+            kmv_intersect_estimate(F.col("_a"), F.col("_b"), 64).alias(
+                "est_users"
+            ),
+            "exact_users",
+        )
+    )
+    return per_type.unionByName(pair).orderBy("cohort")
+
+
 def _curation_report_sql() -> str:
     n_words = f"len({_SQL_TOKS})"
     n_uniq = f"len(list_distinct({_SQL_TOKS}))"
@@ -4923,6 +5039,8 @@ _NEEDS_DRIVER_ROW = [
     # round 4: end-to-end curation funnel (new; docs_quality_funnel —
     # which shares default_quality_rules with it — is already above)
     "docs_curation_report",
+    # round 4: KMV theta-sketch audience algebra (new)
+    "events_kmv_audience",
     # round 4: tainted by the real PPM/WAV decoders landing in multimodal.py
     "multimodal_payload_stats",
     # round 4: tainted by the single-pass tokens_col rewrite (token-for-

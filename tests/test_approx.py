@@ -229,3 +229,79 @@ def test_ddsketch_ignores_nulls_and_validates_qs(spark):
         ddsketch_quantiles(roll, ["g"], [0.5, 1.5])
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         ddsketch_quantiles(roll, ["g"], [-0.1])
+
+
+# -- KMV theta-style sketches -------------------------------------------------
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The lossless-rollup law: merging two stored KMV cells yields
+    EXACTLY the sketch of the unioned data (deterministic md5 hashes,
+    no estimate degradation under regrouping)."""
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(300, 900)],
+        "grp string, uid long",
+    )
+    cells = kmv_sketch(df, ["grp"], "uid", k=64)
+    a = cells.filter("grp = 'a'").select(F.col("kmv").alias("_a"))
+    b = cells.filter("grp = 'b'").select(F.col("kmv").alias("_b"))
+    merged = (
+        a.join(b).select(kmv_merge(F.col("_a"), F.col("_b"), 64).alias("m")).first()["m"]
+    )
+    direct = (
+        kmv_sketch(df.withColumn("grp", F.lit("all")), ["grp"], "uid", k=64)
+        .first()["kmv"]
+    )
+    assert list(merged) == list(direct)
+
+
+def test_kmv_estimate_accuracy_and_exact_small_sets(spark):
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    # small set (< k): estimate is EXACT
+    small = spark.createDataFrame([(1, i) for i in range(40)], "g int, uid long")
+    est = (
+        kmv_sketch(small, ["g"], "uid", k=64)
+        .select(kmv_estimate(F.col("kmv"), 64).alias("e"))
+        .first()["e"]
+    )
+    assert est == 40.0
+    # large set: within the KMV error regime (~1/sqrt(k-2) ≈ 13% at k=64;
+    # allow 3 sigma)
+    big = spark.createDataFrame([(1, i) for i in range(20000)], "g int, uid long")
+    est2 = (
+        kmv_sketch(big, ["g"], "uid", k=64)
+        .select(kmv_estimate(F.col("kmv"), 64).alias("e"))
+        .first()["e"]
+    )
+    assert abs(est2 - 20000) / 20000 < 0.4
+
+
+def test_kmv_intersection_estimate_tracks_true_overlap(spark):
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    # |A|=3000, |B|=3000, |A∩B|=1000
+    df = spark.createDataFrame(
+        [("a", i) for i in range(3000)] + [("b", i) for i in range(2000, 5000)],
+        "grp string, uid long",
+    )
+    cells = kmv_sketch(df, ["grp"], "uid", k=256)
+    a = cells.filter("grp = 'a'").select(F.col("kmv").alias("_a"))
+    b = cells.filter("grp = 'b'").select(F.col("kmv").alias("_b"))
+    est = (
+        a.join(b)
+        .select(kmv_intersect_estimate(F.col("_a"), F.col("_b"), 256).alias("e"))
+        .first()["e"]
+    )
+    assert 500 < est < 1600  # true 1000; Jaccard-sample error at k=256
