@@ -43,6 +43,9 @@ BNLJ_ALLOWED = {
     # threshold (Q11) and the max-revenue equality (Q15)
     "q11_important_stock",
     "q15_top_supplier",
+    # the pair-algebra rows cross two literal ONE-row sketch frames
+    # (view sketch × click sketch × exact pair count)
+    "events_kmv_audience",
 }
 
 
