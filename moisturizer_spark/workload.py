@@ -921,6 +921,73 @@ def embedding_top5_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query(
+    "embedding_hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, label AS n_label,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id, n_label AS neg_label,
+               ROUND(list_cosine_similarity(qv, cv), 6) AS sim
+        FROM q CROSS JOIN c
+        WHERE q_label <> n_label
+    )
+    SELECT query_id, neighbor_id, neg_label, sim, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data: each anchor's
+    top-5 MOST similar vectors with a DIFFERENT label — the negatives
+    that actually teach a retrieval/embedding model, vs easy random
+    negatives.
+
+    Same plan economics as the brute top-k baseline (anchors broadcast,
+    corpus scan embarrassingly parallel, similarity rounded to 6 digits
+    before ranking so ranks agree across engines); the label-inequality
+    predicate rides the broadcast probe. At corpus scale, swap the scan
+    for the IVF index and apply the label filter to its candidates —
+    same scoring expression either way."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    from moisturizer_spark.operators.similarity import cosine_similarity_col
+
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_ql"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+    )
+    sim = F.round(cosine_similarity_col(F.col("_qv"), F.col("_cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_ql") != F.col("neg_label"))
+        .select("query_id", "neighbor_id", "neg_label", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Coverage: cube, set ops, semi join, range join, embedding near-dup
 # ---------------------------------------------------------------------------
@@ -5041,6 +5108,8 @@ _NEEDS_DRIVER_ROW = [
     "docs_curation_report",
     # round 4: KMV theta-sketch audience algebra (new)
     "events_kmv_audience",
+    # round 4: hard-negative mining (new)
+    "embedding_hard_negatives",
     # round 4: tainted by the real PPM/WAV decoders landing in multimodal.py
     "multimodal_payload_stats",
     # round 4: tainted by the single-pass tokens_col rewrite (token-for-

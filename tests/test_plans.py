@@ -22,6 +22,9 @@ QUERIES = entry_mod.queries()
 # the corpus (the scale path is the LSH/IVF variants).
 BNLJ_ALLOWED = {
     "embedding_top5_cosine",
+    # same bounded broadcast all-pairs baseline, with a label-inequality
+    # predicate (no equi-key by construction)
+    "embedding_hard_negatives",
     "embedding_cosine_near_dup",
     # bounded all-pairs over a metadata-joined embedding subset; the
     # language-inequality + id ordering live in the join condition, so
