@@ -33,6 +33,11 @@ import sys
 import time
 
 
+def _dispersion(runs: dict[str, list[float]]) -> float:
+    ratios = [max(ts) / min(ts) for ts in runs.values() if min(ts) > 0]
+    return round(sum(ratios) / max(len(ratios), 1), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -75,8 +80,30 @@ def main() -> None:
 
     from moisturizer_spark.operators.common import cache_scope
 
+    def _gc_time_ms() -> int:
+        # total JVM GC time across executors via the Spark status API;
+        # local mode = one executor ("driver") row
+        try:
+            jvm_status = spark.sparkContext._jsc.sc().statusTracker()
+            infos = jvm_status.getExecutorInfos()
+            return sum(infos[i].totalGCTime() for i in range(len(infos)))
+        except Exception:
+            return -1
+
     runs: dict[str, list[float]] = {}
+    # per-pass environment capture: 1-min load average before the pass,
+    # wall time of the whole pass, and JVM GC ms accumulated during it.
+    # This is what makes a round-over-round slowdown attributable: a
+    # uniform slowdown with load_avg >> ncpus or ballooning gc_ms is
+    # ambient noise, not a plan regression (round-4 verdict task).
+    env_passes: list[dict] = []
     for _pass in range(3):
+        pass_t0 = time.perf_counter()
+        gc0 = _gc_time_ms()
+        try:
+            load0 = os.getloadavg()[0]
+        except OSError:
+            load0 = -1.0
         for name, fn in workload.QUERIES.items():
             t0 = time.perf_counter()
             # cache_scope: any subtree an operator persists is released
@@ -87,6 +114,16 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
             runs.setdefault(name, []).append(elapsed)
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            load1 = -1.0
+        env_passes.append({
+            "load_avg_start": round(load0, 2),
+            "load_avg_end": round(load1, 2),
+            "pass_wall_sec": round(time.perf_counter() - pass_t0, 1),
+            "gc_ms_delta": _gc_time_ms() - gc0,
+        })
 
     timings = {name: min(ts) for name, ts in runs.items()}
     medians = {name: sorted(ts)[len(ts) // 2] for name, ts in runs.items()}
@@ -107,12 +144,14 @@ def main() -> None:
         "queries_passes": runs,
         # mean max/min across queries' passes: ~1.0 on a quiet host;
         # >1.5 means the median totals above are dominated by external
-        # noise, and the best-of-3 "value" is the comparable number
-        "pass_dispersion": round(
-            sum(max(ts) / min(ts) for ts in runs.values() if min(ts) > 0)
-            / max(len(runs), 1),
-            2,
-        ),
+        # noise, and the best-of-3 "value" is the comparable number.
+        # Denominator is the FILTERED ratio count — dividing by len(runs)
+        # would bias the mean low whenever a query had a 0.000s pass.
+        "pass_dispersion": _dispersion(runs),
+        # per-pass environment: attributes noise (ambient load / GC)
+        # without re-running — see capture loop above
+        "env_passes": env_passes,
+        "ncpus": os.cpu_count(),
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -215,13 +215,21 @@ def expand_epochs(
     explode multiplies rows by ≤ cap (the plan's ``max_epochs``), which
     is the intended output size of the mixing step; nothing shuffles
     until the caller aggregates or writes.
+
+    ``docs`` MAY carry a column named ``size_col`` (the natural case —
+    a per-doc ``n_tokens``): the plan-side columns are aliased to
+    reserved ``_avail``/``_eff`` names before the join, so no ambiguity
+    arises (mirroring how ``_n_full``/``_frac`` are handled).
     """
-    e = (
-        F.col("effective_tokens").cast("double")
-        / F.col(size_col).cast("double")
-    )
+    e = F.col("_eff").cast("double") / F.col("_avail").cast("double")
     joined = docs.join(
-        F.broadcast(plan.select(source_col, size_col, "effective_tokens")),
+        F.broadcast(
+            plan.select(
+                source_col,
+                F.col(size_col).alias("_avail"),
+                F.col("effective_tokens").alias("_eff"),
+            )
+        ),
         source_col,
     )
     with_e = joined.withColumn("_n_full", F.floor(e).cast("int")).withColumn(
@@ -236,7 +244,7 @@ def expand_epochs(
     return exploded.filter(
         (F.col(out_col) < F.col("_n_full"))
         | (hash_fraction(pick_key, salt) < F.col("_frac"))
-    ).drop("_n_full", "_frac", size_col, "effective_tokens")
+    ).drop("_n_full", "_frac", "_avail", "_eff")
 
 
 def sql_epoch_pick(id_sql: str, epoch_sql: str, salt: str = "epoch:") -> str:

@@ -14,15 +14,17 @@ as a per-table txn watermark, ordered so a crash between any two writes
 replays deterministically —
 
 1. curated.append   (survivors computed from batch + CURRENT store)
-2. store.upsert     (survivors' fingerprints)
-3. stats.append     (funnel counts)
+2. stats.append     (funnel counts — same pure function of batch + store)
+3. store.upsert     (survivors' fingerprints — LAST)
 
 On replay, each write re-runs only if its table's watermark is behind.
-The ordering is what makes the recomputation safe: survivors are a pure
-function of (batch, store-before-this-batch), so as long as the store
-write is sequenced AFTER the curated write, a crash between them
-re-derives the identical survivor set — flip the order and a replayed
-batch would see its own fingerprints and drop every survivor.
+The ordering is what makes the recomputation safe: survivors (and hence
+the funnel counts) are a pure function of (batch,
+store-before-this-batch), so every derived write — curated AND stats —
+must be sequenced BEFORE the store write. A crash between any two
+writes then re-derives the identical survivor set; flip the store write
+earlier and a replayed batch would see its own fingerprints, drop every
+survivor, and (for stats) permanently record n_kept=0.
 """
 
 from __future__ import annotations
@@ -87,14 +89,11 @@ def start_curation_stream(
             curated.upsert(
                 kept.drop("fp"), txn=(APP_ID, batch_id)
             )
-        if _behind(store, batch_id):
-            store.upsert(
-                kept.select(
-                    F.col("fp").alias(store.key),
-                    F.col(id_col).cast("string").alias("first_doc_id"),
-                ),
-                txn=(APP_ID, batch_id),
-            )
+        # stats BEFORE store: n_kept is derived from the pre-batch store
+        # (via `kept`), so it must be persisted before the store absorbs
+        # this batch's fingerprints — a crash after the store write would
+        # otherwise replay with every survivor anti-joined away and
+        # permanently record n_kept=0.
         if _behind(stats, batch_id):
             spark = batch_df.sparkSession
             n_kept = kept.count()
@@ -102,6 +101,14 @@ def start_curation_stream(
                 spark.createDataFrame(
                     [(batch_id, n_in, good.count(), n_kept)],
                     f"{stats.key} long, n_input long, n_quality long, n_kept long",
+                ),
+                txn=(APP_ID, batch_id),
+            )
+        if _behind(store, batch_id):
+            store.upsert(
+                kept.select(
+                    F.col("fp").alias(store.key),
+                    F.col(id_col).cast("string").alias("first_doc_id"),
                 ),
                 txn=(APP_ID, batch_id),
             )

@@ -296,11 +296,16 @@ def _coerce(fd: FieldDescriptor, value):
         # (found by hypothesis, tests/test_ingest_properties.py). SQL
         # CAST semantics round; mirror that here. Values whose integer
         # part exceeds the 20 digits of headroom overflow -> raise ->
-        # per-record dead letter.
+        # per-record dead letter. quantize must run at precision 38:
+        # Python's default decimal context is prec=28, under which any
+        # value with >10 integer digits (e.g. 1.5e11) would spuriously
+        # raise InvalidOperation despite fitting DECIMAL(38,18).
         try:
-            return d.quantize(
-                decimal.Decimal("1E-18"), rounding=decimal.ROUND_HALF_UP
-            )
+            with decimal.localcontext() as ctx:
+                ctx.prec = 38
+                return d.quantize(
+                    decimal.Decimal("1E-18"), rounding=decimal.ROUND_HALF_UP
+                )
         except decimal.InvalidOperation as exc:
             raise ValidationError(
                 f"number {value!r} overflows DECIMAL(38,18) storage"

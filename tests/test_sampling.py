@@ -190,3 +190,23 @@ def test_expand_epochs_full_and_partial(spark):
     out2 = expand_epochs(docs, plan2)
     assert out2.count() == 200
     assert out2.agg(F.max("epoch_idx")).first()[0] == 1
+
+
+def test_expand_epochs_docs_may_carry_size_col(spark):
+    """docs carrying a per-doc column named like the plan's size_col
+    (the natural case: both sides call it ``n_tokens``) must not
+    collide — the plan side is aliased to reserved names pre-join."""
+    from moisturizer_spark.operators.sampling import expand_epochs
+
+    docs = spark.createDataFrame(
+        [("a", i, 10) for i in range(100)],
+        "source string, doc_id long, n_tokens long",
+    )
+    plan = spark.createDataFrame(
+        [("a", 1000, 2000)], "source string, n_tokens long, effective_tokens long"
+    )
+    out = expand_epochs(docs, plan)
+    assert out.count() == 200
+    # the doc-side n_tokens survives, un-shadowed by the plan's total
+    assert out.columns == ["source", "doc_id", "n_tokens", "epoch_idx"]
+    assert out.select("n_tokens").distinct().collect() == [(10,)]

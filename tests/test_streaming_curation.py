@@ -112,3 +112,58 @@ def test_streaming_curation_partial_apply_replays_safely(spark, warehouse):
     q.awaitTermination(120)
     assert {r["doc_id"] for r in curated.read().collect()} == {1, 5}
     assert store.read().count() == 2
+
+
+class _CrashBeforeUpsert(ParquetTable):
+    """Raises on the first upsert — simulates a crash landing exactly
+    before this table's write within a foreachBatch transaction."""
+
+    def upsert(self, df, **kwargs):
+        if not os.path.exists(self.path + ".crashed"):
+            with open(self.path + ".crashed", "w"):
+                pass
+            raise RuntimeError("injected crash before store write")
+        return super().upsert(df, **kwargs)
+
+
+def test_streaming_curation_stats_written_before_store(spark, warehouse):
+    """Pin the write ORDER: stats must land before the store upsert.
+
+    n_kept is derived from the pre-batch store; if the store write were
+    sequenced first and the crash hit between store and stats, replay
+    would recompute survivors against a store already containing this
+    batch's fingerprints and permanently record n_kept=0. Injecting a
+    crash at the store write therefore must leave a fully-correct stats
+    row behind — and the replay must complete the store half without
+    disturbing it."""
+    src = os.path.join(warehouse, "src")
+    os.makedirs(src)
+    _drop(src, "b1.json", [(1, GOOD_A), (5, GOOD_B)])
+    curated, _, stats = _tables(spark, warehouse)
+    store = _CrashBeforeUpsert(spark, f"{warehouse}/fp_store", key="fp")
+
+    q = start_curation_stream(
+        spark.readStream.schema(SCHEMA).json(src),
+        curated, store, stats, os.path.join(warehouse, "ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    assert not q.isActive
+    # crash hit the store write: stats already holds the REAL counts
+    s = stats.read().filter(F.col("batch_id") == 0).first()
+    assert (s["n_input"], s["n_quality"], s["n_kept"]) == (2, 2, 2)
+    assert store.txn_version("curation_stream") is None  # store is behind
+
+    # replay through the same checkpoint: curated + stats watermarks are
+    # current (skip), the store catches up against the pre-batch state
+    q = start_curation_stream(
+        spark.readStream.schema(SCHEMA).json(src),
+        curated, store, stats, os.path.join(warehouse, "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert store.read().count() == 2
+    assert stats.read().count() == 1
+    s = stats.read().first()
+    assert (s["n_input"], s["n_quality"], s["n_kept"]) == (2, 2, 2)

@@ -106,6 +106,24 @@ def test_validate_coerces_and_drops_nulls():
     assert isinstance(out["last_modified"], dt.datetime)
 
 
+def test_validate_number_wide_integer_part():
+    """DECIMAL(38,18) has 20 digits of integer headroom; values like
+    1.5e11 (11 integer digits) must quantize cleanly. Under Python's
+    default decimal context (prec=28) the quantize would spuriously
+    raise InvalidOperation for anything past 10 integer digits — the
+    coercion runs at prec=38 precisely so the documented bound holds."""
+    d = Descriptor(id="t")
+    d.apply_change(d.infer_schema_change({"n": 1.5}))
+    out = d.validate({"n": 1.5e11})
+    assert out["n"] == decimal.Decimal("150000000000")
+    # full 20-digit integer part, exactly at the storage bound
+    out = d.validate({"n": int("9" * 20)})
+    assert out["n"] == decimal.Decimal("9" * 20)
+    # 21 integer digits: true DECIMAL(38,18) overflow still dead-letters
+    with pytest.raises(ValidationError):
+        d.validate({"n": int("1" + "0" * 20)})
+
+
 def test_validate_rejects_type_mismatch():
     d = Descriptor(id="t")
     d.apply_change(d.infer_schema_change({"number": 42}))
