@@ -655,6 +655,7 @@ def remove_dup_spans(
     text_col: str = "text",
     n: int = 5,
     hash_grams: bool = False,
+    skew_guard: bool = False,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the ExactSubstr step of
     "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -693,9 +694,18 @@ def remove_dup_spans(
       to 2^-64 hash collisions; parity is pinned by a test). The
       default keeps the string so the DuckDB oracle reproduces the
       choice bit-for-bit. A pathologically hot gram (one string
-      repeated 10^8 times) skews this window; the standard fix —
-      pre-aggregate per (gram, doc) before ranking — composes here but
-      isn't needed below that regime.
+      repeated 10^8 times — at 100 TB of web text, boilerplate grams
+      ARE that regime) skews this window: every occurrence of the hot
+      gram lands in ONE window partition that must be sorted by one
+      task. ``skew_guard=True`` is the fix: the rank window is replaced
+      by a ``min(struct(id, pos))`` aggregate per gram — an aggregation
+      is map-side combinable where a window is not, so the hot gram
+      collapses to one row per map task before the exchange — followed
+      by a gram-keyed join flagging each occurrence against its gram's
+      global first. Output is identical (parity-pinned on a planted
+      hot-gram corpus); the guard costs one extra (collapsed) exchange
+      for the winner frame, which is why it's a flag and not the
+      default at harness scale.
     - Coverage is a ``max`` over a ROWS window of width ``n`` per doc —
       no self-join of token rows against span rows.
     - Reassembly is the same shuffle as the coverage window (same key,
@@ -742,10 +752,43 @@ def remove_dup_spans(
         F.col("_gram").isNotNull().alias("_hasg"),
         gkey.alias("_gk"),
     )
-    rn = F.row_number().over(Window.partitionBy("_gk").orderBy("_id", "_pos"))
-    flagged = keyed.withColumn(
-        "_ds", F.when(F.col("_hasg") & (rn >= 2), 1).otherwise(0)
-    )
+    if skew_guard:
+        # hot-gram-safe first-occurrence choice: min(struct) aggregates
+        # combine map-side (partial rows per (gram, map task)), so no
+        # reducer ever sorts a hot gram's full occurrence list; struct
+        # comparison is lexicographic (_id, _pos) — the same total
+        # order the rank window uses
+        winners = (
+            keyed.filter(F.col("_hasg"))
+            .groupBy("_gk")
+            .agg(
+                F.min(
+                    F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))
+                ).alias("_w")
+            )
+        )
+        flagged = (
+            keyed.join(winners, "_gk", "left")
+            .withColumn(
+                "_ds",
+                F.when(
+                    F.col("_hasg")
+                    & ~(
+                        (F.col("_w.i") == F.col("_id"))
+                        & (F.col("_w.p") == F.col("_pos"))
+                    ),
+                    1,
+                ).otherwise(0),
+            )
+            .drop("_w")
+        )
+    else:
+        rn = F.row_number().over(
+            Window.partitionBy("_gk").orderBy("_id", "_pos")
+        )
+        flagged = keyed.withColumn(
+            "_ds", F.when(F.col("_hasg") & (rn >= 2), 1).otherwise(0)
+        )
     cover = Window.partitionBy("_id").orderBy("_pos").rowsBetween(-(n - 1), 0)
     covered = flagged.withColumn("_cov", F.max("_ds").over(cover))
     per_doc = (

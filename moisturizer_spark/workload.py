@@ -3431,9 +3431,7 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(t["documents"].select("doc_id", "text")).orderBy("doc_id")
 
 
-@query(
-    "docs_remove_dup_spans",
-    f"""
+_SQL_REMOVE_DUP_SPANS = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents
                   WHERE len({_SQL_TOKS}) > 0),
     t AS (SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
@@ -3457,8 +3455,10 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(*) FILTER (WHERE cov = 1) AS BIGINT) AS n_tokens_removed
     FROM c GROUP BY doc_id
     HAVING COUNT(*) FILTER (WHERE cov = 0) > 0 ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("docs_remove_dup_spans", _SQL_REMOVE_DUP_SPANS)
 def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span REMOVAL (the ExactSubstr dedup step): every
     corpus-duplicated word 5-gram run survives only at its first
@@ -3479,6 +3479,31 @@ def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return remove_dup_spans(
         t["documents"].select("doc_id", "text"), n=5
+    ).orderBy("doc_id")
+
+
+@query("docs_remove_dup_spans_hashed", _SQL_REMOVE_DUP_SPANS)
+def docs_remove_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE variant of ``docs_remove_dup_spans``, driven
+    through the driver so the plan you'd run at 100x is itself
+    oracle-verified: ``hash_grams=True`` swaps the first-occurrence
+    ranking key to 8-byte ``xxhash64`` values and projects the gram
+    STRING away before the heavy exchange (plan-asserted in
+    ``tests/test_plans.py``).
+
+    The oracle is the SAME string-keyed SQL as the default variant — it
+    doesn't need to reproduce xxhash64, because hashing only RELABELS
+    the ranking partitions: the occurrence sets ranked together, and
+    hence the winner choice and every output row, are identical up to a
+    2^-64 gram-hash collision (none in any tested corpus; string-vs-
+    hash parity additionally pinned by ``tests/test_textan.py``). A
+    collision WOULD surface here as a driver hash mismatch — this row
+    is the detector, not blind trust."""
+    from moisturizer_spark.operators.textan import remove_dup_spans
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return remove_dup_spans(
+        t["documents"].select("doc_id", "text"), n=5, hash_grams=True
     ).orderBy("doc_id")
 
 
@@ -3714,40 +3739,50 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     were the SOLE late supplier on a multi-supplier order — correlated
     EXISTS + NOT EXISTS over the same fact.
 
-    Scale: both correlated subqueries decorrelate into per-order
-    aggregates (distinct-supplier counts — combinable, one shuffle each
-    on orderkey) joined back to the late rows on the same key, so
-    nothing is re-scanned per outer row; supplier broadcasts. The
-    ORDER BY (numwait, s_name) + LIMIT is a total order, so top-10 is
-    deterministic. Two alternatives were measured SLOWER at sf0.1 and
-    rejected: folding both subqueries into one groupBy with two
-    countDistincts (Expand triples the aggregate input), and a
-    two-level (orderkey, suppkey) → orderkey rollup (little map-side
-    collapse, one extra full shuffle of the pairs)."""
+    Scale: both correlated subqueries fold into ONE per-order aggregate
+    with NO distinct aggregation at all — the existence predicates only
+    need distinct-cardinality TESTS, not counts: "≥2 distinct
+    suppliers" ⇔ ``min(supp) != max(supp)``, and "exactly one distinct
+    late supplier" ⇔ ``min(when(late, supp)) == max(when(late, supp))``
+    (non-null implied by ``==``), with ``max(when(late, supp))``
+    recovering that sole supplier for the final broadcast join. Every
+    term is a plain min/max/sum, so the aggregate is fully map-side
+    combinable, needs no Expand (which a two-countDistinct plan would
+    triple the input through), and rides the l⋈o join's orderkey
+    partitioning — one wide shuffle total, vs. the previous plan's
+    second full-lineitem shuffle for a separate countDistinct pass
+    (measured 2.0x slower at sf0.1, best-of-3, load_avg ~2). numwait counts
+    late LINE ITEMS of qualifying orders, matching the oracle's
+    ``COUNT(*)`` over late rows."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
     l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     o = t["orders"].select("o_orderkey", "o_orderdate")
-    late = (
+    late_supp = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 110),
+        F.col("l_suppkey"),
+    )
+    per_order = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 110))
-        .select("l_orderkey", "l_suppkey")
-    )
-    ostats = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp")
-    )
-    lstats = late.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_late_supp")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("_min_supp"),
+            F.max("l_suppkey").alias("_max_supp"),
+            F.min(late_supp).alias("_min_late"),
+            F.max(late_supp).alias("_max_late"),
+            F.sum(late_supp.isNotNull().cast("bigint")).alias("_late_rows"),
+        )
     )
     return (
-        late.join(ostats, "l_orderkey")
-        .join(lstats, "l_orderkey")
-        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        per_order.filter(
+            (F.col("_min_supp") != F.col("_max_supp"))
+            & (F.col("_min_late") == F.col("_max_late"))
+        )
         .join(
             F.broadcast(t["supplier"]),
-            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("_max_late") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("_late_rows").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
@@ -5067,84 +5102,72 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 #      and fails if any tainted query sits outside the first-50 window
 #      (round 3 shipped a modified events_grouping_sets outside the
 #      window — the exact failure mode this automates away);
-#   2. two rows-only queries with DETERMINISTIC row counts
-#      (order_price_quantile_sketch, embedding_kmeans) placed inside
-#      the window as a PROBE: if the driver records rows_match-only
-#      entries for non-oracle names, the 11 rows-only queries stop
-#      being driver-unprovable; if it skips them, the slots fall
-#      through to oracle queries and nothing is lost;
-#   3. the remaining oracle queries, oldest-registered first — the tail
-#      outside the window has rounds of green rows and unchanged
-#      implementations, and stays covered by the local mirror
-#      (tests/test_queries_oracle.py runs ALL oracle queries);
-#   4. remaining rows-only queries last — their checks live in pytest.
+#   2. backfill to 50 with the ORACLE queries holding the OLDEST green
+#      driver rows (r04's probe answered the open question: the driver
+#      does NO rows-only checking — it records `err:"no_oracle"` and
+#      moves on — so rows-only queries in the window are dead slots;
+#      their checks live in pytest and every window slot now goes to an
+#      oracle query);
+#   3. the remaining oracle queries — the tail outside the window has
+#      recent green rows and unchanged implementations, and stays
+#      covered by the local mirror (tests/test_queries_oracle.py runs
+#      ALL oracle queries);
+#   4. rows-only queries last — their checks live in pytest.
 
 _NEEDS_DRIVER_ROW = [
-    # round 4: new queries
+    # round 5: tainted (new query / plan rewrite / operator change)
     "docs_remove_dup_spans",
-    "docs_chunk_dedup",
-    "q9_product_type_profit",
-    "q13_customer_order_counts",
-    "q17_small_quantity_revenue",
-    "q20_dominant_suppliers",
-    "q22_idle_customers",
-    "docs_benchmark_containment",
-    "corpus_shard_manifest",
-    "docs_quality_funnel",
-    # round 4: single-shuffle rewrite
-    "q21_waiting_suppliers",
-    # round 4: mixture/epoch planner + its materialization (new)
-    "source_epoch_plan",
-    "source_epoch_mixture",
-    # round 4: BPE trainer (new; rows-only probe — no SQL oracle for an
-    # iterative algorithm, see bpe_merge_table docstring)
-    "bpe_merge_table",
-    # round 4: semantic diversity sampling (new; rows-only, k-means-based)
-    "embedding_diversity_sample",
-    # round 4: vocabulary-growth diagnostics (new)
-    "docs_vocab_growth",
-    # round 4: end-to-end curation funnel (new; docs_quality_funnel —
-    # which shares default_quality_rules with it — is already above)
-    "docs_curation_report",
-    # round 4: KMV theta-sketch audience algebra (new)
-    "events_kmv_audience",
-    # round 4: hard-negative mining (new)
-    "embedding_hard_negatives",
-    # round 4: tainted by the real PPM/WAV decoders landing in multimodal.py
-    "multimodal_payload_stats",
-    # round 4: tainted by the single-pass tokens_col rewrite (token-for-
-    # token identical, 1.7x faster; every tokenizing query re-verifies)
-    "doc_dup_span_coverage",
-    "doc_median_tokens",
-    "doc_repetition_by_source",
-    "doc_term_counts_udtf",
-    "docs_chunk_sliding",
-    "docs_decontaminated",
-    "docs_pack_chunks",
-    "docs_pack_ffd",
-    "source_mix_temperature",
-    "tfidf_top_terms",
-    "top_bigrams",
-    "top_words_per_lang",
-    "langid_confusion",
-    "quality_by_source",
-    "token_stats_by_lang",
-    # round 4: completing the TPC-H shape family (new)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    # round 4: tainted by operator changes (connected_components raise,
-    # ddsketch NULL/validation hardening)
-    "doc_dedup_clusters",
-    "order_price_quantile_sketch",  # rows-only probe, see (2)
-    # stale from round 3: changed in a2fceb7, fell outside the r03 window
-    "events_grouping_sets",
-    # rows-only probe, see (2)
-    "embedding_kmeans",
+    "docs_remove_dup_spans_hashed",   # NEW: hashed-key scale path
+    "q21_waiting_suppliers",          # min/max single-agg rewrite
+    "source_epoch_mixture",           # expand_epochs column aliasing
+    # oldest green rows: last verified round 2
+    "bpe_token_stats",
+    "customer_spend_ntile",
+    "customers_above_nation_avg",
+    "docs_hash_split",
+    "events_7day_moving",
+    "events_distinct_reach",
+    "events_unpivot",
+    "lang_sources_csv",
+    "latest_event_per_user",
+    "min_cost_supplier_per_part",
+    "nation_wealth_full_outer",
+    "orders_monthly_growth",
+    "orders_with_returns_exists",
+    "source_quota_sample",
+    # next-oldest green rows: last verified round 3
+    "late_shipment_priority",
+    "customers_without_orders",
+    "revenue_rollup",
+    "brand_revenue_share",
+    "events_daily",
+    "events_user_pivot",
+    "events_running_total",
+    "purchase_asof_view",
+    "docs_fingerprint_dedup",
+    "ngram_jaccard_near_dup",
+    "embedding_top5_cosine",
+    "revenue_cube",
+    "customer_year_set_ops",
+    "urgent_customers_semi",
+    "purchase_followon_events",
+    "order_price_quantiles",
+    "embedding_cosine_near_dup",
+    "q14_promo_revenue",
+    "embedding_norm_stats",
+    "events_sessionize",
+    "events_props_flatten",
+    "events_conversion_paths",
+    "q19_disjunctive_revenue",
+    "crosslingual_near_dup",
+    "docs_line_dedup",
+    "events_funnel",
+    "events_cohort_retention",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "event_type_audience_overlap",
+    "lineitem_expectations",
+    "customer_name_typo_pairs",
 ]
 
 

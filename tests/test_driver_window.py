@@ -11,6 +11,13 @@ repo against the previous round's end commit (the driver's
 transitively-referenced operator symbol — changed this round, and fails
 unless each one sits inside the first-50 window. No human has to
 remember to rotate the list; pytest flags the omission at commit time.
+
+Window POLICY (round 5 on): all 50 slots go to ORACLE queries — this
+round's tainted set first, then backfill by oldest green driver row.
+Round 4's probe settled that the driver does NO rows-only checking
+(it records ``err:"no_oracle"`` and moves on), so a rows-only query in
+the window is a dead slot; their recall/accuracy/invariant checks live
+in pytest only.
 """
 
 from __future__ import annotations
@@ -158,3 +165,13 @@ def test_needs_driver_row_names_are_real():
 
     unknown = [n for n in workload._NEEDS_DRIVER_ROW if n not in workload.QUERIES]
     assert not unknown, f"_NEEDS_DRIVER_ROW lists unknown queries: {unknown}"
+
+
+def test_driver_window_slots_are_all_oracle():
+    """Every window slot must be an oracle query (driver-provable); a
+    rows-only query in the window is a dead slot — the driver records
+    ``no_oracle`` and checks nothing (established by the r04 probe)."""
+    from moisturizer_spark import workload
+
+    dead = [n for n in workload._NEEDS_DRIVER_ROW if n not in workload.ORACLE]
+    assert not dead, f"rows-only queries waste driver-window slots: {dead}"

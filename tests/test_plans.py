@@ -235,7 +235,40 @@ def test_remove_dup_spans_plan_shape(spark, sf_dir):
     assert n_exchanges <= 3, f"{n_exchanges} exchanges (expected ≤3):\n{tree}"
 
 
-def test_remove_dup_spans_hashed_key_drops_gram_string(spark, sf_dir):
+def test_remove_dup_spans_skew_guard_plan(spark, sf_dir):
+    """skew_guard must ELIMINATE the gram-keyed rank window (the hot-gram
+    skew magnet) and replace it with a partial+final min aggregate: no
+    reducer ever sorts a hot gram's full occurrence list. The doc-keyed
+    coverage window is the only window left."""
+    import contextlib
+    import io
+
+    from moisturizer_spark.operators.textan import remove_dup_spans
+    from moisturizer_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+
+    def plan_for(**kw):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            remove_dup_spans(docs, n=5, **kw).explain("formatted")
+        return buf.getvalue()
+
+    base, guarded = plan_for(), plan_for(skew_guard=True)
+    base_tree = base.split("\n\n", 1)[0]
+    tree = guarded.split("\n\n", 1)[0]
+    # the rank window is gone; only the doc coverage window remains
+    assert base_tree.count("Window") == 2
+    assert tree.count("Window") == 1
+    assert "row_number" not in guarded
+    # winners collapse through a two-level (partial map-side + final)
+    # aggregate — min(struct) plans as SortAggregate pairs
+    assert tree.count("SortAggregate") + tree.count("HashAggregate") >= \
+        base_tree.count("SortAggregate") + base_tree.count("HashAggregate") + 2
+    # flag join present, never a cartesian
+    assert "CartesianProduct" not in guarded
     """In the corpus-scale variant the ranking exchange must carry the
     8-byte hashed key, not the gram text."""
     import contextlib

@@ -620,6 +620,41 @@ def test_remove_dup_spans_hash_grams_parity(spark, sf_dir):
     assert any(r[3] > 0 for r in a)  # the corpus actually exercises removal
 
 
+def test_remove_dup_spans_skew_guard_parity_hot_gram(spark):
+    """skew_guard=True (min-struct aggregate + winner join instead of
+    the gram-keyed rank window) must be output-identical on a corpus
+    with one pathologically hot gram: a 5-gram planted 10^4 times —
+    100 docs x 100 repetitions — the regime where the rank window's
+    single hot partition is the scale hazard."""
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.textan import remove_dup_spans
+
+    hot = "zero one two three four "
+    rows = [
+        Row(doc_id=i, text=(hot * 100) + f"u{i}a u{i}b u{i}c u{i}d u{i}e")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, remove_dup_spans(df, n=5).collect()))
+    b = sorted(map(tuple, remove_dup_spans(df, n=5, skew_guard=True).collect()))
+    assert a == b
+    # the hot gram survived exactly once: doc 0 keeps one full run + its
+    # unique tail, every other doc is cut down to its unique tail
+    by_id = {r[0]: r for r in b}
+    assert by_id[0][2] > 5 and all(by_id[i][2] == 5 for i in range(1, 100))
+    # composes with the hashed-key corpus path too
+    c = sorted(
+        map(
+            tuple,
+            remove_dup_spans(
+                df, n=5, skew_guard=True, hash_grams=True
+            ).collect(),
+        )
+    )
+    assert a == c
+
+
 def test_minhash_compact_preserves_results_and_heals_files(spark, warehouse):
     import glob
     import os
