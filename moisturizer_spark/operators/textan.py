@@ -816,6 +816,99 @@ def remove_dup_spans(
     )
 
 
+def bigram_lm_bits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    train an add-``k``-smoothed word-BIGRAM language model on the
+    corpus and score every document by its cross-entropy under that
+    model, in bits per token —
+    ``H(d) = -avg over bigrams (w1,w2) of log2 P(w2|w1)`` with
+    ``P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V)``. Low bits ≈ fluent,
+    in-distribution text; high bits ≈ noise, boilerplate soup, or
+    wrong-language content. CCNet proper scores against a KenLM model
+    trained on Wikipedia and buckets the corpus into head/middle/tail
+    by perplexity percentile — the bucketing lives in the workload
+    query; this operator is the scoring engine, self-trained so the
+    whole computation is reproducible from the corpus alone (an
+    external LM is the same join against a different count table).
+
+    Returns ``(id_col, *keep_cols, bits_per_token)``; documents with
+    fewer than 2 tokens carry no bigrams and are excluded.
+
+    Cross-engine determinism: ``log2`` differs from DuckDB's in the
+    final ulp for ~1% of inputs, and float SUM is order-sensitive — so
+    each bigram's log-probability is rounded to 9 digits and summed as
+    ``DECIMAL(28,9)`` (exact, order-insensitive), with one double
+    division + round-6 at the end. The oracle reproduces the identical
+    arithmetic.
+
+    Scale: the LM tables come from ONE aggregation of the bigram frame
+    each (map-side combinable counts); both are vocabulary-bounded
+    (Zipf: ≪ corpus). The context table C(w1) broadcasts; the bigram
+    table C(w1,w2) joins on its natural (w1,w2) key — the single heavy
+    shuffle, AQE-skew-safe since hot bigrams ("of the") hit a
+    1-row-per-key build side. Vocabulary size V is a driver-side
+    scalar (the tfidf n_docs pattern). At 100 TB you'd prune the LM to
+    a top-V vocabulary with an OOV bucket, making C(w1,w2)
+    broadcastable too; the join shape is unchanged.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in keep_cols],
+        tokens_col(F.col(text_col)).alias("_w"),
+    )
+    # vocabulary size for the smoothing denominator: one agg, driver scalar
+    vocab = (
+        toks.select(F.explode("_w").alias("_t"))
+        .agg(F.countDistinct("_t"))
+        .first()[0]
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_w"), i).alias("w1"),
+            F.element_at(F.col("_w"), i + 1).alias("w2"),
+        ),
+    )
+    pairs = (
+        toks.filter(F.size("_w") >= 2)
+        .select("_id", *keep_cols, F.explode(grams).alias("_g"))
+        .select(
+            "_id",
+            *keep_cols,
+            F.col("_g.w1").alias("_w1"),
+            F.col("_g.w2").alias("_w2"),
+        )
+    )
+    c2 = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_n2"))
+    c1 = pairs.groupBy("_w1").agg(F.count(F.lit(1)).alias("_n1"))
+    lp = F.log2(
+        (F.col("_n2") + F.lit(float(k)))
+        / (F.col("_n1") + F.lit(float(k) * vocab))
+    )
+    return (
+        pairs.join(c2, ["_w1", "_w2"])
+        .join(F.broadcast(c1), "_w1")
+        .groupBy("_id", *keep_cols)
+        .agg(
+            F.sum(F.round(lp, 9).cast("decimal(28,9)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            *keep_cols,
+            F.round(
+                (-F.col("_s")).cast("double") / F.col("_n"), 6
+            ).alias("bits_per_token"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2362,6 +2362,81 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_perplexity_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS w FROM documents),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz
+          FROM (SELECT unnest(w) AS t FROM toks)),
+    pairs AS (SELECT doc_id, source, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id, source, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u
+        FROM toks WHERE len(w) >= 2)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY w1),
+    sc AS (SELECT doc_id, source,
+                  CAST(ROUND(log2((n2 + 0.5) / (n1 + 0.5 * vsz)), 9)
+                       AS DECIMAL(28,9)) AS lp
+           FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    doc AS (SELECT doc_id, source,
+                   ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS bpt
+            FROM sc GROUP BY doc_id, source),
+    b AS (SELECT source, doc_id, bpt,
+                 NTILE(3) OVER (PARTITION BY source ORDER BY bpt, doc_id) AS nt
+          FROM doc)
+    SELECT source,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(bpt) AS min_bpt, MAX(bpt) AS max_bpt
+    FROM b GROUP BY source, bucket ORDER BY source, bucket
+    """,
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document's cross-entropy under an add-k-smoothed word-bigram
+    LM trained on the corpus
+    (:func:`moisturizer_spark.operators.textan.bigram_lm_bits`), then
+    split each source into head / middle / tail perplexity tertiles —
+    the CCNet recipe for stratifying web text by LM quality before
+    sampling. Reports per (source, bucket): doc count and the
+    bits-per-token range.
+
+    Determinism: per-bigram log2 terms are rounded to 9 digits and
+    summed as DECIMAL (order-insensitive, engine-exact); tertile
+    assignment is ntile over the (rounded score, doc_id) total order;
+    bucket mins/maxes are order-insensitive. Scale: two
+    vocabulary-bounded count aggregations; the (w1,w2)-keyed scoring
+    join is the one heavy shuffle; the context table broadcasts; the
+    ntile window runs per source over ~|docs| rows of (id, score)
+    pairs only."""
+    from moisturizer_spark.operators.textan import bigram_lm_bits
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = bigram_lm_bits(
+        t["documents"].select("doc_id", "source", "text"),
+        keep_cols=("source",),
+    )
+    nt = F.ntile(3).over(
+        Window.partitionBy("source").orderBy("bits_per_token", "doc_id")
+    )
+    bucket = (
+        F.when(F.col("_nt") == 1, "head")
+        .when(F.col("_nt") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.withColumn("_nt", nt)
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("bits_per_token").alias("min_bpt"),
+            F.max("bits_per_token").alias("max_bpt"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+@query(
     "nation_wealth_full_outer",
     """
     WITH rich_c AS (
@@ -5120,6 +5195,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_remove_dup_spans_hashed",   # NEW: hashed-key scale path
     "q21_waiting_suppliers",          # min/max single-agg rewrite
     "source_epoch_mixture",           # expand_epochs column aliasing
+    "docs_perplexity_buckets",        # NEW: CCNet bigram-LM bucketing
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5167,7 +5243,6 @@ _NEEDS_DRIVER_ROW = [
     "q18_large_orders",
     "event_type_audience_overlap",
     "lineitem_expectations",
-    "customer_name_typo_pairs",
 ]
 
 

@@ -655,6 +655,39 @@ def test_remove_dup_spans_skew_guard_parity_hot_gram(spark):
     assert a == c
 
 
+def test_bigram_lm_bits_hand_computed(spark):
+    """Tiny corpus, hand-derived add-0.5-smoothed bigram cross-entropy.
+
+    tokens: d1 = a b a b, d2 = a b c, d3 = x (no bigrams -> excluded).
+    Bigram counts: (a,b)=3 (b,a)=1 (b,c)=1; context counts: a=3 b=2;
+    V=4 (a b c x). P(b|a)=3.5/5, P(a|b)=1.5/4, P(c|b)=1.5/4.
+    H(d1) = -(2*log2(0.7) + log2(0.375))/3, H(d2) = -(log2(0.7) +
+    log2(0.375))/2."""
+    import math
+
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.textan import bigram_lm_bits
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b c"),
+         Row(doc_id=3, text="x")]
+    )
+    got = {r["doc_id"]: r["bits_per_token"]
+           for r in bigram_lm_bits(df).collect()}
+    lp_ab = math.log2(3.5 / 5.0)
+    lp_ba = math.log2(1.5 / 4.0)
+    assert 3 not in got  # single-token doc has no bigrams
+    assert abs(got[1] - (-(2 * lp_ab + lp_ba) / 3)) < 2e-6
+    assert abs(got[2] - (-(lp_ab + lp_ba) / 2)) < 2e-6
+    # keep_cols pass-through
+    from pyspark.sql import functions as F
+
+    df2 = df.withColumn("source", F.lit("s"))
+    row = bigram_lm_bits(df2, keep_cols=("source",)).first()
+    assert row["source"] == "s"
+
+
 def test_minhash_compact_preserves_results_and_heals_files(spark, warehouse):
     import glob
     import os
