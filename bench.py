@@ -81,12 +81,15 @@ def main() -> None:
     from moisturizer_spark.operators.common import cache_scope
 
     def _gc_time_ms() -> int:
-        # total JVM GC time across executors via the Spark status API;
-        # local mode = one executor ("driver") row
+        # cumulative JVM GC ms via the GC MXBeans; in local mode the
+        # driver JVM is the executor JVM, so this is total GC time
+        # (SparkExecutorInfo has no GC accessor in Spark 4.x)
         try:
-            jvm_status = spark.sparkContext._jsc.sc().statusTracker()
-            infos = jvm_status.getExecutorInfos()
-            return sum(infos[i].totalGCTime() for i in range(len(infos)))
+            mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            beans = mf.getGarbageCollectorMXBeans()
+            return sum(
+                beans.get(i).getCollectionTime() for i in range(beans.size())
+            )
         except Exception:
             return -1
 

@@ -50,7 +50,10 @@ def get_spark(
         # the probe side skips shuffling rows that cannot join. The
         # default 10 GB application-side threshold keeps it dormant at
         # local test scale (plans stay stable); tests/test_plans.py pins
-        # the activation behavior with the threshold lowered.
+        # the activation behavior with the threshold lowered. Measured
+        # local cost of the dormant rule: ~5% per query (within-session
+        # alternating A/B, NOTES_r05.md) — accepted as the price of
+        # shipping the scale-correct config unchanged.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
