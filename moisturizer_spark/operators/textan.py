@@ -842,51 +842,31 @@ def bigram_lm_bits(
 
     Cross-engine determinism: ``log2`` differs from DuckDB's in the
     final ulp for ~1% of inputs, and float SUM is order-sensitive — so
-    each bigram's log-probability is rounded to 9 digits and summed as
-    ``DECIMAL(28,9)`` (exact, order-insensitive), with one double
-    division + round-6 at the end. The oracle reproduces the identical
-    arithmetic.
+    each bigram's log-probability is rounded to integer NANO-bits
+    (``round(lp·1e9)``: boundary hits on an irrational log have
+    measure zero) and summed as BIGINT (exact, order-insensitive); the
+    per-token average is then a pure INTEGER division rounded
+    half-away (see :func:`_micro_per_token`) — no float division whose
+    exact-rational result could land on a rounding boundary and flip
+    the last digit between engines (observed once at sf0.01 with the
+    naive ``round(sum/n, 6)``). Output lands on the same 1e-6 grid.
 
-    Scale: the LM tables come from ONE aggregation of the bigram frame
-    each (map-side combinable counts); both are vocabulary-bounded
-    (Zipf: ≪ corpus). The context table C(w1) broadcasts; the bigram
-    table C(w1,w2) joins on its natural (w1,w2) key — the single heavy
-    shuffle, AQE-skew-safe since hot bigrams ("of the") hit a
-    1-row-per-key build side. Vocabulary size V is a driver-side
-    scalar (the tfidf n_docs pattern). At 100 TB you'd prune the LM to
-    a top-V vocabulary with an OOV bucket, making C(w1,w2)
-    broadcastable too; the join shape is unchanged.
+    Scale: the corpus is scanned exactly TWICE — once to build the
+    bigram count table C(w1,w2) (one map-side combinable aggregation),
+    once to score. Everything else derives from the vocabulary-bounded
+    C(w1,w2) itself (Zipf: ≪ corpus): the context table C(w1) is its
+    per-w1 sum, and the LM vocabulary V — the distinct words
+    participating in any bigram, i.e. the model's event space — is a
+    distinct-count over its two word columns. The context table
+    broadcasts; C(w1,w2) joins on its natural (w1,w2) key — the single
+    heavy shuffle, AQE-skew-safe since hot bigrams ("of the") hit a
+    1-row-per-key build side. V is a driver-side scalar (the tfidf
+    n_docs pattern). At 100 TB you'd prune the LM to a top-V vocabulary
+    with an OOV bucket, making C(w1,w2) broadcastable too; the join
+    shape is unchanged.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c) for c in keep_cols],
-        tokens_col(F.col(text_col)).alias("_w"),
-    )
-    # vocabulary size for the smoothing denominator: one agg, driver scalar
-    vocab = (
-        toks.select(F.explode("_w").alias("_t"))
-        .agg(F.countDistinct("_t"))
-        .first()[0]
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("_w") - 1),
-        lambda i: F.struct(
-            F.element_at(F.col("_w"), i).alias("w1"),
-            F.element_at(F.col("_w"), i + 1).alias("w2"),
-        ),
-    )
-    pairs = (
-        toks.filter(F.size("_w") >= 2)
-        .select("_id", *keep_cols, F.explode(grams).alias("_g"))
-        .select(
-            "_id",
-            *keep_cols,
-            F.col("_g.w1").alias("_w1"),
-            F.col("_g.w2").alias("_w2"),
-        )
-    )
-    c2 = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_n2"))
-    c1 = pairs.groupBy("_w1").agg(F.count(F.lit(1)).alias("_n1"))
+    pairs = _bigram_pairs(df, id_col, text_col, keep_cols)
+    c2, c1, vocab = _bigram_lm(pairs)
     lp = F.log2(
         (F.col("_n2") + F.lit(float(k)))
         / (F.col("_n1") + F.lit(float(k) * vocab))
@@ -896,15 +876,169 @@ def bigram_lm_bits(
         .join(F.broadcast(c1), "_w1")
         .groupBy("_id", *keep_cols)
         .agg(
-            F.sum(F.round(lp, 9).cast("decimal(28,9)")).alias("_s"),
+            F.sum(_nano(lp)).alias("_s"),
             F.count(F.lit(1)).alias("_n"),
+        )
+        # lp < 0 strictly (smoothed P < 1), so -_s is the positive sum
+        .withColumn("_micro", _micro_per_token("-_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            *keep_cols,
+            (F.col("_micro").cast("double") / F.lit(1e6)).alias(
+                "bits_per_token"
+            ),
+        )
+    )
+
+
+def _nano(lp) -> "Column":
+    """An irrational log-probability as integer nano-bits (exact to
+    sum in any order, in any engine)."""
+    return F.round(lp * F.lit(1e9)).cast("bigint")
+
+
+def _micro_per_token(sum_nano_sql: str) -> "Column":
+    """``sum_nano / (1000·n)`` rounded half-away-from-zero, in PURE
+    integer arithmetic (``DIV``) — engine-exact even when the rational
+    lands exactly on a rounding boundary, where float round(x, 6)
+    implementations disagree. ``sum_nano_sql`` must be a SQL expression
+    over the aggregated columns yielding a non-negative BIGINT; the
+    frame must carry the count as ``_n``."""
+    return F.expr(
+        f"(2 * ({sum_nano_sql}) + 1000 * _n) DIV (2000 * _n)"
+    )
+
+
+def _bigram_pairs(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple = ()
+) -> DataFrame:
+    """One tokenize pass → the (doc, w1, w2) bigram-occurrence frame."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in keep_cols],
+        tokens_col(F.col(text_col)).alias("_w"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_w"), i).alias("w1"),
+            F.element_at(F.col("_w"), i + 1).alias("w2"),
+        ),
+    )
+    return (
+        toks.filter(F.size("_w") >= 2)
+        .select("_id", *keep_cols, F.explode(grams).alias("_g"))
+        .select(
+            "_id",
+            *keep_cols,
+            F.col("_g.w1").alias("_w1"),
+            F.col("_g.w2").alias("_w2"),
+        )
+    )
+
+
+def _bigram_lm(pairs: DataFrame) -> tuple:
+    """Bigram LM from an occurrence frame: the persisted count table
+    C(w1,w2), its derived context table C(w1), and the vocabulary size
+    (distinct words participating in bigrams — the model's event
+    space). The count table is vocabulary-bounded and persisted so the
+    vocab action, the context derivation, and the scoring join all
+    read it without re-scanning the corpus (ReuseExchange won't fire
+    across them)."""
+    c2 = materialize(
+        pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_n2"))
+    )
+    c1 = c2.groupBy("_w1").agg(F.sum("_n2").alias("_n1"))
+    vocab = (
+        c2.select(F.col("_w1").alias("_t"))
+        .union(c2.select(F.col("_w2").alias("_t")))
+        .agg(F.countDistinct("_t"))
+        .first()[0]
+    )
+    return c2, c1, vocab
+
+
+def dsir_log_ratio(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """DSIR-style importance scoring ("Data Selection for Language
+    Models via Importance Resampling", Xie et al. 2023): score every
+    raw document by how much more likely it is under a TARGET-domain
+    language model than under the raw-corpus model —
+    ``log2_ratio = bits_raw − bits_target`` per token, i.e. the
+    normalized log importance weight ``(1/n)·log2 (p_target/p_raw)``.
+    Positive = target-like; selection is "keep the highest-ratio docs"
+    (DSIR proper resamples proportionally — rank-and-take is its
+    deterministic, oracle-checkable cousin; both orders agree).
+
+    DSIR hashes n-gram features into buckets; word bigrams are the
+    un-hashed special case — at 100 TB you'd swap the bigram key for
+    ``xxhash64(bigram) % n_buckets``, shrinking both LM tables to a
+    fixed size with zero plan-shape change (the remove_dup_spans
+    ``hash_grams`` move).
+
+    Out-of-target bigrams: a raw bigram absent from the target LM
+    scores ``P = k/(C(w1)+k·V_t)`` (or ``k/(k·V_t)`` for an unseen
+    context) via the same add-k smoothing, so no join row is lost —
+    the target side joins LEFT, the raw side INNER (the raw LM trained
+    on the scored corpus always contains its own bigrams).
+
+    Scale: two corpus scans (one per LM build) + one scoring scan; the
+    scoring join carries BOTH models in one pass — each is a
+    vocabulary-bounded (w1,w2,n2,n1) table joined on its natural key.
+    Cross-engine determinism: the bigram_lm_bits recipe (integer
+    nano-bit terms, BIGINT sums, integer half-away division — see
+    :func:`_micro_per_token`; the ratio can be either sign, so the
+    division branches on it).
+    """
+    pairs = _bigram_pairs(df, id_col, text_col, keep_cols)
+    tpairs = _bigram_pairs(target, id_col, text_col)
+    rc2, rc1, rvocab = _bigram_lm(pairs)
+    tc2, tc1, tvocab = _bigram_lm(tpairs)
+    if not tvocab:
+        raise ValueError("target corpus has no bigrams to train on")
+    raw_lm = rc2.join(rc1, "_w1")
+    # the two target tables join SEPARATELY: an unseen bigram under a
+    # seen context must still smooth against that context's count
+    # C_t(w1) — only a fully-unseen context degrades to P = k/(k·V_t)
+    t_bigrams = tc2.select("_w1", "_w2", F.col("_n2").alias("_tn2"))
+    t_contexts = tc1.select("_w1", F.col("_n1").alias("_tn1"))
+    lp_t = F.log2(
+        (F.coalesce(F.col("_tn2"), F.lit(0)) + F.lit(float(k)))
+        / (F.coalesce(F.col("_tn1"), F.lit(0)) + F.lit(float(k) * tvocab))
+    )
+    lp_r = F.log2(
+        (F.col("_n2") + F.lit(float(k)))
+        / (F.col("_n1") + F.lit(float(k) * rvocab))
+    )
+    return (
+        pairs.join(raw_lm, ["_w1", "_w2"])
+        .join(t_bigrams, ["_w1", "_w2"], "left")
+        .join(F.broadcast(t_contexts), ["_w1"], "left")
+        .groupBy("_id", *keep_cols)
+        .agg(
+            F.sum(_nano(lp_t)).alias("_st"),
+            F.sum(_nano(lp_r)).alias("_sr"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn(
+            "_micro",
+            F.when(
+                F.col("_st") >= F.col("_sr"),
+                _micro_per_token("_st - _sr"),
+            ).otherwise(-_micro_per_token("_sr - _st")),
         )
         .select(
             F.col("_id").alias(id_col),
             *keep_cols,
-            F.round(
-                (-F.col("_s")).cast("double") / F.col("_n"), 6
-            ).alias("bits_per_token"),
+            (F.col("_micro").cast("double") / F.lit(1e6)).alias(
+                "log2_ratio_per_token"
+            ),
         )
     )
 

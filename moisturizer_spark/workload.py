@@ -2365,20 +2365,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_perplexity_buckets",
     f"""
     WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS w FROM documents),
-    v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz
-          FROM (SELECT unnest(w) AS t FROM toks)),
     pairs AS (SELECT doc_id, source, u.w1 AS w1, u.w2 AS w2 FROM (
         SELECT doc_id, source, unnest(list_transform(range(1, len(w)),
             i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u
         FROM toks WHERE len(w) >= 2)),
     c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY w1, w2),
-    c1 AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY w1),
+    c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz FROM (
+          SELECT w1 AS t FROM c2 UNION ALL SELECT w2 AS t FROM c2)),
     sc AS (SELECT doc_id, source,
-                  CAST(ROUND(log2((n2 + 0.5) / (n1 + 0.5 * vsz)), 9)
-                       AS DECIMAL(28,9)) AS lp
+                  CAST(ROUND(log2((n2 + 0.5) / (n1 + 0.5 * vsz)) * 1e9)
+                       AS BIGINT) AS lp
            FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
     doc AS (SELECT doc_id, source,
-                   ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS bpt
+                   CAST((2 * (-SUM(lp)) + 1000 * COUNT(*))
+                        // (2000 * COUNT(*)) AS DOUBLE) / 1000000.0 AS bpt
             FROM sc GROUP BY doc_id, source),
     b AS (SELECT source, doc_id, bpt,
                  NTILE(3) OVER (PARTITION BY source ORDER BY bpt, doc_id) AS nt
@@ -2433,6 +2434,84 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bits_per_token").alias("max_bpt"),
         )
         .orderBy("source", "bucket")
+    )
+
+
+@query(
+    "docs_dsir_selection",
+    f"""
+    WITH toks AS (SELECT doc_id, source, lang, {_SQL_TOKS} AS w FROM documents),
+    pairs AS (SELECT doc_id, source, lang, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id, source, lang, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u
+        FROM toks WHERE len(w) >= 2)),
+    rc2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY w1, w2),
+    rc1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM rc2 GROUP BY w1),
+    rv AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz FROM (
+           SELECT w1 AS t FROM rc2 UNION ALL SELECT w2 AS t FROM rc2)),
+    tp AS (SELECT * FROM pairs WHERE lang = 'en'),
+    tc2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM tp GROUP BY w1, w2),
+    tc1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM tc2 GROUP BY w1),
+    tv AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz FROM (
+           SELECT w1 AS t FROM tc2 UNION ALL SELECT w2 AS t FROM tc2)),
+    sc AS (SELECT p.doc_id, p.source,
+        CAST(ROUND(log2((COALESCE(t2.n2, 0) + 0.5)
+                        / (COALESCE(t1.n1, 0) + 0.5 * tv.vsz)) * 1e9)
+             AS BIGINT) AS lpt,
+        CAST(ROUND(log2((r2.n2 + 0.5) / (r1.n1 + 0.5 * rv.vsz)) * 1e9)
+             AS BIGINT) AS lpr
+        FROM pairs p
+        JOIN rc2 r2 ON p.w1 = r2.w1 AND p.w2 = r2.w2
+        JOIN rc1 r1 ON p.w1 = r1.w1
+        LEFT JOIN tc2 t2 ON p.w1 = t2.w1 AND p.w2 = t2.w2
+        LEFT JOIN tc1 t1 ON p.w1 = t1.w1
+        CROSS JOIN rv CROSS JOIN tv),
+    doc AS (SELECT doc_id, source,
+            CAST(CASE WHEN SUM(lpt) >= SUM(lpr)
+                 THEN (2 * (SUM(lpt) - SUM(lpr)) + 1000 * COUNT(*))
+                      // (2000 * COUNT(*))
+                 ELSE -((2 * (SUM(lpr) - SUM(lpt)) + 1000 * COUNT(*))
+                        // (2000 * COUNT(*)))
+                 END AS DOUBLE) / 1000000.0 AS log2_ratio_per_token
+            FROM sc GROUP BY doc_id, source),
+    r AS (SELECT source, doc_id, log2_ratio_per_token,
+          ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY log2_ratio_per_token DESC, doc_id) AS rnk
+          FROM doc)
+    SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id, log2_ratio_per_token
+    FROM r WHERE rnk <= 3 ORDER BY source, rank
+    """,
+)
+def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance-score every
+    document by ``(1/n)·log2 (p_target / p_raw)`` between a bigram LM
+    trained on the TARGET domain (here: the English slice — the "I
+    want more of this" exemplar) and one trained on the whole raw
+    corpus (:func:`moisturizer_spark.operators.textan.dsir_log_ratio`);
+    report the top-3 most target-like documents per source. DSIR
+    proper resamples proportionally to the weights; deterministic
+    rank-and-take is the oracle-checkable selection rule.
+
+    Scale: two LM builds (one corpus scan each, count tables
+    vocabulary-bounded and persisted) + one scoring scan carrying both
+    models in a single pass; unseen target bigrams smooth against
+    their context count via separate (w1,w2)/(w1) left joins. Ranking
+    is per-source top-3 — a WindowGroupLimit, not a global sort."""
+    from moisturizer_spark.operators.textan import dsir_log_ratio
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "source", "lang", "text")
+    scored = dsir_log_ratio(
+        docs, docs.filter(F.col("lang") == "en"), keep_cols=("source",)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("log2_ratio_per_token").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "doc_id", "log2_ratio_per_token")
+        .orderBy("source", "rank")
     )
 
 
@@ -5196,6 +5275,7 @@ _NEEDS_DRIVER_ROW = [
     "q21_waiting_suppliers",          # min/max single-agg rewrite
     "source_epoch_mixture",           # expand_epochs column aliasing
     "docs_perplexity_buckets",        # NEW: CCNet bigram-LM bucketing
+    "docs_dsir_selection",            # NEW: DSIR importance selection
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5242,7 +5322,6 @@ _NEEDS_DRIVER_ROW = [
     "q7_volume_shipping",
     "q18_large_orders",
     "event_type_audience_overlap",
-    "lineitem_expectations",
 ]
 
 

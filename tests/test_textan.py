@@ -658,11 +658,11 @@ def test_remove_dup_spans_skew_guard_parity_hot_gram(spark):
 def test_bigram_lm_bits_hand_computed(spark):
     """Tiny corpus, hand-derived add-0.5-smoothed bigram cross-entropy.
 
-    tokens: d1 = a b a b, d2 = a b c, d3 = x (no bigrams -> excluded).
-    Bigram counts: (a,b)=3 (b,a)=1 (b,c)=1; context counts: a=3 b=2;
-    V=4 (a b c x). P(b|a)=3.5/5, P(a|b)=1.5/4, P(c|b)=1.5/4.
-    H(d1) = -(2*log2(0.7) + log2(0.375))/3, H(d2) = -(log2(0.7) +
-    log2(0.375))/2."""
+    tokens: d1 = a b a b, d2 = a b c, d3 = x (no bigrams -> excluded;
+    its token is outside the LM's event space, so V counts only words
+    participating in bigrams). Bigram counts: (a,b)=3 (b,a)=1 (b,c)=1;
+    context counts: a=3 b=2; V=3 (a b c). P(b|a)=3.5/4.5,
+    P(a|b)=1.5/3.5, P(c|b)=1.5/3.5."""
     import math
 
     from pyspark.sql import Row
@@ -675,8 +675,8 @@ def test_bigram_lm_bits_hand_computed(spark):
     )
     got = {r["doc_id"]: r["bits_per_token"]
            for r in bigram_lm_bits(df).collect()}
-    lp_ab = math.log2(3.5 / 5.0)
-    lp_ba = math.log2(1.5 / 4.0)
+    lp_ab = math.log2(3.5 / 4.5)
+    lp_ba = math.log2(1.5 / 3.5)
     assert 3 not in got  # single-token doc has no bigrams
     assert abs(got[1] - (-(2 * lp_ab + lp_ba) / 3)) < 2e-6
     assert abs(got[2] - (-(lp_ab + lp_ba) / 2)) < 2e-6
