@@ -12,6 +12,8 @@ stages are JVM built-ins (``hll_sketch_agg`` / ``hll_union_agg`` /
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -58,18 +60,53 @@ def hll_merge_estimate(
 # alpha of the bucket's representative 2*gamma^i/(gamma+1).
 
 
+_BIN_OFF = 100_000  # shift making the ceil-division numerator positive
+
+
+def _lg_nano(relative_accuracy: float) -> int:
+    gamma = (1.0 + relative_accuracy) / (1.0 - relative_accuracy)
+    return round(math.log(gamma) * 1e9)
+
+
 def ddsketch_bin(col, relative_accuracy: float = 0.01):
     """The DDSketch bucket index expression: ``ceil(log_gamma(v))`` for
     positive ``v``, NULL (the reserved non-positive bucket) otherwise.
     Shared by :func:`ddsketch_rollup` and the incremental CDC fold
     (:class:`moisturizer_spark.incremental.IncrementalDDSketchView`) so
-    both paths bucket identically by construction."""
-    import math
+    both paths bucket identically by construction.
 
-    gamma = (1.0 + relative_accuracy) / (1.0 - relative_accuracy)
-    lg = math.log(gamma)
+    Evaluated in ENGINE-EXACT integer arithmetic: ``ln(v)`` is rounded
+    to integer nano-units (a measure-zero boundary on an irrational
+    log) and the ceiling division by the integer-nano ``ln(gamma)``
+    constant is pure integer math — ``ceil(a/d) = floor((a+d-1)/d)``
+    with a positivity shift so floor == truncation. A float
+    ``ceil(ln(v)/ln(gamma))`` can straddle a bucket boundary
+    differently per engine, and a repeated price straddling a boundary
+    moves ALL its rows at once; the integer form is what lets
+    ``order_price_quantile_sketch`` carry a DuckDB oracle
+    (:func:`sql_ddsketch_bin` renders the identical arithmetic).
+    Magnitude safety: |nano(ln v)| ≤ ~7e11 for v in [1e-300, 1e300]
+    and the shifted numerator stays ≤ ~3e12 ≪ 2^53, so the final exact
+    division is lossless."""
     v = F.col(col).cast("double") if isinstance(col, str) else col.cast("double")
-    return F.when(v > 0, F.ceil(F.log(v) / F.lit(lg)).cast("int"))
+    d = _lg_nano(relative_accuracy)
+    a = F.round(F.log(v) * F.lit(1e9)).cast("bigint")
+    x = a + F.lit(_BIN_OFF * d + d - 1)
+    # exact floor division: x - pmod is a multiple of d and ≪ 2^53, so
+    # the double division is lossless
+    q = (x - F.pmod(x, F.lit(d))) / F.lit(d)
+    return F.when(v > 0, (q - _BIN_OFF).cast("int"))
+
+
+def sql_ddsketch_bin(v_sql: str, relative_accuracy: float = 0.01) -> str:
+    """DuckDB rendering of :func:`ddsketch_bin` — same integer
+    arithmetic (``//`` floors; the shifted numerator is positive)."""
+    d = _lg_nano(relative_accuracy)
+    x = f"(CAST(ROUND(ln({v_sql}) * 1e9) AS BIGINT) + {_BIN_OFF * d + d - 1})"
+    return (
+        f"CASE WHEN {v_sql} > 0 "
+        f"THEN CAST({x} // {d} - {_BIN_OFF} AS INT) END"
+    )
 
 
 def ddsketch_rollup(
@@ -110,11 +147,11 @@ def ddsketch_quantiles(
     the first bucket whose cumulative count reaches ``ceil(q * n)`` —
     guaranteed within ``relative_accuracy`` of the true quantile.
 
-    Output: (keys..., q double, quantile_est double). The cumulative
-    walk is a window over each group's occupied buckets (hundreds of
-    rows per group, already aggregated), not the data."""
-    import math
-
+    Output: (keys..., q double, quantile_est double) — the estimate is
+    rounded to 4 decimals so the oracle's ``pow`` (which may differ in
+    the final ulp) lands on the same value. The cumulative walk is a
+    window over each group's occupied buckets (hundreds of rows per
+    group, already aggregated), not the data."""
     from pyspark.sql import Window
 
     bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
@@ -142,9 +179,12 @@ def ddsketch_quantiles(
     rep = F.when(
         F.col("_qbin").isNull(), F.lit(0.0)
     ).otherwise(
-        F.lit(2.0)
-        * F.pow(F.lit(gamma), F.col("_qbin").cast("double"))
-        / F.lit(gamma + 1.0)
+        F.round(
+            F.lit(2.0)
+            * F.pow(F.lit(gamma), F.col("_qbin").cast("double"))
+            / F.lit(gamma + 1.0),
+            4,
+        )
     )
     qdf = cum.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"

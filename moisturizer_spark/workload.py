@@ -3795,14 +3795,53 @@ def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_order_price_quantile_sketch() -> str:
+    import math as _math
+
+    from moisturizer_spark.operators.sketches import sql_ddsketch_bin
+
+    gamma = (1.0 + 0.01) / (1.0 - 0.01)
+    bin_sql = sql_ddsketch_bin("CAST(o_totalprice AS DOUBLE)")
+    return f"""
+    WITH b AS (SELECT o_orderpriority AS pri, {bin_sql} AS bin
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    m AS (SELECT pri, bin, COUNT(*) AS n FROM b GROUP BY pri, bin),
+    c AS (SELECT pri, bin,
+                 SUM(n) OVER (PARTITION BY pri ORDER BY bin ASC NULLS FIRST
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 SUM(n) OVER (PARTITION BY pri) AS tot
+          FROM m),
+    qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS q),
+    hit AS (SELECT pri, q, bin, cum,
+                   ROW_NUMBER() OVER (PARTITION BY pri, q
+                                      ORDER BY cum) AS rn
+            FROM c CROSS JOIN qs WHERE cum >= CEIL(q * tot))
+    SELECT pri AS o_orderpriority, q,
+           CASE WHEN bin IS NULL THEN 0.0
+                ELSE ROUND(2.0 * POW({gamma!r}, bin) / {gamma + 1.0!r}, 4)
+           END AS quantile_est
+    FROM hit WHERE rn = 1 ORDER BY o_orderpriority, q
+    """
+
+
+@query("order_price_quantile_sketch", _sql_order_price_quantile_sketch())
 def order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile-sketch rollup (DDSketch log buckets,
     :func:`moisturizer_spark.operators.sketches.ddsketch_rollup`):
     store per-(priority) bucket counts once, answer p50/p90/p99 from the
     stored cells — within 1% relative error, exactly mergeable to any
     coarser grain (accuracy + merge-losslessness pinned in
-    ``tests/test_approx.py``). Rows-only: bucket edges are float-log
-    boundaries the oracle can't be trusted to reproduce bit-for-bit."""
+    ``tests/test_approx.py``).
+
+    ORACLE-CHECKED since round 5: the bucket index is computed in
+    engine-exact integer arithmetic (integer-nano ln + integer ceiling
+    division, :func:`~moisturizer_spark.operators.sketches.ddsketch_bin`)
+    and the representative is rounded to 4 decimals, so DuckDB
+    reproduces the whole sketch bit-for-bit — the second sketch family
+    (after KMV) whose algebra is driver-provable rather than
+    pytest-only."""
     from moisturizer_spark.operators.sketches import (
         ddsketch_quantiles,
         ddsketch_rollup,
@@ -3813,9 +3852,6 @@ def order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles(
         roll, ["o_orderpriority"], [0.5, 0.9, 0.99]
     ).orderBy("o_orderpriority", "q")
-
-
-QUERIES["order_price_quantile_sketch"] = order_price_quantile_sketch
 
 
 @query(
@@ -5276,6 +5312,7 @@ _NEEDS_DRIVER_ROW = [
     "source_epoch_mixture",           # expand_epochs column aliasing
     "docs_perplexity_buckets",        # NEW: CCNet bigram-LM bucketing
     "docs_dsir_selection",            # NEW: DSIR importance selection
+    "order_price_quantile_sketch",    # NEWLY ORACLE: integer-exact bins
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5321,7 +5358,6 @@ _NEEDS_DRIVER_ROW = [
     "events_cohort_retention",
     "q7_volume_shipping",
     "q18_large_orders",
-    "event_type_audience_overlap",
 ]
 
 
