@@ -702,10 +702,14 @@ def remove_dup_spans(
       is map-side combinable where a window is not, so the hot gram
       collapses to one row per map task before the exchange — followed
       by a gram-keyed join flagging each occurrence against its gram's
-      global first. Output is identical (parity-pinned on a planted
-      hot-gram corpus); the guard costs one extra (collapsed) exchange
-      for the winner frame, which is why it's a flag and not the
-      default at harness scale.
+      global first; only duplicated grams (count ≥ 2) enter the winner
+      table, so unique grams flag 0 via the left-join miss and the
+      build side carries the duplicated fraction only. Output is
+      identical (parity-pinned on a planted hot-gram corpus); the
+      guard re-derives the occurrence frame for the winner branch (a
+      second scan), which measures ~1.5x slower than the window at
+      harness scale (2.2s vs 1.5s, sf0.1, hashed keys) — it's the
+      plan for the hot-boilerplate regime, not the default.
     - Coverage is a ``max`` over a ROWS window of width ``n`` per doc —
       no self-join of token rows against span rows.
     - Reassembly is the same shuffle as the coverage window (same key,
@@ -757,15 +761,25 @@ def remove_dup_spans(
         # combine map-side (partial rows per (gram, map task)), so no
         # reducer ever sorts a hot gram's full occurrence list; struct
         # comparison is lexicographic (_id, _pos) — the same total
-        # order the rank window uses
+        # order the rank window uses. Only DUPLICATED grams (count ≥ 2)
+        # enter the winner table: a unique gram's occurrence is its own
+        # first and flags 0 via the left-join miss, so the build side
+        # shrinks to the duplicated-gram fraction of the vocabulary —
+        # small enough that AQE picks a broadcast join at test scale,
+        # removing the gram-keyed shuffle of the occurrence frame
+        # entirely (at 100 TB it degrades gracefully to a shuffle join
+        # with a build side that only carries duplicated grams).
         winners = (
             keyed.filter(F.col("_hasg"))
             .groupBy("_gk")
             .agg(
                 F.min(
                     F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))
-                ).alias("_w")
+                ).alias("_w"),
+                F.count(F.lit(1)).alias("_wn"),
             )
+            .filter(F.col("_wn") >= 2)
+            .drop("_wn")
         )
         flagged = (
             keyed.join(winners, "_gk", "left")
@@ -773,6 +787,7 @@ def remove_dup_spans(
                 "_ds",
                 F.when(
                     F.col("_hasg")
+                    & F.col("_w").isNotNull()
                     & ~(
                         (F.col("_w.i") == F.col("_id"))
                         & (F.col("_w.p") == F.col("_pos"))
