@@ -121,11 +121,14 @@ def main() -> None:
             load1 = os.getloadavg()[0]
         except OSError:
             load1 = -1.0
+        gc1 = _gc_time_ms()
         env_passes.append({
             "load_avg_start": round(load0, 2),
             "load_avg_end": round(load1, 2),
             "pass_wall_sec": round(time.perf_counter() - pass_t0, 1),
-            "gc_ms_delta": _gc_time_ms() - gc0,
+            # -1 stays a sentinel: subtracting through it would forge a
+            # plausible-looking but meaningless delta
+            "gc_ms_delta": gc1 - gc0 if gc0 >= 0 and gc1 >= 0 else -1,
         })
 
     timings = {name: min(ts) for name, ts in runs.items()}

@@ -60,12 +60,32 @@ def hll_merge_estimate(
 # alpha of the bucket's representative 2*gamma^i/(gamma+1).
 
 
-_BIN_OFF = 100_000  # shift making the ceil-division numerator positive
-
-
 def _lg_nano(relative_accuracy: float) -> int:
     gamma = (1.0 + relative_accuracy) / (1.0 - relative_accuracy)
-    return round(math.log(gamma) * 1e9)
+    d = round(math.log(gamma) * 1e9)
+    if d <= 0:
+        raise ValueError(
+            f"relative_accuracy {relative_accuracy!r} gives a degenerate "
+            "bucket width"
+        )
+    return d
+
+
+# |nano(ln v)| for any positive finite double is < 745e9 (ln of the
+# extreme doubles is within ±745); a positivity shift must exceed that.
+_LN_NANO_MAX = 746_000_000_000
+
+
+def _bin_shift(d: int) -> int:
+    """Shift (in BUCKETS) making the ceil-division numerator positive
+    for every representable value: smallest multiple-of-d offset above
+    the largest possible |nano(ln v)|, expressed as a bucket count so
+    subtracting it back is exact. Keeps the shifted numerator ≤ ~1.5e12
+    + 2d ≪ 2^53 for ANY relative_accuracy — a fixed bucket-count shift
+    would under-cover tiny accuracies (width d shrinks, |bucket| range
+    grows) and a too-large one would overflow exact-double range for
+    coarse ones."""
+    return _LN_NANO_MAX // d + 1
 
 
 def ddsketch_bin(col, relative_accuracy: float = 0.01):
@@ -85,27 +105,34 @@ def ddsketch_bin(col, relative_accuracy: float = 0.01):
     moves ALL its rows at once; the integer form is what lets
     ``order_price_quantile_sketch`` carry a DuckDB oracle
     (:func:`sql_ddsketch_bin` renders the identical arithmetic).
-    Magnitude safety: |nano(ln v)| ≤ ~7e11 for v in [1e-300, 1e300]
-    and the shifted numerator stays ≤ ~3e12 ≪ 2^53, so the final exact
-    division is lossless."""
+    Magnitude safety: |nano(ln v)| < 746e9 for every positive finite
+    double, the shift (:func:`_bin_shift`) is the smallest
+    multiple-of-d cover of that range, and the shifted numerator stays
+    ≪ 2^53 for any accuracy — so the final exact division is lossless
+    and the numerator is positive for ALL representable inputs (both
+    engines' integer divisions agree on positives; they'd disagree on
+    negatives, DuckDB truncating where the pmod form floors)."""
     v = F.col(col).cast("double") if isinstance(col, str) else col.cast("double")
     d = _lg_nano(relative_accuracy)
+    off = _bin_shift(d)
     a = F.round(F.log(v) * F.lit(1e9)).cast("bigint")
-    x = a + F.lit(_BIN_OFF * d + d - 1)
+    x = a + F.lit(off * d + d - 1)
     # exact floor division: x - pmod is a multiple of d and ≪ 2^53, so
     # the double division is lossless
     q = (x - F.pmod(x, F.lit(d))) / F.lit(d)
-    return F.when(v > 0, (q - _BIN_OFF).cast("int"))
+    return F.when(v > 0, (q - off).cast("int"))
 
 
 def sql_ddsketch_bin(v_sql: str, relative_accuracy: float = 0.01) -> str:
     """DuckDB rendering of :func:`ddsketch_bin` — same integer
-    arithmetic (``//`` floors; the shifted numerator is positive)."""
+    arithmetic (the shifted numerator is positive for every
+    representable input, where ``//`` truncation == floor)."""
     d = _lg_nano(relative_accuracy)
-    x = f"(CAST(ROUND(ln({v_sql}) * 1e9) AS BIGINT) + {_BIN_OFF * d + d - 1})"
+    off = _bin_shift(d)
+    x = f"(CAST(ROUND(ln({v_sql}) * 1e9) AS BIGINT) + {off * d + d - 1})"
     return (
         f"CASE WHEN {v_sql} > 0 "
-        f"THEN CAST({x} // {d} - {_BIN_OFF} AS INT) END"
+        f"THEN CAST({x} // {d} - {off} AS INT) END"
     )
 
 
@@ -141,17 +168,24 @@ def ddsketch_quantiles(
     keys: list[str],
     qs: list[float],
     relative_accuracy: float = 0.01,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Merge bucket cells to ``keys`` grain and estimate the requested
     quantiles: per group, the q-quantile is the representative value of
     the first bucket whose cumulative count reaches ``ceil(q * n)`` —
     guaranteed within ``relative_accuracy`` of the true quantile.
 
-    Output: (keys..., q double, quantile_est double) — the estimate is
-    rounded to 4 decimals so the oracle's ``pow`` (which may differ in
-    the final ulp) lands on the same value. The cumulative walk is a
-    window over each group's occupied buckets (hundreds of rows per
-    group, already aggregated), not the data."""
+    Output: (keys..., q double, quantile_est double). ``round_digits``
+    rounds the representative to that many ABSOLUTE decimal places —
+    opt-in for oracle-facing queries whose value range makes the grid
+    negligible (an oracle's ``pow`` may differ in the final ulp), and
+    deliberately NOT the default: absolute rounding would break the
+    relative-accuracy guarantee for small-magnitude data (a 1e-4-scale
+    representative rounded to 4 decimals is up to 50% off, and values
+    under half the grid collapse onto the reserved bucket's 0.0
+    sentinel). The cumulative walk is a window over each group's
+    occupied buckets (hundreds of rows per group, already aggregated),
+    not the data."""
     from pyspark.sql import Window
 
     bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
@@ -176,16 +210,14 @@ def ddsketch_quantiles(
         F.sum("_qn").over(w).alias("_cum"),
         F.sum("_qn").over(wall).alias("_n"),
     )
-    rep = F.when(
-        F.col("_qbin").isNull(), F.lit(0.0)
-    ).otherwise(
-        F.round(
-            F.lit(2.0)
-            * F.pow(F.lit(gamma), F.col("_qbin").cast("double"))
-            / F.lit(gamma + 1.0),
-            4,
-        )
+    raw_rep = (
+        F.lit(2.0)
+        * F.pow(F.lit(gamma), F.col("_qbin").cast("double"))
+        / F.lit(gamma + 1.0)
     )
+    if round_digits is not None:
+        raw_rep = F.round(raw_rep, round_digits)
+    rep = F.when(F.col("_qbin").isNull(), F.lit(0.0)).otherwise(raw_rep)
     qdf = cum.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
     )

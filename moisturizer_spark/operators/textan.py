@@ -1017,7 +1017,6 @@ def dsir_log_ratio(
     tc2, tc1, tvocab = _bigram_lm(tpairs)
     if not tvocab:
         raise ValueError("target corpus has no bigrams to train on")
-    raw_lm = rc2.join(rc1, "_w1")
     # the two target tables join SEPARATELY: an unseen bigram under a
     # seen context must still smooth against that context's count
     # C_t(w1) — only a fully-unseen context degrades to P = k/(k·V_t)
@@ -1031,8 +1030,12 @@ def dsir_log_ratio(
         (F.col("_n2") + F.lit(float(k)))
         / (F.col("_n1") + F.lit(float(k) * rvocab))
     )
+    # same join shape as bigram_lm_bits: bigram table on its natural
+    # key, context table broadcast — no pre-join of the two raw tables
+    # (that would shuffle the full C(w1,w2) frame on _w1 first)
     return (
-        pairs.join(raw_lm, ["_w1", "_w2"])
+        pairs.join(rc2, ["_w1", "_w2"])
+        .join(F.broadcast(rc1), "_w1")
         .join(t_bigrams, ["_w1", "_w2"], "left")
         .join(F.broadcast(t_contexts), ["_w1"], "left")
         .groupBy("_id", *keep_cols)

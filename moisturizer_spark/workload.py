@@ -3849,8 +3849,11 @@ def order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("orders",))
     roll = ddsketch_rollup(t["orders"], ["o_orderpriority"], "o_totalprice")
+    # round_digits=4 is safe HERE (order totals are ~1e3-6e5, so the
+    # 1e-4 grid is ~1e-9 relative) and lets the oracle's pow agree;
+    # it is opt-in, not operator default — see ddsketch_quantiles
     return ddsketch_quantiles(
-        roll, ["o_orderpriority"], [0.5, 0.9, 0.99]
+        roll, ["o_orderpriority"], [0.5, 0.9, 0.99], round_digits=4
     ).orderBy("o_orderpriority", "q")
 
 

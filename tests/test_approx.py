@@ -191,6 +191,55 @@ def test_ddsketch_merge_equals_direct_and_nonpositive_bucket(spark):
     assert est[("b", 0.5)] > 0
 
 
+def test_ddsketch_small_values_and_tiny_accuracy(spark):
+    """Review-finding regressions: (a) the operator applies NO absolute
+    rounding by default, so small-magnitude data (1e-4-scale latencies)
+    keeps the relative-accuracy guarantee instead of collapsing onto
+    the 1e-4 grid / the 0.0 sentinel; (b) the positivity shift adapts
+    to the bucket width, so the SQL rendering bins identically to the
+    Spark expression even for subnormal-adjacent values at tight
+    accuracies (where a fixed shift would leave the numerator negative
+    and the engines' integer divisions would disagree by one)."""
+    import duckdb
+
+    from moisturizer_spark.operators.sketches import (
+        ddsketch_bin,
+        ddsketch_quantiles,
+        ddsketch_rollup,
+        sql_ddsketch_bin,
+    )
+
+    vals = [1.2e-4, 3.4e-5, 5.6e-90, 7.8e-200, 4.9e-324, 1.0e5]
+    df = spark.createDataFrame([(str(v), v) for v in vals], "k string, v double")
+
+    # (a) per-group p50 of a single value must sit within 1% of it
+    roll = ddsketch_rollup(df, ["k"], "v")
+    est = {r["k"]: r["quantile_est"]
+           for r in ddsketch_quantiles(roll, ["k"], [0.5]).collect()}
+    for v in vals:
+        assert abs(est[str(v)] - v) <= 0.0101 * v, (v, est[str(v)])
+
+    # (b) Spark expression == DuckDB rendering, bucket for bucket,
+    # down to alpha=0.001 and the smallest positive double
+    for alpha in (0.01, 0.001):
+        got = [
+            r["b"]
+            for r in df.orderBy("v")
+            .select(ddsketch_bin("v", alpha).alias("b"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?::DOUBLE[]) AS v",
+                    [sorted(vals)])
+        want = [
+            row[0]
+            for row in con.execute(
+                f"SELECT {sql_ddsketch_bin('v', alpha)} FROM t ORDER BY v"
+            ).fetchall()
+        ]
+        assert got == want, (alpha, got, want)
+
+
 def test_ddsketch_ignores_nulls_and_validates_qs(spark):
     import pytest
     from pyspark.sql import Row

@@ -269,6 +269,9 @@ def test_remove_dup_spans_skew_guard_plan(spark, sf_dir):
         base_tree.count("SortAggregate") + base_tree.count("HashAggregate") + 2
     # flag join present, never a cartesian
     assert "CartesianProduct" not in guarded
+
+
+def test_remove_dup_spans_hashed_key_drops_gram_string(spark, sf_dir):
     """In the corpus-scale variant the ranking exchange must carry the
     8-byte hashed key, not the gram text."""
     import contextlib
