@@ -975,11 +975,12 @@ def _bigram_lm(pairs: DataFrame) -> tuple:
 
 def dsir_log_ratio(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = 0.5,
     keep_cols: tuple = (),
+    target_pred=None,
 ) -> DataFrame:
     """DSIR-style importance scoring ("Data Selection for Language
     Models via Importance Resampling", Xie et al. 2023): score every
@@ -1003,25 +1004,71 @@ def dsir_log_ratio(
     the target side joins LEFT, the raw side INNER (the raw LM trained
     on the scored corpus always contains its own bigrams).
 
-    Scale: two corpus scans (one per LM build) + one scoring scan; the
-    scoring join carries BOTH models in one pass — each is a
-    vocabulary-bounded (w1,w2,n2,n1) table joined on its natural key.
+    Target spec: pass EITHER ``target`` (a separate exemplar corpus —
+    the Wikipedia-LM shape; scored with its own scan) OR
+    ``target_pred`` (a boolean Column over ``df`` marking the target
+    slice — the labeled-subset shape). The predicate form is the fast
+    path: BOTH models come from ONE aggregation — the bigram table
+    carries a raw count and a conditional target count side by side —
+    so the whole computation is two corpus scans (fused LM build +
+    scoring) instead of three. Identical scores where both forms
+    apply (parity-pinned).
+
+    Scale: ≤3 corpus scans total; the scoring join carries BOTH models
+    in one pass — each is a vocabulary-bounded (w1,w2,counts) table
+    joined on its natural key, context tables broadcast.
     Cross-engine determinism: the bigram_lm_bits recipe (integer
     nano-bit terms, BIGINT sums, integer half-away division — see
     :func:`_micro_per_token`; the ratio can be either sign, so the
     division branches on it).
     """
-    pairs = _bigram_pairs(df, id_col, text_col, keep_cols)
-    tpairs = _bigram_pairs(target, id_col, text_col)
-    rc2, rc1, rvocab = _bigram_lm(pairs)
-    tc2, tc1, tvocab = _bigram_lm(tpairs)
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
+    if target_pred is not None:
+        flagged = df.withColumn("_tflag", target_pred.cast("int"))
+        pairs = _bigram_pairs(
+            flagged, id_col, text_col, tuple(keep_cols) + ("_tflag",)
+        )
+        # ONE aggregation yields both models: raw count + target count
+        c = materialize(
+            pairs.groupBy("_w1", "_w2").agg(
+                F.count(F.lit(1)).alias("_n2"),
+                F.sum("_tflag").alias("_tn2"),
+            )
+        )
+        rc2 = c.select("_w1", "_w2", "_n2")
+        rc1 = c.groupBy("_w1").agg(F.sum("_n2").alias("_n1"))
+        t_bigrams = c.filter(F.col("_tn2") > 0).select("_w1", "_w2", "_tn2")
+        t_contexts = (
+            c.filter(F.col("_tn2") > 0)
+            .groupBy("_w1")
+            .agg(F.sum("_tn2").alias("_tn1"))
+        )
+        rvocab = (
+            c.select(F.col("_w1").alias("_t"))
+            .union(c.select(F.col("_w2").alias("_t")))
+            .agg(F.countDistinct("_t"))
+            .first()[0]
+        )
+        tonly = c.filter(F.col("_tn2") > 0)
+        tvocab = (
+            tonly.select(F.col("_w1").alias("_t"))
+            .union(tonly.select(F.col("_w2").alias("_t")))
+            .agg(F.countDistinct("_t"))
+            .first()[0]
+        )
+    else:
+        pairs = _bigram_pairs(df, id_col, text_col, keep_cols)
+        tpairs = _bigram_pairs(target, id_col, text_col)
+        rc2, rc1, rvocab = _bigram_lm(pairs)
+        tc2, tc1, tvocab = _bigram_lm(tpairs)
+        # the two target tables join SEPARATELY: an unseen bigram under
+        # a seen context must still smooth against that context's count
+        # C_t(w1) — only a fully-unseen context degrades to P = k/(k·V_t)
+        t_bigrams = tc2.select("_w1", "_w2", F.col("_n2").alias("_tn2"))
+        t_contexts = tc1.select("_w1", F.col("_n1").alias("_tn1"))
     if not tvocab:
         raise ValueError("target corpus has no bigrams to train on")
-    # the two target tables join SEPARATELY: an unseen bigram under a
-    # seen context must still smooth against that context's count
-    # C_t(w1) — only a fully-unseen context degrades to P = k/(k·V_t)
-    t_bigrams = tc2.select("_w1", "_w2", F.col("_n2").alias("_tn2"))
-    t_contexts = tc1.select("_w1", F.col("_n1").alias("_tn1"))
     lp_t = F.log2(
         (F.coalesce(F.col("_tn2"), F.lit(0)) + F.lit(float(k)))
         / (F.coalesce(F.col("_tn1"), F.lit(0)) + F.lit(float(k) * tvocab))

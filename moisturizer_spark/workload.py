@@ -2501,8 +2501,10 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"].select("doc_id", "source", "lang", "text")
+    # predicate form = the fused single-aggregation path: both LMs from
+    # one corpus scan (the target is a slice of the scored corpus)
     scored = dsir_log_ratio(
-        docs, docs.filter(F.col("lang") == "en"), keep_cols=("source",)
+        docs, target_pred=F.col("lang") == "en", keep_cols=("source",)
     )
     w = Window.partitionBy("source").orderBy(
         F.col("log2_ratio_per_token").desc(), "doc_id"

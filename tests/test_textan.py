@@ -688,6 +688,38 @@ def test_bigram_lm_bits_hand_computed(spark):
     assert row["source"] == "s"
 
 
+def test_dsir_fused_equals_two_corpus_path(spark):
+    """dsir_log_ratio(target_pred=...) — the single-aggregation fused
+    path — must score identically to the general two-corpus path when
+    the target is the same slice of the scored corpus; and a target
+    with no bigrams raises instead of silently scoring garbage."""
+    import pytest as _pytest
+    from pyspark.sql import Row, functions as F
+
+    from moisturizer_spark.operators.textan import dsir_log_ratio
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, lab="t", text="the cat sat on the mat"),
+            Row(doc_id=2, lab="r", text="cat mat hat bat"),
+            Row(doc_id=3, lab="t", text="the dog sat on the rug"),
+            Row(doc_id=4, lab="r", text="completely different words here"),
+        ]
+    )
+    fused = dsir_log_ratio(df, target_pred=F.col("lab") == "t")
+    general = dsir_log_ratio(df, target=df.filter(F.col("lab") == "t"))
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, general.collect()))
+    assert a == b
+    # target docs score above the clearly off-target doc
+    scores = dict(a)
+    assert scores[1] > scores[4] and scores[3] > scores[4]
+    with _pytest.raises(ValueError):
+        dsir_log_ratio(df, target_pred=F.col("lab") == "missing")
+    with _pytest.raises(ValueError):
+        dsir_log_ratio(df)  # neither target nor target_pred
+
+
 def test_minhash_compact_preserves_results_and_heals_files(spark, warehouse):
     import glob
     import os
