@@ -232,7 +232,144 @@ def ddsketch_quantiles(
     return hit.select(*keys, "q", "quantile_est")
 
 
-# -- KMV (k-minimum-values) theta-style sketches ------------------------------
+# -- Deterministic (md5-replayable) HyperLogLog -------------------------------
+#
+# The JVM-native HLL above is the scale default (fixed-size binary
+# registers, datasketches-compatible). This variant trades a little
+# speed for a property the native one cannot offer: every step — bucket
+# choice, rank, register max, even the ESTIMATOR arithmetic — is
+# deterministic and reproducible by any engine that can md5, so the
+# whole sketch algebra is oracle-checkable (the KMV/DDSketch move,
+# applied to HLL). Cells are plain (bucket, rho) integer rows: exactly
+# mergeable by MAX at any grain, storable in ordinary tables, and
+# diffable across engines.
+#
+# Engine-exact estimator arithmetic: the harmonic sum Σ 2^-rho is NOT
+# exact in doubles (53-bit mantissa < the 62 bits a 1024-register sum
+# can need), so registers are summed as INTEGER 2^(53-rho) and divided
+# by 2^53 once at the end — BIGINT sums are order-insensitive, and the
+# single bigint→double conversion is IEEE-correctly-rounded in both
+# engines. ln() in the small-range correction and the final division
+# are rounded to 4 digits (measure-zero boundary on irrationals).
+
+_DET_HLL_M = 1024  # registers; rel. error ~1.04/sqrt(m) ≈ 3.3%
+_DET_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _DET_HLL_M)
+
+
+def _det_hll_bucket_rho(key) -> tuple:
+    """(bucket, rho) column pair from md5(key): 12 hex-bit bucket
+    folded to m, rank from the next 52 bits via pure STRING arithmetic
+    — strip leading zero nibbles, then a 16-way CASE on the first
+    non-zero nibble — no float log whose ulp could mis-rank a value
+    just below a power of two."""
+    k = key if not isinstance(key, str) else F.col(key)
+    h = F.md5(k.cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 3), 16, 10).cast("int") % _DET_HLL_M)
+    s = F.substring(h, 4, 13)  # 52 bits of rank stream
+    stripped = F.regexp_replace(s, "^0*", "")
+    z_nibbles = F.lit(13) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    nlz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(stripped == "", 53).otherwise(
+        z_nibbles * 4 + nlz + 1
+    )
+    return bucket.alias("_hb"), rho.cast("int").alias("_hr")
+
+
+def det_hll_cells(
+    df: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """Per-cell deterministic-HLL registers: ``(keys..., _hb, _hr)``
+    with ``_hr`` the max rank seen in that bucket. Mergeable to any
+    coarser grain by ``MAX`` (idempotent, associative, commutative —
+    re-merging cells equals sketching the union). NULL keys are
+    ignored, matching distinct-count semantics."""
+    b, r = _det_hll_bucket_rho(col)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, b, r)
+        .groupBy(*keys, "_hb")
+        .agg(F.max("_hr").alias("_hr"))
+    )
+
+
+def det_hll_estimate(
+    cells: DataFrame, keys: list[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Merge cells to ``keys`` grain and apply the HLL estimator with
+    linear-counting small-range correction — every arithmetic step
+    engine-exact (see module comment). Output rounded to 4 digits."""
+    m = _DET_HLL_M
+    merged = cells.groupBy(*keys, "_hb").agg(F.max("_hr").alias("_hr"))
+    # integer 2^(53-rho): pow is exact on power-of-two results
+    scaled = F.pow(F.lit(2.0), F.lit(53) - F.col("_hr")).cast("bigint")
+    agg = merged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(scaled).alias("_ssum"),
+    )
+    denom = (
+        (F.lit(m) - F.col("_cnt")).cast("double")
+        + F.col("_ssum").cast("double") / F.lit(float(2**53))
+    )
+    raw = F.lit(_DET_HLL_ALPHA * m * m) / denom
+    zeros = F.lit(m) - F.col("_cnt")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.round(
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+            4,
+        ),
+    ).otherwise(F.round(raw, 4))
+    return agg.select(*keys, est.alias(out_col))
+
+
+def sql_det_hll_estimate(
+    table_sql: str, keys_sql: list[str], col_sql: str,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB rendering of cells→estimate over ``table_sql`` — the
+    identical bucket/rank/estimator arithmetic as the Spark pair
+    above, for oracle checking."""
+    m = _DET_HLL_M
+    keys = ", ".join(keys_sql)
+    return f"""
+    hx AS (SELECT {keys}, md5(CAST({col_sql} AS VARCHAR)) AS h
+           FROM {table_sql} WHERE {col_sql} IS NOT NULL),
+    br AS (SELECT {keys},
+                  CAST(('0x' || substr(h, 1, 3)) AS INT) % {m} AS hb,
+                  regexp_replace(substr(h, 4, 13), '^0*', '') AS st
+           FROM hx),
+    rr AS (SELECT {keys}, hb,
+                  CASE WHEN st = '' THEN 53
+                       ELSE (13 - length(st)) * 4
+                            + CASE WHEN substr(st, 1, 1) = '1' THEN 3
+                                   WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+                                   WHEN substr(st, 1, 1) IN ('4','5','6','7')
+                                     THEN 1
+                                   ELSE 0 END + 1
+                  END AS hr
+           FROM br),
+    cells AS (SELECT {keys}, hb, MAX(hr) AS hr FROM rr GROUP BY {keys}, hb),
+    ag AS (SELECT {keys}, COUNT(*) AS cnt,
+                  SUM(CAST(pow(2.0, 53 - hr) AS BIGINT)) AS ssum
+           FROM cells GROUP BY {keys}),
+    est AS (SELECT {keys},
+                   {_DET_HLL_ALPHA * m * m!r}
+                     / (CAST({m} - cnt AS DOUBLE)
+                        + CAST(ssum AS DOUBLE) / {float(2**53)!r}) AS raw,
+                   {m} - cnt AS zeros
+            FROM ag)
+    SELECT {keys},
+           CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                THEN ROUND({float(m)!r} * ln({float(m)!r}
+                           / CAST(zeros AS DOUBLE)), 4)
+                ELSE ROUND(raw, 4) END AS {out_col}
+    FROM est"""
 #
 # HLL unions losslessly but cannot INTERSECT; the audience questions a
 # pipeline actually asks ("users who did A and B") need a theta-family

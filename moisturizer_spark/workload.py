@@ -3318,6 +3318,49 @@ def events_reach_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["events_reach_sketch_rollup"] = events_reach_sketch_rollup
 
 
+def _sql_events_reach_hll_det() -> str:
+    from moisturizer_spark.operators.sketches import sql_det_hll_estimate
+
+    body = sql_det_hll_estimate("ev", ["event_type"], "user_id")
+    return f"""
+    WITH {_SQL_EV},
+    {body}
+    ORDER BY event_type
+    """
+
+
+@query("events_reach_hll_det", _sql_events_reach_hll_det())
+def events_reach_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type from the DETERMINISTIC (md5-
+    replayable) HLL — the third oracle-provable sketch family after KMV
+    and DDSketch: bucket choice, string-arithmetic rank, MAX-merged
+    integer registers, and the estimator's integer-summed harmonic mean
+    are all reproduced bit-for-bit by the DuckDB oracle
+    (:func:`moisturizer_spark.operators.sketches.det_hll_cells` /
+    ``det_hll_estimate``; ~3.3% expected error at m=1024, tolerance
+    pinned in ``tests/test_approx.py``). Cells here are built per
+    (day, event_type) and MERGED up to event_type — proving the stored-
+    rollup path, not just the direct sketch. The JVM-native HLL
+    (``events_hll_reach``) remains the raw-speed default; this variant
+    is the auditable one.
+
+    Scale: same shape as the native path — fixed 1024-register cells
+    merged map-side, one narrow shuffle of O(cells × registers)
+    integer rows; facts are scanned once."""
+    from moisturizer_spark.operators.sketches import (
+        det_hll_cells,
+        det_hll_estimate,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = det_hll_cells(
+        t["events"].withColumn("day", F.date_trunc("day", F.col("ts"))),
+        ["day", "event_type"],
+        "user_id",
+    )
+    return det_hll_estimate(daily, ["event_type"]).orderBy("event_type")
+
+
 def docs_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing summary: per shard, how many
     256-token bins the corpus needs and how full they are
@@ -5318,6 +5361,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_perplexity_buckets",        # NEW: CCNet bigram-LM bucketing
     "docs_dsir_selection",            # NEW: DSIR importance selection
     "order_price_quantile_sketch",    # NEWLY ORACLE: integer-exact bins
+    "events_reach_hll_det",           # NEW: md5-replayable HLL rollup
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5362,7 +5406,6 @@ _NEEDS_DRIVER_ROW = [
     "events_funnel",
     "events_cohort_retention",
     "q7_volume_shipping",
-    "q18_large_orders",
 ]
 
 
