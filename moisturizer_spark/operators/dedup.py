@@ -210,12 +210,27 @@ def _band_shape(
     return best
 
 
+def _det_hash60(col, k: int | None = None):
+    """60-bit md5-derived hash — the oracle-provable stand-in for the
+    seeded ``xxhash64`` family: bit-identical in any md5-capable engine,
+    so a DuckDB oracle can replay signatures, band buckets, AND verify
+    sets. Even a hash collision is replayed identically (both engines
+    compute the same hash), so parity cannot break — unlike an
+    engine-private hash, where the oracle must trust the claim. ``k``
+    selects the permutation; ``None`` is the verify-set hash."""
+    prefix = F.lit("v:" if k is None else f"{k}:")
+    return F.conv(
+        F.substring(F.md5(F.concat(prefix, col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     threshold: float = 0.6,
+    det: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, pure DataFrame ops.
 
@@ -240,12 +255,17 @@ def minhash_near_duplicates(
     *candidate* pairs ever see the hashed sets. Returns
     (id_a, id_b, jaccard_distance) with id_a < id_b, deterministic
     (seeded xxhash64).
+
+    ``det=True`` swaps the hash family to md5-derived 60-bit values
+    (:func:`_det_hash60`) — ~3x slower to hash but bit-replayable by a
+    DuckDB oracle end to end (signatures, buckets, verify sets); the
+    plan shape is identical. xxhash64 remains the scale default.
     """
     bands, rows = _band_shape(num_hashes, threshold)
     # ONE shingle scan + ONE shuffle yields both the signature (32 min
     # aggregates) and the exact-verify shingle set per document.
     per_doc = materialize(
-        _minhash_per_doc(df, id_col, text_col, num_hashes, n=3)
+        _minhash_per_doc(df, id_col, text_col, num_hashes, n=3, det=det)
     )
     banded = _minhash_banded(per_doc.select("_id", "sig"), bands, rows)
     candidates = (
@@ -271,22 +291,30 @@ def minhash_near_duplicates(
 
 
 def _minhash_per_doc(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int, n: int
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, n: int,
+    det: bool = False,
 ) -> DataFrame:
     """One shingle scan + one shuffle → (_id, sig array, _grams verify set).
 
     Shared by the transient pair finder and the persisted index: the
     signature is 32 min-aggregates and the exact-verify state is the
-    8-byte-hashed shingle set (see :func:`minhash_near_duplicates`)."""
+    8-byte-hashed shingle set (see :func:`minhash_near_duplicates`).
+    ``det=True`` uses the md5 family (:func:`_det_hash60`)."""
+    if det:
+        perm = _det_hash60
+        vhash = _det_hash60(F.col("shingle"))
+    else:
+        perm = lambda c, k: F.xxhash64(c, F.lit(k))  # noqa: E731
+        vhash = F.xxhash64("shingle")
     sh = shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("_id"), "shingle"
     )
     per = sh.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"_mh{k}")
+            F.min(perm(F.col("shingle"), k)).alias(f"_mh{k}")
             for k in range(num_hashes)
         ],
-        F.collect_set(F.xxhash64("shingle")).alias("_grams"),
+        F.collect_set(vhash).alias("_grams"),
     )
     return per.select(
         "_id",

@@ -1246,6 +1246,68 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(subset, threshold=0.5).orderBy("id_a", "id_b")
 
 
+def _sql_minhash_det() -> str:
+    from moisturizer_spark.operators.dedup import _band_shape
+
+    num_hashes, threshold = 16, 0.6
+    bands, rows = _band_shape(num_hashes, threshold)
+    h = "CAST(('0x' || substr(md5({p} || s), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+               FROM documents WHERE doc_id < 100),
+    sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS s
+           FROM d, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+    mh AS (SELECT doc_id, k,
+                  MIN({h.format(p="CAST(k AS VARCHAR) || ':'")}) AS v
+           FROM sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS k) ks
+           GROUP BY doc_id, k),
+    band AS (SELECT doc_id, CAST(k // {rows} AS INT) AS b,
+                    array_to_string(list(CAST(v AS VARCHAR) ORDER BY k), ',')
+                      AS bkey
+             FROM mh GROUP BY doc_id, CAST(k // {rows} AS INT)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+             FROM band a JOIN band b2
+               ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+    hs AS (SELECT DISTINCT doc_id, {h.format(p="'v:'")} AS hv FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hs GROUP BY doc_id),
+    cm AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+           FROM cand c
+           JOIN hs ha ON ha.doc_id = c.id_a
+           JOIN hs hb ON hb.doc_id = c.id_b AND hb.hv = ha.hv
+           GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           1.0 - CAST(common AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard_distance
+    FROM cm JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 1.0 - CAST(common AS DOUBLE)
+              / CAST(sa.sz + sb.sz - common AS DOUBLE) <= {1.0 - threshold!r}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("docs_minhash_det_near_dup", _sql_minhash_det())
+def docs_minhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the DETERMINISTIC md5 hash
+    family (``minhash_near_duplicates(det=True)``) — the fourth
+    oracle-provable approximate family: the DuckDB oracle replays the
+    16 permutation minima, the 8x2 banding, the candidate join, and
+    the exact-Jaccard verify over the same md5-hashed shingle sets,
+    bit for bit. Uniquely among hash families, parity survives even a
+    hash COLLISION, because the oracle computes the same md5 rather
+    than trusting an engine-private hash. The xxhash64 family
+    (``minhash_near_dup``) stays the throughput default; plan shape is
+    identical (one shingle scan, one signature shuffle, 16-byte-key
+    bucket join, candidates-only verify)."""
+    from moisturizer_spark.operators.dedup import minhash_near_duplicates
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    return minhash_near_duplicates(
+        subset, num_hashes=16, threshold=0.6, det=True
+    ).orderBy("id_a", "id_b")
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (hash-dependent → rows-only check).
 
@@ -5362,6 +5424,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_dsir_selection",            # NEW: DSIR importance selection
     "order_price_quantile_sketch",    # NEWLY ORACLE: integer-exact bins
     "events_reach_hll_det",           # NEW: md5-replayable HLL rollup
+    "docs_minhash_det_near_dup",      # NEW: md5-replayable MinHash-LSH
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5405,7 +5468,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_line_dedup",
     "events_funnel",
     "events_cohort_retention",
-    "q7_volume_shipping",
 ]
 
 

@@ -150,8 +150,12 @@ def test_changed_queries_sit_inside_driver_window():
     missing = [
         q
         for q in sorted(tainted)
-        if q not in all_order[:WINDOW]
-        or (q in workload.ORACLE and q not in oracle_order[:WINDOW])
+        # rows-only queries are exempt: the driver records `no_oracle`
+        # and checks nothing for them (r04 probe), so a window slot
+        # would be dead — their re-verification after a change is the
+        # pytest suite's job, which runs them all every time
+        if q in workload.ORACLE
+        and (q not in all_order[:WINDOW] or q not in oracle_order[:WINDOW])
     ]
     assert not missing, (
         f"queries changed since round baseline {base[:9]} but OUTSIDE the "
