@@ -648,6 +648,136 @@ def pq_top_k(
     )
 
 
+def det_lsh_planes(
+    n_planes: int, dim: int, salt: str = "lshdet"
+) -> list[list[float]]:
+    """Deterministic random-hyperplane coefficients from md5: plane j,
+    dim d gets ``round(2·u − 1, 6)`` for ``u = md5(salt:j:d)/16^12`` —
+    plain Python floats whose repr round-trips, so they inline as
+    LITERALS into both the Spark plan and the oracle's SQL text and
+    the two engines hash with bit-identical hyperplanes. The ML-lib
+    LSH (seeded JVM RNG) cannot offer that."""
+    import hashlib
+
+    return [
+        [
+            round(
+                2.0
+                * (
+                    int(
+                        hashlib.md5(f"{salt}:{j}:{d}".encode()).hexdigest()[:12],
+                        16,
+                    )
+                    / float(16**12)
+                )
+                - 1.0,
+                6,
+            )
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def det_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id of ``vec`` (array<double>) under the
+    given hyperplanes. The dot products are LEFT-FOLDS in index order
+    (``F.aggregate`` over ``zip_with``), so any engine folding the same
+    doubles in the same order — e.g. DuckDB ``list_reduce`` — lands in
+    the same bucket, even for near-zero dots where an ulp would flip
+    the sign: both engines compute the identical double."""
+    bits = []
+    for j, row in enumerate(planes):
+        coefs = F.array(*[F.lit(c) for c in row])
+        dot = F.aggregate(
+            F.zip_with(vec, coefs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def det_lsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 6,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic (oracle-replayable) LSH top-k: ``n_tables``
+    independent md5-derived hyperplane sets → sign-pattern buckets →
+    UNION of bucket-mates across tables → exact cosine re-rank. Same
+    economics as :func:`lsh_top_k` (buckets are a map-side projection;
+    the candidate join keys on (table, bucket) — an equi-join, never
+    an OR-of-equalities nested loop; only candidates see the re-rank
+    math) but every step is bit-reproducible by the DuckDB oracle —
+    candidate recall is the tables×planes trade (6x4 measures 0.70
+    top-5 recall on the test embeddings), PARITY is not. Returns
+    (query_id, neighbor_id, sim, rank); an under-filled union returns
+    fewer than k rows (deterministically so)."""
+    tables = [
+        det_lsh_planes(n_planes, dim, salt=f"lshdet{t}")
+        for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, out_id: str, vcol: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias(vcol),
+        )
+        buckets = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                det_lsh_bucket(F.col(vcol), planes).alias("bkt"),
+            )
+            for t, planes in enumerate(tables)
+        ])
+        return base.select(
+            out_id, vcol, F.explode(buckets).alias("_tb")
+        ).select(out_id, vcol, "_tb.tbl", "_tb.bkt")
+
+    c = with_buckets(corpus, "neighbor_id", "_cv")
+    q = with_buckets(queries, "query_id", "_qv")
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair can meet in several tables; candidates are a set
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(cosine_similarity_col(F.col("_qv"), F.col("_cv")), 6)
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def sql_det_lsh_bucket(v_sql: str, planes: list[list[float]]) -> str:
+    """DuckDB rendering of :func:`det_lsh_bucket` — the identical
+    inlined plane literals and an index-ordered ``list_reduce`` fold
+    (0.0-seeded left fold == reduce from the first element, exactly)."""
+    bits = []
+    for j, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(c) for c in row) + "]::DOUBLE[]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {len(row) + 1}), "
+            f"i -> {v_sql}[i] * ({lit})[i]), (a, b) -> a + b)"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
 def lsh_top_k(
     corpus: DataFrame,
     queries: DataFrame,

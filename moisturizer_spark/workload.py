@@ -1321,6 +1321,66 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(subset, max_hamming=16).orderBy("id_a", "id_b")
 
 
+def _sql_embedding_lsh_det() -> str:
+    from moisturizer_spark.operators.similarity import (
+        det_lsh_planes,
+        sql_det_lsh_bucket,
+    )
+
+    n_tables, n_planes = 6, 4
+    bucket_cols = ", ".join(
+        f"{sql_det_lsh_bucket('v', det_lsh_planes(n_planes, 64, salt=f'lshdet{t}'))} AS b{t}"
+        for t in range(n_tables)
+    )
+    branches = "\n        UNION\n".join(
+        f"""        SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v
+        FROM q JOIN b c ON c.b{t} = q.b{t} AND c.vec_id <> q.query_id"""
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_cols} FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, b.* EXCLUDE (vec_id, v)
+          FROM b WHERE vec_id < 10),
+    cand AS (
+{branches}),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(qv, v), 6) AS sim
+        FROM cand)
+    SELECT query_id, neighbor_id, sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("embedding_lsh_det_top5", _sql_embedding_lsh_det())
+def embedding_lsh_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via DETERMINISTIC LSH — the fifth
+    oracle-provable approximate family: 6 independent tables of 4
+    md5-derived hyperplanes inlined as literals, index-ordered
+    dot-product folds (an ulp can't flip a near-zero sign — both
+    engines compute the identical double), union of bucket-mates via a
+    (table, bucket) equi-join, and an exact cosine re-rank — all
+    replayed bit-for-bit by the DuckDB oracle
+    (:func:`moisturizer_spark.operators.similarity.det_lsh_top_k`).
+    Measured 0.70 top-5 recall vs brute force (asserted in
+    ``tests/test_similarity.py``); here the driver proves PARITY — an
+    approximate index whose answers are still engine-exact. The ML-lib
+    LSH (``embedding_lsh_top5``) keeps its JVM-seeded RNG and stays
+    rows-only."""
+    from moisturizer_spark.operators.similarity import det_lsh_top_k
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return det_lsh_top_k(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def embedding_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH top-5 (bucketed random projection → rows-only)."""
     from moisturizer_spark.operators.similarity import lsh_top_k
@@ -5425,6 +5485,7 @@ _NEEDS_DRIVER_ROW = [
     "order_price_quantile_sketch",    # NEWLY ORACLE: integer-exact bins
     "events_reach_hll_det",           # NEW: md5-replayable HLL rollup
     "docs_minhash_det_near_dup",      # NEW: md5-replayable MinHash-LSH
+    "embedding_lsh_det_top5",         # NEW: md5-replayable LSH ANN
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5467,7 +5528,6 @@ _NEEDS_DRIVER_ROW = [
     "crosslingual_near_dup",
     "docs_line_dedup",
     "events_funnel",
-    "events_cohort_retention",
 ]
 
 

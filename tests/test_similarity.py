@@ -69,6 +69,23 @@ def test_lsh_top_k_shape(emb):
     assert per_q and all(len(v) <= 3 for v in per_q.values())
 
 
+def test_det_lsh_recall_and_determinism(emb):
+    """Deterministic LSH: useful recall vs brute force at 4 planes (16
+    buckets over 500 vecs → ~31 candidates per query), and re-running
+    yields the identical frame (md5 planes, no RNG anywhere)."""
+    from moisturizer_spark.operators.similarity import det_lsh_top_k
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(brute_force_top_k(emb, queries, k=5).collect())
+    got = det_lsh_top_k(emb, queries, k=5).collect()
+    approx = _topk_sets(got)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.3, f"det-LSH recall {hits}/{total}"
+    again = det_lsh_top_k(emb, queries, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_embedding_cosine_pairs_threshold(emb):
     subset = emb.filter(F.col("vec_id") < 40)
     rows = embedding_cosine_pairs(subset, threshold=0.0).collect()
