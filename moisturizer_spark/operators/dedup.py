@@ -267,7 +267,7 @@ def minhash_near_duplicates(
     per_doc = materialize(
         _minhash_per_doc(df, id_col, text_col, num_hashes, n=3, det=det)
     )
-    banded = _minhash_banded(per_doc.select("_id", "sig"), bands, rows)
+    banded = _minhash_banded(per_doc.select("_id", "sig"), bands, rows, det=det)
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bsig"])
@@ -323,14 +323,30 @@ def _minhash_per_doc(
     )
 
 
-def _minhash_banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(_id, sig) → one (_id, band, bsig) row per band."""
+def _minhash_banded(
+    sigs: DataFrame, bands: int, rows: int, det: bool = False
+) -> DataFrame:
+    """(_id, sig) → one (_id, band, bsig) row per band.
+
+    The default compresses each band's row values to one 8-byte
+    ``xxhash64`` bucket key (smaller exchange). ``det=True`` keys on
+    the RAW value slice instead: band membership is then exactly slice
+    equality — no engine-private hash anywhere — which is what makes
+    the deterministic variant's "the oracle replays the banding
+    bit-for-bit, collisions included" claim literally true (an
+    xxhash64 band collision would create a Spark-only candidate the
+    oracle never sees)."""
+    bsig = (
+        f"slice(sig, i * {rows} + 1, {rows})"
+        if det
+        else f"xxhash64(slice(sig, i * {rows} + 1, {rows}))"
+    )
     return sigs.select(
         "_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), i -> "
-                f"struct(i AS band, xxhash64(slice(sig, i * {rows} + 1, {rows})) AS bsig))"
+                f"struct(i AS band, {bsig} AS bsig))"
             )
         ).alias("_b"),
     ).select("_id", "_b.band", "_b.bsig")

@@ -732,10 +732,23 @@ def det_lsh_top_k(
             F.col(id_col).alias(out_id),
             F.col(vec_col).cast("array<double>").alias(vcol),
         )
+        # a vector of the wrong length would zip_with into NULL dots and
+        # silently collapse EVERY row into bucket 0 of every table
+        # (quadratic candidate blowup). Fail loudly instead: the guard
+        # is folded into the join key itself (adds 0 or raises), so
+        # column pruning cannot optimize the check away.
+        guard = F.when(F.size(F.col(vcol)) == dim, F.lit(0)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"det_lsh_top_k: expected {dim}-dim vectors, got "),
+                    F.size(F.col(vcol)).cast("string"),
+                )
+            ).cast("int")
+        )
         buckets = F.array(*[
             F.struct(
                 F.lit(t).alias("tbl"),
-                det_lsh_bucket(F.col(vcol), planes).alias("bkt"),
+                (det_lsh_bucket(F.col(vcol), planes) + guard).alias("bkt"),
             )
             for t, planes in enumerate(tables)
         ])

@@ -1038,25 +1038,17 @@ def dsir_log_ratio(
         )
         rc2 = c.select("_w1", "_w2", "_n2")
         rc1 = c.groupBy("_w1").agg(F.sum("_n2").alias("_n1"))
-        t_bigrams = c.filter(F.col("_tn2") > 0).select("_w1", "_w2", "_tn2")
-        t_contexts = (
-            c.filter(F.col("_tn2") > 0)
-            .groupBy("_w1")
-            .agg(F.sum("_tn2").alias("_tn1"))
-        )
-        rvocab = (
-            c.select(F.col("_w1").alias("_t"))
-            .union(c.select(F.col("_w2").alias("_t")))
-            .agg(F.countDistinct("_t"))
-            .first()[0]
-        )
         tonly = c.filter(F.col("_tn2") > 0)
-        tvocab = (
-            tonly.select(F.col("_w1").alias("_t"))
-            .union(tonly.select(F.col("_w2").alias("_t")))
-            .agg(F.countDistinct("_t"))
-            .first()[0]
+        t_bigrams = tonly.select("_w1", "_w2", "_tn2")
+        t_contexts = tonly.groupBy("_w1").agg(F.sum("_tn2").alias("_tn1"))
+        # BOTH vocabulary sizes in ONE driver job over the cached table
+        words = c.select(F.col("_w1").alias("_t"), "_tn2").union(
+            c.select(F.col("_w2").alias("_t"), "_tn2")
         )
+        rvocab, tvocab = words.agg(
+            F.countDistinct("_t"),
+            F.countDistinct(F.when(F.col("_tn2") > 0, F.col("_t"))),
+        ).first()
     else:
         pairs = _bigram_pairs(df, id_col, text_col, keep_cols)
         tpairs = _bigram_pairs(target, id_col, text_col)

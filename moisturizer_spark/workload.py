@@ -1246,10 +1246,17 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(subset, threshold=0.5).orderBy("id_a", "id_b")
 
 
+# single source of truth for the det-minhash / det-LSH hyperparameters:
+# consumed by BOTH the Spark query body and its SQL oracle builder, so
+# changing one side cannot silently desynchronize them
+_MINHASH_DET_HASHES, _MINHASH_DET_THRESHOLD = 16, 0.6
+_LSH_DET_TABLES, _LSH_DET_PLANES, _LSH_DET_DIM = 6, 4, 64
+
+
 def _sql_minhash_det() -> str:
     from moisturizer_spark.operators.dedup import _band_shape
 
-    num_hashes, threshold = 16, 0.6
+    num_hashes, threshold = _MINHASH_DET_HASHES, _MINHASH_DET_THRESHOLD
     bands, rows = _band_shape(num_hashes, threshold)
     h = "CAST(('0x' || substr(md5({p} || s), 1, 15)) AS BIGINT)"
     return f"""
@@ -1304,7 +1311,10 @@ def docs_minhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     subset = t["documents"].filter(F.col("doc_id") < 100)
     return minhash_near_duplicates(
-        subset, num_hashes=16, threshold=0.6, det=True
+        subset,
+        num_hashes=_MINHASH_DET_HASHES,
+        threshold=_MINHASH_DET_THRESHOLD,
+        det=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -1327,9 +1337,9 @@ def _sql_embedding_lsh_det() -> str:
         sql_det_lsh_bucket,
     )
 
-    n_tables, n_planes = 6, 4
+    n_tables, n_planes = _LSH_DET_TABLES, _LSH_DET_PLANES
     bucket_cols = ", ".join(
-        f"{sql_det_lsh_bucket('v', det_lsh_planes(n_planes, 64, salt=f'lshdet{t}'))} AS b{t}"
+        f"{sql_det_lsh_bucket('v', det_lsh_planes(n_planes, _LSH_DET_DIM, salt=f'lshdet{t}'))} AS b{t}"
         for t in range(n_tables)
     )
     branches = "\n        UNION\n".join(
@@ -1367,18 +1377,24 @@ def embedding_lsh_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table, bucket) equi-join, and an exact cosine re-rank — all
     replayed bit-for-bit by the DuckDB oracle
     (:func:`moisturizer_spark.operators.similarity.det_lsh_top_k`).
-    Measured 0.70 top-5 recall vs brute force (asserted in
-    ``tests/test_similarity.py``); here the driver proves PARITY — an
-    approximate index whose answers are still engine-exact. The ML-lib
-    LSH (``embedding_lsh_top5``) keeps its JVM-seeded RNG and stays
+    Top-5 recall vs brute force measured 0.70 on the test embeddings
+    (the pytest floor asserts ≥0.3 — the recall is a measurement, not
+    an invariant); here the driver proves PARITY — an approximate index
+    whose answers are still engine-exact. The ML-lib LSH
+    (``embedding_lsh_top5``) keeps its JVM-seeded RNG and stays
     rows-only."""
     from moisturizer_spark.operators.similarity import det_lsh_top_k
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    return det_lsh_top_k(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
-        "query_id", "rank"
-    )
+    return det_lsh_top_k(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_tables=_LSH_DET_TABLES,
+        n_planes=_LSH_DET_PLANES,
+        dim=_LSH_DET_DIM,
+    ).orderBy("query_id", "rank")
 
 
 def embedding_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:

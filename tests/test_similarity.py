@@ -86,6 +86,20 @@ def test_det_lsh_recall_and_determinism(emb):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_det_lsh_wrong_dim_raises(spark):
+    """A wrong-length vector must raise, not silently collapse every
+    row into bucket 0 (NULL dots) and go quadratic."""
+    import pytest as _pytest
+
+    from moisturizer_spark.operators.similarity import det_lsh_top_k
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 32), (2, [0.2] * 32)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="expected 64-dim"):
+        det_lsh_top_k(df, df, k=1).collect()
+
+
 def test_embedding_cosine_pairs_threshold(emb):
     subset = emb.filter(F.col("vec_id") < 40)
     rows = embedding_cosine_pairs(subset, threshold=0.0).collect()
