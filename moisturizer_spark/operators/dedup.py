@@ -571,13 +571,19 @@ def minhash_compact(spark, path: str) -> dict:
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64,
+    det: bool = False,
 ) -> DataFrame:
     """64-bit SimHash signature per document, JVM-side.
 
     token hash = xxhash64(token); signature bit b = sign of the sum over
     tokens of (+1 if bit set else -1). Expressed with higher-order array
     functions — linear scan, no shuffle, whole-stage codegen applies.
+
+    ``det=True`` swaps the token hash for the md5-derived 60-bit family
+    (:func:`_det_hash60`) and the caller should pass ``bits=60`` —
+    every vote, signature bit, band, and Hamming distance is then plain
+    integer arithmetic an oracle replays exactly.
     """
     tokens = F.filter(
         F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+"),
@@ -586,7 +592,8 @@ def simhash(
     # hash each token once, then vote per bit over the hash array; all in
     # one SQL higher-order expression (shiftleft's Python API wants a
     # literal shift, but the SQL function accepts a column)
-    hashed = df.withColumn("_th", F.transform(tokens, lambda t: F.xxhash64(t)))
+    thash = (lambda t: _det_hash60(t)) if det else (lambda t: F.xxhash64(t))
+    hashed = df.withColumn("_th", F.transform(tokens, thash))
     sig_expr = f"""
       aggregate(
         transform(sequence(0, {bits - 1}), b ->
@@ -660,7 +667,8 @@ def simhash_candidate_pairs(
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, det: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded to avoid all-pairs.
 
@@ -668,9 +676,14 @@ def simhash_near_duplicates(
     recall guarantee covers exactly the requested distance (see
     :func:`simhash_candidate_pairs`); the band equi-join bounds the
     shuffle, and the exact Hamming filter keeps precision at 1.0.
+    ``det=True`` uses 60-bit md5 token hashes — the whole pipeline is
+    then integer arithmetic an oracle replays exactly.
     """
-    sigs = simhash(df.select(id_col, text_col), id_col, text_col).select(id_col, "simhash")
-    return simhash_candidate_pairs(sigs, id_col, max_hamming)
+    bits = 60 if det else 64
+    sigs = simhash(
+        df.select(id_col, text_col), id_col, text_col, bits=bits, det=det
+    ).select(id_col, "simhash")
+    return simhash_candidate_pairs(sigs, id_col, max_hamming, bits=bits)
 
 
 def levenshtein_pairs(

@@ -1318,6 +1318,65 @@ def docs_minhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _sql_simhash_det() -> str:
+    bits, max_hamming = 60, 16
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)  # mirrors _simhash_band_exprs
+    band_structs, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        band_structs.append(
+            f"struct_pack(band := {i}, "
+            f"value := (s >> {off}) & CAST({(1 << width) - 1} AS BIGINT))"
+        )
+        off += width
+    bands_sql = ",\n                ".join(band_structs)
+    h = "CAST(('0x' || substr(md5('v:' || t), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+                  WHERE doc_id < 100),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    th AS (SELECT doc_id, {h} AS hv FROM tok),
+    votes AS (SELECT doc_id, b,
+                     SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN (SELECT unnest(range({bits})) AS b) bs
+              GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS s
+            FROM votes GROUP BY doc_id),
+    band AS (SELECT doc_id, s, unnest([{bands_sql}]) AS u FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                    a.s AS sa, b2.s AS sb
+             FROM band a JOIN band b2
+               ON a.u.band = b2.u.band AND a.u.value = b2.u.value
+              AND a.doc_id < b2.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("docs_simhash_det_near_dup", _sql_simhash_det())
+def docs_simhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the DETERMINISTIC md5 token-hash
+    family (``simhash_near_duplicates(det=True)``, 60-bit signatures) —
+    the sixth oracle-provable approximate family, and the purest: token
+    votes, signature bits, pigeonhole bands, and the Hamming verify are
+    ALL integer arithmetic, so the DuckDB oracle replays the entire
+    pipeline with not a single float anywhere. Recall is exactly 1.0 at
+    the requested distance by pigeonhole (17 bands for ≤16 bits); the
+    xxhash64 64-bit family (``simhash_near_dup``) stays the throughput
+    default."""
+    from moisturizer_spark.operators.dedup import simhash_near_duplicates
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    return simhash_near_duplicates(
+        subset, max_hamming=16, det=True
+    ).orderBy("id_a", "id_b")
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (hash-dependent → rows-only check).
 
@@ -5502,6 +5561,7 @@ _NEEDS_DRIVER_ROW = [
     "events_reach_hll_det",           # NEW: md5-replayable HLL rollup
     "docs_minhash_det_near_dup",      # NEW: md5-replayable MinHash-LSH
     "embedding_lsh_det_top5",         # NEW: md5-replayable LSH ANN
+    "docs_simhash_det_near_dup",      # NEW: all-integer det SimHash
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5543,7 +5603,6 @@ _NEEDS_DRIVER_ROW = [
     "q19_disjunctive_revenue",
     "crosslingual_near_dup",
     "docs_line_dedup",
-    "events_funnel",
 ]
 
 
