@@ -681,11 +681,19 @@ def det_lsh_planes(
 
 def det_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id of ``vec`` (array<double>) under the
-    given hyperplanes. The dot products are LEFT-FOLDS in index order
-    (``F.aggregate`` over ``zip_with``), so any engine folding the same
-    doubles in the same order — e.g. DuckDB ``list_reduce`` — lands in
-    the same bucket, even for near-zero dots where an ulp would flip
-    the sign: both engines compute the identical double."""
+    given hyperplanes, as a Catalyst expression. The dot products are
+    LEFT-FOLDS in index order (``F.aggregate`` over ``zip_with``), so
+    any engine folding the same doubles in the same order — e.g.
+    DuckDB ``list_reduce`` over the products, whose ``((p1+p2)+p3)…``
+    equals the 0.0-seeded chain exactly — lands in the same bucket,
+    even for near-zero dots where an ulp would flip the sign.
+
+    This form is the SPECIFICATION (and what the SQL oracle renders);
+    for bulk assignment use the Arrow kernel inside
+    :func:`det_lsh_top_k`, which computes the same left folds
+    vectorized across rows — Spark interprets higher-order lambdas per
+    element with boxing, ~10x slower (a flat 24x64-node multiply-add
+    tree is even worse: it chokes plan processing)."""
     bits = []
     for j, row in enumerate(planes):
         coefs = F.array(*[F.lit(c) for c in row])
@@ -722,39 +730,64 @@ def det_lsh_top_k(
     top-5 recall on the test embeddings), PARITY is not. Returns
     (query_id, neighbor_id, sim, rank); an under-filled union returns
     fewer than k rows (deterministically so)."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
     tables = [
         det_lsh_planes(n_planes, dim, salt=f"lshdet{t}")
         for t in range(n_tables)
     ]
 
+    def assign(frames):
+        """Arrow kernel: all tables' buckets in one pass. The per-plane
+        dot is accumulated DIM BY DIM (``acc += V[:,d]·c[d]``) — the
+        exact left-fold association of :func:`det_lsh_bucket` and the
+        oracle's ``list_reduce``, vectorized across rows (a numpy
+        ``V @ C`` would pairwise-sum and break bucket parity for
+        near-zero dots)."""
+        import numpy as np
+
+        mats = [np.asarray(p, dtype=np.float64) for p in tables]
+        for pdf in frames:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(list(pdf["_v"]), dtype=np.float64)
+            if V.ndim != 2 or V.shape[1] != dim:
+                raise ValueError(
+                    f"det_lsh_top_k: expected {dim}-dim vectors, got "
+                    f"{V.shape[1] if V.ndim == 2 else 'ragged'}"
+                )
+            out_rows = {"_vid": pdf["_vid"], "_v": pdf["_v"]}
+            for t, C in enumerate(mats):  # C: (n_planes, dim)
+                acc = np.zeros((len(pdf), C.shape[0]))
+                for d in range(dim):
+                    acc += V[:, d : d + 1] * C[:, d]
+                bits = (acc >= 0).astype(np.int64)
+                out_rows[f"_b{t}"] = bits @ (1 << np.arange(C.shape[0]))
+            yield pd.DataFrame(out_rows)
+
     def with_buckets(df: DataFrame, out_id: str, vcol: str) -> DataFrame:
         base = df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).cast("array<double>").alias(vcol),
+            F.col(id_col).alias("_vid"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
         )
-        # a vector of the wrong length would zip_with into NULL dots and
-        # silently collapse EVERY row into bucket 0 of every table
-        # (quadratic candidate blowup). Fail loudly instead: the guard
-        # is folded into the join key itself (adds 0 or raises), so
-        # column pruning cannot optimize the check away.
-        guard = F.when(F.size(F.col(vcol)) == dim, F.lit(0)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"det_lsh_top_k: expected {dim}-dim vectors, got "),
-                    F.size(F.col(vcol)).cast("string"),
-                )
-            ).cast("int")
+        id_sql = base.schema["_vid"].dataType.simpleString()
+        bucket_schema = ", ".join(
+            [f"_vid {id_sql}", "_v array<double>"]
+            + [f"_b{t} bigint" for t in range(n_tables)]
         )
+        withb = base.mapInPandas(assign, bucket_schema)
         buckets = F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                (det_lsh_bucket(F.col(vcol), planes) + guard).alias("bkt"),
-            )
-            for t, planes in enumerate(tables)
+            F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bkt"))
+            for t in range(n_tables)
         ])
-        return base.select(
-            out_id, vcol, F.explode(buckets).alias("_tb")
-        ).select(out_id, vcol, "_tb.tbl", "_tb.bkt")
+        return (
+            withb.select(
+                F.col("_vid").alias(out_id),
+                F.col("_v").alias(vcol),
+                F.explode(buckets).alias("_tb"),
+            )
+            .select(out_id, vcol, "_tb.tbl", "_tb.bkt")
+        )
 
     c = with_buckets(corpus, "neighbor_id", "_cv")
     q = with_buckets(queries, "query_id", "_qv")
