@@ -607,20 +607,41 @@ def simhash(
     return hashed.withColumn("simhash", F.expr(sig_expr)).drop("_th")
 
 
-def _simhash_band_exprs(n_bands: int, bits: int = 64) -> list[str]:
-    """Split a ``bits``-wide signature into ``n_bands`` contiguous bands
-    (widths differ by at most 1 when not divisible)."""
+def simhash_band_layout(n_bands: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) per band: a ``bits``-wide signature split into
+    ``n_bands`` contiguous bands, widths differing by at most 1. The
+    SINGLE source of the parity-critical layout — rendered per engine
+    by :func:`_simhash_band_exprs` (Spark) and the det-simhash oracle
+    builder (DuckDB), so the two cannot drift."""
     base, extra = divmod(bits, n_bands)
-    exprs, off = [], 0
+    layout, off = [], 0
     for i in range(n_bands):
         width = base + (1 if i < extra else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
+def _simhash_band_exprs(n_bands: int, bits: int = 64) -> list[str]:
+    """Spark SQL rendering of :func:`simhash_band_layout`."""
+    exprs = []
+    for i, (off, width) in enumerate(simhash_band_layout(n_bands, bits)):
         if width >= 64:  # full-width band: mask literal would overflow BIGINT
             value = "simhash"
         else:
             value = f"shiftright(simhash, {off}) & CAST({(1 << width) - 1} AS BIGINT)"
         exprs.append(f"struct({i} AS band, {value} AS value)")
-        off += width
     return exprs
+
+
+def sql_det_hash60(prefix_sql: str, expr_sql: str) -> str:
+    """DuckDB rendering of :func:`_det_hash60` — THE oracle-side
+    60-bit hash, shared by every det-family oracle builder so the hash
+    family can only change in lockstep."""
+    return (
+        f"CAST(('0x' || substr(md5({prefix_sql} || {expr_sql}), 1, 15)) "
+        "AS BIGINT)"
+    )
 
 
 def simhash_candidate_pairs(

@@ -750,18 +750,28 @@ def det_lsh_top_k(
         for pdf in frames:
             if len(pdf) == 0:
                 continue
-            V = np.asarray(list(pdf["_v"]), dtype=np.float64)
-            if V.ndim != 2 or V.shape[1] != dim:
+            arrs = list(pdf["_v"])
+            # validate BEFORE np.asarray: a ragged/NULL batch would
+            # otherwise die with numpy's opaque inhomogeneous-shape
+            # error instead of the operator's documented message
+            bad = next(
+                (a for a in arrs if a is None or len(a) != dim), None
+            )
+            if bad is not None or any(a is None for a in arrs):
+                got = "NULL" if bad is None else str(len(bad))
                 raise ValueError(
-                    f"det_lsh_top_k: expected {dim}-dim vectors, got "
-                    f"{V.shape[1] if V.ndim == 2 else 'ragged'}"
+                    f"det_lsh_top_k: expected {dim}-dim vectors, got {got}"
                 )
+            V = np.asarray(arrs, dtype=np.float64)
             out_rows = {"_vid": pdf["_vid"], "_v": pdf["_v"]}
             for t, C in enumerate(mats):  # C: (n_planes, dim)
                 acc = np.zeros((len(pdf), C.shape[0]))
                 for d in range(dim):
                     acc += V[:, d : d + 1] * C[:, d]
-                bits = (acc >= 0).astype(np.int64)
+                # NaN dots: SQL comparison semantics order NaN above
+                # everything, so `dot >= 0` is TRUE in both Spark and
+                # DuckDB — numpy says False; match the engines
+                bits = ((acc >= 0) | np.isnan(acc)).astype(np.int64)
                 out_rows[f"_b{t}"] = bits @ (1 << np.arange(C.shape[0]))
             yield pd.DataFrame(out_rows)
 

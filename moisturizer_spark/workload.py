@@ -1254,11 +1254,11 @@ _LSH_DET_TABLES, _LSH_DET_PLANES, _LSH_DET_DIM = 6, 4, 64
 
 
 def _sql_minhash_det() -> str:
-    from moisturizer_spark.operators.dedup import _band_shape
+    from moisturizer_spark.operators.dedup import _band_shape, sql_det_hash60
 
     num_hashes, threshold = _MINHASH_DET_HASHES, _MINHASH_DET_THRESHOLD
     bands, rows = _band_shape(num_hashes, threshold)
-    h = "CAST(('0x' || substr(md5({p} || s), 1, 15)) AS BIGINT)"
+    h = sql_det_hash60("{p}", "s")
     return f"""
     WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
                FROM documents WHERE doc_id < 100),
@@ -1319,19 +1319,20 @@ def docs_minhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_simhash_det() -> str:
+    from moisturizer_spark.operators.dedup import (
+        simhash_band_layout,
+        sql_det_hash60,
+    )
+
     bits, max_hamming = 60, 16
     n_bands = max_hamming + 1
-    base, extra = divmod(bits, n_bands)  # mirrors _simhash_band_exprs
-    band_structs, off = [], 0
-    for i in range(n_bands):
-        width = base + (1 if i < extra else 0)
-        band_structs.append(
-            f"struct_pack(band := {i}, "
-            f"value := (s >> {off}) & CAST({(1 << width) - 1} AS BIGINT))"
-        )
-        off += width
+    band_structs = [
+        f"struct_pack(band := {i}, "
+        f"value := (s >> {off}) & CAST({(1 << width) - 1} AS BIGINT))"
+        for i, (off, width) in enumerate(simhash_band_layout(n_bands, bits))
+    ]
     bands_sql = ",\n                ".join(band_structs)
-    h = "CAST(('0x' || substr(md5('v:' || t), 1, 15)) AS BIGINT)"
+    h = sql_det_hash60("'v:'", "t")
     return f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents
                   WHERE doc_id < 100),
@@ -1369,9 +1370,17 @@ def docs_simhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 64-bit family (``simhash_near_dup``) stays the throughput
     default."""
     from moisturizer_spark.operators.dedup import simhash_near_duplicates
+    from moisturizer_spark.operators.textan import tokens_col
 
     t = load_tables(spark, sf_dir, ("documents",))
-    subset = t["documents"].filter(F.col("doc_id") < 100)
+    # token-less docs (NULL/empty/punctuation-only text) are excluded:
+    # simhash() gives them the all-zero signature, which would pair
+    # with ANY low-popcount doc, while the oracle's unnest of an empty
+    # token list drops them before signing — exclusion is both the
+    # sane semantics and the parity-preserving one
+    subset = t["documents"].filter(
+        (F.col("doc_id") < 100) & (F.size(tokens_col(F.col("text"))) > 0)
+    )
     return simhash_near_duplicates(
         subset, max_hamming=16, det=True
     ).orderBy("id_a", "id_b")
