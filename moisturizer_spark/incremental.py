@@ -233,3 +233,117 @@ class IncrementalDDSketchView:
         return ddsketch_quantiles(
             self.read(), self.keys, qs, self.relative_accuracy
         )
+
+
+_TXN_HLL = "ivm_dethll"
+
+
+class IncrementalDetHLLView:
+    """A PERSISTED deterministic-HLL rollup kept in sync with a source
+    table by folding its CDC feed — the distinct-count member of the
+    incremental-view family (counts/sums: :class:`IncrementalAggView`;
+    quantiles: :class:`IncrementalDDSketchView`).
+
+    HLL registers are MONOTONE maxes, which cuts both ways: an insert
+    batch folds losslessly (``max(old register, delta register)`` — the
+    folded cells equal the cells of the current state exactly), but a
+    DELETION is not expressible in any HLL — a max cannot be
+    subtracted. A feed containing ``delete``/``update_preimage`` rows
+    therefore triggers a full recompute instead of silently
+    over-counting; insert-only histories (the event-log norm this view
+    targets) never rescan the source. Uses the md5-replayable sketch
+    (:func:`~moisturizer_spark.operators.sketches.det_hll_cells`), so
+    view cells diff cleanly across engines and rebuilds.
+
+    Scale: a refresh reads only the changed buckets of the unapplied
+    versions, sketches the delta in one map-side pass, and merges into
+    a view of size O(cells × m) integer rows — never the fact rows.
+    """
+
+    def __init__(
+        self,
+        source: ParquetTable,
+        view_path: str,
+        keys: list[str],
+        value_col: str,
+    ):
+        self.source = source
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.view = ParquetTable(
+            source.spark, view_path, key="_cell", n_buckets=source.n_buckets
+        )
+
+    def _with_cell(self, df: DataFrame) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00"))
+            for k in self.keys
+        ]
+        parts.append(F.col("_hb").cast("string"))
+        return df.withColumn("_cell", F.concat_ws("\x1f", *parts))
+
+    def _cells(self, df: DataFrame) -> DataFrame:
+        from moisturizer_spark.operators.sketches import det_hll_cells
+
+        return det_hll_cells(df, self.keys, self.value_col)
+
+    def refresh(self) -> int:
+        """Bring the sketch view up to the source's current version;
+        returns that version. Cursor/crash semantics as
+        :class:`IncrementalAggView`; a delta containing deletions falls
+        back to a full recompute (see class docstring)."""
+        man = self.source._load_manifest()
+        if man is None:
+            raise ValueError(f"source {self.source.path} has no manifest")
+        current = man["version"]
+        applied = self.view.txn_version(_TXN_HLL)
+        if applied is None:
+            full = self._with_cell(self._cells(self.source.read()))
+            self.view.overwrite(full, txn=(_TXN_HLL, current))
+            return current
+        if applied >= current:
+            return current
+        from moisturizer_spark.storage import VersionNotRetained
+
+        try:
+            feed = self.source.table_changes(applied, current)
+        except VersionNotRetained:
+            full = self._with_cell(self._cells(self.source.read()))
+            self.view.overwrite(full, txn=(_TXN_HLL, current))
+            return current
+        has_deletes = (
+            feed.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+        if has_deletes:
+            full = self._with_cell(self._cells(self.source.read()))
+            self.view.overwrite(full, txn=(_TXN_HLL, current))
+            return current
+        delta = self._cells(
+            feed.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            )
+        )
+        merged = self._with_cell(
+            self.view.read()
+            .select(*self.keys, "_hb", "_hr")
+            .unionByName(delta)
+            .groupBy(*self.keys, "_hb")
+            .agg(F.max("_hr").alias("_hr"))
+        )
+        self.view.overwrite(merged, txn=(_TXN_HLL, current))
+        return current
+
+    def read(self) -> DataFrame:
+        return self.view.read().select(*self.keys, "_hb", "_hr")
+
+    def estimate(self, out_col: str = "approx_distinct") -> DataFrame:
+        """Distinct-count estimates straight from the stored cells (no
+        source scan): (keys..., approx_distinct)."""
+        from moisturizer_spark.operators.sketches import det_hll_estimate
+
+        return det_hll_estimate(self.read(), self.keys, out_col)

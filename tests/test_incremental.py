@@ -258,3 +258,66 @@ def test_incremental_ddsketch_falls_back_when_vacuumed(spark, warehouse):
         for r in ddsketch_rollup(src.read(), ["grp"], "v").collect()
     }
     assert {(r["grp"], r["_qbin"]): r["_qn"] for r in view.read().collect()} == direct
+
+
+def test_incremental_det_hll_insert_fold_and_delete_fallback(spark, warehouse):
+    """Det-HLL IVM: insert-only batches fold via register MAX and the
+    folded cells equal a direct det_hll_cells of the current state
+    (exactly — monotone merge is lossless); a batch containing deletes
+    triggers the full-recompute fallback and the view STILL equals the
+    direct sketch; estimates answer from the view without a source
+    scan."""
+    from moisturizer_spark.incremental import IncrementalDetHLLView
+    from moisturizer_spark.operators.sketches import (
+        det_hll_cells,
+        det_hll_estimate,
+    )
+
+    src = _tbl(spark, warehouse, "hllsrc")
+    view = IncrementalDetHLLView(src, f"{warehouse}/hllview", ["grp"], "v")
+
+    src.overwrite(_rows(spark, [(f"a{i}", "x", i % 17) for i in range(40)]
+                              + [(f"b{i}", "y", i) for i in range(25)]))
+    view.refresh()
+
+    def direct():
+        return {
+            (r["grp"], r["_hb"]): r["_hr"]
+            for r in det_hll_cells(src.read(), ["grp"], "v").collect()
+        }
+
+    def folded():
+        return {(r["grp"], r["_hb"]): r["_hr"] for r in view.read().collect()}
+
+    assert folded() == direct()
+
+    # insert-only delta (plus a NULL value, which sketches ignore)
+    src.upsert(
+        spark.createDataFrame(
+            [("c1", "x", 991), ("c2", "y", 992), ("n1", "x", None)],
+            "id string, grp string, v long",
+        )
+    )
+    view.refresh()
+    assert folded() == direct()
+
+    # estimates straight from the view, matching the direct estimator
+    est_view = {
+        r["grp"]: r["approx_distinct"] for r in view.estimate().collect()
+    }
+    est_direct = {
+        r["grp"]: r["approx_distinct"]
+        for r in det_hll_estimate(
+            det_hll_cells(src.read(), ["grp"], "v"), ["grp"]
+        ).collect()
+    }
+    assert est_view == est_direct
+
+    # a delta with deletes cannot fold a max back out: full-recompute
+    # fallback keeps the view exact
+    src.delete_by_key(["a1", "b3"])
+    view.refresh()
+    assert folded() == direct()
+    # idempotent replay
+    view.refresh()
+    assert folded() == direct()
