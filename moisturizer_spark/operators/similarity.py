@@ -648,6 +648,56 @@ def pq_top_k(
     )
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination: flag every
+    corpus vector whose cosine to ANY benchmark vector clears the
+    threshold, attributing the nearest benchmark item — the embedding
+    analog of the n-gram decontamination pair
+    (``docs_decontaminated`` removes, ``docs_benchmark_containment``
+    attributes); paraphrased or translated leakage that shares no
+    n-grams still lands close in embedding space.
+
+    Returns (corpus_id, nearest_eval_id, sim), one row per flagged
+    corpus vector; ties on similarity break to the smallest eval id.
+
+    Scale: the benchmark side is small by nature (eval suites are
+    thousands of items) and BROADCASTS; the corpus scan is
+    embarrassingly parallel and the per-row window ranks only that
+    row's |benchmark| candidate sims. At extreme benchmark sizes the
+    same scoring expression rides IVF/LSH candidates instead of the
+    broadcast product (the :func:`brute_force_top_k` swap).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("nearest_eval_id"),
+        F.col(vec_col).cast("array<double>").alias("_bv"),
+    )
+    sim = F.round(
+        cosine_similarity_col(F.col("_cv"), F.col("_bv")), round_digits
+    )
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "corpus_id", "nearest_eval_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.col("sim").desc(), F.col("nearest_eval_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("sim") >= threshold))
+        .select("corpus_id", "nearest_eval_id", "sim")
+    )
+
+
 def det_lsh_planes(
     n_planes: int, dim: int, salt: str = "lshdet"
 ) -> list[list[float]]:

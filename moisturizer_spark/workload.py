@@ -1232,6 +1232,43 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(subset, threshold=0.35).orderBy("id_a", "id_b")
 
 
+@query(
+    "embedding_decontamination",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id AS eval_id, v AS bv FROM e WHERE vec_id < 20),
+    c AS (SELECT vec_id AS corpus_id, v FROM e WHERE vec_id >= 20),
+    sc AS (SELECT corpus_id, eval_id,
+                  ROUND(list_cosine_similarity(v, bv), 6) AS sim
+           FROM c CROSS JOIN b),
+    r AS (SELECT corpus_id, eval_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY corpus_id
+                                    ORDER BY sim DESC, eval_id) AS rn
+          FROM sc)
+    SELECT corpus_id, eval_id AS nearest_eval_id, sim
+    FROM r WHERE rn = 1 AND sim >= 0.3 ORDER BY corpus_id
+    """,
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination
+    (:func:`moisturizer_spark.operators.similarity.semantic_decontamination`):
+    corpus vectors too close in embedding space to any benchmark item
+    (here: vec_id < 20 plays the eval suite), with the nearest item
+    attributed — catches paraphrased/translated leakage that the n-gram
+    pair (``docs_decontaminated`` / ``docs_benchmark_containment``)
+    cannot see. Benchmark side broadcasts; corpus scan is one pass;
+    per-row ranking covers |benchmark| candidates only."""
+    from moisturizer_spark.operators.similarity import semantic_decontamination
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return semantic_decontamination(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        threshold=0.3,
+    ).orderBy("corpus_id")
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible / approximate by design)
 # ---------------------------------------------------------------------------
@@ -5571,6 +5608,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_minhash_det_near_dup",      # NEW: md5-replayable MinHash-LSH
     "embedding_lsh_det_top5",         # NEW: md5-replayable LSH ANN
     "docs_simhash_det_near_dup",      # NEW: all-integer det SimHash
+    "embedding_decontamination",      # NEW: semantic decontamination
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5611,7 +5649,6 @@ _NEEDS_DRIVER_ROW = [
     "events_conversion_paths",
     "q19_disjunctive_revenue",
     "crosslingual_near_dup",
-    "docs_line_dedup",
 ]
 
 

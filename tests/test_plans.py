@@ -49,6 +49,11 @@ BNLJ_ALLOWED = {
     # the pair-algebra rows cross two literal ONE-row sketch frames
     # (view sketch × click sketch × exact pair count)
     "events_kmv_audience",
+    # the benchmark side (an eval suite — small by nature) broadcasts
+    # against the corpus scan; no equi-key exists by construction, and
+    # at extreme benchmark sizes the same scoring rides IVF/LSH
+    # candidates instead
+    "embedding_decontamination",
 }
 
 

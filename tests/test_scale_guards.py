@@ -58,6 +58,8 @@ ALLOWED = {
         "probed list ids: <= n_probes x |queries| ints",
     ("operators/similarity.py", "brute_force_top_k"):
         "crossJoin is broadcast(query) by construction — bounded baseline",
+    ("operators/similarity.py", "semantic_decontamination"):
+        "crossJoin is broadcast(benchmark): eval suites are small by nature",
     ("operators/similarity.py", "pq_top_k"):
         "crossJoin is broadcast(LUT): m x 256 rows; codebook/centroid "
         "collects are n_lists / m x 256 rows",
