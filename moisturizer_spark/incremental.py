@@ -311,32 +311,39 @@ class IncrementalDetHLLView:
             full = self._with_cell(self._cells(self.source.read()))
             self.view.overwrite(full, txn=(_TXN_HLL, current))
             return current
-        has_deletes = (
-            feed.filter(
-                F.col("_change_type").isin("delete", "update_preimage")
+        # persist: the deletion probe AND the delta fold both consume
+        # the feed — without the cache the per-version CDC diffs would
+        # execute twice on the common insert-only path
+        feed = feed.persist()
+        try:
+            has_deletes = (
+                feed.filter(
+                    F.col("_change_type").isin("delete", "update_preimage")
+                )
+                .limit(1)
+                .count()
+                > 0
             )
-            .limit(1)
-            .count()
-            > 0
-        )
-        if has_deletes:
-            full = self._with_cell(self._cells(self.source.read()))
-            self.view.overwrite(full, txn=(_TXN_HLL, current))
+            if has_deletes:
+                full = self._with_cell(self._cells(self.source.read()))
+                self.view.overwrite(full, txn=(_TXN_HLL, current))
+                return current
+            delta = self._cells(
+                feed.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                )
+            )
+            merged = self._with_cell(
+                self.view.read()
+                .select(*self.keys, "_hb", "_hr")
+                .unionByName(delta)
+                .groupBy(*self.keys, "_hb")
+                .agg(F.max("_hr").alias("_hr"))
+            )
+            self.view.overwrite(merged, txn=(_TXN_HLL, current))
             return current
-        delta = self._cells(
-            feed.filter(
-                F.col("_change_type").isin("insert", "update_postimage")
-            )
-        )
-        merged = self._with_cell(
-            self.view.read()
-            .select(*self.keys, "_hb", "_hr")
-            .unionByName(delta)
-            .groupBy(*self.keys, "_hb")
-            .agg(F.max("_hr").alias("_hr"))
-        )
-        self.view.overwrite(merged, txn=(_TXN_HLL, current))
-        return current
+        finally:
+            feed.unpersist()
 
     def read(self) -> DataFrame:
         return self.view.read().select(*self.keys, "_hb", "_hr")

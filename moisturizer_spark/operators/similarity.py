@@ -669,10 +669,23 @@ def semantic_decontamination(
 
     Scale: the benchmark side is small by nature (eval suites are
     thousands of items) and BROADCASTS; the corpus scan is
-    embarrassingly parallel and the per-row window ranks only that
-    row's |benchmark| candidate sims. At extreme benchmark sizes the
-    same scoring expression rides IVF/LSH candidates instead of the
-    broadcast product (the :func:`brute_force_top_k` swap).
+    embarrassingly parallel; the threshold filter runs BEFORE the
+    ranking window, so only already-flagged (corpus, eval) rows — the
+    contaminated sliver, not the full cross product — reach the
+    shuffle (the survivor of rank-then-filter is identical: the
+    max-sim row clears the threshold iff any row does). At extreme
+    benchmark sizes the same scoring expression rides IVF/LSH
+    candidates instead of the broadcast product. NOT a
+    :func:`brute_force_top_k` wrapper despite the similar shape: that
+    operator broadcasts its query batch and ranks per query; this one
+    broadcasts the benchmark and ranks per CORPUS row — the opposite
+    side must stay distributed.
+
+    Zero-norm vectors are undefined under cosine and must be excluded
+    by the caller: Spark yields NULL for 0/0 (row drops) while engines
+    with IEEE float division yield NaN (which SQL comparisons order
+    ABOVE the threshold) — the one input class where an oracle replay
+    diverges.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -685,15 +698,17 @@ def semantic_decontamination(
     sim = F.round(
         cosine_similarity_col(F.col("_cv"), F.col("_bv")), round_digits
     )
-    scored = c.crossJoin(F.broadcast(b)).select(
-        "corpus_id", "nearest_eval_id", sim.alias("sim")
+    scored = (
+        c.crossJoin(F.broadcast(b))
+        .select("corpus_id", "nearest_eval_id", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
     w = Window.partitionBy("corpus_id").orderBy(
         F.col("sim").desc(), F.col("nearest_eval_id").asc()
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("sim") >= threshold))
+        .filter(F.col("_rn") == 1)
         .select("corpus_id", "nearest_eval_id", "sim")
     )
 

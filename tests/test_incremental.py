@@ -291,14 +291,26 @@ def test_incremental_det_hll_insert_fold_and_delete_fallback(spark, warehouse):
 
     assert folded() == direct()
 
-    # insert-only delta (plus a NULL value, which sketches ignore)
+    # insert-only delta (plus a NULL value, which sketches ignore).
+    # The source table's read() is booby-trapped during refresh: the
+    # insert-only path must fold the CDC delta WITHOUT rescanning the
+    # source — a silent fall-through to the full recompute (which also
+    # equals the direct sketch) would otherwise pass every equality
+    # assertion here while losing the view's headline property.
     src.upsert(
         spark.createDataFrame(
             [("c1", "x", 991), ("c2", "y", 992), ("n1", "x", None)],
             "id string, grp string, v long",
         )
     )
-    view.refresh()
+    orig_read = src.read
+    src.read = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("insert-only delta must not rescan the source")
+    )
+    try:
+        view.refresh()
+    finally:
+        src.read = orig_read
     assert folded() == direct()
 
     # estimates straight from the view, matching the direct estimator
