@@ -469,6 +469,7 @@ def winnowing_fingerprints(
     k: int = 5,
     window: int = 4,
     out_col: str = "fingerprints",
+    det: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS algorithm): hash every
     k-gram, then keep the minimum hash of each ``window`` consecutive
@@ -489,13 +490,23 @@ def winnowing_fingerprints(
     the O(n) hash array once per window — O(n^2·k) per document
     (measured 85s for 100 ×280-char docs; 0.2s with the binding).
     Lambda variables are evaluated exactly once.
+
+    ``det=True`` swaps the k-gram hash to the md5-derived 60-bit
+    family: window minima and distinct-set semantics are value-based
+    integers, so an oracle replays the fingerprint sets exactly.
     """
     normalized = (
         f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
     )
+    gram_hash = (
+        "cast(conv(substring(md5(concat('v:', substring(t, i, {k}))), 1, 15),"
+        " 16, 10) as bigint)"
+        if det
+        else "xxhash64(substring(t, i, {k}))"
+    ).format(k=k)
     hashes = (
         f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)), "
-        f"i -> xxhash64(substring(t, i, {k})))"
+        f"i -> {gram_hash})"
     )
     mins = (
         f"array_distinct(transform("
@@ -517,6 +528,7 @@ def winnowing_near_duplicates(
     window: int = 4,
     min_common: int = 10,
     max_df: int | None = None,
+    det: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints (id_a < id_b,
     n_common ≥ min_common). The inverted-index join shuffles (hash, id)
@@ -530,7 +542,9 @@ def winnowing_near_duplicates(
     max_df^2 while near-identical pairs (which share many *rare*
     fingerprints) still surface. Slightly undercounts n_common; keep
     None for exact small-corpus semantics."""
-    fp = winnowing_fingerprints(df.select(id_col, text_col), text_col, k, window)
+    fp = winnowing_fingerprints(
+        df.select(id_col, text_col), text_col, k, window, det=det
+    )
     # explode_outer, not explode: InferFiltersFromGenerate only fires for
     # inner generates, and its size()/isnotnull() filter re-evaluates the
     # whole fingerprint expression 2 extra times per row. The array is

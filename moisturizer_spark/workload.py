@@ -1423,6 +1423,51 @@ def docs_simhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "docs_winnowing_det_near_dup",
+    """
+    WITH d AS (SELECT doc_id,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+               FROM documents WHERE doc_id < 100),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                     i -> CAST(('0x' || substr(md5('v:' ||
+                              substr(t, CAST(i AS INT), 5)), 1, 15)) AS BIGINT))
+                   AS hl
+          FROM d),
+    fp AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(hl) - 3, 1) + 1),
+                      j -> list_min(hl[j:j+3]))) AS fps
+           FROM h),
+    inv AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM inv a JOIN inv b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 10
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_winnowing_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) near-dup pairs with the DETERMINISTIC md5
+    k-gram hash family (``winnowing_near_duplicates(det=True)``) — the
+    seventh oracle-provable approximate family: k-gram hashes, window
+    minima (value-based, so tie order is moot), distinct fingerprint
+    sets, and the inverted-index pair counts are all integers the
+    DuckDB oracle replays exactly. The xxhash64 family
+    (``docs_winnowing_near_dup``) stays the throughput default; the
+    substring-coverage guarantee (any shared run of length ≥ k+w−1
+    yields a common fingerprint) holds identically in both."""
+    from moisturizer_spark.operators.textan import winnowing_near_duplicates
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    return winnowing_near_duplicates(
+        subset, min_common=10, det=True
+    ).orderBy("id_a", "id_b")
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (hash-dependent → rows-only check).
 
@@ -5609,6 +5654,7 @@ _NEEDS_DRIVER_ROW = [
     "embedding_lsh_det_top5",         # NEW: md5-replayable LSH ANN
     "docs_simhash_det_near_dup",      # NEW: all-integer det SimHash
     "embedding_decontamination",      # NEW: semantic decontamination
+    "docs_winnowing_det_near_dup",    # NEW: md5-replayable winnowing
     # oldest green rows: last verified round 2
     "bpe_token_stats",
     "customer_spend_ntile",
@@ -5648,7 +5694,6 @@ _NEEDS_DRIVER_ROW = [
     "events_props_flatten",
     "events_conversion_paths",
     "q19_disjunctive_revenue",
-    "crosslingual_near_dup",
 ]
 
 
