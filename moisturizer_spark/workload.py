@@ -665,7 +665,13 @@ def events_props_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Documents: dedup + text analysis
 # ---------------------------------------------------------------------------
 
-_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# whitespace collapse with an EXPLICIT Java-equivalent class: Java's \s
+# includes \x0B (vertical tab) while DuckDB/RE2's does not — spelling the
+# class out keeps every oracle normalization bit-identical to Spark even
+# for corpora containing \x0B (negated-class token splits are unaffected:
+# both engines route \x0B out of tokens either way)
+_SQL_WS = "[ \\t\\n\\r\\f\\x0B]+"
+_SQL_NORM_TEXT = f"trim(regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g'))"
 _SQL_TOKS = (
     "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
     "'\\s+'), x -> x <> '')"
@@ -840,7 +846,7 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_near_dup",
     f"""
     WITH d AS (
-        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        SELECT doc_id, regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g') AS t
         FROM documents WHERE doc_id < 100
     ), sh AS (
         SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS g
@@ -1297,7 +1303,7 @@ def _sql_minhash_det() -> str:
     bands, rows = _band_shape(num_hashes, threshold)
     h = sql_det_hash60("{p}", "s")
     return f"""
-    WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+    WITH d AS (SELECT doc_id, regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g') AS t
                FROM documents WHERE doc_id < 100),
     sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS s
            FROM d, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
@@ -1425,9 +1431,9 @@ def docs_simhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_winnowing_det_near_dup",
-    """
+    f"""
     WITH d AS (SELECT doc_id,
-                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                      trim(regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g')) AS t
                FROM documents WHERE doc_id < 100),
     h AS (SELECT doc_id,
                  list_transform(range(1, greatest(len(t) - 4, 1) + 1),
@@ -2076,7 +2082,7 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_dedup_clusters",
     f"""
     WITH RECURSIVE d AS (
-        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        SELECT doc_id, regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g') AS t
         FROM documents WHERE doc_id < 100
     ), sh AS (
         SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS g
