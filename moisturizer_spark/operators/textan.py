@@ -922,19 +922,31 @@ def bigram_lm_bits(
 
 def _nano(lp) -> "Column":
     """An irrational log-probability as integer nano-bits (exact to
-    sum in any order, in any engine)."""
+    sum in any order, in any engine).
+
+    Overflow bound: a smoothed bigram log2-prob is at most ~64 bits in
+    magnitude (P ≥ k/(C+kV) can't go below ~2^-64 until the corpus
+    exceeds ~10^19 bigrams), so each term is ≤ 6.4e10 nano-bits and the
+    per-document BIGINT sum stays inside int64 up to ~1.4e8 bigrams in
+    a SINGLE document — a ~500 MB single text field, 2.5× parquet's
+    hard field limit, so unreachable through any supported source.
+    Documents, not the corpus, bound the sum: the aggregation is per
+    doc_id."""
     return F.round(lp * F.lit(1e9)).cast("bigint")
 
 
-def _micro_per_token(sum_nano_sql: str) -> "Column":
+def _micro_per_token(sum_nano_sql: str, n_sql: str = "_n") -> "Column":
     """``sum_nano / (1000·n)`` rounded half-away-from-zero, in PURE
     integer arithmetic (``DIV``) — engine-exact even when the rational
     lands exactly on a rounding boundary, where float round(x, 6)
     implementations disagree. ``sum_nano_sql`` must be a SQL expression
-    over the aggregated columns yielding a non-negative BIGINT; the
-    frame must carry the count as ``_n``."""
+    over the aggregated columns yielding a non-negative BIGINT;
+    ``n_sql`` names the (positive BIGINT) count expression — an
+    explicit parameter, so a caller whose aggregate uses a different
+    alias fails here loudly instead of at analysis time with an
+    opaque unresolved ``_n``."""
     return F.expr(
-        f"(2 * ({sum_nano_sql}) + 1000 * _n) DIV (2000 * _n)"
+        f"(2 * ({sum_nano_sql}) + 1000 * ({n_sql})) DIV (2000 * ({n_sql}))"
     )
 
 
