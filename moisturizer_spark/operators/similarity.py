@@ -948,3 +948,387 @@ def lsh_top_k(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# -- deterministic IVF (oracle-replayable coarse quantizer) -------------------
+
+
+def _det_unit_rows(n: int, dim: int, salt: str) -> list[list[float]]:
+    """``n`` md5-derived pseudo-random L2-normalized rows, each coord
+    rounded to 6 decimals AFTER normalization so the final values are
+    plain repr-round-tripping Python floats — they inline as LITERALS
+    into both the Spark plan and the oracle SQL, and the two engines
+    compute with bit-identical constants (the ``det_lsh_planes``
+    recipe, plus the normalization both IVF assignment and cosine-free
+    dot ranking want). The norm is accumulated in index order so this
+    derivation is itself engine-reproducible, though only the rounded
+    OUTPUT ever reaches an engine."""
+    import hashlib
+
+    rows = []
+    for j in range(n):
+        raw = [
+            2.0
+            * (
+                int(
+                    hashlib.md5(f"{salt}:{j}:{d}".encode()).hexdigest()[:12],
+                    16,
+                )
+                / float(16**12)
+            )
+            - 1.0
+            for d in range(dim)
+        ]
+        acc = 0.0
+        for x in raw:
+            acc += x * x
+        nrm = acc**0.5 or 1.0
+        rows.append([round(x / nrm, 6) for x in raw])
+    return rows
+
+
+def det_ivf_centroids(
+    n_lists: int, dim: int, salt: str = "ivfdet"
+) -> list[list[float]]:
+    """Frozen md5-derived IVF centroids (unit-normalized literals).
+
+    No training, no RNG, no data dependence: list assignment becomes
+    pure replayable arithmetic, which is what makes
+    :func:`det_ivf_top_k` oracle-provable. Against trained centroids
+    this costs recall (lists don't hug the data distribution — recall
+    is measured, not promised); the trained sibling :func:`ivf_top_k`
+    stays the quality default."""
+    return _det_unit_rows(n_lists, dim, salt)
+
+
+def det_ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic (oracle-replayable) IVF top-k: frozen md5
+    centroids → nearest-centroid list assignment (argmax of
+    index-ordered dot folds, lowest list id on ties) → each query
+    probes its ``n_probe`` nearest lists → exact cosine re-rank of the
+    probed lists only. Same economics as :func:`ivf_top_k` (one corpus
+    scan assigns; at rest the list id is the partition key so a probe
+    touches n_probe/n_lists of the data; the probe frame broadcasts)
+    but every step is bit-reproducible by the DuckDB oracle: dots are
+    dim-by-dim left folds (the ``det_lsh_top_k`` Arrow-kernel
+    association), and argmax-with-lowest-index ties equals the SQL
+    GREATEST + first-match CASE chain. Embeddings are finite by
+    contract (NaN coords would diverge between numpy argmax and SQL
+    comparison semantics — the kernel validates dimensions, upstream
+    decode validates values). Returns (query_id, neighbor_id, sim,
+    rank)."""
+    import pandas as pd
+
+    cents = det_ivf_centroids(n_lists, dim)
+
+    def assign(frames):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)  # n_lists × dim
+        for pdf in frames:
+            if len(pdf) == 0:
+                continue
+            arrs = list(pdf["_v"])
+            bad = next((a for a in arrs if a is None or len(a) != dim), None)
+            if bad is not None:
+                got = "NULL" if bad is None else str(len(bad))
+                raise ValueError(
+                    f"det_ivf_top_k: expected {dim}-dim vectors, got {got}"
+                )
+            V = np.asarray(arrs, dtype=np.float64)
+            acc = np.zeros((len(pdf), C.shape[0]))
+            for d in range(dim):  # dim-by-dim: the oracle's left fold
+                acc += V[:, d : d + 1] * C[:, d]
+            yield pd.DataFrame(
+                {
+                    "_vid": pdf["_vid"],
+                    "_v": pdf["_v"],
+                    # first-occurrence argmax == lowest-list-id ties
+                    "_lst": acc.argmax(1).astype("int32"),
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    id_sql = c.schema["_vid"].dataType.simpleString()
+    assigned = c.mapInPandas(
+        assign, schema=f"_vid {id_sql}, _v array<double>, _lst int"
+    ).withColumnsRenamed({"_vid": "neighbor_id", "_v": "_cv"})
+
+    # Query-side probe, driver-side (queries are broadcast-sized by the
+    # ivf_top_k contract): Python's 0.0-seeded += chain IS the left
+    # fold, so probe dots are bit-identical to the oracle's list_reduce
+    q_rows = []
+    for row in queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).collect():
+        dots = []
+        for cv in cents:
+            acc = 0.0
+            for x, y in zip(row["_qv"], cv):
+                acc += x * y
+            dots.append(acc)
+        for lst in sorted(range(n_lists), key=lambda j: (-dots[j], j))[
+            :n_probe
+        ]:
+            q_rows.append((row["query_id"], row["_qv"], lst))
+    from pyspark.sql import types as T
+
+    probe = corpus.sparkSession.createDataFrame(
+        q_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+                T.StructField("_lst", T.IntegerType()),
+            ]
+        ),
+    )
+    # a corpus vector lives in exactly ONE list and probed lists are
+    # distinct, so a (query, neighbor) pair meets at most once — no
+    # dropDuplicates needed (unlike the multi-table det-LSH union)
+    sim = F.round(cosine_similarity_col(F.col("_qv"), F.col("_cv")), 6)
+    cand = (
+        assigned.join(F.broadcast(probe), "_lst")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def sql_det_fold_dot(v_sql: str, coefs: list[float], offset: int = 0) -> str:
+    """DuckDB rendering of an index-ordered dot-product fold of
+    ``v_sql[offset+1 .. offset+len]`` against literal ``coefs`` —
+    seedless ``list_reduce`` (reduce-from-first == the 0.0-seeded
+    chain, pinned by ``tests/test_duckdb_semantics.py``)."""
+    lit = "[" + ", ".join(repr(c) for c in coefs) + "]::DOUBLE[]"
+    return (
+        f"list_reduce(list_transform(range(1, {len(coefs) + 1}), "
+        f"i -> {v_sql}[{offset} + CAST(i AS INT)] * ({lit})[i]), "
+        "(a, b) -> a + b)"
+    )
+
+
+def sql_det_fold_sqdist(
+    v_sql: str, coefs: list[float], offset: int = 0
+) -> str:
+    """DuckDB rendering of the index-ordered squared-distance fold of a
+    subvector against literal ``coefs`` — mirrors the det-PQ encode
+    kernel's ``acc += (V[:,d] - c[d])²`` association exactly."""
+    lit = "[" + ", ".join(repr(c) for c in coefs) + "]::DOUBLE[]"
+    return (
+        f"list_reduce(list_transform(range(1, {len(coefs) + 1}), "
+        f"i -> ({v_sql}[{offset} + CAST(i AS INT)] - ({lit})[i]) * "
+        f"({v_sql}[{offset} + CAST(i AS INT)] - ({lit})[i])), "
+        "(a, b) -> a + b)"
+    )
+
+
+# -- deterministic PQ (oracle-replayable product quantization) ----------------
+
+
+def det_pq_codebooks(
+    m: int, n_codes: int, d_sub: int, salt: str = "pqdet", scale: float = 0.25
+) -> list[list[list[float]]]:
+    """Frozen md5-derived PQ codebooks: ``m`` subspaces × ``n_codes``
+    centroids × ``d_sub`` dims, uniform in [-scale, scale] and rounded
+    to 6 decimals (repr-exact literals — the ``det_lsh_planes``
+    recipe). The default scale matches unit-norm embeddings, whose
+    subvector coords sit around ±1/√dim: k-means-trained codebooks
+    (:func:`pq_top_k`) quantize tighter, but need RNG-free replay to
+    be provable — frozen books trade recall for a driver-checkable
+    answer (recall is measured in tests, parity is proven by the
+    oracle)."""
+    import hashlib
+
+    return [
+        [
+            [
+                round(
+                    scale
+                    * (
+                        2.0
+                        * (
+                            int(
+                                hashlib.md5(
+                                    f"{salt}:{j}:{i}:{d}".encode()
+                                ).hexdigest()[:12],
+                                16,
+                            )
+                            / float(16**12)
+                        )
+                        - 1.0
+                    ),
+                    6,
+                )
+                for d in range(d_sub)
+            ]
+            for i in range(n_codes)
+        ]
+        for j in range(m)
+    ]
+
+
+def det_pq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 8,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic (oracle-replayable) PQ top-k with exact re-rank:
+    frozen md5 codebooks → per-subspace nearest-centroid codes (argmin
+    of index-ordered squared-distance folds, lowest code on ties) →
+    ADC scan against per-query lookup tables → top ``k·refine``
+    shortlist → exact cosine re-rank. The same memory economics as
+    :func:`pq_top_k` (m 1-byte-scale codes per vector instead of the
+    vector; the ADC scan reads only codes; the LUT crossJoin is a
+    broadcast of |queries|·m·n_codes doubles) with every step DuckDB
+    can replay bit-for-bit: encode distances and LUT dots are left
+    folds of literal constants, the ADC sum folds in subspace order,
+    and both rankings tie-break on neighbor_id. Returns (query_id,
+    neighbor_id, sim, rank) — sims exact, candidate set approximate
+    (recall vs brute force measured in tests)."""
+    import pandas as pd
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    books = det_pq_codebooks(m, n_codes, d_sub)
+
+    def encode(frames):
+        import numpy as np
+
+        B = np.asarray(books, dtype=np.float64)  # m × n_codes × d_sub
+        for pdf in frames:
+            if len(pdf) == 0:
+                continue
+            arrs = list(pdf["_v"])
+            bad = next((a for a in arrs if a is None or len(a) != dim), None)
+            if bad is not None:
+                got = "NULL" if bad is None else str(len(bad))
+                raise ValueError(
+                    f"det_pq_top_k: expected {dim}-dim vectors, got {got}"
+                )
+            V = np.asarray(arrs, dtype=np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                acc = np.zeros((len(V), n_codes))
+                for d in range(d_sub):  # dim-by-dim: the oracle's fold
+                    diff = V[:, j * d_sub + d : j * d_sub + d + 1] - B[j, :, d]
+                    acc += diff * diff
+                # first-occurrence argmin == lowest-code ties
+                codes[:, j] = acc.argmin(1)
+            yield pd.DataFrame(
+                {"_vid": pdf["_vid"], "_v": pdf["_v"], "codes": list(codes)}
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    id_sql = c.schema["_vid"].dataType.simpleString()
+    encoded = c.mapInPandas(
+        encode, schema=f"_vid {id_sql}, _v array<double>, codes array<int>"
+    ).withColumnsRenamed({"_vid": "neighbor_id", "_v": "_cv"})
+
+    # Per-query ADC LUTs, driver-side in ordered pure-Python sums (==
+    # the oracle's list_reduce folds; queries broadcast-sized by the
+    # pq_top_k contract)
+    q_rows = []
+    for row in queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).collect():
+        lut = []
+        for j in range(m):
+            for i in range(n_codes):
+                acc = 0.0
+                for d in range(d_sub):
+                    acc += row["_qv"][j * d_sub + d] * books[j][i][d]
+                lut.append(acc)
+        q_rows.append((row["query_id"], row["_qv"], lut))
+    from pyspark.sql import types as T
+
+    q_lut = corpus.sparkSession.createDataFrame(
+        q_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+                T.StructField("_lut", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    # ADC: fold over subspaces in order, seeded 0.0 — the oracle's
+    # range(1, m+1) reduce lands on the identical double
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_lut"),
+            (
+                j * n_codes
+                + F.element_at(F.col("codes"), (j + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    # the ADC scan reads CODES only (the PQ memory story: the full
+    # vector column never flows through the scan — only the k·refine
+    # shortlist fetches vectors back by id)
+    cand = (
+        encoded.drop("_cv")
+        .crossJoin(F.broadcast(q_lut.drop("_qv")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("_adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    sim = F.round(cosine_similarity_col(F.col("_qv"), F.col("_cv")), 6)
+    scored = (
+        shortlist.join(
+            c.withColumnsRenamed({"_vid": "neighbor_id", "_v": "_cv"}),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_lut.select("query_id", "_qv")), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1553,6 +1553,178 @@ def embedding_lsh_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_IVF_DET_LISTS, _IVF_DET_PROBE = 8, 3
+_PQ_DET_M, _PQ_DET_CODES, _PQ_DET_REFINE = 8, 8, 8
+
+
+def _sql_embedding_ivf_det() -> str:
+    from moisturizer_spark.operators.similarity import (
+        det_ivf_centroids,
+        sql_det_fold_dot,
+    )
+
+    n_lists, n_probe = _IVF_DET_LISTS, _IVF_DET_PROBE
+    cents = det_ivf_centroids(n_lists, _LSH_DET_DIM)
+    dot_cols = ",\n           ".join(
+        f"{sql_det_fold_dot('v', cents[j])} AS d{j}" for j in range(n_lists)
+    )
+    greatest = "GREATEST(" + ", ".join(f"d{j}" for j in range(n_lists)) + ")"
+    # first-match CASE == numpy argmax first occurrence == lowest list id
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{j} = g THEN {j}" for j in range(n_lists))
+        + " END"
+    )
+    probe_structs = ", ".join(
+        f"struct_pack(j := {j}, dt := d{j})" for j in range(n_lists)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, v,
+           {dot_cols}
+          FROM e),
+    a AS (SELECT vec_id, v, {case} AS lst
+          FROM (SELECT *, {greatest} AS g FROM d)),
+    qd AS (SELECT vec_id AS query_id, v AS qv, u.j AS lst, u.dt AS dot
+           FROM (SELECT vec_id, v, unnest([{probe_structs}]) AS u
+                 FROM d WHERE vec_id < 10)),
+    probe AS (SELECT query_id, qv, lst FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, lst) AS pr
+        FROM qd) WHERE pr <= {n_probe}),
+    cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                    ROUND(list_cosine_similarity(p.qv, c.v), 6) AS sim
+             FROM probe p JOIN a c ON c.lst = p.lst
+             WHERE c.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM cand)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("embedding_ivf_det_top5", _sql_embedding_ivf_det())
+def embedding_ivf_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via DETERMINISTIC IVF — the
+    eighth oracle-provable approximate family
+    (:func:`moisturizer_spark.operators.similarity.det_ivf_top_k`):
+    frozen md5-derived unit centroids inlined as literals,
+    index-ordered dot folds for list assignment (GREATEST +
+    first-match CASE = numpy first-occurrence argmax), top-``n_probe``
+    probe per query, exact cosine re-rank of the probed lists. The
+    trained-quantizer sibling (``embedding_ivf_top5``) keeps better
+    recall and stays rows-only; here the driver proves the index's
+    answers bit-for-bit. Recall vs brute force is measured in
+    ``tests/test_similarity.py``."""
+    from moisturizer_spark.operators.similarity import det_ivf_top_k
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return det_ivf_top_k(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_lists=_IVF_DET_LISTS,
+        n_probe=_IVF_DET_PROBE,
+        dim=_LSH_DET_DIM,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_embedding_pq_det() -> str:
+    from moisturizer_spark.operators.similarity import (
+        det_pq_codebooks,
+        sql_det_fold_dot,
+        sql_det_fold_sqdist,
+    )
+
+    m, n_codes, refine = _PQ_DET_M, _PQ_DET_CODES, _PQ_DET_REFINE
+    d_sub = _LSH_DET_DIM // m
+    books = det_pq_codebooks(m, n_codes, d_sub)
+    dist_cols = ",\n           ".join(
+        f"{sql_det_fold_sqdist('v', books[j][i], offset=j * d_sub)} AS s{j}_{i}"
+        for j in range(m)
+        for i in range(n_codes)
+    )
+    mins = ", ".join(
+        "LEAST(" + ", ".join(f"s{j}_{i}" for i in range(n_codes)) + f") AS m{j}"
+        for j in range(m)
+    )
+    # first-match CASE == numpy argmin first occurrence == lowest code
+    code_cols = ", ".join(
+        "CASE "
+        + " ".join(f"WHEN s{j}_{i} = m{j} THEN {i}" for i in range(n_codes))
+        + f" END AS c{j}"
+        for j in range(m)
+    )
+    codes_list = "[" + ", ".join(f"c{j}" for j in range(m)) + "]"
+    lut_entries = ",\n             ".join(
+        f"{sql_det_fold_dot('v', books[j][i], offset=j * d_sub)}"
+        for j in range(m)
+        for i in range(n_codes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dc AS (SELECT vec_id, v,
+           {dist_cols}
+          FROM e),
+    enc AS (SELECT vec_id, {codes_list} AS codes FROM (
+        SELECT *, {code_cols} FROM (SELECT *, {mins} FROM dc))),
+    ql AS (SELECT vec_id AS query_id, v AS qv,
+            [{lut_entries}] AS lut
+           FROM e WHERE vec_id < 10),
+    adc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list_transform(range(1, {m + 1}),
+                       j -> lut[(CAST(j AS INT) - 1) * {n_codes}
+                                + codes[CAST(j AS INT)] + 1]),
+                       (a, b) -> a + b) AS adc
+            FROM enc c CROSS JOIN ql q WHERE c.vec_id <> q.query_id),
+    short AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, neighbor_id) AS sr
+        FROM adc) WHERE sr <= {5 * refine}),
+    scored AS (SELECT s.query_id, s.neighbor_id,
+                      ROUND(list_cosine_similarity(q.qv, c.v), 6) AS sim
+               FROM short s JOIN e c ON c.vec_id = s.neighbor_id
+               JOIN ql q ON q.query_id = s.query_id)
+    SELECT query_id, neighbor_id, sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("embedding_pq_det_top5", _sql_embedding_pq_det())
+def embedding_pq_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via DETERMINISTIC product
+    quantization — the ninth oracle-provable approximate family
+    (:func:`moisturizer_spark.operators.similarity.det_pq_top_k`):
+    frozen md5-derived codebooks as literals, per-subspace argmin
+    encode (LEAST + first-match CASE = numpy first-occurrence argmin),
+    ADC scan over codes only with per-query LUTs, top-40 shortlist,
+    exact cosine re-rank fetched back by id. The k-means-trained
+    sibling (``embedding_pq_top5``) stays rows-only with better
+    codebooks; here every fold, code, and rank is replayed bit-for-bit
+    by DuckDB. Recall vs brute force is measured in
+    ``tests/test_similarity.py``."""
+    from moisturizer_spark.operators.similarity import det_pq_top_k
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return det_pq_top_k(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        m=_PQ_DET_M,
+        n_codes=_PQ_DET_CODES,
+        refine=_PQ_DET_REFINE,
+        dim=_LSH_DET_DIM,
+    ).orderBy("query_id", "rank")
+
+
 def embedding_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH top-5 (bucketed random projection → rows-only)."""
     from moisturizer_spark.operators.similarity import lsh_top_k
@@ -5671,6 +5843,10 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 #   4. rows-only queries last — their checks live in pytest.
 
 _NEEDS_DRIVER_ROW = [
+    # round 6: tainted (new query / plan rewrite / operator change)
+    "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
+    "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
+    "events_conversion_paths",        # O(1)-state window rewrite
     # round 5: tainted (new query / plan rewrite / operator change)
     "docs_remove_dup_spans",
     "docs_remove_dup_spans_hashed",   # NEW: hashed-key scale path
@@ -5722,7 +5898,6 @@ _NEEDS_DRIVER_ROW = [
     "embedding_norm_stats",
     "events_sessionize",
     "events_props_flatten",
-    "events_conversion_paths",
     "q19_disjunctive_revenue",
 ]
 

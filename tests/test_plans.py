@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     # against the compressed code table (the linear sketch scan IS the
     # operator); the candidate fetch afterwards is an equi-join.
     "embedding_pq_top5",
+    # same ADC shape in the deterministic-codebook variant
+    "embedding_pq_det_top5",
     # the global (sum, count) scalar aggregate — a literal ONE-row frame —
     # broadcasts against customer for the above-average test; there is no
     # equi-key by construction and the inner side is a single row

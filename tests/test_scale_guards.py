@@ -63,6 +63,13 @@ ALLOWED = {
     ("operators/similarity.py", "pq_top_k"):
         "crossJoin is broadcast(LUT): m x 256 rows; codebook/centroid "
         "collects are n_lists / m x 256 rows",
+    ("operators/similarity.py", "det_ivf_top_k"):
+        "probe collect is the query batch (broadcast-sized by the "
+        "ivf_top_k contract); probe dots are n_queries x n_lists",
+    ("operators/similarity.py", "det_pq_top_k"):
+        "LUT collect is the query batch (broadcast-sized by the "
+        "pq_top_k contract); crossJoin is broadcast(LUT): m x n_codes "
+        "doubles per query",
     ("operators/sketches.py", "ddsketch_quantiles"):
         "crossJoin is broadcast(qs): |quantiles| rows",
     ("operators/skew.py", "salted_join"):

@@ -289,3 +289,76 @@ def test_ivf_compact_preserves_results_and_heals_files(emb, spark, warehouse):
     assert not os.path.exists(os.path.join(path, "data"))
     after = sorted(map(tuple, ivf_query(spark, path, queries, k=5, n_probe=4).collect()))
     assert after == before and before
+
+
+def test_det_ivf_recall_and_determinism(emb):
+    """Deterministic IVF: frozen md5 centroids cost recall vs the
+    trained quantizer (lists don't hug the data) — the floor is a
+    measurement guard, not a promise (0.46 measured at sf0.1, 8 lists /
+    3 probes); re-running yields the identical frame (no RNG)."""
+    from moisturizer_spark.operators.similarity import det_ivf_top_k
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(brute_force_top_k(emb, queries, k=5).collect())
+    got = det_ivf_top_k(emb, queries, k=5).collect()
+    approx = _topk_sets(got)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.2, f"det-IVF recall {hits}/{total}"
+    again = det_ivf_top_k(emb, queries, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_det_ivf_wrong_dim_raises(spark):
+    from moisturizer_spark.operators.similarity import det_ivf_top_k
+
+    bad = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3, 0.4])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="expected 64-dim"):
+        det_ivf_top_k(bad, bad.filter(F.col("vec_id") < 1), k=2).collect()
+
+
+def test_det_pq_recall_and_determinism(emb):
+    """Deterministic PQ: frozen md5 codebooks quantize looser than
+    k-means-trained ones — recall floor is a measurement guard (0.32
+    measured at sf0.1, m=8 × 8 codes, refine=8); determinism is the
+    contract under test."""
+    from moisturizer_spark.operators.similarity import det_pq_top_k
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(brute_force_top_k(emb, queries, k=5).collect())
+    got = det_pq_top_k(emb, queries, k=5).collect()
+    approx = _topk_sets(got)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.15, f"det-PQ recall {hits}/{total}"
+    again = det_pq_top_k(emb, queries, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_det_pq_dim_not_divisible_raises(emb):
+    from moisturizer_spark.operators.similarity import det_pq_top_k
+
+    with pytest.raises(ValueError, match="not divisible"):
+        det_pq_top_k(emb, emb, m=7)
+
+
+def test_det_pq_shortlist_bounds_rerank(emb):
+    """The exact re-rank only ever sees k·refine candidates per query:
+    output never exceeds k rows per query and sims are exact cosines
+    (spot-check one pair against the brute-force frame)."""
+    from moisturizer_spark.operators.similarity import det_pq_top_k
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = det_pq_top_k(emb, queries, k=4, refine=4).collect()
+    per_q = _topk_sets(got)
+    assert all(len(v) <= 4 for v in per_q.values())
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in brute_force_top_k(emb, queries, k=500).collect()
+    }
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact and abs(exact[key] - r["sim"]) < 1e-9
