@@ -1126,6 +1126,64 @@ def dsir_log_ratio(
     )
 
 
+def importance_resample(
+    scored: DataFrame,
+    n_target: int,
+    weight_col: str = "log2_ratio_per_token",
+    id_col: str = "doc_id",
+    salt: str = "dsirprop:",
+) -> DataFrame:
+    """DSIR's actual selection rule — importance-PROPORTIONAL sampling
+    (Xie et al. 2023 resample docs with probability ∝ importance
+    weight; :func:`dsir_log_ratio`'s rank-and-take is the deterministic
+    top-k cousin). Poisson sampling with per-doc inclusion probability
+    ``p_i = min(1, n_target · w_i / Σw)`` against an md5-uniform draw —
+    the ``expand_epochs`` fractional-draw trick, so the pick is
+    deterministic AND oracle-replayable. E[|sample|] ≈ n_target (exact
+    up to the caps and md5 uniformity; pinned statistically in tests).
+
+    Determinism recipe: the per-token log ratio lives on a 1e-6 grid,
+    so ``w_i = round(2^ratio · 1e6)`` is a BIGINT both engines derive
+    from identical doubles (pow is irrational off the trivial points —
+    grid-boundary hits have measure zero, the ``_nano`` argument);
+    Σw is an exact integer sum; ``n_target·w_i`` stays integer; the
+    single double division of two exact integers is IEEE-identical;
+    the draw compares against a 32-bit md5 fraction
+    (:func:`~moisturizer_spark.operators.sampling.hash_fraction`).
+    Negative ratios quantizing to w=0 are deterministically excluded
+    (they'd also never win a proportional draw at this resolution).
+
+    Scale: weight projection is map-side; Σw is ONE scalar aggregate
+    broadcast back as a literal 1-row frame (the q22/tfidf pattern —
+    NOT a global window, which would funnel every row through one
+    partition); the draw is a pure projection. Zero extra shuffles at
+    any corpus size. Integer headroom: n_target · w_i and Σw must stay
+    under 2^53 for the exact double casts — at w ≤ 2^6·10^6 that is
+    ~10^8 docs per Σw partition-free sum; beyond that, pre-scale
+    weights down (the comparison is scale-invariant).
+
+    Returns the selected rows of ``scored`` unchanged (plus nothing):
+    filter, not transform."""
+    from moisturizer_spark.operators.sampling import hash_fraction
+
+    w_micro = F.round(
+        F.pow(F.lit(2.0), F.col(weight_col)) * F.lit(1e6)
+    ).cast("bigint")
+    weighted = scored.withColumn("_w", w_micro)
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    u = hash_fraction(F.col(id_col), salt)
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(n_target) * F.col("_w")).cast("double")
+        / F.col("_tw").cast("double"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .filter(u < p)
+        .drop("_w", "_tw")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2905,10 +2905,11 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_dsir_selection",
-    f"""
-    WITH toks AS (SELECT doc_id, source, lang, {_SQL_TOKS} AS w FROM documents),
+# Shared by docs_dsir_selection (rank-and-take) and
+# docs_dsir_proportional (importance-proportional draw): the DSIR score
+# pipeline through the per-doc `doc` CTE — ONE source of truth so the
+# two selection rules can never drift on the scoring recipe.
+_DSIR_SCORE_CTES = f"""toks AS (SELECT doc_id, source, lang, {_SQL_TOKS} AS w FROM documents),
     pairs AS (SELECT doc_id, source, lang, u.w1 AS w1, u.w2 AS w2 FROM (
         SELECT doc_id, source, lang, unnest(list_transform(range(1, len(w)),
             i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u
@@ -2941,7 +2942,13 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE -((2 * (SUM(lpr) - SUM(lpt)) + 1000 * COUNT(*))
                         // (2000 * COUNT(*)))
                  END AS DOUBLE) / 1000000.0 AS log2_ratio_per_token
-            FROM sc GROUP BY doc_id, source),
+            FROM sc GROUP BY doc_id, source)"""
+
+
+@query(
+    "docs_dsir_selection",
+    f"""
+    WITH {_DSIR_SCORE_CTES},
     r AS (SELECT source, doc_id, log2_ratio_per_token,
           ROW_NUMBER() OVER (PARTITION BY source
                              ORDER BY log2_ratio_per_token DESC, doc_id) AS rnk
@@ -2982,6 +2989,62 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("source", "rank", "doc_id", "log2_ratio_per_token")
         .orderBy("source", "rank")
+    )
+
+
+def _sql_dsir_proportional() -> str:
+    from moisturizer_spark.operators.sampling import sql_hash_fraction
+
+    pick = sql_hash_fraction("doc_id", "dsirprop:")
+    return f"""
+    WITH {_DSIR_SCORE_CTES},
+    wm AS (SELECT doc_id, source, log2_ratio_per_token,
+                  CAST(ROUND(POWER(2.0, log2_ratio_per_token) * 1000000)
+                       AS BIGINT) AS w
+           FROM doc),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wm)
+    SELECT source, doc_id, log2_ratio_per_token
+    FROM wm, tot
+    WHERE {pick} < LEAST(1.0, CAST(60 * w AS DOUBLE) / CAST(tw AS DOUBLE))
+    ORDER BY source, doc_id
+    """
+
+
+@query("docs_dsir_proportional", _sql_dsir_proportional())
+def docs_dsir_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR with its PAPER selection rule — importance-PROPORTIONAL
+    resampling (Xie et al. 2023) instead of rank-and-take: every doc is
+    kept with probability ``min(1, n_target·w/Σw)`` for importance
+    weight ``w = 2^(log2 ratio per token)``, decided by a deterministic
+    md5-uniform draw
+    (:func:`moisturizer_spark.operators.textan.importance_resample` —
+    the ``source_epoch_mixture`` fractional-draw trick). High-ratio
+    docs are near-certain picks, middling docs enter the mix at
+    proportional rates (the diversity DSIR's resampling buys over pure
+    top-k), and the whole draw replays in DuckDB: integer micro-weights
+    off the 1e-6 score grid, exact integer Σw, one IEEE division.
+    Shares the score pipeline with ``docs_dsir_selection`` via
+    ``_DSIR_SCORE_CTES``. Expected sample ≈ 60 docs at any scale
+    factor; acceptance-rate-vs-weight statistics pinned in
+    ``tests/test_textan.py``.
+
+    Scale: the score pipeline's two corpus scans; then a map-side
+    weight projection, ONE 1-row Σw scalar broadcast (never a global
+    window), and a pure filter — zero additional shuffles."""
+    from moisturizer_spark.operators.textan import (
+        dsir_log_ratio,
+        importance_resample,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "source", "lang", "text")
+    scored = dsir_log_ratio(
+        docs, target_pred=F.col("lang") == "en", keep_cols=("source",)
+    )
+    return (
+        importance_resample(scored, n_target=60)
+        .select("source", "doc_id", "log2_ratio_per_token")
+        .orderBy("source", "doc_id")
     )
 
 
@@ -5847,6 +5910,7 @@ _NEEDS_DRIVER_ROW = [
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
     "events_conversion_paths",        # O(1)-state window rewrite
+    "docs_dsir_proportional",         # NEW: importance-proportional DSIR
     # round 5: tainted (new query / plan rewrite / operator change)
     "docs_remove_dup_spans",
     "docs_remove_dup_spans_hashed",   # NEW: hashed-key scale path

@@ -45,9 +45,11 @@ BNLJ_ALLOWED = {
     # equi-key by construction and the inner side is a single row
     "q22_idle_customers",
     # same one-row scalar-aggregate broadcast shape: the 0.1%-of-total
-    # threshold (Q11) and the max-revenue equality (Q15)
+    # threshold (Q11), the max-revenue equality (Q15), and the
+    # sum-of-importance-weights normalizer in the proportional draw
     "q11_important_stock",
     "q15_top_supplier",
+    "docs_dsir_proportional",
     # the pair-algebra rows cross two literal ONE-row sketch frames
     # (view sketch × click sketch × exact pair count)
     "events_kmv_audience",

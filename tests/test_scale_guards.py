@@ -74,6 +74,8 @@ ALLOWED = {
         "crossJoin is broadcast(qs): |quantiles| rows",
     ("operators/skew.py", "salted_join"):
         "crossJoin is broadcast(salt range): n_salts rows",
+    ("operators/textan.py", "importance_resample"):
+        "crossJoin is broadcast of the ONE-row sum-of-weights scalar",
     ("operators/textan.py", "_bigram_lm"):
         "vocabulary-size scalar from the cached count table",
     ("operators/textan.py", "dsir_log_ratio"):

@@ -916,3 +916,47 @@ def test_remove_dup_spans_random_corpora_match_reference(spark):
         }
         ref = _span_removal_ref(corpus, n=3)
         assert got == ref, f"trial {trial}: corpus={corpus}"
+
+
+def test_importance_resample_rates_track_weights(spark):
+    """Poisson acceptance rates must track normalized importance
+    weights: docs at ratio=2 (w=4e6 micro) are drawn 4x as often as
+    ratio=0 docs (w=1e6), and the expected sample size lands near
+    n_target. Statistical bounds are ±5 sigma of the binomial."""
+    from moisturizer_spark.operators.textan import importance_resample
+
+    n_low, n_high, n_target = 2000, 2000, 500
+    rows = [(i, 0.0) for i in range(n_low)] + [
+        (n_low + i, 2.0) for i in range(n_high)
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, log2_ratio_per_token double"
+    )
+    got = importance_resample(scored, n_target=n_target).collect()
+    low = sum(1 for r in got if r["doc_id"] < n_low)
+    high = len(got) - low
+    # sum_w = 2000*1e6 + 2000*4e6 = 1e10 micro; p_low = 0.05, p_high = 0.2
+    assert abs(low - 100) <= 5 * (n_low * 0.05 * 0.95) ** 0.5, low
+    assert abs(high - 400) <= 5 * (n_high * 0.2 * 0.8) ** 0.5, high
+    assert abs(len(got) - n_target) <= 80, len(got)
+    # determinism: the md5 draw is salted, not random
+    again = importance_resample(scored, n_target=n_target).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in again
+    )
+
+
+def test_importance_resample_caps_certain_picks(spark):
+    """A weight large enough that n_target*w/sum_w > 1 is a certain
+    pick (p capped at 1), and zero-quantized weights (very negative
+    ratios) are certain exclusions."""
+    from moisturizer_spark.operators.textan import importance_resample
+
+    rows = [(0, 10.0)] + [(i, -25.0) for i in range(1, 40)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, log2_ratio_per_token double"
+    )
+    got = importance_resample(scored, n_target=5).collect()
+    ids = {r["doc_id"] for r in got}
+    assert 0 in ids
+    assert ids == {0}  # 2^-25 * 1e6 rounds to w=0 -> p=0
