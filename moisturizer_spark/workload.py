@@ -3892,13 +3892,71 @@ def events_reach_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det_hll_estimate(daily, ["event_type"]).orderBy("event_type")
 
 
+def _sql_docs_pack_ffd() -> str:
+    """FFD bin packing replayed as a RECURSIVE CTE: the working table
+    holds one row per shard — (step, residual-capacity list) — and each
+    iteration consumes that shard's next doc in (tokens DESC, doc_id)
+    order, exactly the ``pack_first_fit`` scan: oversize docs get a
+    dedicated bin, otherwise the FIRST bin with room
+    (``list_position`` — NULLIF(…, 0): DuckDB returns 0, not NULL, on
+    no-match) or a fresh bin. Sequential-by-construction algorithms
+    are replayable after all — the recursion depth is docs-per-shard
+    (~625 at sf0.1), far under any DuckDB limit."""
+    return f"""
+    WITH RECURSIVE docs AS (
+      SELECT CAST(doc_id % 8 AS INT) AS shard_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                ORDER BY len({_SQL_TOKS}) DESC, doc_id) AS rn
+      FROM documents),
+    steps AS (
+      SELECT shard_id, CAST(0 AS BIGINT) AS rn, []::BIGINT[] AS residual
+      FROM (SELECT DISTINCT shard_id FROM docs)
+      UNION ALL
+      SELECT shard_id, rn,
+             CASE WHEN t >= 256 THEN list_append(residual, 0)
+                  WHEN fi IS NOT NULL THEN
+                    list_transform(range(1, len(residual) + 1),
+                      i -> CASE WHEN i = fi THEN residual[i] - t
+                                ELSE residual[i] END)
+                  ELSE list_append(residual, 256 - t) END AS residual
+      FROM (
+        SELECT s.shard_id, s.rn + 1 AS rn, s.residual, d.n_tokens AS t,
+               CASE WHEN d.n_tokens < 256 THEN NULLIF(list_position(
+                 list_transform(s.residual, r -> r >= d.n_tokens), true), 0)
+               END AS fi
+        FROM steps s JOIN docs d
+          ON d.shard_id = s.shard_id AND d.rn = s.rn + 1)),
+    fin AS (
+      SELECT shard_id, CAST(len(residual) AS BIGINT) AS n_bins
+      FROM steps QUALIFY ROW_NUMBER() OVER (PARTITION BY shard_id
+                                            ORDER BY rn DESC) = 1),
+    agg AS (
+      SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(COALESCE(SUM(CASE WHEN n_tokens > 256 THEN 1 END), 0)
+                  AS BIGINT) AS n_truncated
+      FROM docs GROUP BY shard_id)
+    SELECT a.shard_id, a.n_docs, f.n_bins, a.sum_tokens, a.n_truncated,
+           CAST(a.sum_tokens AS DOUBLE) / CAST(f.n_bins * 256 AS DOUBLE)
+             AS utilization
+    FROM agg a JOIN fin f USING (shard_id)
+    ORDER BY a.shard_id
+    """
+
+
+@query("docs_pack_ffd", _sql_docs_pack_ffd())
 def docs_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing summary: per shard, how many
     256-token bins the corpus needs and how full they are
     (:func:`moisturizer_spark.operators.packing.pack_first_fit`).
-    Arrow ``applyInPandas`` per shard → rows-only driver check; the
-    packing invariants (capacity, completeness, determinism, waste
-    bound) are pinned by ``tests/test_packing.py``."""
+    Arrow ``applyInPandas`` per shard; previously rows-only ("sequential
+    FFD has no SQL oracle") — WRONG: the per-shard scan is deterministic
+    given the (tokens DESC, doc_id) order, so a recursive CTE replays
+    it bin-state-by-bin-state (:func:`_sql_docs_pack_ffd`) and the
+    driver now hash-checks the packing itself. The packing invariants
+    (capacity, completeness, determinism, waste bound) remain pinned by
+    ``tests/test_packing.py``."""
     from moisturizer_spark.operators.packing import pack_first_fit
     from moisturizer_spark.operators.textan import tokens_col
 
@@ -3921,9 +3979,6 @@ def docs_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
-
-
-QUERIES["docs_pack_ffd"] = docs_pack_ffd
 
 
 @query(
@@ -5813,12 +5868,95 @@ def source_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 10
+
+
+def _sql_bpe_merge_table() -> str:
+    """The BPE training loop UNROLLED into one SQL statement: 10 fixed
+    iterations become 10 chained CTE triples — pair counts over the
+    vocab (overlapping adjacent pairs, freq-weighted), the argmax merge
+    (count DESC, then lexicographic — codepoint collation in both
+    engines, pinned by ``tests/test_duckdb_semantics.py``), and the
+    merge APPLICATION. "Iterative, so no SQL oracle" was wrong: a
+    fixed iteration count is just syntax.
+
+    The application replays ``merge_pair_expr``'s greedy left-to-right
+    non-overlapping scan without any sequential fold: a match at
+    positions p and p+1 simultaneously requires ``syms[p+1] = r`` and
+    ``syms[p+1] = l``, so CONSECUTIVE match runs only arise when
+    ``l = r`` — and within such a run the greedy scan takes exactly the
+    even offsets from the run start. ``sel[p]`` therefore = match[p] ∧
+    (p − run_start) even, with run_start read off the last non-match
+    before p (an O(len²) list scan per word — words are tens of chars).
+    Rebuild: merged symbol at selected p, nothing at p+1, else the
+    original symbol, flattened in order.
+
+    ``AS MATERIALIZED`` on the vocab chain is load-bearing: each
+    ``v{{i}}`` feeds both the next pair count and the next vocab, and
+    DuckDB 1.0 re-inlines dual-referenced CTEs — 2¹⁰ recomputes of the
+    base scan (19 s at sf0.001; 0.1 s materialized)."""
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, CAST(i AS INT), 1)) AS syms
+      FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY word)"""
+    ]
+    finals = []
+    for it in range(_BPE_MERGES):
+        v, nv = f"v{it}", f"v{it + 1}"
+        ctes.append(f"""p{it} AS (
+      SELECT u.l AS l, u.r AS r, CAST(SUM(freq) AS BIGINT) AS n FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)),
+            q -> struct_pack(l := syms[q], r := syms[q+1]))) AS u
+        FROM {v} WHERE len(syms) >= 2) GROUP BY u.l, u.r)""")
+        ctes.append(f"""b{it} AS (
+      SELECT l, r, n FROM p{it} ORDER BY n DESC, l, r LIMIT 1)""")
+        ctes.append(f"""{nv} AS MATERIALIZED (
+      SELECT word, freq,
+        flatten(list_transform(range(1, len(syms) + 1),
+          i -> CASE
+            WHEN sel[i] THEN [syms[i] || syms[i+1]]
+            WHEN i > 1 AND sel[i-1] THEN []
+            ELSE [syms[i]] END)) AS syms
+      FROM (
+        SELECT word, freq, syms,
+          list_transform(range(1, len(syms) + 1), p -> CASE
+            WHEN p < len(syms) AND mt[p]
+                 AND (p - COALESCE(list_max(list_filter(
+                       list_transform(range(1, len(syms)),
+                         q -> CASE WHEN NOT mt[q] THEN q ELSE NULL END),
+                       q -> q IS NOT NULL AND q < p)), 0) - 1) % 2 = 0
+            THEN true ELSE false END) AS sel
+        FROM (
+          SELECT word, freq, syms,
+            list_transform(range(1, len(syms) + 1),
+              q -> q < len(syms) AND syms[q] = b.l AND syms[q+1] = b.r)
+              AS mt
+          FROM {v}, b{it} b)))""")
+        finals.append(
+            f"SELECT {it} AS rank, l AS left, r AS right, "
+            f"n AS pair_count FROM b{it}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + " UNION ALL ".join(finals)
+        + " ORDER BY rank"
+    )
+
+
+@query("bpe_merge_table", _sql_bpe_merge_table())
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (10 merges) over the document corpus —
     tokenizer induction as a pipeline stage. Deterministic (count
-    argmax, lexicographic ties) but iterative, so there is no
-    single-statement SQL oracle → rows-only driver check; the merge
-    SEQUENCE is pinned against a pure-Python reference implementation in
+    argmax, lexicographic ties) and — new this round — ORACLE-checked:
+    the fixed-depth training loop unrolls into a 10-stage CTE chain the
+    driver hash-compares (:func:`_sql_bpe_merge_table`; verified
+    identical at sf0.001/0.01/0.1). The merge SEQUENCE additionally
+    stays pinned against a pure-Python reference implementation in
     ``tests/test_tokenizer.py``.
 
     Scale (see :mod:`moisturizer_spark.operators.tokenizer`): one
@@ -5865,9 +6003,6 @@ def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["embedding_diversity_sample"] = embedding_diversity_sample
 
 
-QUERIES["bpe_merge_table"] = bpe_merge_table
-
-
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -5911,6 +6046,8 @@ _NEEDS_DRIVER_ROW = [
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
     "events_conversion_paths",        # O(1)-state window rewrite
     "docs_dsir_proportional",         # NEW: importance-proportional DSIR
+    "docs_pack_ffd",                  # NEWLY ORACLE: recursive-CTE replay
+    "bpe_merge_table",                # NEWLY ORACLE: unrolled merge loop
     # round 5: tainted (new query / plan rewrite / operator change)
     "docs_remove_dup_spans",
     "docs_remove_dup_spans_hashed",   # NEW: hashed-key scale path
