@@ -851,6 +851,8 @@ def bigram_lm_bits(
     text_col: str = "text",
     k: float = 0.5,
     keep_cols: tuple = (),
+    skew_guard: bool = False,
+    salt: int = 8,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020):
     train an add-``k``-smoothed word-BIGRAM language model on the
@@ -888,20 +890,40 @@ def bigram_lm_bits(
     participating in any bigram, i.e. the model's event space — is a
     distinct-count over its two word columns. The context table
     broadcasts; C(w1,w2) joins on its natural (w1,w2) key — the single
-    heavy shuffle, AQE-skew-safe since hot bigrams ("of the") hit a
-    1-row-per-key build side. V is a driver-side scalar (the tfidf
-    n_docs pattern). At 100 TB you'd prune the LM to a top-V vocabulary
-    with an OOV bucket, making C(w1,w2) broadcastable too; the join
-    shape is unchanged.
+    heavy shuffle. V is a driver-side scalar (the tfidf n_docs
+    pattern). At 100 TB you'd prune the LM to a top-V vocabulary with
+    an OOV bucket, making C(w1,w2) broadcastable too; the join shape
+    is unchanged.
+
+    Hot-bigram skew (``skew_guard``): natural text has hot bigrams
+    ("of the") that magnet one reducer of the scoring join. AQE's
+    OptimizeSkewedJoin CANNOT split this particular join: the count
+    table is persisted already hash-partitioned on (w1,w2), so its
+    side of the join has no shuffle stage for AQE to re-plan (both
+    children must be shuffle reads to split one and replicate the
+    other — verified empirically in ``tests/test_textan.py``).
+    ``skew_guard=True`` routes the scoring join through
+    :func:`~moisturizer_spark.operators.skew.salted_join` — the probe
+    side salts round-robin, the 1-row-per-key build side replicates
+    ``salt``× — spreading each hot bigram over ``salt`` reducers.
+    Bit-identical output (parity-pinned); costs a ``salt``× build-side
+    shuffle, so flip it for hot-key corpora, not by default.
     """
+    from moisturizer_spark.operators.skew import salted_join
+
     pairs = _bigram_pairs(df, id_col, text_col, keep_cols)
     c2, c1, vocab = _bigram_lm(pairs)
     lp = F.log2(
         (F.col("_n2") + F.lit(float(k)))
         / (F.col("_n1") + F.lit(float(k) * vocab))
     )
+    scored = (
+        salted_join(pairs, c2, ["_w1", "_w2"], salt=salt)
+        if skew_guard
+        else pairs.join(c2, ["_w1", "_w2"])
+    )
     return (
-        pairs.join(c2, ["_w1", "_w2"])
+        scored
         .join(F.broadcast(c1), "_w1")
         .groupBy("_id", *keep_cols)
         .agg(
@@ -1007,6 +1029,8 @@ def dsir_log_ratio(
     k: float = 0.5,
     keep_cols: tuple = (),
     target_pred=None,
+    skew_guard: bool = False,
+    salt: int = 8,
 ) -> DataFrame:
     """DSIR-style importance scoring ("Data Selection for Language
     Models via Importance Resampling", Xie et al. 2023): score every
@@ -1047,7 +1071,15 @@ def dsir_log_ratio(
     nano-bit terms, BIGINT sums, integer half-away division — see
     :func:`_micro_per_token`; the ratio can be either sign, so the
     division branches on it).
+
+    ``skew_guard``: same hot-bigram story and same fix as
+    :func:`bigram_lm_bits` — AQE cannot split these joins (the cached
+    count table is pre-partitioned on the join key, leaving no shuffle
+    stage to re-plan), so the guard salts BOTH bigram-keyed scoring
+    joins (the raw inner and the target left — both shapes
+    ``salted_join`` supports); parity-pinned bit-identical.
     """
+    from moisturizer_spark.operators.skew import salted_join
     if (target is None) == (target_pred is None):
         raise ValueError("pass exactly one of target / target_pred")
     if target_pred is not None:
@@ -1098,10 +1130,18 @@ def dsir_log_ratio(
     # same join shape as bigram_lm_bits: bigram table on its natural
     # key, context table broadcast — no pre-join of the two raw tables
     # (that would shuffle the full C(w1,w2) frame on _w1 first)
+    if skew_guard:
+        scored = salted_join(pairs, rc2, ["_w1", "_w2"], salt=salt)
+        scored = salted_join(
+            scored, t_bigrams, ["_w1", "_w2"], how="left", salt=salt
+        )
+    else:
+        scored = pairs.join(rc2, ["_w1", "_w2"]).join(
+            t_bigrams, ["_w1", "_w2"], "left"
+        )
     return (
-        pairs.join(rc2, ["_w1", "_w2"])
+        scored
         .join(F.broadcast(rc1), "_w1")
-        .join(t_bigrams, ["_w1", "_w2"], "left")
         .join(F.broadcast(t_contexts), ["_w1"], "left")
         .groupBy("_id", *keep_cols)
         .agg(

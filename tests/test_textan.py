@@ -4,9 +4,11 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import Row
 
 from moisturizer_spark.operators.textan import (
+    bigram_lm_bits,
     winnowing_fingerprints,
     winnowing_near_duplicates,
 )
@@ -960,3 +962,150 @@ def test_importance_resample_caps_certain_picks(spark):
     ids = {r["doc_id"] for r in got}
     assert 0 in ids
     assert ids == {0}  # 2^-25 * 1e6 rounds to w=0 -> p=0
+
+
+def _local_bigram_bits(docs: list[tuple[int, str]], k: float = 0.5):
+    """Pure-Python reference for bigram_lm_bits: add-k bigram LM,
+    nano-bit rounding, integer half-away division — the operator's
+    documented recipe, re-derived independently."""
+    import math
+    import re as _re
+
+    def toks(t):
+        return [w for w in _re.sub(r"[^a-z0-9\s]", " ", t.lower()).split() if w]
+
+    pairs = {}
+    doc_pairs = {}
+    for did, text in docs:
+        ws = toks(text)
+        ps = list(zip(ws, ws[1:]))
+        if ps:
+            doc_pairs[did] = ps
+            for p in ps:
+                pairs[p] = pairs.get(p, 0) + 1
+    ctx = {}
+    vocab = set()
+    for (w1, w2), n in pairs.items():
+        ctx[w1] = ctx.get(w1, 0) + n
+        vocab.update((w1, w2))
+    V = len(vocab)
+    out = {}
+    for did, ps in doc_pairs.items():
+        s = 0
+        for w1, w2 in ps:
+            lp = math.log2((pairs[(w1, w2)] + k) / (ctx[w1] + k * V))
+            s += int(round(lp * 1e9))
+        n = len(ps)
+        micro = (2 * (-s) + 1000 * n) // (2000 * n)
+        out[did] = micro / 1e6
+    return out
+
+
+@pytest.fixture(scope="module")
+def hot_bigram_docs(spark):
+    """~10⁴× planted skew: one bigram ("of the") dominates the pair
+    frame while a long tail of distinct bigrams keeps the key space
+    wide — the natural-text shape the r5 verdict flagged for the LM
+    scoring joins."""
+    rows = [(0, "of the " * 10_000)]
+    for i in range(1, 201):
+        rows.append((i, f"alpha{i} beta{i} gamma{i} delta{i} of the end{i}"))
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_bigram_parity_with_reference(spark, hot_bigram_docs):
+    """Planted hot-bigram corpus scores EXACTLY like the independent
+    pure-Python LM — skew must not change a single micro-bit."""
+    rows, df = hot_bigram_docs
+    got = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in bigram_lm_bits(df).collect()
+    }
+    want = _local_bigram_bits(rows)
+    assert got == want
+
+
+def test_hot_bigram_aqe_cannot_split_cached_build_side(spark, hot_bigram_docs):
+    """Documents WHY the operators need their own skew fallback: the
+    persisted count table enters the scoring join already
+    hash-partitioned on (w1,w2), so that side has no shuffle stage —
+    and OptimizeSkewedJoin needs BOTH children to be shuffle reads
+    (split one, replicate the other). Even with broadcast disabled and
+    the skew thresholds floored, the executed plan shows no skew=true
+    split. If Spark ever learns to split this shape, this test flips
+    and the salted guard can retire."""
+    _, df = hot_bigram_docs
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "2048",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        scored = bigram_lm_bits(df)
+        scored.collect()
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan  # broadcast really was off
+        assert "skew=true" not in plan, (
+            "AQE now splits the cached-build-side join — revisit "
+            "whether skew_guard is still needed"
+        )
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                conf.unset(key)
+            else:
+                conf.set(key, val)
+
+
+def test_hot_bigram_skew_guard_parity_and_plan(spark, hot_bigram_docs):
+    """The shipped fallback: ``skew_guard=True`` salts the scoring
+    joins — bit-identical scores on the planted hot corpus, and the
+    executed plan shows the salt machinery (the ``_salt`` key spreads
+    the hot bigram across reducers; the build side replicates via the
+    broadcast salt range)."""
+    rows, df = hot_bigram_docs
+    plain = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in bigram_lm_bits(df).collect()
+    }
+    guarded_df = bigram_lm_bits(df, skew_guard=True)
+    guarded = {
+        r["doc_id"]: r["bits_per_token"] for r in guarded_df.collect()
+    }
+    assert guarded == plain == _local_bigram_bits(rows)
+    plan = guarded_df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_hot_bigram_dsir_skew_guard_parity(spark, hot_bigram_docs):
+    """dsir_log_ratio's guard salts BOTH bigram-keyed joins (raw inner
+    + target left) — identical ratios with and without the guard."""
+    import pyspark.sql.functions as F
+
+    from moisturizer_spark.operators.textan import dsir_log_ratio
+
+    _, df = hot_bigram_docs
+    pred = F.col("doc_id") % 2 == 0
+    plain = {
+        r["doc_id"]: r["log2_ratio_per_token"]
+        for r in dsir_log_ratio(df, target_pred=pred).collect()
+    }
+    guarded = {
+        r["doc_id"]: r["log2_ratio_per_token"]
+        for r in dsir_log_ratio(
+            df, target_pred=pred, skew_guard=True
+        ).collect()
+    }
+    assert guarded == plain
