@@ -6041,65 +6041,62 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 #   4. rows-only queries last — their checks live in pytest.
 
 _NEEDS_DRIVER_ROW = [
-    # round 6: tainted (new query / plan rewrite / operator change)
+    # round 6: tainted (mechanically computed by tests/test_driver_window
+    # against the round-5 end commit — new queries, the conversion-paths
+    # rewrite, the LM-operator skew_guard edits, newly-oracle FFD/BPE)
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
     "events_conversion_paths",        # O(1)-state window rewrite
     "docs_dsir_proportional",         # NEW: importance-proportional DSIR
     "docs_pack_ffd",                  # NEWLY ORACLE: recursive-CTE replay
     "bpe_merge_table",                # NEWLY ORACLE: unrolled merge loop
-    # round 5: tainted (new query / plan rewrite / operator change)
-    "docs_remove_dup_spans",
-    "docs_remove_dup_spans_hashed",   # NEW: hashed-key scale path
-    "q21_waiting_suppliers",          # min/max single-agg rewrite
-    "source_epoch_mixture",           # expand_epochs column aliasing
-    "docs_perplexity_buckets",        # NEW: CCNet bigram-LM bucketing
-    "docs_dsir_selection",            # NEW: DSIR importance selection
-    "order_price_quantile_sketch",    # NEWLY ORACLE: integer-exact bins
-    "events_reach_hll_det",           # NEW: md5-replayable HLL rollup
-    "docs_minhash_det_near_dup",      # NEW: md5-replayable MinHash-LSH
-    "embedding_lsh_det_top5",         # NEW: md5-replayable LSH ANN
-    "docs_simhash_det_near_dup",      # NEW: all-integer det SimHash
-    "embedding_decontamination",      # NEW: semantic decontamination
-    "docs_winnowing_det_near_dup",    # NEW: md5-replayable winnowing
-    # oldest green rows: last verified round 2
-    "bpe_token_stats",
-    "customer_spend_ntile",
-    "customers_above_nation_avg",
-    "docs_hash_split",
-    "events_7day_moving",
-    "events_distinct_reach",
-    "events_unpivot",
-    "lang_sources_csv",
-    "latest_event_per_user",
-    "min_cost_supplier_per_part",
-    "nation_wealth_full_outer",
-    "orders_monthly_growth",
-    "orders_with_returns_exists",
-    "source_quota_sample",
-    # next-oldest green rows: last verified round 3
-    "late_shipment_priority",
-    "customers_without_orders",
-    "revenue_rollup",
-    "brand_revenue_share",
-    "events_daily",
-    "events_user_pivot",
-    "events_running_total",
-    "purchase_asof_view",
-    "docs_fingerprint_dedup",
-    "ngram_jaccard_near_dup",
-    "embedding_top5_cosine",
-    "revenue_cube",
-    "customer_year_set_ops",
-    "urgent_customers_semi",
-    "purchase_followon_events",
-    "order_price_quantiles",
-    "embedding_cosine_near_dup",
-    "q14_promo_revenue",
-    "embedding_norm_stats",
-    "events_sessionize",
-    "events_props_flatten",
-    "q19_disjunctive_revenue",
+    "docs_dsir_selection",            # skew_guard plumbing in dsir_log_ratio
+    "docs_perplexity_buckets",        # skew_guard plumbing in bigram_lm_bits
+    # oldest green rows: last verified round 3
+    "crosslingual_near_dup",
+    "customer_name_typo_pairs",
+    "docs_line_dedup",
+    "docs_pii_scan",
+    "event_type_audience_overlap",
+    "events_cohort_retention",
+    "events_frequent_users",
+    "events_funnel",
+    "events_volume_anomalies",
+    "lineitem_expectations",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    # backfill: round-4 green rows (the 12 left outside keep age 2,
+    # first in line for the round-7 window)
+    "corpus_shard_manifest",
+    "doc_dedup_clusters",
+    "doc_dup_span_coverage",
+    "doc_median_tokens",
+    "doc_repetition_by_source",
+    "doc_term_counts_udtf",
+    "docs_benchmark_containment",
+    "docs_chunk_dedup",
+    "docs_chunk_sliding",
+    "docs_curation_report",
+    "docs_decontaminated",
+    "docs_pack_chunks",
+    "docs_quality_funnel",
+    "docs_vocab_growth",
+    "embedding_hard_negatives",
+    "events_grouping_sets",
+    "events_kmv_audience",
+    "langid_confusion",
+    "multimodal_payload_stats",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_order_counts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_suppliers",
+    "q22_idle_customers",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
 ]
 
 
