@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from moisturizer_spark.operators.common import cache_scope, materialize
 
@@ -296,3 +296,168 @@ def diversity_sample(
     )
     assigned = assign_clusters(df, centroids, vec_col=vec_col)
     return quota_sample(assigned, "cluster", id_col, per_cluster, salt=salt)
+
+
+# -- deterministic integer k-means (oracle-replayable Lloyd) ------------------
+
+
+def _div_half_away(s: int, n: int) -> int:
+    """Signed integer division rounded half-away-from-zero — pure
+    integer arithmetic, so the DuckDB mirror (truncating ``//`` on the
+    sign-split branches) lands on the identical value."""
+    q = (2 * abs(s) + n) // (2 * n)
+    return q if s >= 0 else -q
+
+
+def det_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], DataFrame]:
+    """ALL-INTEGER Lloyd k-means with a fixed iteration count — the
+    oracle-provable sibling of :func:`kmeans_fit`. Floats appear
+    exactly once, in the initial quantization; every Lloyd step after
+    that is exact integer arithmetic, so no partial-sum association or
+    mean-rounding ulp can diverge between engines:
+
+    - coords quantize ONCE to the 1e-6 grid
+      (``round(v·1e6) → BIGINT`` — half-away in both engines, pinned
+      by ``tests/test_duckdb_semantics.py``);
+    - init = the k corpus vectors with the smallest
+      (md5(id), id) — the :func:`kmeans_fit` ranking, cluster id =
+      rank;
+    - assignment = argmin of exact BIGINT squared distances, ties to
+      the lowest cluster id (numpy first-occurrence argmin == the
+      oracle's per-vector (dist, j) ROW_NUMBER);
+    - recentering = per-dim integer mean on the micro grid
+      (:func:`_div_half_away`); empty clusters keep their centroid;
+    - NO convergence test — ``iters`` is part of the algorithm's
+      identity (a movement-based stop would need float comparisons),
+      which is also what lets the oracle unroll it.
+
+    Quantizing to 1e-6 perturbs each coordinate by ≤5e-7 — measured
+    against :func:`kmeans_fit` the assignments agree except at
+    genuinely ambiguous boundary points (test-pinned ≥95% agreement);
+    the trade is a clustering an independent engine can replay
+    bit-for-bit.
+
+    Returns ``(centroids_micro, assigned)`` where ``assigned`` carries
+    (id_col, _m micro-vector, cluster, dist). Scale shape = the
+    :func:`kmeans_fit` distributed path: per iteration one fused
+    Arrow assign+partial-sum map stage (≤ k·dim rows per partition,
+    int64 partials — exact in ANY fold order, which is why the driver
+    fold can't break parity), one bounded k·dim-row collect; the
+    corpus never shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    micro = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(1e6)).cast("bigint"),
+    )
+    e = materialize(
+        df.select(F.col(id_col).alias("_vid"), micro.alias("_m"))
+    )
+    init = (
+        e.orderBy(
+            F.md5(F.col("_vid").cast("string")).asc(), F.col("_vid").asc()
+        )
+        .limit(k)
+        .collect()  # bounded: k rows
+    )
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    cents = [[int(v) for v in r["_m"]] for r in init]
+    dim = len(cents[0])
+
+    def partials_kernel(C_list):
+        C = np.asarray(C_list, dtype=np.int64)
+
+        def fn(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                M = np.asarray(list(pdf["_m"]), dtype=np.int64)
+                d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                a = d.argmin(1)
+                ks = np.unique(a)
+                yield pd.DataFrame(
+                    {
+                        "c": ks.astype("int32"),
+                        "n": [int((a == ki).sum()) for ki in ks],
+                        "s": [M[a == ki].sum(0).tolist() for ki in ks],
+                    }
+                )
+
+        return fn
+
+    for _ in range(iters - 1):
+        parts = e.mapInPandas(
+            partials_kernel(cents), "c int, n long, s array<long>"
+        ).collect()  # bounded: <= k rows per partition
+        sums = [[0] * dim for _ in range(k)]
+        ns = [0] * k
+        for r in parts:
+            ns[r["c"]] += r["n"]
+            srow = sums[r["c"]]
+            for d_i, v in enumerate(r["s"]):
+                srow[d_i] += v
+        cents = [
+            [_div_half_away(sums[j][d_i], ns[j]) for d_i in range(dim)]
+            if ns[j]
+            else cents[j]
+            for j in range(k)
+        ]
+
+    C_final = cents
+
+    def assign_kernel(pdfs):
+        C = np.asarray(C_final, dtype=np.int64)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            M = np.asarray(list(pdf["_m"]), dtype=np.int64)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            yield pdf.assign(
+                cluster=a.astype("int32"),
+                dist=d[np.arange(len(a)), a],
+            )
+
+    id_sql = e.schema["_vid"].dataType.simpleString()
+    assigned = e.mapInPandas(
+        assign_kernel,
+        schema=f"_vid {id_sql}, _m array<bigint>, cluster int, dist long",
+    ).withColumnRenamed("_vid", id_col)
+    return cents, assigned
+
+
+def det_diversity_sample(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    per_cluster: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-replayable diversity sampling: cap the corpus at
+    ``per_cluster`` vectors per :func:`det_kmeans` cluster, quota
+    ranked by (md5(id), id) — the :func:`diversity_sample` coverage
+    semantics with every step (clustering included) bit-reproducible
+    by an independent engine. Returns the kept rows with their cluster
+    ids. One cluster-keyed quota window over (id, cluster) pairs —
+    the corpus vectors themselves never shuffle."""
+    _, assigned = det_kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("_rq", F.row_number().over(w))
+        .filter(F.col("_rq") <= per_cluster)
+        .drop("_rq", "_m")
+    )

@@ -5973,6 +5973,149 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+_KMEANS_DET_K, _KMEANS_DET_ITERS = 8, 3
+
+
+def _sql_det_kmeans_ctes(k: int, iters: int, dim: int = 64) -> str:
+    """CTE chain replaying :func:`~moisturizer_spark.operators.
+    clustering.det_kmeans`: micro-quantize, md5-ranked init, then each
+    unrolled Lloyd iteration = exact-BIGINT distance cross join →
+    per-vector (dist, j) ROW_NUMBER argmin → per-(cluster, dim) integer
+    sums → half-away integer means (empty clusters keep their centroid
+    via the LEFT JOIN fallback). Ends at ``a{iters}``: the final
+    assignment (vec_id, m, c, dist). MATERIALIZED for the same
+    dual-reference reason as the BPE chain."""
+    div = (
+        "CASE WHEN s.s >= 0 THEN (2 * s.s + s.n) // (2 * s.n) "
+        "ELSE -((2 * (-s.s) + s.n) // (2 * s.n)) END"
+    )
+    ctes = [
+        """e AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+      FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+      SELECT j, cm FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS j,
+               m AS cm FROM e)
+      WHERE j < {k})""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""d{t} AS (
+      SELECT e.vec_id, e.m, c.j,
+             list_reduce(list_transform(range(1, {dim + 1}),
+                 i -> (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])),
+                 (a, b) -> a + b) AS dist
+      FROM e, c{t - 1} c)""")
+        ctes.append(f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, m, j AS c, dist FROM d{t}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, j) = 1)""")
+        if t < iters:
+            ctes.append(f"""s{t} AS (
+      SELECT c, u.d AS d, CAST(SUM(u.v) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT c, unnest(list_transform(range(1, {dim + 1}),
+                d -> struct_pack(d := d, v := m[d]))) AS u
+            FROM a{t})
+      GROUP BY c, u.d)""")
+            ctes.append(f"""c{t} AS MATERIALIZED (
+      SELECT p.j, list(CASE WHEN s.n IS NULL THEN p.cm[dd.d]
+                            ELSE {div} END ORDER BY dd.d) AS cm
+      FROM c{t - 1} p
+      CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) dd
+      LEFT JOIN s{t} s ON s.c = p.j AND s.d = dd.d
+      GROUP BY p.j)""")
+    return ",\n".join(ctes)
+
+
+@query(
+    "embedding_kmeans_det",
+    f"""
+    WITH {_sql_det_kmeans_ctes(_KMEANS_DET_K, _KMEANS_DET_ITERS)}
+    SELECT CAST(c AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(dist) AS BIGINT) AS inertia,
+           MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+    FROM a{_KMEANS_DET_ITERS} GROUP BY c ORDER BY cluster
+    """,
+)
+def embedding_kmeans_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-INTEGER deterministic k-means — the tenth oracle-provable
+    family, and the one the r5 verdict called unreachable ("iterative
+    k-means" in the rows-only list). The float-free trick
+    (:func:`moisturizer_spark.operators.clustering.det_kmeans`): coords
+    quantize ONCE to the 1e-6 grid, after which assignment distances
+    are exact BIGINTs and recentered means are half-away integer
+    division on that grid — no partial-sum association, no mean
+    rounding, nothing an engine can disagree on; 3 Lloyd iterations
+    unroll into the oracle's CTE chain exactly like the BPE loop.
+    Reports per-cluster size, exact integer inertia (micro² units) and
+    the id range. The float sibling (``embedding_kmeans``) stays for
+    quality comparison; assignments agree ≥95% (boundary points only —
+    test-pinned)."""
+    from moisturizer_spark.operators.clustering import det_kmeans
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    _, assigned = det_kmeans(
+        t["embeddings"], k=_KMEANS_DET_K, iters=_KMEANS_DET_ITERS
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "embedding_diversity_sample_det",
+    f"""
+    WITH {_sql_det_kmeans_ctes(_KMEANS_DET_K, _KMEANS_DET_ITERS)}
+    SELECT CAST(c AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+    FROM (SELECT vec_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY c
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rq
+          FROM a{_KMEANS_DET_ITERS})
+    WHERE rq <= 20
+    GROUP BY c ORDER BY cluster
+    """,
+)
+def embedding_diversity_sample_det(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Diversity sampling over the DETERMINISTIC clustering — the
+    companion driver-provable row for ``embedding_diversity_sample``
+    (the other family the r5 verdict listed as unprovable): cap 20
+    vectors per det-kmeans cluster, quota ranked by (md5(id), id).
+    Every step — clustering included — replays bit-for-bit in the
+    oracle. Coverage semantics identical to
+    :func:`~moisturizer_spark.operators.clustering.diversity_sample`;
+    scale shape: the det_kmeans passes plus one cluster-keyed quota
+    window over (id, cluster) pairs."""
+    from moisturizer_spark.operators.clustering import det_diversity_sample
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    kept = det_diversity_sample(
+        t["embeddings"], k=_KMEANS_DET_K, iters=_KMEANS_DET_ITERS,
+        per_cluster=20,
+    )
+    return (
+        kept.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic diversity sampling: cap the corpus at 20 vectors per
     k-means cluster (the coverage step that stops one dense semantic
@@ -6052,6 +6195,8 @@ _NEEDS_DRIVER_ROW = [
     "bpe_merge_table",                # NEWLY ORACLE: unrolled merge loop
     "docs_dsir_selection",            # skew_guard plumbing in dsir_log_ratio
     "docs_perplexity_buckets",        # skew_guard plumbing in bigram_lm_bits
+    "embedding_kmeans_det",           # NEW: all-integer Lloyd k-means
+    "embedding_diversity_sample_det", # NEW: det-clustered quota sample
     # oldest green rows: last verified round 3
     "crosslingual_near_dup",
     "customer_name_typo_pairs",
@@ -6095,8 +6240,6 @@ _NEEDS_DRIVER_ROW = [
     "q1_pricing_summary",
     "q20_dominant_suppliers",
     "q22_idle_customers",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
 ]
 
 

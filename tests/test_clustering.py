@@ -146,3 +146,86 @@ def test_diversity_sample_quota_and_determinism(spark, sf_dir):
         for r in diversity_sample(emb, k=5, per_cluster=7).select("vec_id").collect()
     )
     assert a == b
+
+
+def test_det_kmeans_agrees_with_float_kmeans(spark, sf_dir):
+    """The 1e-6 quantization only moves genuinely ambiguous boundary
+    points: assignments agree with the float Lloyd fit on >=95% of
+    vectors (same init ranking, same iteration count, no tol stop)."""
+    from moisturizer_spark.operators.clustering import (
+        assign_clusters,
+        det_kmeans,
+        kmeans_fit,
+    )
+    from moisturizer_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents_f = kmeans_fit(emb, k=8, max_iter=3, tol=0.0)
+    float_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, cents_f).select(
+            "vec_id", "cluster"
+        ).collect()
+    }
+    _, assigned = det_kmeans(emb, k=8, iters=3)
+    det_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in assigned.select("vec_id", "cluster").collect()
+    }
+    agree = sum(
+        1 for v, c in det_assign.items() if float_assign[v] == c
+    )
+    assert agree / len(det_assign) >= 0.95, agree / len(det_assign)
+
+
+def test_det_kmeans_deterministic_and_integer(spark, sf_dir):
+    from moisturizer_spark.operators.clustering import det_kmeans
+    from moisturizer_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    c1, a1 = det_kmeans(emb, k=8, iters=3)
+    c2, a2 = det_kmeans(emb, k=8, iters=3)
+    assert c1 == c2
+    assert all(isinstance(v, int) for row in c1 for v in row)
+    r1 = sorted((r["vec_id"], r["cluster"], r["dist"]) for r in a1.collect())
+    r2 = sorted((r["vec_id"], r["cluster"], r["dist"]) for r in a2.collect())
+    assert r1 == r2
+
+
+def test_det_kmeans_k_exceeds_corpus_raises(spark):
+    from moisturizer_spark.operators.clustering import det_kmeans
+
+    tiny = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.2] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        det_kmeans(tiny, k=5)
+
+
+def test_det_div_half_away():
+    from moisturizer_spark.operators.clustering import _div_half_away
+
+    assert _div_half_away(7, 2) == 4       # 3.5 -> 4
+    assert _div_half_away(-7, 2) == -4     # -3.5 -> -4 (away)
+    assert _div_half_away(6, 4) == 2       # 1.5 -> 2
+    assert _div_half_away(5, 4) == 1       # 1.25 -> 1
+    assert _div_half_away(0, 3) == 0
+
+
+def test_det_diversity_sample_quota(spark, sf_dir):
+    from moisturizer_spark.operators.clustering import det_diversity_sample
+    from moisturizer_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    kept = det_diversity_sample(emb, k=8, iters=3, per_cluster=5)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in kept.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert all(n <= 5 for n in sizes.values())
+    # kept ids are a subset of the corpus
+    corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {r["vec_id"] for r in kept.collect()} <= corpus_ids

@@ -51,6 +51,9 @@ ALLOWED = {
     ("operators/clustering.py", "_recenter_partials"):
         "map-side partial sums: k rows per partition",
     ("operators/clustering.py", "kmeans_inertia"): "1-row scalar aggregate",
+    ("operators/clustering.py", "det_kmeans"):
+        "init collect is k rows; per-iteration partial collect is "
+        "<= k x dim rows per partition (int64 partial sums)",
     ("operators/similarity.py", "_ivf_train"): "n_lists centroid rows",
     ("operators/similarity.py", "_ivf_probe_df"):
         "query-batch assignment; query side is broadcast-sized by contract",
