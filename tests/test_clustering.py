@@ -229,3 +229,22 @@ def test_det_diversity_sample_quota(spark, sf_dir):
     # kept ids are a subset of the corpus
     corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert {r["vec_id"] for r in kept.collect()} <= corpus_ids
+
+
+def test_det_kmeans_partitioning_independent(spark, sf_dir):
+    """The core det-kmeans claim: int64 partial sums are exact in ANY
+    fold order, so the result cannot depend on how the corpus is
+    partitioned. Same centroids and assignments at 1, 3, and 13
+    partitions."""
+    from moisturizer_spark.operators.clustering import det_kmeans
+    from moisturizer_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    results = []
+    for n_parts in (1, 3, 13):
+        cents, assigned = det_kmeans(emb.repartition(n_parts), k=8, iters=3)
+        rows = sorted(
+            (r["vec_id"], r["cluster"], r["dist"]) for r in assigned.collect()
+        )
+        results.append((cents, rows))
+    assert results[0] == results[1] == results[2]

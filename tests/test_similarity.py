@@ -362,3 +362,19 @@ def test_det_pq_shortlist_bounds_rerank(emb):
     for r in got:
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact and abs(exact[key] - r["sim"]) < 1e-9
+
+
+def test_det_ann_partitioning_independent(emb):
+    """det-IVF / det-PQ results are invariant to input partitioning —
+    the dim-by-dim fold kernels operate per row, and every ranking has
+    a total order, so layout can't leak into the answer."""
+    from moisturizer_spark.operators.similarity import (
+        det_ivf_top_k,
+        det_pq_top_k,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    for fn in (det_ivf_top_k, det_pq_top_k):
+        a = sorted(map(tuple, fn(emb.repartition(1), queries, k=5).collect()))
+        b = sorted(map(tuple, fn(emb.repartition(11), queries, k=5).collect()))
+        assert a == b, fn.__name__
