@@ -38,12 +38,21 @@ from moisturizer_spark.registry import Registry
 from moisturizer_spark.storage import ParquetTable
 from moisturizer_spark.typesys import Descriptor, FieldDescriptor, compatible
 
-try:  # msgpack envelope support is optional (not installed in this container)
+try:  # prefer the C-accelerated package when a deployment has it
     import msgpack  # type: ignore
 
-    _HAS_MSGPACK = True
-except ImportError:  # pragma: no cover
-    _HAS_MSGPACK = False
+    _HAS_REAL_MSGPACK = True
+except ImportError:
+    # the wire format is a small public spec; the built-in pure-Python
+    # codec removes the import gate entirely (decode capability is now
+    # unconditional — only the PATH-SELECTION heuristic below still
+    # cares whether the real package is installed)
+    from moisturizer_spark import msgpack_mini as msgpack
+
+    _HAS_REAL_MSGPACK = False
+
+# kept as an alias: "can we decode msgpack" is now always true
+_HAS_MSGPACK = True
 
 DEAD_LETTER_TABLE = "_dead_letters"
 
@@ -116,16 +125,20 @@ def unwrap_envelope(df: DataFrame, wire_format: str = "auto") -> tuple[DataFrame
     (FIXTURES.md F1) or a raw ``value BINARY`` Kafka-style column.
     ``wire_format``:
 
-    - ``"auto"``: distributed msgpack-else-JSON decode when msgpack is
-      importable (a msgpack producer's events must not dead-letter);
-      JVM-side ``from_json`` otherwise.
+    - ``"auto"``: distributed msgpack-else-JSON decode when the REAL
+      msgpack package is installed (its presence signals a deployment
+      whose producers emit msgpack — those events must not
+      dead-letter); JVM-side ``from_json`` otherwise. Decode CAPABILITY
+      is unconditional either way (``msgpack_mini`` backs the decoder
+      when the package is absent) — this knob only picks the default
+      plan, keeping JSON-only containers on the codegen fast path.
     - ``"json"``: force the JVM path (fastest; JSON-only topics).
-    - ``"python"``: force the mapInPandas path (also decodes JSON — used
-      to exercise the distributed decoder without msgpack installed).
+    - ``"python"``: force the mapInPandas msgpack-else-JSON path (the
+      right setting for msgpack topics in package-less deployments).
     """
     if "type_id" not in df.columns and "value" in df.columns:
         use_python = wire_format == "python" or (
-            wire_format == "auto" and _HAS_MSGPACK
+            wire_format == "auto" and _HAS_REAL_MSGPACK
         )
         if use_python:
             decoded = _decode_envelopes_python(df)
