@@ -51,9 +51,6 @@ except ImportError:
 
     _HAS_REAL_MSGPACK = False
 
-# kept as an alias: "can we decode msgpack" is now always true
-_HAS_MSGPACK = True
-
 DEAD_LETTER_TABLE = "_dead_letters"
 
 _PROFILE_SCHEMA = T.StructType(
@@ -68,13 +65,9 @@ _PROFILE_SCHEMA = T.StructType(
 def decode_envelope_bytes(raw: bytes) -> tuple[str | None, dict]:
     """msgpack-else-JSON decode of one wire message
     (reference ``moisturizer/consumer.py:24-39``)."""
-    payload = None
-    if _HAS_MSGPACK:
-        try:
-            payload = msgpack.loads(raw, raw=False)
-        except Exception:
-            payload = None
-    if payload is None:
+    try:
+        payload = msgpack.loads(raw, raw=False)
+    except Exception:
         payload = json.loads(raw)
     if not isinstance(payload, dict) or "type_id" not in payload:
         raise ValueError("envelope missing required 'type_id'")

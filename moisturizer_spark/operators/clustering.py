@@ -309,6 +309,27 @@ def _div_half_away(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
+def _micro_bound(dim: int) -> int:
+    """Largest |micro coordinate| whose worst-case squared distance
+    (``dim · (2m)²``) still fits int64. numpy would WRAP silently past
+    it (wrong argmin, garbage inertia) while the DuckDB oracle raises —
+    the one way the 'nothing to disagree on' claim could break — so the
+    kernels check and fail loudly instead. dim=64 → |coord| ≤ ~190."""
+    return int((2**63 / dim) ** 0.5 / 2)
+
+
+def _check_micro(M, bound: int, what: str) -> None:
+    import numpy as np
+
+    worst = int(np.abs(M).max()) if M.size else 0
+    if worst > bound:
+        raise ValueError(
+            f"det_kmeans: {what} micro-coordinate |{worst}| exceeds the "
+            f"int64-safe bound {bound} (~|coord| <= {bound / 1e6:.0f}); "
+            "rescale the embeddings before clustering"
+        )
+
+
 def det_kmeans(
     df: DataFrame,
     k: int = 8,
@@ -358,20 +379,7 @@ def det_kmeans(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * F.lit(1e6)).cast("bigint"),
     )
-    e = materialize(
-        df.select(F.col(id_col).alias("_vid"), micro.alias("_m"))
-    )
-    init = (
-        e.orderBy(
-            F.md5(F.col("_vid").cast("string")).asc(), F.col("_vid").asc()
-        )
-        .limit(k)
-        .collect()  # bounded: k rows
-    )
-    if len(init) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
-    cents = [[int(v) for v in r["_m"]] for r in init]
-    dim = len(cents[0])
+    slim = df.select(F.col(id_col).alias("_vid"), micro.alias("_m"))
 
     def partials_kernel(C_list):
         C = np.asarray(C_list, dtype=np.int64)
@@ -381,6 +389,7 @@ def det_kmeans(
                 if not len(pdf):
                     continue
                 M = np.asarray(list(pdf["_m"]), dtype=np.int64)
+                _check_micro(M, bound, "corpus")
                 d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
                 a = d.argmin(1)
                 ks = np.unique(a)
@@ -394,23 +403,47 @@ def det_kmeans(
 
         return fn
 
-    for _ in range(iters - 1):
-        parts = e.mapInPandas(
-            partials_kernel(cents), "c int, n long, s array<long>"
-        ).collect()  # bounded: <= k rows per partition
-        sums = [[0] * dim for _ in range(k)]
-        ns = [0] * k
-        for r in parts:
-            ns[r["c"]] += r["n"]
-            srow = sums[r["c"]]
-            for d_i, v in enumerate(r["s"]):
-                srow[d_i] += v
-        cents = [
-            [_div_half_away(sums[j][d_i], ns[j]) for d_i in range(dim)]
-            if ns[j]
-            else cents[j]
-            for j in range(k)
-        ]
+    # The persist lives only as long as the FIT (init collect +
+    # iters−1 partial passes read the cached quantized frame); the
+    # scope releases it before return — kmeans_fit's lifetime
+    # discipline. The returned `assigned` plan reads the un-persisted
+    # projection instead: one extra scan when consumed, zero leaked
+    # cache entries in a long-lived session (callers wanting reuse
+    # wrap their own cache_scope).
+    with cache_scope():
+        e = materialize(slim)
+        init = (
+            e.orderBy(
+                F.md5(F.col("_vid").cast("string")).asc(),
+                F.col("_vid").asc(),
+            )
+            .limit(k)
+            .collect()  # bounded: k rows
+        )
+        if len(init) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+        cents = [[int(v) for v in r["_m"]] for r in init]
+        dim = len(cents[0])
+        bound = _micro_bound(dim)
+        _check_micro(np.asarray(cents, dtype=np.int64), bound, "init")
+
+        for _ in range(iters - 1):
+            parts = e.mapInPandas(
+                partials_kernel(cents), "c int, n long, s array<long>"
+            ).collect()  # bounded: <= k rows per partition
+            sums = [[0] * dim for _ in range(k)]
+            ns = [0] * k
+            for r in parts:
+                ns[r["c"]] += r["n"]
+                srow = sums[r["c"]]
+                for d_i, v in enumerate(r["s"]):
+                    srow[d_i] += v
+            cents = [
+                [_div_half_away(sums[j][d_i], ns[j]) for d_i in range(dim)]
+                if ns[j]
+                else cents[j]
+                for j in range(k)
+            ]
 
     C_final = cents
 
@@ -420,6 +453,7 @@ def det_kmeans(
             if not len(pdf):
                 continue
             M = np.asarray(list(pdf["_m"]), dtype=np.int64)
+            _check_micro(M, bound, "corpus")
             d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
             a = d.argmin(1)
             yield pdf.assign(
@@ -427,8 +461,8 @@ def det_kmeans(
                 dist=d[np.arange(len(a)), a],
             )
 
-    id_sql = e.schema["_vid"].dataType.simpleString()
-    assigned = e.mapInPandas(
+    id_sql = slim.schema["_vid"].dataType.simpleString()
+    assigned = slim.mapInPandas(
         assign_kernel,
         schema=f"_vid {id_sql}, _m array<bigint>, cluster int, dist long",
     ).withColumnRenamed("_vid", id_col)

@@ -713,31 +713,33 @@ def semantic_decontamination(
     )
 
 
+def _det_uniform(key: str) -> float:
+    """md5-derived uniform in [0, 1): ``md5(key)[:12 hex]/16^12``.
+
+    THE frozen-constant recipe every det family's literals derive from
+    (LSH hyperplanes, IVF centroids, PQ codebooks) — one definition, so
+    a future tweak (e.g. widening the hex prefix) cannot desynchronize
+    the families."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:12], 16) / float(
+        16**12
+    )
+
+
 def det_lsh_planes(
     n_planes: int, dim: int, salt: str = "lshdet"
 ) -> list[list[float]]:
     """Deterministic random-hyperplane coefficients from md5: plane j,
-    dim d gets ``round(2·u − 1, 6)`` for ``u = md5(salt:j:d)/16^12`` —
-    plain Python floats whose repr round-trips, so they inline as
-    LITERALS into both the Spark plan and the oracle's SQL text and
-    the two engines hash with bit-identical hyperplanes. The ML-lib
-    LSH (seeded JVM RNG) cannot offer that."""
-    import hashlib
-
+    dim d gets ``round(2·u − 1, 6)`` for ``u = md5(salt:j:d)/16^12``
+    (:func:`_det_uniform`) — plain Python floats whose repr
+    round-trips, so they inline as LITERALS into both the Spark plan
+    and the oracle's SQL text and the two engines hash with
+    bit-identical hyperplanes. The ML-lib LSH (seeded JVM RNG) cannot
+    offer that."""
     return [
         [
-            round(
-                2.0
-                * (
-                    int(
-                        hashlib.md5(f"{salt}:{j}:{d}".encode()).hexdigest()[:12],
-                        16,
-                    )
-                    / float(16**12)
-                )
-                - 1.0,
-                6,
-            )
+            round(2.0 * _det_uniform(f"{salt}:{j}:{d}") - 1.0, 6)
             for d in range(dim)
         ]
         for j in range(n_planes)
@@ -963,21 +965,10 @@ def _det_unit_rows(n: int, dim: int, salt: str) -> list[list[float]]:
     dot ranking want). The norm is accumulated in index order so this
     derivation is itself engine-reproducible, though only the rounded
     OUTPUT ever reaches an engine."""
-    import hashlib
-
     rows = []
     for j in range(n):
         raw = [
-            2.0
-            * (
-                int(
-                    hashlib.md5(f"{salt}:{j}:{d}".encode()).hexdigest()[:12],
-                    16,
-                )
-                / float(16**12)
-            )
-            - 1.0
-            for d in range(dim)
+            2.0 * _det_uniform(f"{salt}:{j}:{d}") - 1.0 for d in range(dim)
         ]
         acc = 0.0
         for x in raw:
@@ -1074,10 +1065,18 @@ def det_ivf_top_k(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     ).collect():
+        qv = row["_qv"]
+        # same contract as the corpus kernel: a wrong-dimension query
+        # must not silently zip-truncate against the centroids
+        if qv is None or len(qv) != dim:
+            got = "NULL" if qv is None else str(len(qv))
+            raise ValueError(
+                f"det_ivf_top_k: expected {dim}-dim query vectors, got {got}"
+            )
         dots = []
         for cv in cents:
             acc = 0.0
-            for x, y in zip(row["_qv"], cv):
+            for x, y in zip(qv, cv):
                 acc += x * y
             dots.append(acc)
         for lst in sorted(range(n_lists), key=lambda j: (-dots[j], j))[
@@ -1158,26 +1157,12 @@ def det_pq_codebooks(
     be provable — frozen books trade recall for a driver-checkable
     answer (recall is measured in tests, parity is proven by the
     oracle)."""
-    import hashlib
-
     return [
         [
             [
                 round(
                     scale
-                    * (
-                        2.0
-                        * (
-                            int(
-                                hashlib.md5(
-                                    f"{salt}:{j}:{i}:{d}".encode()
-                                ).hexdigest()[:12],
-                                16,
-                            )
-                            / float(16**12)
-                        )
-                        - 1.0
-                    ),
+                    * (2.0 * _det_uniform(f"{salt}:{j}:{i}:{d}") - 1.0),
                     6,
                 )
                 for d in range(d_sub)
@@ -1263,6 +1248,13 @@ def det_pq_top_k(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     ).collect():
+        # mirror the encode kernel's contract: an over-long query would
+        # otherwise silently use its first `dim` coords
+        if row["_qv"] is None or len(row["_qv"]) != dim:
+            got = "NULL" if row["_qv"] is None else str(len(row["_qv"]))
+            raise ValueError(
+                f"det_pq_top_k: expected {dim}-dim query vectors, got {got}"
+            )
         lut = []
         for j in range(m):
             for i in range(n_codes):

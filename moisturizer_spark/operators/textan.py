@@ -1172,6 +1172,7 @@ def importance_resample(
     weight_col: str = "log2_ratio_per_token",
     id_col: str = "doc_id",
     salt: str = "dsirprop:",
+    ratio_clamp: float = 20.0,
 ) -> DataFrame:
     """DSIR's actual selection rule — importance-PROPORTIONAL sampling
     (Xie et al. 2023 resample docs with probability ∝ importance
@@ -1193,23 +1194,35 @@ def importance_resample(
     Negative ratios quantizing to w=0 are deterministically excluded
     (they'd also never win a proportional draw at this resolution).
 
-    Scale: weight projection is map-side; Σw is ONE scalar aggregate
+    Scale: weight projection is map-side; the weighted frame is
+    PERSISTED once (it feeds two actions — the Σw aggregate and the
+    returned filter — and without the persist the whole upstream
+    scoring pipeline would execute twice); Σw is ONE scalar aggregate
     broadcast back as a literal 1-row frame (the q22/tfidf pattern —
     NOT a global window, which would funnel every row through one
     partition); the draw is a pure projection. Zero extra shuffles at
-    any corpus size. Integer headroom: n_target · w_i and Σw must stay
-    under 2^53 for the exact double casts — at w ≤ 2^6·10^6 that is
-    ~10^8 docs per Σw partition-free sum; beyond that, pre-scale
-    weights down (the comparison is scale-invariant).
+    any corpus size.
+
+    Integer headroom: the per-token ratio is CLAMPED at
+    ``ratio_clamp`` (default 20 — such a doc is a certain pick at any
+    plausible n_target anyway) before exponentiation, identically in
+    the SQL oracle. Without the clamp, Spark's non-ANSI BIGINT cast
+    would silently saturate an extreme weight at Long.MAX while DuckDB
+    raises — an engine divergence; with it, w ≤ 2^20·10^6 ≈ 1.05e12,
+    ``n_target·w`` stays exact under 2^53, and Σw is int64-safe below
+    ~8·10^6 docs — beyond that, pre-scale weights down (the comparison
+    is scale-invariant).
 
     Returns the selected rows of ``scored`` unchanged (plus nothing):
     filter, not transform."""
+    from moisturizer_spark.operators.common import materialize
     from moisturizer_spark.operators.sampling import hash_fraction
 
     w_micro = F.round(
-        F.pow(F.lit(2.0), F.col(weight_col)) * F.lit(1e6)
+        F.pow(F.lit(2.0), F.least(F.col(weight_col), F.lit(ratio_clamp)))
+        * F.lit(1e6)
     ).cast("bigint")
-    weighted = scored.withColumn("_w", w_micro)
+    weighted = materialize(scored.withColumn("_w", w_micro))
     tot = weighted.agg(F.sum("_w").alias("_tw"))
     u = hash_fraction(F.col(id_col), salt)
     p = F.least(

@@ -2999,8 +2999,8 @@ def _sql_dsir_proportional() -> str:
     return f"""
     WITH {_DSIR_SCORE_CTES},
     wm AS (SELECT doc_id, source, log2_ratio_per_token,
-                  CAST(ROUND(POWER(2.0, log2_ratio_per_token) * 1000000)
-                       AS BIGINT) AS w
+                  CAST(ROUND(POWER(2.0, LEAST(log2_ratio_per_token, 20.0))
+                             * 1000000) AS BIGINT) AS w
            FROM doc),
     tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wm)
     SELECT source, doc_id, log2_ratio_per_token
@@ -6197,6 +6197,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_perplexity_buckets",        # skew_guard plumbing in bigram_lm_bits
     "embedding_kmeans_det",           # NEW: all-integer Lloyd k-means
     "embedding_diversity_sample_det", # NEW: det-clustered quota sample
+    "embedding_lsh_det_top5",         # _det_uniform consolidation taint
     # oldest green rows: last verified round 3
     "crosslingual_near_dup",
     "customer_name_typo_pairs",
@@ -6239,7 +6240,6 @@ _NEEDS_DRIVER_ROW = [
     "q17_small_quantity_revenue",
     "q1_pricing_summary",
     "q20_dominant_suppliers",
-    "q22_idle_customers",
 ]
 
 

