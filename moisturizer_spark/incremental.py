@@ -354,3 +354,166 @@ class IncrementalDetHLLView:
         from moisturizer_spark.operators.sketches import det_hll_estimate
 
         return det_hll_estimate(self.read(), self.keys, out_col)
+
+
+_TXN_KMV = "ivm_kmv"
+
+
+class IncrementalKMVView:
+    """A PERSISTED KMV distinct-sketch rollup kept in sync with a
+    source table by folding its CDC feed — the SET-ALGEBRA member of
+    the incremental-view family (counts/sums:
+    :class:`IncrementalAggView`; quantiles:
+    :class:`IncrementalDDSketchView`; plain distinct:
+    :class:`IncrementalDetHLLView`). KMV cells additionally support
+    intersection/overlap estimates
+    (:func:`~moisturizer_spark.operators.sketches.
+    kmv_intersect_estimate`), which no HLL can.
+
+    Folding rules, sharper than det-HLL's:
+
+    - **Inserts fold losslessly**: the k smallest of (stored ∪ delta
+      hashes) IS the sketch of the unioned distinct set
+      (``kmv_merge``'s pinned property).
+    - **Deletes are tolerated when provably irrelevant**: a deleted
+      value whose md5 is NOT in the cell's stored sample cannot change
+      the k smallest (if the value survives elsewhere the distinct set
+      is unchanged; if it disappears, it was above the kth hash —
+      cells holding < k values store EVERY present hash, so the
+      containment probe covers them too). Only a delete that touches a
+      stored sample hash forces the full recompute — the view cannot
+      know the value's remaining multiplicity. det-HLL must recompute
+      on ANY delete; KMV recomputes only on sampled ones.
+
+    ``last_refresh_mode`` records which path the most recent
+    ``refresh()`` took (``"full"`` | ``"delta"`` | ``"noop"``) — test
+    and ops observability for the rules above.
+
+    Scale: a refresh reads only the changed buckets of the unapplied
+    versions; the delete probe is a (keys)-equi-join of the feed's
+    distinct deleted hashes against the O(cells) view with an
+    array-containment filter; the merged view is ≤ k hashes per cell.
+    """
+
+    def __init__(
+        self,
+        source: ParquetTable,
+        view_path: str,
+        keys: list[str],
+        value_col: str,
+        k: int = 64,
+    ):
+        self.source = source
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.k = k
+        self.last_refresh_mode: str | None = None
+        self.view = ParquetTable(
+            source.spark, view_path, key="_cell", n_buckets=source.n_buckets
+        )
+
+    def _with_cell(self, df: DataFrame) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00"))
+            for k in self.keys
+        ]
+        return df.withColumn("_cell", F.concat_ws("\x1f", *parts))
+
+    def _cells(self, df: DataFrame) -> DataFrame:
+        from moisturizer_spark.operators.sketches import kmv_sketch
+
+        return kmv_sketch(
+            df.filter(F.col(self.value_col).isNotNull()),
+            self.keys,
+            self.value_col,
+            k=self.k,
+        )
+
+    def _full_refresh(self, current: int) -> int:
+        full = self._with_cell(self._cells(self.source.read()))
+        self.view.overwrite(full, txn=(_TXN_KMV, current))
+        self.last_refresh_mode = "full"
+        return current
+
+    def refresh(self) -> int:
+        """Bring the sketch view up to the source's current version;
+        returns that version. Cursor/crash semantics as
+        :class:`IncrementalAggView`; delete handling per the class
+        docstring."""
+        man = self.source._load_manifest()
+        if man is None:
+            raise ValueError(f"source {self.source.path} has no manifest")
+        current = man["version"]
+        applied = self.view.txn_version(_TXN_KMV)
+        if applied is None:
+            return self._full_refresh(current)
+        if applied >= current:
+            self.last_refresh_mode = "noop"
+            return current
+        from moisturizer_spark.storage import VersionNotRetained
+
+        try:
+            feed = self.source.table_changes(applied, current)
+        except VersionNotRetained:
+            return self._full_refresh(current)
+        # the delete probe and the delta fold both consume the feed
+        feed = feed.persist()
+        try:
+            deleted = (
+                feed.filter(
+                    F.col("_change_type").isin("delete", "update_preimage")
+                )
+                .filter(F.col(self.value_col).isNotNull())
+                .select(
+                    *self.keys,
+                    F.md5(F.col(self.value_col).cast("string")).alias("_h"),
+                )
+                .distinct()
+            )
+            sampled_delete = (
+                deleted.join(
+                    self.view.read().select(*self.keys, "kmv"), self.keys
+                )
+                .filter(F.array_contains(F.col("kmv"), F.col("_h")))
+                .limit(1)
+                .count()  # bounded: limit(1) existence probe
+                > 0
+            )
+            if sampled_delete:
+                return self._full_refresh(current)
+            delta = self._cells(
+                feed.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                )
+            )
+            merged_kmv = F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("kmv")))
+                ),
+                1,
+                self.k,
+            )
+            merged = self._with_cell(
+                self.view.read()
+                .select(*self.keys, "kmv")
+                .unionByName(delta)
+                .groupBy(*self.keys)
+                .agg(merged_kmv.alias("kmv"))
+            )
+            self.view.overwrite(merged, txn=(_TXN_KMV, current))
+            self.last_refresh_mode = "delta"
+            return current
+        finally:
+            feed.unpersist()
+
+    def read(self) -> DataFrame:
+        return self.view.read().select(*self.keys, "kmv")
+
+    def estimate(self, out_col: str = "approx_distinct") -> DataFrame:
+        """Distinct-count estimates straight from the stored cells (no
+        source scan): (keys..., approx_distinct)."""
+        from moisturizer_spark.operators.sketches import kmv_estimate
+
+        return self.read().select(
+            *self.keys, kmv_estimate(F.col("kmv"), self.k).alias(out_col)
+        )

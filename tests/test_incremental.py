@@ -333,3 +333,128 @@ def test_incremental_det_hll_insert_fold_and_delete_fallback(spark, warehouse):
     # idempotent replay
     view.refresh()
     assert folded() == direct()
+
+
+def test_incremental_kmv_fold_and_delete_tolerance(spark, warehouse):
+    """The set-algebra IVM member: folded KMV cells equal a direct
+    kmv_sketch of the current state after insert-only deltas (no source
+    rescan — booby-trapped like the det-HLL test); a delete of a value
+    whose hash is NOT in the stored sample provably cannot change the
+    k smallest and takes the delta path; a delete touching a sampled
+    hash forces the full recompute — and the view equals the direct
+    sketch after every step. last_refresh_mode pins which path ran."""
+    from moisturizer_spark.incremental import IncrementalKMVView
+    from moisturizer_spark.operators.sketches import kmv_sketch
+
+    k = 8
+    src = _tbl(spark, warehouse, "kmvsrc")
+    view = IncrementalKMVView(src, f"{warehouse}/kmvview", ["grp"], "v", k=k)
+
+    src.overwrite(_rows(spark, [(f"a{i}", "x", i) for i in range(30)]
+                              + [(f"b{i}", "y", i * 3) for i in range(20)]))
+    view.refresh()
+    assert view.last_refresh_mode == "full"
+
+    def direct():
+        return {
+            r["grp"]: tuple(r["kmv"])
+            for r in kmv_sketch(src.read(), ["grp"], "v", k=k).collect()
+        }
+
+    def folded():
+        return {r["grp"]: tuple(r["kmv"]) for r in view.read().collect()}
+
+    assert folded() == direct()
+
+    # insert-only delta must fold without a source rescan
+    src.upsert(_rows(spark, [("c1", "x", 991), ("c2", "z", 5)]))
+    orig_read = src.read
+    src.read = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("insert-only delta must not rescan the source")
+    )
+    try:
+        view.refresh()
+    finally:
+        src.read = orig_read
+    assert view.last_refresh_mode == "delta"
+    assert folded() == direct()  # includes the brand-new cell "z"
+
+    # find an UNSAMPLED value of "x" (hash above the kth smallest):
+    # deleting it cannot change the sketch -> delta path, view unchanged
+    sampled = set(folded()["x"])
+    unsampled_id = None
+    for r in src.read().filter(F.col("grp") == "x").withColumn(
+        "_h", F.md5(F.col("v").cast("string"))
+    ).collect():
+        if r["_h"] not in sampled:
+            unsampled_id = r["id"]
+            break
+    assert unsampled_id is not None, "test corpus too small to exercise"
+    src.delete_by_key([unsampled_id])
+    orig_read = src.read
+    src.read = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("unsampled delete must not rescan the source")
+    )
+    try:
+        view.refresh()
+    finally:
+        src.read = orig_read
+    assert view.last_refresh_mode == "delta"
+    assert folded() == direct()
+
+    # delete a SAMPLED value: must take the full-recompute path and
+    # still equal the direct sketch of the post-delete state
+    sampled_row = next(
+        r
+        for r in src.read()
+        .filter(F.col("grp") == "x")
+        .withColumn("_h", F.md5(F.col("v").cast("string")))
+        .collect()
+        if r["_h"] in set(folded()["x"])
+    )
+    src.delete_by_key([sampled_row["id"]])
+    view.refresh()
+    assert view.last_refresh_mode == "full"
+    assert folded() == direct()
+
+    # estimates answer from the view
+    est = {r["grp"]: r["approx_distinct"] for r in view.estimate().collect()}
+    exact = {
+        r["grp"]: r["n"]
+        for r in src.read()
+        .groupBy("grp")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        if n < k:
+            assert est[g] == float(n)  # exact below k
+        else:
+            assert abs(est[g] - n) / n < 0.6  # k=8 is a coarse sketch
+
+
+def test_incremental_kmv_idempotent_and_vacuum_fallback(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalKMVView
+    from moisturizer_spark.operators.sketches import kmv_sketch
+
+    src = _tbl(spark, warehouse, "kmvsrc2", retain=1)
+    view = IncrementalKMVView(src, f"{warehouse}/kmvview2", ["grp"], "v", k=4)
+    src.overwrite(_rows(spark, [("a", "x", 1), ("b", "x", 2)]))
+    view.refresh()
+    before = {r["grp"]: tuple(r["kmv"]) for r in view.read().collect()}
+    view.refresh()
+    assert view.last_refresh_mode == "noop"
+    assert {r["grp"]: tuple(r["kmv"]) for r in view.read().collect()} == before
+
+    # burn through retention (retain=1): overwrites orphan the previous
+    # versions' files, so the CDC range is gone -> full fallback
+    src.overwrite(_rows(spark, [("a", "x", 1), ("r1", "x", 5)]))
+    src.overwrite(_rows(spark, [("a", "x", 1), ("r2", "y", 6)]))
+    view.refresh()
+    assert view.last_refresh_mode == "full"
+    got = {r["grp"]: tuple(r["kmv"]) for r in view.read().collect()}
+    want = {
+        r["grp"]: tuple(r["kmv"])
+        for r in kmv_sketch(src.read(), ["grp"], "v", k=4).collect()
+    }
+    assert got == want
