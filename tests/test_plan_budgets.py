@@ -1,0 +1,188 @@
+"""Per-query shuffle-budget pinning — a mechanical plan-regression net.
+
+Every `groupBy`/`join`/`repartition`/window partition is an Exchange;
+at 100 TB each one is the dominant cost. The generic plan suite
+(test_plans.py) catches categorical hazards (cartesians, pruning
+loss); THIS suite catches the quieter failure where an innocent edit
+adds a shuffle — an extra Exchange that still produces correct rows
+and so sails through every value check, while doubling the job's wall
+time at scale.
+
+BUDGETS freezes each query's Exchange-node count (counted from the
+formatted initial plan at sf0.001, `spark.sql.shuffle.partitions=4` —
+deterministic given the session conf; ReusedExchange nodes are
+excluded since a reuse is free). The assertion is `<=`: plans getting
+CHEAPER is always welcome and will surface as slack to tighten, while
+any count above budget fails with instructions. Raising a budget is a
+deliberate act: do it in the same commit as the plan change, with the
+justification in the commit message.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from moisturizer_spark.workload import QUERIES
+
+BUDGETS = {
+    "bpe_merge_table": 1,
+    "bpe_token_stats": 2,
+    "brand_revenue_share": 2,
+    "corpus_shard_manifest": 2,
+    "crosslingual_near_dup": 1,
+    "customer_name_typo_pairs": 1,
+    "customer_spend_ntile": 2,
+    "customer_year_set_ops": 7,
+    "customers_above_nation_avg": 3,
+    "customers_without_orders": 2,
+    "doc_dedup_clusters": 6,
+    "doc_dup_span_coverage": 4,
+    "doc_median_tokens": 2,
+    "doc_repetition_by_source": 2,
+    "doc_term_counts_udtf": 2,
+    "docs_benchmark_containment": 6,
+    "docs_chunk_dedup": 3,
+    "docs_chunk_sliding": 1,
+    "docs_curation_report": 5,
+    "docs_decontaminated": 4,
+    "docs_dsir_proportional": 7,
+    "docs_dsir_selection": 7,
+    "docs_fingerprint_dedup": 2,
+    "docs_hash_split": 2,
+    "docs_line_dedup": 3,
+    "docs_minhash_det_near_dup": 3,
+    "docs_pack_chunks": 2,
+    "docs_pack_ffd": 3,
+    "docs_perplexity_buckets": 6,
+    "docs_pii_scan": 2,
+    "docs_quality_funnel": 2,
+    "docs_remove_dup_spans": 3,
+    "docs_remove_dup_spans_hashed": 3,
+    "docs_simhash_det_near_dup": 2,
+    "docs_vocab_growth": 3,
+    "docs_winnowing_det_near_dup": 2,
+    "docs_winnowing_near_dup": 2,
+    "embedding_cosine_near_dup": 1,
+    "embedding_decontamination": 2,
+    "embedding_diversity_sample": 2,
+    "embedding_diversity_sample_det": 2,
+    "embedding_hard_negatives": 2,
+    "embedding_ivf_det_top5": 2,
+    "embedding_ivf_top5": 3,
+    "embedding_kmeans": 2,
+    "embedding_kmeans_det": 2,
+    "embedding_lsh_det_top5": 3,
+    "embedding_lsh_top5": 3,
+    "embedding_norm_stats": 2,
+    "embedding_pq_det_top5": 2,
+    "embedding_pq_top5": 2,
+    "embedding_top5_cosine": 2,
+    "event_type_audience_overlap": 8,
+    "events_7day_moving": 3,
+    "events_cohort_retention": 4,
+    "events_conversion_paths": 3,
+    "events_daily": 2,
+    "events_distinct_reach": 3,
+    "events_frequent_users": 2,
+    "events_funnel": 8,
+    "events_grouping_sets": 2,
+    "events_hll_reach": 3,
+    "events_kmv_audience": 8,
+    "events_props_flatten": 2,
+    "events_reach_hll_det": 4,
+    "events_reach_sketch_rollup": 3,
+    "events_running_total": 2,
+    "events_sessionize": 2,
+    "events_unpivot": 3,
+    "events_user_pivot": 2,
+    "events_volume_anomalies": 3,
+    "lang_sources_csv": 3,
+    "langid_confusion": 2,
+    "late_shipment_priority": 2,
+    "latest_event_per_user": 2,
+    "lineitem_expectations": 5,
+    "min_cost_supplier_per_part": 3,
+    "minhash_near_dup": 3,
+    "multimodal_payload_stats": 3,
+    "nation_wealth_full_outer": 3,
+    "ngram_jaccard_near_dup": 6,
+    "order_price_quantile_sketch": 3,
+    "order_price_quantiles": 2,
+    "orders_monthly_growth": 2,
+    "orders_with_returns_exists": 2,
+    "purchase_asof_view": 2,
+    "purchase_followon_events": 3,
+    "q10_returned_items": 1,
+    "q11_important_stock": 4,
+    "q13_customer_order_counts": 3,
+    "q14_promo_revenue": 1,
+    "q15_top_supplier": 4,
+    "q16_supplier_part_counts": 3,
+    "q17_small_quantity_revenue": 2,
+    "q18_large_orders": 2,
+    "q19_disjunctive_revenue": 1,
+    "q1_pricing_summary": 2,
+    "q20_dominant_suppliers": 3,
+    "q21_waiting_suppliers": 2,
+    "q22_idle_customers": 3,
+    "q3_top_revenue_orders": 1,
+    "q4_order_priority": 2,
+    "q5_region_nation_revenue": 2,
+    "q6_forecast_revenue": 1,
+    "q7_volume_shipping": 2,
+    "q8_market_share": 2,
+    "q9_product_type_profit": 2,
+    "quality_by_source": 2,
+    "revenue_cube": 3,
+    "revenue_rollup": 2,
+    "simhash_near_dup": 2,
+    "source_epoch_mixture": 4,
+    "source_epoch_plan": 2,
+    "source_mix_temperature": 2,
+    "source_quota_sample": 2,
+    "tfidf_top_terms": 5,
+    "token_stats_by_lang": 2,
+    "top3_customers_per_nation": 3,
+    "top_bigrams": 1,
+    "top_words_per_lang": 3,
+    "urgent_customers_semi": 1,
+}
+
+_RX = re.compile(r"^\(\d+\) (ReusedExchange|Exchange)", re.M)
+
+
+def _n_exchanges(spark, sf_dir, name: str) -> int:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return sum(
+        1 for m in _RX.finditer(buf.getvalue()) if m.group(1) == "Exchange"
+    )
+
+
+def test_every_query_has_a_budget():
+    missing = sorted(set(QUERIES) - set(BUDGETS))
+    assert not missing, (
+        "new queries without a shuffle budget (add them with their "
+        f"measured Exchange count): {missing}"
+    )
+    stale = sorted(set(BUDGETS) - set(QUERIES))
+    assert not stale, f"budgets for removed queries: {stale}"
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(name, spark, sf_dir):
+    got = _n_exchanges(spark, sf_dir, name)
+    budget = BUDGETS[name]
+    assert got <= budget, (
+        f"{name}: plan now has {got} Exchange nodes (budget {budget}) — "
+        "an edit added a shuffle. Either remove it (broadcast the small "
+        "side, reuse the existing partitioning, pre-aggregate map-side) "
+        "or raise the budget DELIBERATELY in the same commit with the "
+        "justification in the commit message."
+    )
