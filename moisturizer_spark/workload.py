@@ -1487,6 +1487,28 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(subset, max_hamming=16).orderBy("id_a", "id_b")
 
 
+def _sql_fold_cos(a: str, b: str) -> str:
+    """DuckDB cosine as explicit index-ordered FOLDS (dot and both
+    norms via seedless ``list_reduce`` == Spark's 0.0-seeded
+    ``aggregate`` chain, pinned in ``tests/test_duckdb_semantics.py``)
+    — used by the det-ANN oracles instead of
+    ``list_cosine_similarity``, whose internal summation order is an
+    implementation detail: rounding to 6 digits hides ulp differences
+    except exactly ON a rounding boundary, and the det families claim
+    bit-parity, not rounded agreement. The non-det cosine oracles keep
+    the builtin (their rounded agreement is the documented contract
+    and battle-tested across three scale factors)."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> {x}[CAST(i AS INT)] * {y}[CAST(i AS INT)]), "
+            "(p, q) -> p + q)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
 def _sql_embedding_lsh_det() -> str:
     from moisturizer_spark.operators.similarity import (
         det_lsh_planes,
@@ -1512,7 +1534,7 @@ def _sql_embedding_lsh_det() -> str:
 {branches}),
     scored AS (
         SELECT query_id, neighbor_id,
-               ROUND(list_cosine_similarity(qv, v), 6) AS sim
+               ROUND({_sql_fold_cos('qv', 'v')}, 6) AS sim
         FROM cand)
     SELECT query_id, neighbor_id, sim, rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1593,7 +1615,7 @@ def _sql_embedding_ivf_det() -> str:
                                      ORDER BY dot DESC, lst) AS pr
         FROM qd) WHERE pr <= {n_probe}),
     cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-                    ROUND(list_cosine_similarity(p.qv, c.v), 6) AS sim
+                    ROUND({_sql_fold_cos('p.qv', 'c.v')}, 6) AS sim
              FROM probe p JOIN a c ON c.lst = p.lst
              WHERE c.vec_id <> p.query_id)
     SELECT query_id, neighbor_id, sim, rank
@@ -1685,7 +1707,7 @@ def _sql_embedding_pq_det() -> str:
                                      ORDER BY adc DESC, neighbor_id) AS sr
         FROM adc) WHERE sr <= {5 * refine}),
     scored AS (SELECT s.query_id, s.neighbor_id,
-                      ROUND(list_cosine_similarity(q.qv, c.v), 6) AS sim
+                      ROUND({_sql_fold_cos('q.qv', 'c.v')}, 6) AS sim
                FROM short s JOIN e c ON c.vec_id = s.neighbor_id
                JOIN ql q ON q.query_id = s.query_id)
     SELECT query_id, neighbor_id, sim, rank
