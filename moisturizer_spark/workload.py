@@ -5893,30 +5893,11 @@ def source_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 10
 
 
-def _sql_bpe_merge_table() -> str:
-    """The BPE training loop UNROLLED into one SQL statement: 10 fixed
-    iterations become 10 chained CTE triples — pair counts over the
-    vocab (overlapping adjacent pairs, freq-weighted), the argmax merge
-    (count DESC, then lexicographic — codepoint collation in both
-    engines, pinned by ``tests/test_duckdb_semantics.py``), and the
-    merge APPLICATION. "Iterative, so no SQL oracle" was wrong: a
-    fixed iteration count is just syntax.
-
-    The application replays ``merge_pair_expr``'s greedy left-to-right
-    non-overlapping scan without any sequential fold: a match at
-    positions p and p+1 simultaneously requires ``syms[p+1] = r`` and
-    ``syms[p+1] = l``, so CONSECUTIVE match runs only arise when
-    ``l = r`` — and within such a run the greedy scan takes exactly the
-    even offsets from the run start. ``sel[p]`` therefore = match[p] ∧
-    (p − run_start) even, with run_start read off the last non-match
-    before p (an O(len²) list scan per word — words are tens of chars).
-    Rebuild: merged symbol at selected p, nothing at p+1, else the
-    original symbol, flattened in order.
-
-    ``AS MATERIALIZED`` on the vocab chain is load-bearing: each
-    ``v{{i}}`` feeds both the next pair count and the next vocab, and
-    DuckDB 1.0 re-inlines dual-referenced CTEs — 2¹⁰ recomputes of the
-    base scan (19 s at sf0.001; 0.1 s materialized)."""
+def _bpe_ctes(n_merges: int) -> tuple[list[str], list[str]]:
+    """The unrolled BPE CTE chain, shared by ``bpe_merge_table`` (reads
+    the per-iteration argmax rows) and ``bpe_fertility_by_lang`` (reads
+    the FINAL merged vocab ``v{n}``) — one source of truth for the
+    replay, so the two oracles cannot drift. Returns (ctes, finals)."""
     ctes = [
         f"""v0 AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -5926,7 +5907,7 @@ def _sql_bpe_merge_table() -> str:
       GROUP BY word)"""
     ]
     finals = []
-    for it in range(_BPE_MERGES):
+    for it in range(n_merges):
         v, nv = f"v{it}", f"v{it + 1}"
         ctes.append(f"""p{it} AS (
       SELECT u.l AS l, u.r AS r, CAST(SUM(freq) AS BIGINT) AS n FROM (
@@ -5961,6 +5942,35 @@ def _sql_bpe_merge_table() -> str:
             f"SELECT {it} AS rank, l AS left, r AS right, "
             f"n AS pair_count FROM b{it}"
         )
+    return ctes, finals
+
+
+def _sql_bpe_merge_table() -> str:
+    """The BPE training loop UNROLLED into one SQL statement: 10 fixed
+    iterations become 10 chained CTE triples — pair counts over the
+    vocab (overlapping adjacent pairs, freq-weighted), the argmax merge
+    (count DESC, then lexicographic — codepoint collation in both
+    engines, pinned by ``tests/test_duckdb_semantics.py``), and the
+    merge APPLICATION. "Iterative, so no SQL oracle" was wrong: a
+    fixed iteration count is just syntax.
+
+    The application replays ``merge_pair_expr``'s greedy left-to-right
+    non-overlapping scan without any sequential fold: a match at
+    positions p and p+1 simultaneously requires ``syms[p+1] = r`` and
+    ``syms[p+1] = l``, so CONSECUTIVE match runs only arise when
+    ``l = r`` — and within such a run the greedy scan takes exactly the
+    even offsets from the run start. ``sel[p]`` therefore = match[p] ∧
+    (p − run_start) even, with run_start read off the last non-match
+    before p (an O(len²) list scan per word — words are tens of chars).
+    Rebuild: merged symbol at selected p, nothing at p+1, else the
+    original symbol, flattened in order.
+
+    ``AS MATERIALIZED`` on the vocab chain is load-bearing: each
+    ``v{i}`` feeds both the next pair count and the next vocab, and
+    DuckDB 1.0 re-inlines dual-referenced CTEs — 2¹⁰ recomputes of the
+    base scan (19 s at sf0.001; 0.1 s materialized). Chain shared with
+    the fertility oracle via :func:`_bpe_ctes`."""
+    ctes, finals = _bpe_ctes(_BPE_MERGES)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -5968,6 +5978,76 @@ def _sql_bpe_merge_table() -> str:
         + " UNION ALL ".join(finals)
         + " ORDER BY rank"
     )
+
+
+def _sql_bpe_fertility() -> str:
+    ctes, _ = _bpe_ctes(_BPE_MERGES)
+    final_v = f"v{_BPE_MERGES}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    w AS (SELECT lang, unnest({_SQL_TOKS}) AS word FROM documents),
+    j AS (SELECT lang, length(word) AS n_chars, len(syms) AS n_sub
+          FROM w JOIN {final_v} USING (word))
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_sub) AS BIGINT) AS sum_subwords,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE)
+             AS chars_per_subword
+    FROM j GROUP BY lang ORDER BY lang
+    """
+    )
+
+
+@query("bpe_fertility_by_lang", _sql_bpe_fertility())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY diagnostic: chars-per-subword by language
+    under the learned 10-merge BPE vocabulary — the standard measure of
+    how well a tokenizer compresses each language (a low ratio for one
+    language means its text fragments into many more subwords per
+    character: more sequence length, more compute, worse downstream
+    quality — the classic multilingual-tokenizer equity metric).
+    Composes tokenizer training and application in one oracle-checked
+    query: the corpus words join the FINAL merged vocabulary (training
+    replayed by the shared :func:`_bpe_ctes` chain), and per-lang
+    ratios are one division of exact integer sums.
+
+    Scale: training as in ``bpe_merge_table`` (corpus-sized work only
+    in the first word-frequency aggregation); the diagnostic join is
+    corpus-words × vocabulary on the word key — the vocab side is
+    vocabulary-bounded and broadcastable; one combinable per-lang
+    aggregation."""
+    from moisturizer_spark.operators.tokenizer import bpe_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    merges, vocab = bpe_train(docs, n_merges=_BPE_MERGES)
+    words = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    per_word = vocab.select(
+        "word",
+        F.length("word").alias("n_chars"),
+        F.size("syms").alias("n_sub"),
+    )
+    joined = words.join(F.broadcast(per_word), "word")
+    out = (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("n_sub").cast("bigint").alias("sum_subwords"),
+        )
+        .withColumn(
+            "chars_per_subword",
+            F.col("sum_chars").cast("double")
+            / F.col("sum_subwords").cast("double"),
+        )
+        .orderBy("lang")
+    )
+    vocab.unpersist()
+    return out
 
 
 @query("bpe_merge_table", _sql_bpe_merge_table())
@@ -6215,6 +6295,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_dsir_proportional",         # NEW: importance-proportional DSIR
     "docs_pack_ffd",                  # NEWLY ORACLE: recursive-CTE replay
     "bpe_merge_table",                # NEWLY ORACLE: unrolled merge loop
+    "bpe_fertility_by_lang",          # NEW: chars-per-subword by language
     "docs_dsir_selection",            # skew_guard plumbing in dsir_log_ratio
     "docs_perplexity_buckets",        # skew_guard plumbing in bigram_lm_bits
     "embedding_kmeans_det",           # NEW: all-integer Lloyd k-means
@@ -6261,7 +6342,6 @@ _NEEDS_DRIVER_ROW = [
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q1_pricing_summary",
-    "q20_dominant_suppliers",
 ]
 
 

@@ -29,6 +29,7 @@ import pytest
 from moisturizer_spark.workload import QUERIES
 
 BUDGETS = {
+    "bpe_fertility_by_lang": 2,
     "bpe_merge_table": 1,
     "bpe_token_stats": 2,
     "brand_revenue_share": 2,
