@@ -552,12 +552,20 @@ def minhash_compact(spark, path: str) -> dict:
     old_bands = meta.get("bands_dir", "bands")
     old_grams = meta.get("grams_dir", "grams")
     new_bands, new_grams = f"bands_g{gen}", f"grams_g{gen}"
-    spark.read.parquet(os.path.join(path, old_bands)).repartition(
-        "bsig"
-    ).write.mode("overwrite").parquet(os.path.join(path, new_bands))
-    spark.read.parquet(os.path.join(path, old_grams)).repartition(
-        "_id"
-    ).write.mode("overwrite").parquet(os.path.join(path, new_grams))
+    # dropDuplicates also heals the at-least-once physical rows a
+    # replayed streaming append can leave behind (streaming/near_dup.py:
+    # exact duplicate band/gram rows are semantically inert for queries,
+    # but compaction is the natural place to shed them)
+    spark.read.parquet(os.path.join(path, old_bands)).dropDuplicates(
+        ["_id", "band", "bsig"]
+    ).repartition("bsig").write.mode("overwrite").parquet(
+        os.path.join(path, new_bands)
+    )
+    spark.read.parquet(os.path.join(path, old_grams)).dropDuplicates(
+        ["_id"]
+    ).repartition("_id").write.mode("overwrite").parquet(
+        os.path.join(path, new_grams)
+    )
     meta.update(
         {"bands_dir": new_bands, "grams_dir": new_grams, "compaction_gen": gen}
     )

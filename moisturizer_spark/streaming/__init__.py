@@ -21,3 +21,6 @@ from moisturizer_spark.streaming.windows import (  # noqa: F401
     sliding_counts,
     tumbling_counts,
 )
+from moisturizer_spark.streaming.near_dup import (  # noqa: F401
+    start_near_dup_stream,
+)
