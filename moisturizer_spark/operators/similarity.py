@@ -473,7 +473,13 @@ def ivf_compact(spark, path: str) -> dict:
     gen = meta.get("compaction_gen", 0) + 1
     old_dir = meta.get("data_dir", "data")
     new_dir = f"data_g{gen}"
-    spark.read.parquet(os.path.join(path, old_dir)).repartition(
+    # dropDuplicates also heals the at-least-once physical rows a
+    # replayed streaming append can leave behind (streaming/
+    # semantic_dedup.py): duplicate (id, vector) rows are semantically
+    # inert for queries; compaction is the natural place to shed them
+    spark.read.parquet(os.path.join(path, old_dir)).dropDuplicates(
+        ["neighbor_id"]
+    ).repartition(
         F.col("_c_list")
     ).write.partitionBy("_c_list").mode("overwrite").parquet(
         os.path.join(path, new_dir)

@@ -24,3 +24,6 @@ from moisturizer_spark.streaming.windows import (  # noqa: F401
 from moisturizer_spark.streaming.near_dup import (  # noqa: F401
     start_near_dup_stream,
 )
+from moisturizer_spark.streaming.semantic_dedup import (  # noqa: F401
+    start_semantic_dedup_stream,
+)
