@@ -376,14 +376,20 @@ class IncrementalKMVView:
       hashes) IS the sketch of the unioned distinct set
       (``kmv_merge``'s pinned property).
     - **Deletes are tolerated when provably irrelevant**: a deleted
-      value whose md5 is NOT in the cell's stored sample cannot change
-      the k smallest (if the value survives elsewhere the distinct set
-      is unchanged; if it disappears, it was above the kth hash —
-      cells holding < k values store EVERY present hash, so the
-      containment probe covers them too). Only a delete that touches a
-      stored sample hash forces the full recompute — the view cannot
-      know the value's remaining multiplicity. det-HLL must recompute
-      on ANY delete; KMV recomputes only on sampled ones.
+      value whose md5 is NOT in the cell's stored sample AND NOT among
+      the same refresh's inserted hashes cannot change the k smallest
+      (if the value survives elsewhere the distinct set is unchanged;
+      if it disappears, it was above the kth hash — cells holding < k
+      values store EVERY present hash, so the containment probe covers
+      them too). TWO probes are required: the stored-sample
+      containment, and a feed-internal insert∩delete check — a value
+      inserted and deleted within one unapplied CDC range is invisible
+      to the stored view yet its insert rows would otherwise be folded
+      in, permanently divering the sketch (the phantom-cell /
+      insert-then-delete hazard). Only a delete matching either probe
+      forces the full recompute — the view cannot know remaining
+      multiplicities. det-HLL must recompute on ANY delete; KMV
+      recomputes only on probe-positive ones.
 
     ``last_refresh_mode`` records which path the most recent
     ``refresh()`` took (``"full"`` | ``"delta"`` | ``"noop"``) — test
@@ -459,7 +465,18 @@ class IncrementalKMVView:
         # the delete probe and the delta fold both consume the feed
         feed = feed.persist()
         try:
-            deleted = (
+            # NULL-safe cell key for the probes: a plain equi-join on
+            # self.keys would drop NULL-key cells (null != null), so a
+            # sampled delete in a NULL-key group would silently slip
+            # through to the delta path
+            def probe_key(df: DataFrame) -> DataFrame:
+                parts = [
+                    F.coalesce(F.col(k).cast("string"), F.lit("\x00"))
+                    for k in self.keys
+                ]
+                return df.withColumn("_pk", F.concat_ws("\x1f", *parts))
+
+            deleted = probe_key(
                 feed.filter(
                     F.col("_change_type").isin("delete", "update_preimage")
                 )
@@ -470,16 +487,43 @@ class IncrementalKMVView:
                 )
                 .distinct()
             )
-            sampled_delete = (
+            # probe 1: delete touches a hash in the STORED sample
+            in_stored = (
                 deleted.join(
-                    self.view.read().select(*self.keys, "kmv"), self.keys
+                    probe_key(self.view.read()).select("_pk", "kmv"), "_pk"
                 )
                 .filter(F.array_contains(F.col("kmv"), F.col("_h")))
                 .limit(1)
                 .count()  # bounded: limit(1) existence probe
                 > 0
             )
-            if sampled_delete:
+            # probe 2: delete touches a value the SAME unapplied range
+            # also inserts — the insert's hash would otherwise be
+            # folded into the sketch even though the value may no
+            # longer exist (insert@v, delete@v+1 inside one refresh;
+            # includes the phantom-cell case where the cell never
+            # existed in the stored view at all). The stored probe
+            # cannot see these; net them against the feed itself.
+            inserted = probe_key(
+                feed.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                )
+                .filter(F.col(self.value_col).isNotNull())
+                .select(
+                    *self.keys,
+                    F.md5(F.col(self.value_col).cast("string")).alias("_h"),
+                )
+                .distinct()
+            )
+            in_feed_inserts = (
+                deleted.join(
+                    inserted.select("_pk", "_h"), ["_pk", "_h"]
+                )
+                .limit(1)
+                .count()  # bounded: limit(1) existence probe
+                > 0
+            )
+            if in_stored or in_feed_inserts:
                 return self._full_refresh(current)
             delta = self._cells(
                 feed.filter(

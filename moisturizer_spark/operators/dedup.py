@@ -231,6 +231,7 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     threshold: float = 0.6,
     det: bool = False,
+    n: int = 3,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, pure DataFrame ops.
 
@@ -264,8 +265,11 @@ def minhash_near_duplicates(
     bands, rows = _band_shape(num_hashes, threshold)
     # ONE shingle scan + ONE shuffle yields both the signature (32 min
     # aggregates) and the exact-verify shingle set per document.
+    # ``n`` is the shingle size — exposed so callers matching a
+    # persisted index's sidecar (streaming/near_dup.py) apply the SAME
+    # Jaccard semantics within-batch as the index applies cross-batch.
     per_doc = materialize(
-        _minhash_per_doc(df, id_col, text_col, num_hashes, n=3, det=det)
+        _minhash_per_doc(df, id_col, text_col, num_hashes, n=n, det=det)
     )
     banded = _minhash_banded(per_doc.select("_id", "sig"), bands, rows, det=det)
     candidates = (
@@ -562,7 +566,9 @@ def minhash_compact(spark, path: str) -> dict:
         os.path.join(path, new_bands)
     )
     spark.read.parquet(os.path.join(path, old_grams)).dropDuplicates(
-        ["_id"]
+        ["_id", "_grams"]  # exact replay dups ONLY: an id re-appended
+        # with different text keeps both gram rows (mirroring its band
+        # rows) rather than arbitrarily dropping one side of the pair
     ).repartition("_id").write.mode("overwrite").parquet(
         os.path.join(path, new_grams)
     )

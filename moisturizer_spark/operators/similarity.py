@@ -478,7 +478,9 @@ def ivf_compact(spark, path: str) -> dict:
     # semantic_dedup.py): duplicate (id, vector) rows are semantically
     # inert for queries; compaction is the natural place to shed them
     spark.read.parquet(os.path.join(path, old_dir)).dropDuplicates(
-        ["neighbor_id"]
+        ["neighbor_id", "_cv", "_c_list"]  # exact replay dups ONLY: a
+        # re-appended id with a DIFFERENT vector is caller data, not a
+        # replay artifact — compaction must not pick one arbitrarily
     ).repartition(
         F.col("_c_list")
     ).write.partitionBy("_c_list").mode("overwrite").parquet(

@@ -37,13 +37,13 @@ from pyspark.sql.streaming import StreamingQuery
 from moisturizer_spark.operators.dedup import incremental_exact_dedup
 from moisturizer_spark.operators.textan import default_quality_rules
 from moisturizer_spark.storage import ParquetTable
+from moisturizer_spark.streaming._txn import behind as _behind_app
 
 APP_ID = "curation_stream"
 
 
 def _behind(table: ParquetTable, batch_id: int) -> bool:
-    v = table.txn_version(APP_ID)
-    return v is None or v < batch_id
+    return _behind_app(table, APP_ID, batch_id)
 
 
 def start_curation_stream(

@@ -47,6 +47,12 @@ import os
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from moisturizer_spark.streaming._txn import (
+    behind as _behind_app,
+    bump_index_watermark as _bump,
+    index_watermark as _index_watermark,
+)
+
 from moisturizer_spark.operators.dedup import (
     minhash_append,
     minhash_near_duplicates,
@@ -55,27 +61,14 @@ from moisturizer_spark.operators.dedup import (
 from moisturizer_spark.storage import ParquetTable
 
 APP_ID = "near_dup_stream"
-_TXN_FILE = "_stream_txn.json"
-
-
-def _index_watermark(path: str) -> int | None:
-    try:
-        with open(os.path.join(path, _TXN_FILE)) as fh:
-            return json.load(fh)["applied_batch"]
-    except FileNotFoundError:
-        return None
-
-
-def _bump_index_watermark(path: str, batch_id: int) -> None:
-    tmp = os.path.join(path, _TXN_FILE + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"app": APP_ID, "applied_batch": batch_id}, fh)
-    os.replace(tmp, os.path.join(path, _TXN_FILE))
 
 
 def _behind(table: ParquetTable, batch_id: int) -> bool:
-    v = table.txn_version(APP_ID)
-    return v is None or v < batch_id
+    return _behind_app(table, APP_ID, batch_id)
+
+
+def _bump_index_watermark(path: str, batch_id: int) -> None:
+    _bump(path, APP_ID, batch_id)
 
 
 def start_near_dup_stream(
@@ -114,6 +107,7 @@ def start_near_dup_stream(
             text_col=text_col,
             num_hashes=meta["num_hashes"],
             threshold=meta["threshold"],
+            n=meta["shingle_n"],
         )
         losers = pairs_in.select(
             F.greatest(F.col("id_a"), F.col("id_b")).alias(id_col)

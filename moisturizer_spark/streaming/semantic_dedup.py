@@ -39,6 +39,12 @@ import os
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from moisturizer_spark.streaming._txn import (
+    behind as _behind_app,
+    bump_index_watermark as _bump,
+    index_watermark as _index_watermark,
+)
+
 from moisturizer_spark.operators.similarity import (
     embedding_cosine_pairs,
     ivf_append,
@@ -47,27 +53,14 @@ from moisturizer_spark.operators.similarity import (
 from moisturizer_spark.storage import ParquetTable
 
 APP_ID = "semantic_dedup_stream"
-_TXN_FILE = "_stream_txn.json"
-
-
-def _index_watermark(path: str) -> int | None:
-    try:
-        with open(os.path.join(path, _TXN_FILE)) as fh:
-            return json.load(fh)["applied_batch"]
-    except FileNotFoundError:
-        return None
-
-
-def _bump_index_watermark(path: str, batch_id: int) -> None:
-    tmp = os.path.join(path, _TXN_FILE + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"app": APP_ID, "applied_batch": batch_id}, fh)
-    os.replace(tmp, os.path.join(path, _TXN_FILE))
 
 
 def _behind(table: ParquetTable, batch_id: int) -> bool:
-    v = table.txn_version(APP_ID)
-    return v is None or v < batch_id
+    return _behind_app(table, APP_ID, batch_id)
+
+
+def _bump_index_watermark(path: str, batch_id: int) -> None:
+    _bump(path, APP_ID, batch_id)
 
 
 def start_semantic_dedup_stream(

@@ -5474,7 +5474,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_supplier_part_counts",
     """
     WITH bad AS (
         SELECT l_suppkey AS bad_suppkey
@@ -6026,11 +6025,22 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "lang", F.explode(tokens_col(F.col("text"))).alias("word")
     )
-    per_word = vocab.select(
-        "word",
-        F.length("word").alias("n_chars"),
-        F.size("syms").alias("n_sub"),
+    # Materialize (and force) the slim per-word projection BEFORE
+    # releasing bpe_train's cached vocab: the returned frame's lineage
+    # runs through it, so an early unpersist would recompute the whole
+    # 10-merge chain at evaluation time on the distributed path.
+    # materialize() (unlike vocab's plain cache) is cache_scope-tracked,
+    # so the bench releases it after the query.
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    per_word = _mat(
+        vocab.select(
+            "word",
+            F.length("word").alias("n_chars"),
+            F.size("syms").alias("n_sub"),
+        )
     )
+    per_word.count()  # bounded: vocabulary-sized frame
     joined = words.join(F.broadcast(per_word), "word")
     out = (
         joined.groupBy("lang")
@@ -6296,6 +6306,8 @@ _NEEDS_DRIVER_ROW = [
     "docs_pack_ffd",                  # NEWLY ORACLE: recursive-CTE replay
     "bpe_merge_table",                # NEWLY ORACLE: unrolled merge loop
     "bpe_fertility_by_lang",          # NEW: chars-per-subword by language
+    "docs_minhash_det_near_dup",      # shingle-n param plumb taint
+    "ngram_jaccard_near_dup",         # docstring-reference taint (same plumb)
     "docs_dsir_selection",            # skew_guard plumbing in dsir_log_ratio
     "docs_perplexity_buckets",        # skew_guard plumbing in bigram_lm_bits
     "embedding_kmeans_det",           # NEW: all-integer Lloyd k-means
@@ -6339,8 +6351,6 @@ _NEEDS_DRIVER_ROW = [
     "q11_important_stock",
     "q13_customer_order_counts",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
     "q1_pricing_summary",
 ]
 

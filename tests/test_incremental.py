@@ -458,3 +458,77 @@ def test_incremental_kmv_idempotent_and_vacuum_fallback(spark, warehouse):
         for r in kmv_sketch(src.read(), ["grp"], "v", k=4).collect()
     }
     assert got == want
+
+
+def test_incremental_kmv_insert_then_delete_in_one_range(spark, warehouse):
+    """The r6 review's phantom-hash hazard: a value inserted AND
+    deleted within one unapplied CDC range is invisible to the
+    stored-sample probe, but folding its insert rows would diverge the
+    sketch forever. The feed-internal probe must force the full
+    recompute — and the view must equal the direct sketch after."""
+    from moisturizer_spark.incremental import IncrementalKMVView
+    from moisturizer_spark.operators.sketches import kmv_sketch
+
+    src = _tbl(spark, warehouse, "kmvsrc3")
+    view = IncrementalKMVView(src, f"{warehouse}/kmvview3", ["grp"], "v", k=4)
+    src.overwrite(_rows(spark, [("a", "x", 1), ("b", "x", 2)]))
+    view.refresh()
+
+    # v2: insert a brand-new value; v3: delete it again — the value
+    # never existed in the view and no longer exists in the table
+    src.upsert(_rows(spark, [("c", "x", 999)]))
+    src.delete_by_key(["c"])
+    view.refresh()
+    assert view.last_refresh_mode == "full"
+    got = {r["grp"]: tuple(r["kmv"]) for r in view.read().collect()}
+    want = {
+        r["grp"]: tuple(r["kmv"])
+        for r in kmv_sketch(src.read(), ["grp"], "v", k=4).collect()
+    }
+    assert got == want  # no phantom md5('999') anywhere
+
+    # phantom CELL variant: a group born and erased inside one range
+    src.upsert(_rows(spark, [("z1", "zz", 7)]))
+    src.delete_by_key(["z1"])
+    view.refresh()
+    assert view.last_refresh_mode == "full"
+    got = {r["grp"]: tuple(r["kmv"]) for r in view.read().collect()}
+    assert "zz" not in got
+    want = {
+        r["grp"]: tuple(r["kmv"])
+        for r in kmv_sketch(src.read(), ["grp"], "v", k=4).collect()
+    }
+    assert got == want
+
+
+def test_incremental_kmv_null_key_cell_delete(spark, warehouse):
+    """NULL-key cells are first-class (the storage key coalesces NULL
+    to a marker); the delete probe must therefore be null-safe — a
+    sampled delete in the NULL-key group has to force the recompute,
+    not slip through a null != null equi-join."""
+    from moisturizer_spark.incremental import IncrementalKMVView
+    from moisturizer_spark.operators.sketches import kmv_sketch
+
+    src = _tbl(spark, warehouse, "kmvsrc4")
+    view = IncrementalKMVView(src, f"{warehouse}/kmvview4", ["grp"], "v", k=4)
+    src.overwrite(
+        spark.createDataFrame(
+            [("a", None, 1), ("b", None, 2), ("c", "x", 3)],
+            "id string, grp string, v long",
+        )
+    )
+    view.refresh()
+    # delete a value stored in the NULL-key cell's sample (k=4 ->
+    # every present value is sampled)
+    src.delete_by_key(["a"])
+    view.refresh()
+    assert view.last_refresh_mode == "full", (
+        "sampled delete in the NULL-key cell took the delta path — "
+        "the probe join dropped the NULL key"
+    )
+    got = {r["grp"]: tuple(r["kmv"]) for r in view.read().collect()}
+    want = {
+        r["grp"]: tuple(r["kmv"])
+        for r in kmv_sketch(src.read(), ["grp"], "v", k=4).collect()
+    }
+    assert got == want

@@ -110,10 +110,7 @@ def test_streaming_near_dup_replay_converges_after_partial_append(
         minhash_compact,
         minhash_query,
     )
-    from moisturizer_spark.streaming.near_dup import (
-        _bump_index_watermark,
-        _index_watermark,
-    )
+    from moisturizer_spark.streaming.near_dup import _index_watermark
 
     seed = spark.createDataFrame([(100, BASE)], SCHEMA)
     index = f"{warehouse}/nd_index2"
