@@ -1332,3 +1332,56 @@ def det_pq_top_k(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_drift_report(spark, path: str) -> dict:
+    """Index-health report for a persisted IVF index — the ops
+    affordance behind the frozen-centroid append policy: appends
+    assign to build-time centroids, so a drifting embedding
+    distribution shows up as LIST-SIZE SKEW long before recall
+    visibly degrades. Reports, from one aggregation over the (tiny)
+    per-list counts:
+
+    - ``n_vectors`` / ``n_lists`` / ``mean_list_size``
+    - ``max_list_size`` and ``skew`` (max/mean — 1.0 is perfectly
+      balanced; heavy appends from a shifted distribution push it up)
+    - ``empty_lists`` (lists no vector maps to any more)
+    - ``rebuild_recommended`` — skew > 4 or >25% empty lists, the
+      conventional re-train triggers (faiss guidance: retrain when the
+      add-time distribution departs from the train-time one; the
+      thresholds are heuristics, stated in the output so dashboards
+      can apply their own)
+
+    Cost: one count per list directory — the data itself is not read
+    beyond footers (count pushdown), so this is safe to run on a
+    cadence against any size index."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf.json")) as fh:
+        meta = json.load(fh)
+    counts = {
+        int(r["_c_list"]): r["n"]
+        for r in spark.read.parquet(
+            os.path.join(path, meta.get("data_dir", "data"))
+        )
+        .groupBy("_c_list")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: n_lists rows
+    }
+    n_lists = meta["n_lists"]
+    total = sum(counts.values())
+    mean = total / n_lists if n_lists else 0.0
+    max_sz = max(counts.values(), default=0)
+    empty = n_lists - len(counts)
+    skew = (max_sz / mean) if mean else 0.0
+    return {
+        "n_vectors": total,
+        "n_lists": n_lists,
+        "mean_list_size": round(mean, 2),
+        "max_list_size": max_sz,
+        "empty_lists": empty,
+        "skew": round(skew, 2),
+        "rebuild_recommended": skew > 4.0 or empty > n_lists * 0.25,
+        "thresholds": {"skew": 4.0, "empty_fraction": 0.25},
+    }

@@ -59,6 +59,8 @@ ALLOWED = {
         "query-batch assignment; query side is broadcast-sized by contract",
     ("operators/similarity.py", "ivf_query"):
         "probed list ids: <= n_probes x |queries| ints",
+    ("operators/similarity.py", "ivf_drift_report"):
+        "per-list counts: <= n_lists rows",
     ("operators/similarity.py", "brute_force_top_k"):
         "crossJoin is broadcast(query) by construction — bounded baseline",
     ("operators/similarity.py", "semantic_decontamination"):

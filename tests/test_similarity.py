@@ -378,3 +378,30 @@ def test_det_ann_partitioning_independent(emb):
         a = sorted(map(tuple, fn(emb.repartition(1), queries, k=5).collect()))
         b = sorted(map(tuple, fn(emb.repartition(11), queries, k=5).collect()))
         assert a == b, fn.__name__
+
+
+def test_ivf_drift_report(spark, emb, tmp_path):
+    """Balanced fresh index reports healthy; a pile of appends all
+    landing in one list trips the skew trigger."""
+    from moisturizer_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_drift_report,
+    )
+
+    path = str(tmp_path / "ivf_drift")
+    ivf_build(emb.filter(F.col("vec_id") < 200), path, n_lists=8)
+    rep = ivf_drift_report(spark, path)
+    assert rep["n_vectors"] == 200 and rep["n_lists"] == 8
+    assert not rep["rebuild_recommended"], rep
+
+    # drift: append 5x the corpus, every vector identical -> one list
+    one = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    drifted = spark.createDataFrame(
+        [(10_000 + i, list(one)) for i in range(1000)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_append(spark, path, drifted)
+    rep2 = ivf_drift_report(spark, path)
+    assert rep2["n_vectors"] == 1200
+    assert rep2["skew"] > 4.0 and rep2["rebuild_recommended"], rep2
