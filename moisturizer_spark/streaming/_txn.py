@@ -5,7 +5,7 @@ the same two mechanisms; one definition here so a protocol change —
 sidecar validation, corrupt-file handling — cannot silently drift
 between them:
 
-- :func:`behind` — per-table batch-id txn watermark (the
+- :func:`txn_behind` — per-table batch-id txn watermark (the
   :meth:`~moisturizer_spark.storage.ParquetTable.txn_version` cursor).
 - :func:`index_watermark` / :func:`bump_index_watermark` — the atomic
   (write-temp + ``os.replace``) JSON sidecar watermark for persisted
@@ -23,7 +23,7 @@ from moisturizer_spark.storage import ParquetTable
 TXN_FILE = "_stream_txn.json"
 
 
-def behind(table: ParquetTable, app_id: str, batch_id: int) -> bool:
+def txn_behind(table: ParquetTable, app_id: str, batch_id: int) -> bool:
     v = table.txn_version(app_id)
     return v is None or v < batch_id
 

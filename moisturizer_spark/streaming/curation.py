@@ -37,7 +37,7 @@ from pyspark.sql.streaming import StreamingQuery
 from moisturizer_spark.operators.dedup import incremental_exact_dedup
 from moisturizer_spark.operators.textan import default_quality_rules
 from moisturizer_spark.storage import ParquetTable
-from moisturizer_spark.streaming._txn import behind as _behind_app
+from moisturizer_spark.streaming._txn import txn_behind as _behind_app
 
 APP_ID = "curation_stream"
 

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from moisturizer_spark.streaming._txn import (
-    behind as _behind_app,
+    txn_behind as _behind_app,
     bump_index_watermark as _bump,
     index_watermark as _index_watermark,
 )

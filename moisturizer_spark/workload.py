@@ -5474,6 +5474,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q16_supplier_part_counts",
     """
     WITH bad AS (
         SELECT l_suppkey AS bad_suppkey
