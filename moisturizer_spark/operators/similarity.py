@@ -1005,7 +1005,7 @@ def det_ivf_top_k(
     queries: DataFrame,
     k: int = 5,
     n_lists: int = 8,
-    n_probe: int = 3,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -1187,7 +1187,7 @@ def det_pq_top_k(
     k: int = 5,
     m: int = 8,
     n_codes: int = 8,
-    refine: int = 8,
+    refine: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,

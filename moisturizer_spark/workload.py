@@ -1575,8 +1575,8 @@ def embedding_lsh_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-_IVF_DET_LISTS, _IVF_DET_PROBE = 8, 3
-_PQ_DET_M, _PQ_DET_CODES, _PQ_DET_REFINE = 8, 8, 8
+_IVF_DET_LISTS, _IVF_DET_PROBE = 8, 4
+_PQ_DET_M, _PQ_DET_CODES, _PQ_DET_REFINE = 8, 8, 16
 
 
 def _sql_embedding_ivf_det() -> str:
@@ -1726,7 +1726,7 @@ def embedding_pq_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`moisturizer_spark.operators.similarity.det_pq_top_k`):
     frozen md5-derived codebooks as literals, per-subspace argmin
     encode (LEAST + first-match CASE = numpy first-occurrence argmin),
-    ADC scan over codes only with per-query LUTs, top-40 shortlist,
+    ADC scan over codes only with per-query LUTs, top-80 shortlist (refine=16 — 0.46 measured recall@5 at sf0.1),
     exact cosine re-rank fetched back by id. The k-means-trained
     sibling (``embedding_pq_top5``) stays rows-only with better
     codebooks; here every fold, code, and rank is replayed bit-for-bit

@@ -187,3 +187,12 @@ def test_shuffle_budget(name, spark, sf_dir):
         "or raise the budget DELIBERATELY in the same commit with the "
         "justification in the commit message."
     )
+
+
+def test_query_names_are_identifiers():
+    """Guard for the q16 incident: a careless edit that strips the name
+    argument from a @query decorator silently registers the query under
+    its SQL text (rows-only, no oracle, unbudgetable). Every registry
+    key must be a plain identifier."""
+    bad = sorted(q for q in QUERIES if not q.isidentifier())
+    assert not bad, f"non-identifier query names (broken @query call?): {bad}"
