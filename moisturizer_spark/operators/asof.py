@@ -77,3 +77,105 @@ def asof_join(
         F.col("_match")[right_time].alias(f"{right_time}{suffix}"),
     )
     return out
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    lo_seconds: int,
+    hi_seconds: int,
+    on: list[str] | None = None,
+    right_payload: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Batch interval join: each left row paired with every right row whose
+    time falls in ``[left.t + lo, left.t + hi]`` (inclusive, seconds) —
+    the batch sibling of
+    :func:`moisturizer_spark.streaming.joins.stream_interval_join`, which
+    covers the KEYED case (an equi key makes Spark's planner happy on its
+    own). With no equi key, a naive ``ON r.t BETWEEN l.t+lo AND l.t+hi``
+    is a BroadcastNestedLoopJoin — a cross product that compares every
+    left row with every right row. This operator supplies the missing
+    equi key by TIME BANDING (the classic bucketed range-join rewrite):
+
+    1. band width ``W = (hi - lo + 1) seconds`` (in microseconds), so a
+       left row's admissible window spans at most two bands;
+    2. each right row lands in exactly ONE band
+       (``floor(epoch_us / W)``); each left row probes the ≤2 distinct
+       bands its window overlaps (explode — a ≤2× fan-out);
+    3. equi-join on ``(*on, band)``, then the exact microsecond range
+       filter. A (left,right) pair can meet in at most one band (the
+       right row has one band id), so no post-join dedup is needed.
+
+    Scale: one shuffle per side keyed on ``(*on, band)`` and a
+    sort-merge join — shuffle volume is ~2×|left| + |right| rows, vs the
+    |left|×|right| comparisons of the nested-loop plan. Time-clustered
+    data (everything in one band) skews the band key; widen with ``on``
+    keys when available, or rely on AQE skew splitting — both join
+    children are fresh shuffle reads here, exactly the shape
+    OptimizeSkewedJoin can re-plan (unlike the persisted-table joins in
+    textan, see ``bigram_lm_bits``). Inner semantics only: a band-
+    exploded left side would emit unmatched rows once per probed band,
+    so left-outer composes as aggregate-then-join-back (see the
+    ``events_coactivity`` workload query for the pattern, which gets
+    outer semantics for free by letting each row self-match).
+
+    Band arithmetic is PURE integer (``x - pmod(x, W)) DIV W`` — exact
+    floor division for any sign), on ``unix_micros`` of the timestamp
+    columns, so band assignment can never disagree with the exact
+    filter through float rounding. ``lo/hi`` must be whole seconds with
+    ``lo <= hi``; timestamps are compared at full microsecond precision.
+    TIMESTAMP_NTZ inputs are cast to TIMESTAMP (value-preserving under
+    the session's pinned UTC zone — see ``workload._micros``).
+    """
+    if lo_seconds > hi_seconds:
+        raise ValueError(
+            f"empty interval: lo={lo_seconds} > hi={hi_seconds}"
+        )
+    if on is None:
+        on = []
+    if right_payload is None:
+        right_payload = [
+            c for c in right.columns if c not in on and c != right_time
+        ]
+    width_us = (hi_seconds - lo_seconds + 1) * 1_000_000
+    lo_us, hi_us = lo_seconds * 1_000_000, hi_seconds * 1_000_000
+
+    def _us(col: str) -> F.Column:
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    def _band_sql(us_expr: str) -> str:
+        # exact integer floor division, correct for negative epochs too:
+        # pmod is the non-negative remainder, so the subtraction snaps
+        # down to the band start for either sign, and DIV is then exact.
+        return (
+            f"(({us_expr}) - pmod({us_expr}, {width_us})) DIV {width_us}"
+        )
+
+    lhs = left.withColumn("_ivj_us", _us(left_time)).withColumn(
+        "_ivj_band",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(_band_sql(f"_ivj_us + {lo_us}")),
+                    F.expr(_band_sql(f"_ivj_us + {hi_us}")),
+                )
+            )
+        ),
+    )
+    rhs = right.select(
+        *on,
+        _us(right_time).alias("_ivj_rus"),
+        F.col(right_time).alias(f"{right_time}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+    ).withColumn("_ivj_band", F.expr(_band_sql("_ivj_rus")))
+    joined = lhs.join(
+        rhs,
+        [*on, "_ivj_band"],
+    ).filter(
+        (F.col("_ivj_rus") >= F.col("_ivj_us") + F.lit(lo_us))
+        & (F.col("_ivj_rus") <= F.col("_ivj_us") + F.lit(hi_us))
+    )
+    return joined.drop("_ivj_us", "_ivj_band", "_ivj_rus")

@@ -1293,3 +1293,130 @@ def line_dedup(
         F.size("_kept").cast("bigint").alias("n_lines_kept"),
         "n_lines_dropped",
     )
+
+
+def _signed_micro_per_token(sum_nano_sql: str, n_sql: str = "_n") -> Column:
+    """Sign-aware :func:`_micro_per_token`: half-away-from-zero
+    ``sum_nano / (1000·n)`` in pure integer arithmetic for a BIGINT sum
+    of EITHER sign (``DIV`` truncates toward zero, so the half-away
+    adjustment must be applied to the magnitude) — the same CASE shape
+    the DSIR oracle SQL replays."""
+    s, n = f"({sum_nano_sql})", f"({n_sql})"
+    return F.expr(
+        f"CASE WHEN {s} >= 0"
+        f" THEN (2 * {s} + 1000 * {n}) DIV (2000 * {n})"
+        f" ELSE -((2 * (-{s}) + 1000 * {n}) DIV (2000 * {n})) END"
+    )
+
+
+def nb_log_odds(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Model-based quality filtering via a multinomial Naive-Bayes
+    token classifier — the discriminative sibling of the generative LM
+    scorers (:func:`bigram_lm_bits` / :func:`dsir_log_ratio`), i.e. the
+    GPT-3 / CCNet-lineage "train a classifier on curated-vs-crawl seed
+    text, keep what it likes" recipe (Brown et al. 2020 §A; Wenzek et
+    al. 2020 use fastText — NB is its exchangeable bag-of-words core,
+    and the one whose training is a single exact aggregation).
+
+    ``label_col`` carries the seed labels on the corpus frame itself:
+    1 = curated exemplar, 0 = negative exemplar, NULL = unlabeled.
+    Training uses only labeled rows; scoring covers EVERY row with ≥1
+    token (tokenless docs carry no evidence and are excluded, matching
+    the ≥2-token exclusion of the bigram scorers). Both seed classes
+    must be non-empty in docs and tokens, else ValueError.
+
+    Per document: ``log_odds = log2 P(curated|d) − log2 P(crawl|d)
+    = log2(D1/D0) + Σ_w [log2 P(w|1) − log2 P(w|0)]`` with add-``k``
+    class-conditional token models ``P(w|y) = (C(w,y)+k)/(N(y)+k·V)``
+    over the seed vocabulary ``V`` (out-of-vocabulary tokens take the
+    ``C=0`` ratio — a constant). Returns ``(id_col, *keep_cols,
+    log_odds_per_token, is_curated)``: the length-normalized margin on
+    the 1e-6 grid and the sign of the TOTAL log-odds as 1/0 (``n > 0``,
+    so total and per-token sign agree; an exact 0 scores not-curated).
+
+    Cross-engine determinism: the :func:`bigram_lm_bits` nano-bit
+    recipe — each of the two log2 terms rounds to integer nano-bits
+    before the (exact BIGINT) difference and per-doc sum; the class
+    totals N(y), vocabulary V, and seed doc counts D(y) are exact
+    integers inlined as literals, so numerators/denominators are
+    identical doubles in both engines and only the measure-zero
+    log2-rounding boundary could ever diverge. The final per-token
+    average is sign-aware pure-integer division
+    (:func:`_signed_micro_per_token`).
+
+    Scale: the corpus is scanned twice — once to train (the label
+    filter prunes to the seed slice AT THE SCAN: predicate pushdown on
+    whatever column derives the label), once to score. The only big
+    shuffle is the per-doc aggregation keyed on ``id_col``; the token
+    count table C(w,·) is vocabulary-bounded (map-side combinable
+    aggregation, persisted so totals/vocab/scoring read it without
+    re-scanning the seeds) and the per-word log-ratio table derived
+    from it BROADCASTS to the scoring scan. At 100 TB you'd prune to a
+    top-V vocabulary exactly as the LM scorers document — the OOV
+    constant is already the fallback path. Driver-side actions are two
+    1-row aggregates (totals, doc counts) — bounded.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_y"),
+        *[F.col(c) for c in keep_cols],
+        F.explode(tokens_col(F.col(text_col))).alias("_w"),
+    )
+    cw = materialize(
+        toks.filter(F.col("_y").isNotNull())
+        .groupBy("_w")
+        .agg(
+            F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("_c0"),
+        )
+    )
+    tot = cw.agg(
+        F.sum("_c1"), F.sum("_c0"), F.count(F.lit(1))
+    ).first()
+    n1, n0, vocab = int(tot[0] or 0), int(tot[1] or 0), int(tot[2])
+    dc = df.agg(
+        F.count(F.when(F.col(label_col) == 1, F.lit(1))),
+        F.count(F.when(F.col(label_col) == 0, F.lit(1))),
+    ).first()
+    d1, d0 = int(dc[0]), int(dc[1])
+    if min(n1, n0, d1, d0) == 0:
+        raise ValueError(
+            "nb_log_odds needs both seed classes non-empty (docs and "
+            f"tokens); got docs 1/0 = {d1}/{d0}, tokens 1/0 = {n1}/{n0}"
+        )
+    kf = float(k)
+    den1, den0 = n1 + kf * vocab, n0 + kf * vocab
+    llr = cw.select(
+        "_w",
+        (
+            _nano(F.log2((F.col("_c1") + F.lit(kf)) / F.lit(den1)))
+            - _nano(F.log2((F.col("_c0") + F.lit(kf)) / F.lit(den0)))
+        ).alias("_lw"),
+    )
+    oov = _nano(F.log2(F.lit(kf / den1))) - _nano(F.log2(F.lit(kf / den0)))
+    prior = _nano(F.log2(F.lit(d1 / d0)))
+    return (
+        toks.join(F.broadcast(llr), "_w", "left")
+        .groupBy("_id", *keep_cols)
+        .agg(
+            F.sum(F.coalesce(F.col("_lw"), oov)).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn("_t", F.col("_s") + prior)
+        .withColumn("_micro", _signed_micro_per_token("_t"))
+        .select(
+            F.col("_id").alias(id_col),
+            *keep_cols,
+            (F.col("_micro").cast("double") / F.lit(1e6)).alias(
+                "log_odds_per_token"
+            ),
+            (F.col("_t") > 0).cast("bigint").alias("is_curated"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""banded_interval_join: parity vs a naive quadratic reference, boundary
+exactness to the microsecond, keyed variant, and the no-nested-loop plan
+guarantee that is the operator's whole reason to exist."""
+
+from __future__ import annotations
+
+import contextlib
+import datetime
+import io
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from moisturizer_spark.operators.asof import banded_interval_join
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, ts timestamp, k long")
+
+
+def _naive(rows_l, rows_r, lo, hi, keyed=False):
+    out = set()
+    for a in rows_l:
+        for b in rows_r:
+            if keyed and a[2] != b[2]:
+                continue
+            if (
+                a[1] + datetime.timedelta(seconds=lo)
+                <= b[1]
+                <= a[1] + datetime.timedelta(seconds=hi)
+            ):
+                out.add((a[0], b[0]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def random_rows():
+    rng = random.Random(7)
+    return [
+        (
+            i,
+            BASE + datetime.timedelta(microseconds=rng.randint(0, 3_600_000_000)),
+            rng.randint(0, 5),
+        )
+        for i in range(250)
+    ]
+
+
+@pytest.mark.parametrize("lo,hi", [(-120, 120), (30, 90), (-90, -30), (0, 0)])
+def test_parity_vs_naive(spark, random_rows, lo, hi):
+    df = _mk(spark, random_rows)
+    out = banded_interval_join(
+        df.select(F.col("id").alias("lid"), "ts"),
+        df.select(F.col("id").alias("rid"), F.col("ts").alias("rts")),
+        "ts",
+        "rts",
+        lo,
+        hi,
+    )
+    got = {(r.lid, r.rid_right) for r in out.collect()}
+    assert got == _naive(random_rows, random_rows, lo, hi)
+
+
+def test_keyed_parity_vs_naive(spark, random_rows):
+    df = _mk(spark, random_rows)
+    out = banded_interval_join(
+        df.select(F.col("id").alias("lid"), "ts", "k"),
+        df.select(F.col("id").alias("rid"), F.col("ts").alias("rts"), "k"),
+        "ts",
+        "rts",
+        -120,
+        120,
+        on=["k"],
+    )
+    got = {(r.lid, r.rid_right) for r in out.collect()}
+    assert got == _naive(random_rows, random_rows, -120, 120, keyed=True)
+
+
+def test_boundaries_exact_to_the_microsecond(spark):
+    rows = [
+        (0, BASE, 0),
+        (1, BASE + datetime.timedelta(seconds=120), 0),
+        (2, BASE + datetime.timedelta(seconds=120, microseconds=1), 0),
+        (3, BASE - datetime.timedelta(seconds=120), 0),
+        (4, BASE - datetime.timedelta(seconds=120, microseconds=1), 0),
+    ]
+    df = _mk(spark, rows)
+    out = banded_interval_join(
+        df.select(F.col("id").alias("lid"), "ts"),
+        df.select(F.col("id").alias("rid"), F.col("ts").alias("rts")),
+        "ts",
+        "rts",
+        -120,
+        120,
+    )
+    matches_of_0 = {r.rid_right for r in out.collect() if r.lid == 0}
+    # ±120s inclusive; one microsecond beyond is out
+    assert matches_of_0 == {0, 1, 3}
+
+
+def test_no_duplicate_pairs(spark, random_rows):
+    df = _mk(spark, random_rows)
+    out = banded_interval_join(
+        df.select(F.col("id").alias("lid"), "ts"),
+        df.select(F.col("id").alias("rid"), F.col("ts").alias("rts")),
+        "ts",
+        "rts",
+        -120,
+        120,
+    )
+    pairs = [(r.lid, r.rid_right) for r in out.collect()]
+    assert len(pairs) == len(set(pairs)), "a pair matched in two bands"
+
+
+def test_plan_is_equi_join_not_nested_loop(spark, random_rows):
+    df = _mk(spark, random_rows)
+    out = banded_interval_join(
+        df.select(F.col("id").alias("lid"), "ts"),
+        df.select(F.col("id").alias("rid"), F.col("ts").alias("rts")),
+        "ts",
+        "rts",
+        -120,
+        120,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_empty_interval_rejected(spark, random_rows):
+    df = _mk(spark, random_rows)
+    with pytest.raises(ValueError, match="empty interval"):
+        banded_interval_join(df, df, "ts", "ts", 10, 5)

@@ -60,6 +60,7 @@ BUDGETS = {
     "docs_pack_ffd": 3,
     "docs_perplexity_buckets": 6,
     "docs_pii_scan": 2,
+    "docs_quality_classifier": 4,
     "docs_quality_funnel": 2,
     "docs_remove_dup_spans": 3,
     "docs_remove_dup_spans_hashed": 3,
@@ -84,6 +85,7 @@ BUDGETS = {
     "embedding_top5_cosine": 2,
     "event_type_audience_overlap": 8,
     "events_7day_moving": 3,
+    "events_coactivity": 3,
     "events_cohort_retention": 4,
     "events_conversion_paths": 3,
     "events_daily": 2,

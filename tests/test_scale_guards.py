@@ -85,6 +85,9 @@ ALLOWED = {
         "vocabulary-size scalar from the cached count table",
     ("operators/textan.py", "dsir_log_ratio"):
         "two vocabulary-size scalars from cached count tables",
+    ("operators/textan.py", "nb_log_odds"):
+        "two 1-row aggregates: class token totals + vocab off the "
+        "cached count table; seed doc counts",
     ("sinks.py", "write_training_shards"): "manifest stats: n_shards rows",
 }
 

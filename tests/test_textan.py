@@ -1128,3 +1128,116 @@ def test_importance_resample_clamps_extreme_ratios(spark):
     # the clamped run is deterministic and the normalizer is sane:
     # plain docs still get drawn at ~n_target*1e6/sum_w rates
     assert len(ids) >= 1
+
+
+# -- nb_log_odds: the Naive-Bayes quality classifier ------------------------
+
+
+def _nb_ref(docs, k=0.5):
+    """Pure-Python replay of the exact nb_log_odds integer pipeline:
+    same tokenizer, same nano-bit rounding (half-away — the sign split
+    keeps Python's floor-based idiom equivalent), same sign-aware
+    integer division. Exact-equality ground truth."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def nano(x):
+        m = math.floor(abs(x) * 1e9 + 0.5)
+        return m if x >= 0 else -m
+
+    c1, c0 = Counter(), Counter()
+    d1 = d0 = 0
+    for _id, y, t in docs:
+        if y == 1:
+            d1 += 1
+            c1.update(toks(t))
+        elif y == 0:
+            d0 += 1
+            c0.update(toks(t))
+    vocab = set(c1) | set(c0)
+    n1, n0, v = sum(c1.values()), sum(c0.values()), len(vocab)
+    den1, den0 = n1 + k * v, n0 + k * v
+    oov = nano(math.log2(k / den1)) - nano(math.log2(k / den0))
+    prior = nano(math.log2(d1 / d0))
+    out = {}
+    for _id, y, t in docs:
+        ws = toks(t)
+        if not ws:
+            continue
+        s = prior + sum(
+            nano(math.log2((c1[w] + k) / den1))
+            - nano(math.log2((c0[w] + k) / den0))
+            if w in vocab
+            else oov
+            for w in ws
+        )
+        n = len(ws)
+        mag = (2 * abs(s) + 1000 * n) // (2000 * n)
+        micro = mag if s >= 0 else -mag
+        out[_id] = (micro / 1e6, 1 if s > 0 else 0)
+    return out
+
+
+_NB_DOCS = [
+    (0, 1, "alpha beta gamma alpha fast sort"),
+    (1, 1, "beta gamma beta table merge alpha"),
+    (2, 1, "gamma alpha window beta beta"),
+    (3, 0, "zeta eta theta spam spam click"),
+    (4, 0, "eta theta zeta click here now"),
+    (5, 0, "theta zeta eta buy buy buy"),
+    (6, None, "alpha beta gamma window sort"),     # curated-looking
+    (7, None, "spam click buy zeta theta"),        # crawl-looking
+    (8, None, "completely novel unseen words"),    # OOV-only
+    (9, None, ""),                                  # tokenless: excluded
+    (10, None, "!!! ??? ..."),                      # tokenless after split
+]
+
+
+def test_nb_log_odds_matches_pure_python_reference(spark):
+    from moisturizer_spark.operators.textan import nb_log_odds
+
+    df = spark.createDataFrame(
+        [(i, y, t) for i, y, t in _NB_DOCS], "doc_id long, label int, text string"
+    )
+    got = {
+        r.doc_id: (r.log_odds_per_token, r.is_curated)
+        for r in nb_log_odds(df).collect()
+    }
+    want = _nb_ref(_NB_DOCS)
+    assert got == want
+    # tokenless docs excluded
+    assert 9 not in got and 10 not in got
+    # the planted semantics: curated vocabulary scores positive,
+    # crawl vocabulary negative
+    assert got[6][1] == 1 and got[0][1] == 1
+    assert got[7][1] == 0 and got[3][1] == 0
+
+
+def test_nb_log_odds_requires_both_classes(spark):
+    from moisturizer_spark.operators.textan import nb_log_odds
+
+    df = spark.createDataFrame(
+        [(0, 1, "only positive seeds here")], "doc_id long, label int, text string"
+    )
+    with pytest.raises(ValueError, match="both seed classes"):
+        nb_log_odds(df).collect()
+
+
+def test_nb_log_odds_llr_table_broadcasts(spark):
+    """The per-word log-ratio table must broadcast to the scoring scan
+    (vocabulary-bounded by construction) — the 100 TB plan shape."""
+    import contextlib
+    import io
+
+    from moisturizer_spark.operators.textan import nb_log_odds
+
+    df = spark.createDataFrame(
+        [(i, y, t) for i, y, t in _NB_DOCS], "doc_id long, label int, text string"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        nb_log_odds(df).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
