@@ -338,3 +338,85 @@ def temperature_weights(
     return sizes.withColumn(
         out_col, F.round(pw / F.sum(pw).over(w), 6)
     )
+
+
+_ES_SPAN = 4294967297.0  # 2^32 + 1: maps the 32-bit hash into (0, 1]
+
+
+def weighted_score(key: Column, weight: Column, salt: str = "wsample:") -> Column:
+    """Efraimidis–Spirakis exponential-sort key for weighted sampling
+    WITHOUT replacement ("Weighted random sampling with a reservoir",
+    IPL 2006): rank items by ``u^(1/w)`` — equivalently ``ln(u)/w`` —
+    and the top-n are an exact weighted sample. The uniform draw is the
+    suite's deterministic md5 recipe (:func:`hash_fraction`'s first-8-
+    hex-chars hash), shifted into (0, 1] — ``(h+1)/(2^32+1)`` — so
+    ``ln`` never sees 0; u = 1 maps to score 0, the maximum, which is
+    fine (it is a measure-2^-32 best draw, not an error).
+
+    Rounded to 6 digits before any ranking (the suite's ln-ulp
+    convention — Spark's and DuckDB's ``ln`` differ in the final ulp
+    for ~1% of inputs, below the rounding grain); callers must break
+    ties on a unique key. Non-positive weights are the caller's job to
+    exclude (``w <= 0`` would divide by zero or flip the sign).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(_ES_SPAN)
+    return F.round(F.log(u) / weight.cast("double"), 6)
+
+
+def sql_weighted_score(
+    key_sql: str, weight_sql: str, salt: str = "wsample:"
+) -> str:
+    """DuckDB rendering of :func:`weighted_score` (oracle parity):
+    identical integer hash, identical (0,1] shift — exact IEEE division
+    of exact integers — and ln differences land below the 6-digit
+    rounding grain."""
+    return (
+        f"ROUND(ln((CAST(('0x' || substr(md5('{salt}' || "
+        f"CAST({key_sql} AS VARCHAR)), 1, 8)) AS BIGINT) + 1) "
+        f"/ {_ES_SPAN!r}) / CAST({weight_sql} AS DOUBLE), 6)"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    by: tuple[str, ...] = (),
+    salt: str = "wsample:",
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the ``n``
+    highest :func:`weighted_score` rows (per ``by`` group if given) —
+    inclusion probability ∝ weight, exactly the A-ES guarantee, yet
+    fully replayable from (key, salt) alone. The corpus-curation use:
+    "sample 100k docs per source, ∝ quality score" without an RNG whose
+    partitioning changes the answer.
+
+    Rows with non-positive weight are excluded (never sampled — the
+    limit of w→0⁺, and the only sound reading of w=0). Scale: one
+    window over (by) ordered by (score, key); per-group top-n is a
+    WindowGroupLimit — each task keeps n rows before the final
+    per-group merge, so the sort never materializes a full partition.
+    Grouped calls (``by`` non-empty) shard the window; a global sample
+    funnels the n survivors of each task through one final merge —
+    bounded by n×tasks, fine for n ≪ corpus, the operator's use case.
+    """
+    w = (
+        Window.partitionBy(*by).orderBy(
+            F.col(score_col).desc(), F.col(key_col).asc()
+        )
+    )
+    scored = df.filter(F.col(weight_col) > 0).withColumn(
+        score_col, weighted_score(F.col(key_col), F.col(weight_col), salt)
+    )
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .filter(F.col(rank_col) <= n)
+    )

@@ -6259,6 +6259,59 @@ def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["embedding_diversity_sample"] = embedding_diversity_sample
 
 
+@query(
+    "docs_weighted_sample",
+    """
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(ln((CAST(('0x' || substr(md5('wsample:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                        / 4294967297.0) / CAST(n_chars AS DOUBLE), 6)
+                 AS score
+        FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+        SELECT source, doc_id, n_chars, score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM s
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id, n_chars, score
+    FROM r WHERE rnk <= 5 ORDER BY source, rank
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis A-ES:
+    the 5 docs per source sampled with inclusion probability ∝ document
+    length (stand-in for any quality weight), via the exponential-sort
+    rule rank-by-``ln(u)/w`` with a DETERMINISTIC md5 uniform draw —
+    the curation sampler that needs no RNG state and replays identically
+    at any partitioning (:func:`moisturizer_spark.operators.sampling.
+    weighted_sample`).
+
+    Determinism: u = (first-8-hex(md5) + 1)/(2³²+1) is exact IEEE
+    division of exact integers in both engines; ln's last-ulp
+    disagreement sits below the 6-digit rounding grain (the suite's
+    tfidf convention); doc_id breaks ties totally. Scale: one window
+    per source — WindowGroupLimit keeps 5 rows per task before the
+    merge, no full sort materializes; weights scan straight off the
+    parquet column."""
+    from moisturizer_spark.operators.sampling import weighted_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        weighted_sample(
+            t["documents"].select("doc_id", "source", "n_chars"),
+            n=5,
+            weight_col="n_chars",
+            key_col="doc_id",
+            by=("source",),
+        )
+        .select("source", "rank", "doc_id", "n_chars", "score")
+        .orderBy("source", "rank")
+    )
+
+
 _NB_POS = ("src0", "src1", "src2")
 _NB_NEG = ("src17", "src18", "src19")
 
@@ -6453,6 +6506,7 @@ _NEEDS_DRIVER_ROW = [
     # against the round-5 end commit — new queries, the conversion-paths
     # rewrite, the LM-operator skew_guard edits, newly-oracle FFD/BPE)
     "events_coactivity",              # NEW: banded keyless interval join
+    "docs_weighted_sample",           # NEW: det A-ES weighted sampling
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
@@ -6504,7 +6558,6 @@ _NEEDS_DRIVER_ROW = [
     "multimodal_payload_stats",
     "q10_returned_items",
     "q11_important_stock",
-    "q13_customer_order_counts",
 ]
 
 

@@ -66,6 +66,7 @@ BUDGETS = {
     "docs_remove_dup_spans_hashed": 3,
     "docs_simhash_det_near_dup": 2,
     "docs_vocab_growth": 3,
+    "docs_weighted_sample": 2,
     "docs_winnowing_det_near_dup": 2,
     "docs_winnowing_near_dup": 2,
     "embedding_cosine_near_dup": 1,

@@ -210,3 +210,75 @@ def test_expand_epochs_docs_may_carry_size_col(spark):
     # the doc-side n_tokens survives, un-shadowed by the plan's total
     assert out.columns == ["source", "doc_id", "n_tokens", "epoch_idx"]
     assert out.select("n_tokens").distinct().collect() == [(10,)]
+
+
+# -- weighted_sample: deterministic A-ES ------------------------------------
+
+
+def _es_ref(items, salt="wsample:"):
+    """Pure-Python replay of weighted_score: md5 first-8-hex uniform
+    shifted to (0,1], ln(u)/w rounded to 6 digits."""
+    import hashlib
+    import math
+
+    out = {}
+    for key, w in items:
+        h = int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967297.0
+        out[key] = round(math.log(u) / float(w), 6)
+    return out
+
+
+def test_weighted_sample_matches_pure_python_reference(spark):
+    from moisturizer_spark.operators.sampling import weighted_sample
+
+    items = [(i, 1 + (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(items, "doc_id long, w long")
+    got = {
+        r.doc_id: (r.score, r.rank)
+        for r in weighted_sample(
+            df, n=10, weight_col="w", key_col="doc_id"
+        ).collect()
+    }
+    ref = _es_ref(items)
+    want_order = sorted(ref, key=lambda k: (-ref[k], k))[:10]
+    assert got == {k: (ref[k], i + 1) for i, k in enumerate(want_order)}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from moisturizer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, 7)], "doc_id long, w long"
+    )
+    kept = {
+        r.doc_id
+        for r in weighted_sample(
+            df, n=10, weight_col="w", key_col="doc_id"
+        ).collect()
+    }
+    assert kept == {1, 4}
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """A-ES law: across independent draws (salts), the heavy item must
+    win top-1 roughly w_heavy/Σw of the time. With w=(8,1,1) over 300
+    salts, heavy's win count is Binomial(300, 0.8): ±5σ ≈ ±35."""
+    from moisturizer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 8), (2, 1), (3, 1)], "doc_id long, w long"
+    )
+    wins = 0
+    frames = []
+    for s in range(300):
+        frames.append(
+            weighted_sample(
+                df, n=1, weight_col="w", key_col="doc_id", salt=f"t{s}:"
+            ).select("doc_id")
+        )
+    from functools import reduce
+
+    allw = reduce(lambda a, b: a.unionAll(b), frames).collect()
+    wins = sum(1 for r in allw if r.doc_id == 1)
+    assert 240 - 35 <= wins <= 240 + 35, wins

@@ -483,3 +483,78 @@ def test_running_user_topk_transform_with_state(spark, warehouse):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_banded_interval_join_keyless(spark, sf_dir, warehouse):
+    """The banded stream-stream join must (a) match the batch banded
+    operator pair-for-pair, and (b) exist for a reason: the same
+    keyless join WITHOUT banding is rejected by Structured Streaming's
+    no-equality-predicate rule."""
+    from moisturizer_spark.operators.asof import banded_interval_join
+    from moisturizer_spark.streaming.joins import stream_banded_interval_join
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("ts").alias("vts")
+    )
+    batch = banded_interval_join(
+        purchases, views, "ts", "vts", -120, 120, right_payload=["vid"]
+    )
+    batch_pairs = {(r.event_id, r.vid_right) for r in batch.collect()}
+    assert batch_pairs, "fixture must produce at least one in-window pair"
+
+    src_p, src_v = os.path.join(warehouse, "bp"), os.path.join(warehouse, "bv")
+    purchases.select(
+        "event_id", F.col("ts").cast("string").alias("ts")
+    ).coalesce(1).write.mode("overwrite").json(src_p)
+    views.select(
+        "vid", F.col("vts").cast("string").alias("vts")
+    ).coalesce(1).write.mode("overwrite").json(src_v)
+
+    def stream(src, schema, ts):
+        return (
+            spark.readStream.schema(schema)
+            .json(src)
+            .withColumn(ts, F.to_timestamp(ts))
+        )
+
+    sp = stream(src_p, "event_id long, ts string", "ts")
+    sv = stream(src_v, "vid long, vts string", "vts")
+
+    # (b) the unbanded keyless range join is not a legal streaming plan
+    naive = sp.join(
+        sv,
+        (F.col("vts") >= F.col("ts") - F.expr("INTERVAL 120 SECONDS"))
+        & (F.col("vts") <= F.col("ts") + F.expr("INTERVAL 120 SECONDS")),
+    )
+    with pytest.raises(Exception, match="(?i)equality|not supported"):
+        (
+            naive.writeStream.format("memory")
+            .queryName("naive_keyless")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+
+    # (a) the banded join runs and matches batch exactly
+    q = (
+        stream_banded_interval_join(
+            sp, sv, "ts", "vts", -120, 120, right_payload=("vid",)
+        )
+        .select("event_id", "vid_right")
+        .writeStream.format("memory")
+        .queryName("banded_keyless")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_pairs = {
+        (r[0], r[1])
+        for r in spark.sql("SELECT * FROM banded_keyless").collect()
+    }
+    assert stream_pairs == batch_pairs
