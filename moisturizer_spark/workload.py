@@ -6259,6 +6259,56 @@ def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["embedding_diversity_sample"] = embedding_diversity_sample
 
 
+_Z_TERMS = " | ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+@query(
+    "events_zorder_histogram",
+    f"""
+    WITH m AS (SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+    z AS (SELECT ({_Z_TERMS}) AS zv FROM m)
+    SELECT CAST(zv >> 12 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(zv) AS BIGINT) AS min_z,
+           CAST(MAX(zv) AS BIGINT) AS max_z
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+)
+def events_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code (Z-order) histogram over (user_id, event_id) mod 256:
+    the bit-interleave that drives the Z-ordered table layout
+    (:func:`moisturizer_spark.bucketing.zvalue` /
+    :func:`~moisturizer_spark.bucketing.write_zordered` — multi-column
+    data skipping at the parquet scan), pinned cross-engine as a driver
+    row: 16 shift/and/or terms per row, bucketed by the top 4 bits.
+
+    Determinism: pure integer bit arithmetic — nothing to round.
+    Scale: one scan, one 16-group aggregate; the real operator's write
+    path adds a range partition + within-partition sort, amortized over
+    every subsequent multi-column range scan (see tests/test_zorder.py
+    for the measured worst-column file-skip bound)."""
+    from moisturizer_spark.bucketing import zvalue
+
+    t = load_tables(spark, sf_dir, ("events",))
+    m = t["events"].select(
+        F.pmod(F.col("user_id"), F.lit(256)).alias("x"),
+        F.pmod(F.col("event_id"), F.lit(256)).alias("y"),
+    )
+    z = m.select(zvalue([F.col("x"), F.col("y")], 8).alias("zv"))
+    return (
+        z.groupBy(F.shiftright(F.col("zv"), 12).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("zv").cast("bigint").alias("min_z"),
+            F.max("zv").cast("bigint").alias("max_z"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
 @query(
     "docs_weighted_sample",
     """
@@ -6507,6 +6557,7 @@ _NEEDS_DRIVER_ROW = [
     # rewrite, the LM-operator skew_guard edits, newly-oracle FFD/BPE)
     "events_coactivity",              # NEW: banded keyless interval join
     "docs_weighted_sample",           # NEW: det A-ES weighted sampling
+    "events_zorder_histogram",        # NEW: Morton-code layout arithmetic
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
@@ -6557,7 +6608,6 @@ _NEEDS_DRIVER_ROW = [
     "langid_confusion",
     "multimodal_payload_stats",
     "q10_returned_items",
-    "q11_important_stock",
 ]
 
 

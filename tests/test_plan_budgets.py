@@ -104,6 +104,7 @@ BUDGETS = {
     "events_unpivot": 3,
     "events_user_pivot": 2,
     "events_volume_anomalies": 3,
+    "events_zorder_histogram": 2,
     "lang_sources_csv": 3,
     "langid_confusion": 2,
     "late_shipment_priority": 2,
