@@ -95,6 +95,20 @@ def test_string_collation_is_codepoint(con):
     )
 
 
+def test_bit_operators_match_spark(con):
+    """The zorder oracle (events_zorder_histogram) replays Morton codes
+    with `>> << & |` on non-negative BIGINTs; Spark's shiftright /
+    shiftleft / bitwiseAND / bitwiseOR must agree on that domain."""
+    cases = [
+        ("(13 >> 2) & 1", (13 >> 2) & 1),
+        ("(5 << 3) | 6", (5 << 3) | 6),
+        ("(255 >> 4)", 255 >> 4),
+        ("(1 << 15) | (1 << 0)", (1 << 15) | 1),
+    ]
+    for sql, want in cases:
+        assert _one(con, sql) == want, f"DuckDB bit op drift: {sql}"
+
+
 def test_validated_duckdb_version_documented():
     """Not an equality gate (a bump with intact semantics above is
     fine) — but record the validated version so a red mirror run after
