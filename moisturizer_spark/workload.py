@@ -1296,14 +1296,17 @@ _MINHASH_DET_HASHES, _MINHASH_DET_THRESHOLD = 16, 0.6
 _LSH_DET_TABLES, _LSH_DET_PLANES, _LSH_DET_DIM = 6, 4, 64
 
 
-def _sql_minhash_det() -> str:
+def _sql_minhash_det_ctes() -> str:
+    """The det-MinHash CTE chain up to per-pair ``jaccard_distance``
+    (CTE ``dist``) — shared by the standalone near-dup query and the
+    quality-winner composition so the pipeline replay can never
+    drift between them."""
     from moisturizer_spark.operators.dedup import _band_shape, sql_det_hash60
 
     num_hashes, threshold = _MINHASH_DET_HASHES, _MINHASH_DET_THRESHOLD
     bands, rows = _band_shape(num_hashes, threshold)
     h = sql_det_hash60("{p}", "s")
-    return f"""
-    WITH d AS (SELECT doc_id, regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g') AS t
+    return f"""d AS (SELECT doc_id, regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g') AS t
                FROM documents WHERE doc_id < 100),
     sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS s
            FROM d, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
@@ -1324,15 +1327,22 @@ def _sql_minhash_det() -> str:
            FROM cand c
            JOIN hs ha ON ha.doc_id = c.id_a
            JOIN hs hb ON hb.doc_id = c.id_b AND hb.hv = ha.hv
-           GROUP BY c.id_a, c.id_b)
-    SELECT id_a, id_b,
-           1.0 - CAST(common AS DOUBLE)
-                 / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard_distance
-    FROM cm JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-    WHERE 1.0 - CAST(common AS DOUBLE)
-              / CAST(sa.sz + sb.sz - common AS DOUBLE) <= {1.0 - threshold!r}
-    ORDER BY id_a, id_b
+           GROUP BY c.id_a, c.id_b),
+    dist AS (SELECT id_a, id_b,
+                    1.0 - CAST(common AS DOUBLE)
+                          / CAST(sa.sz + sb.sz - common AS DOUBLE)
+                      AS jaccard_distance
+             FROM cm JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+             WHERE 1.0 - CAST(common AS DOUBLE)
+                       / CAST(sa.sz + sb.sz - common AS DOUBLE)
+                   <= {1.0 - threshold!r})"""
+
+
+def _sql_minhash_det() -> str:
+    return f"""
+    WITH {_sql_minhash_det_ctes()}
+    SELECT id_a, id_b, jaccard_distance FROM dist ORDER BY id_a, id_b
     """
 
 
@@ -6366,10 +6376,11 @@ _NB_POS = ("src0", "src1", "src2")
 _NB_NEG = ("src17", "src18", "src19")
 
 
-@query(
-    "docs_quality_classifier",
-    f"""
-    WITH lab AS (SELECT doc_id, source, text,
+# Shared by docs_quality_classifier and docs_near_dup_quality_winner:
+# the Naive-Bayes scoring chain through the per-doc `doc` CTE (raw
+# BIGINT log-odds sum `s` + token count `n`) — ONE source of truth so
+# the two consumers can never drift on the model recipe.
+_NB_SCORE_CTES = f"""lab AS (SELECT doc_id, source, text,
            CASE WHEN source IN {_NB_POS!r} THEN 1
                 WHEN source IN {_NB_NEG!r} THEN 0 END AS lbl
          FROM documents),
@@ -6398,13 +6409,23 @@ _NB_NEG = ("src17", "src18", "src19")
               con.prior + SUM(COALESCE(l.lw, con.oov)) AS s,
               COUNT(*) AS n
             FROM tok t LEFT JOIN llr l ON t.w = l.w CROSS JOIN con
-            GROUP BY t.doc_id, t.source, con.prior)
+            GROUP BY t.doc_id, t.source, con.prior),
+    nbmicro AS (SELECT doc_id, source,
+              CAST(CASE WHEN s >= 0 THEN (2 * s + 1000 * n) // (2000 * n)
+                   ELSE -((2 * (-s) + 1000 * n) // (2000 * n)) END AS BIGINT)
+                AS micro,
+              CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_curated
+            FROM doc)"""
+
+
+@query(
+    "docs_quality_classifier",
+    f"""
+    WITH {_NB_SCORE_CTES}
     SELECT doc_id, source,
-      CAST(CASE WHEN s >= 0 THEN (2 * s + 1000 * n) // (2000 * n)
-           ELSE -((2 * (-s) + 1000 * n) // (2000 * n)) END AS DOUBLE)
-        / 1000000.0 AS log_odds_per_token,
-      CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_curated
-    FROM doc ORDER BY doc_id
+           CAST(micro AS DOUBLE) / 1000000.0 AS log_odds_per_token,
+           is_curated
+    FROM nbmicro ORDER BY doc_id
     """,
 )
 def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6440,6 +6461,86 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb_log_odds(labeled, label_col="lbl", keep_cols=("source",))
         .select("doc_id", "source", "log_odds_per_token", "is_curated")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_near_dup_quality_winner",
+    f"""
+    WITH {_sql_minhash_det_ctes()},
+    {_NB_SCORE_CTES}
+    SELECT p.id_a, p.id_b, p.jaccard_distance,
+           CASE WHEN sb.micro > sa.micro THEN p.id_b ELSE p.id_a END
+             AS keep_id,
+           CASE WHEN sb.micro > sa.micro THEN p.id_a ELSE p.id_b END
+             AS drop_id,
+           CAST(ABS(sa.micro - sb.micro) AS DOUBLE) / 1000000.0
+             AS quality_margin
+    FROM dist p
+    JOIN nbmicro sa ON sa.doc_id = p.id_a
+    JOIN nbmicro sb ON sb.doc_id = p.id_b
+    ORDER BY p.id_a, p.id_b
+    """,
+)
+def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, not just the pair list: for every det-MinHash
+    near-dup pair, keep the document the quality classifier scores
+    higher (ties keep the smaller id) — the composition a curation
+    pipeline actually runs ("of these two near-identical crawls, keep
+    the curated-looking one"). Chains two oracle-provable families —
+    det-MinHash edges (:func:`docs_minhash_det_near_dup`) and
+    Naive-Bayes scores (:func:`docs_quality_classifier`) — through
+    shared CTE helpers, so neither replay can drift from its
+    standalone query.
+
+    Determinism: winner comparison is on INTEGER micro scores
+    (recovered exactly from the 1e-6-grid double); margins are integer
+    differences. Scale: the pair set is banded-LSH bounded; the
+    classifier table joins it by id — at 100 TB you'd semi-join prune
+    the scoring scan to pair participants first (the pair set is ≪
+    corpus by construction)."""
+    from moisturizer_spark.operators.dedup import minhash_near_duplicates
+    from moisturizer_spark.operators.textan import nb_log_odds
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    pairs = minhash_near_duplicates(
+        subset,
+        num_hashes=_MINHASH_DET_HASHES,
+        threshold=_MINHASH_DET_THRESHOLD,
+        det=True,
+    )
+    labeled = t["documents"].select(
+        "doc_id",
+        "text",
+        F.when(F.col("source").isin(*_NB_POS), 1)
+        .when(F.col("source").isin(*_NB_NEG), 0)
+        .alias("lbl"),
+    )
+    scores = nb_log_odds(labeled, label_col="lbl").select(
+        "doc_id",
+        F.round(F.col("log_odds_per_token") * F.lit(1e6))
+        .cast("long")
+        .alias("micro"),
+    )
+    sa = scores.select(F.col("doc_id").alias("id_a"), F.col("micro").alias("micro_a"))
+    sb = scores.select(F.col("doc_id").alias("id_b"), F.col("micro").alias("micro_b"))
+    b_wins = F.col("micro_b") > F.col("micro_a")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_distance",
+            F.when(b_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("keep_id"),
+            F.when(b_wins, F.col("id_a")).otherwise(F.col("id_b")).alias("drop_id"),
+            (
+                F.abs(F.col("micro_a") - F.col("micro_b")).cast("double")
+                / F.lit(1e6)
+            ).alias("quality_margin"),
+        )
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -6558,6 +6659,7 @@ _NEEDS_DRIVER_ROW = [
     "events_coactivity",              # NEW: banded keyless interval join
     "docs_weighted_sample",           # NEW: det A-ES weighted sampling
     "events_zorder_histogram",        # NEW: Morton-code layout arithmetic
+    "docs_near_dup_quality_winner",   # NEW: det-minhash x NB composition
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
@@ -6607,7 +6709,6 @@ _NEEDS_DRIVER_ROW = [
     "events_kmv_audience",
     "langid_confusion",
     "multimodal_payload_stats",
-    "q10_returned_items",
 ]
 
 
