@@ -137,3 +137,84 @@ def test_empty_interval_rejected(spark, random_rows):
     df = _mk(spark, random_rows)
     with pytest.raises(ValueError, match="empty interval"):
         banded_interval_join(df, df, "ts", "ts", 10, 5)
+
+
+def test_banded_join_traffic_spike_parity_and_aqe_split(spark):
+    """The operator's skew story, proven rather than asserted: a traffic
+    spike concentrates one band, and — unlike the textan scoring joins,
+    whose cached build side AQE cannot re-plan — BOTH children here are
+    fresh shuffle reads, exactly the shape OptimizeSkewedJoin handles.
+    With the skew thresholds floored the executed plan must show a
+    skew=true split, and the pair count must still be exact (numpy
+    two-pointer ground truth)."""
+    import numpy as np
+
+    rng = random.Random(13)
+    spike = [
+        (i, BASE + datetime.timedelta(microseconds=rng.randint(0, 240_000_000)), 0)
+        for i in range(600)
+    ]
+    spread = [
+        (
+            4000 + i,
+            BASE
+            + datetime.timedelta(hours=2)
+            + datetime.timedelta(microseconds=rng.randint(0, 3_600_000_000)),
+            0,
+        )
+        for i in range(400)
+    ]
+    rows = spike + spread
+
+    def _us(dt):
+        td = dt - BASE
+        return (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                + td.microseconds)
+
+    df = _mk(spark, rows)
+    us = np.sort(np.array([_us(r[1]) for r in rows], dtype=np.int64))
+    lo = np.searchsorted(us, us - 120_000_000, side="left")
+    hi = np.searchsorted(us, us + 120_000_000, side="right")
+    want = int((hi - lo).sum())
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "2048",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        out = banded_interval_join(
+            df.select(F.col("id").alias("lid"), "ts"),
+            df.select(F.col("id").alias("rid"), F.col("ts").alias("rts")),
+            "ts",
+            "rts",
+            -120,
+            120,
+        )
+        # collect the Dataset itself so ITS adaptive plan finalizes
+        # (count() would execute a different query execution)
+        got = len(out.collect())
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert got == want
+        assert "skew=true" in plan, (
+            "AQE did not split the spiked band — the operator's "
+            "documented skew story no longer holds"
+        )
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                conf.unset(key)
+            else:
+                conf.set(key, val)
