@@ -558,3 +558,32 @@ def test_stream_banded_interval_join_keyless(spark, sf_dir, warehouse):
         for r in spark.sql("SELECT * FROM banded_keyless").collect()
     }
     assert stream_pairs == batch_pairs
+
+
+def test_stream_banded_interval_join_batch_mode(spark, sf_dir):
+    """The docstring's one-code-path claim: the streaming operator run
+    on BATCH frames (watermarks no-op) equals the batch banded operator
+    exactly — so backfills can reuse the streaming definition."""
+    from moisturizer_spark.operators.asof import banded_interval_join
+    from moisturizer_spark.streaming.joins import stream_banded_interval_join
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("ts").alias("vts")
+    )
+    via_stream_op = {
+        (r.event_id, r.vid_right)
+        for r in stream_banded_interval_join(
+            purchases, views, "ts", "vts", -120, 120, right_payload=("vid",)
+        ).collect()
+    }
+    via_batch_op = {
+        (r.event_id, r.vid_right)
+        for r in banded_interval_join(
+            purchases, views, "ts", "vts", -120, 120, right_payload=["vid"]
+        ).collect()
+    }
+    assert via_stream_op == via_batch_op and via_stream_op
