@@ -6495,8 +6495,12 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: winner comparison is on INTEGER micro scores
     (recovered exactly from the 1e-6-grid double); margins are integer
-    differences. Scale: the pair set is banded-LSH bounded; the
-    classifier table joins it by id — at 100 TB you'd semi-join prune
+    differences. Scale: the pair set is banded-LSH bounded; the pairs
+    MELT to (pair, side, doc_id) rows so the classifier pipeline — the
+    expensive part — is joined ONCE (two plain join branches would
+    re-execute the whole scoring aggregation per side: Spark reuses no
+    exchange across differently-keyed branches), then pivot back with a
+    per-pair max(CASE). At 100 TB you'd additionally semi-join prune
     the scoring scan to pair participants first (the pair set is ≪
     corpus by construction)."""
     from moisturizer_spark.operators.dedup import minhash_near_duplicates
@@ -6523,25 +6527,43 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("micro"),
     )
-    sa = scores.select(F.col("doc_id").alias("id_a"), F.col("micro").alias("micro_a"))
-    sb = scores.select(F.col("doc_id").alias("id_b"), F.col("micro").alias("micro_b"))
-    b_wins = F.col("micro_b") > F.col("micro_a")
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard_distance",
-            F.when(b_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("keep_id"),
-            F.when(b_wins, F.col("id_a")).otherwise(F.col("id_b")).alias("drop_id"),
-            (
-                F.abs(F.col("micro_a") - F.col("micro_b")).cast("double")
-                / F.lit(1e6)
-            ).alias("quality_margin"),
+    melted = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard_distance",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("side"), F.col("id_a").alias("doc_id")
+                ),
+                F.struct(
+                    F.lit("b").alias("side"), F.col("id_b").alias("doc_id")
+                ),
+            )
+        ).alias("s"),
+    ).select("id_a", "id_b", "jaccard_distance", "s.side", "s.doc_id")
+    both = (
+        melted.join(scores, "doc_id")
+        .groupBy("id_a", "id_b", "jaccard_distance")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col("micro"))).alias("micro_a"),
+            F.max(F.when(F.col("side") == "b", F.col("micro"))).alias("micro_b"),
         )
-        .orderBy("id_a", "id_b")
+        # inner-join semantics of the 2-branch form: both sides scored
+        .filter(F.col("micro_a").isNotNull() & F.col("micro_b").isNotNull())
     )
+    b_wins = F.col("micro_b") > F.col("micro_a")
+    return both.select(
+        "id_a",
+        "id_b",
+        "jaccard_distance",
+        F.when(b_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("keep_id"),
+        F.when(b_wins, F.col("id_a")).otherwise(F.col("id_b")).alias("drop_id"),
+        (
+            F.abs(F.col("micro_a") - F.col("micro_b")).cast("double")
+            / F.lit(1e6)
+        ).alias("quality_margin"),
+    ).orderBy("id_a", "id_b")
 
 
 @query(
