@@ -587,3 +587,74 @@ def test_stream_banded_interval_join_batch_mode(spark, sf_dir):
         ).collect()
     }
     assert via_stream_op == via_batch_op and via_stream_op
+
+
+def test_stream_metrics_recorder_captures_batches(spark, warehouse):
+    """The observability listener must record one row per micro-batch
+    with real input counts, state sizes for stateful queries, and a
+    populated watermark; flush() must be append-exact (no dup batches)."""
+    from moisturizer_spark.streaming.observability import (
+        StreamMetricsRecorder,
+        lag_report,
+    )
+
+    src = os.path.join(warehouse, "obs_src")
+    _write_events(
+        src,
+        "a.json",
+        [
+            {
+                "event_id": i,
+                "ts": f"2024-01-01 00:{i:02d}:00",
+                "user_id": i % 3,
+                "event_type": "view",
+                "value": 1.0,
+            }
+            for i in range(30)
+        ],
+    )
+    rec = StreamMetricsRecorder().attach(spark)
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts string, user_id long, event_type string, value double"
+            )
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"))
+            .count()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("obs_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously on the bus thread
+        import time as _t
+
+        for _ in range(50):
+            if rec.snapshot(spark).count() > 0:
+                break
+            _t.sleep(0.2)
+        snap = rec.snapshot(spark).filter(F.col("run_id") == str(q.runId))
+        rows = snap.collect()
+        assert rows, "no progress events captured"
+        assert sum(r.num_input_rows for r in rows) == 30
+        assert any(r.n_state_operators > 0 and r.state_rows > 0 for r in rows)
+        assert any(r.watermark is not None for r in rows)
+
+        report = lag_report(snap).collect()
+        assert {r.batch_id for r in report} == {r.batch_id for r in rows}
+
+        path = os.path.join(warehouse, "obs_metrics")
+        n1 = rec.flush(spark, path)
+        n2 = rec.flush(spark, path)  # buffer cleared: nothing to write
+        assert n1 >= len(rows) and n2 == 0
+        back = spark.read.parquet(path)
+        assert back.count() == n1
+    finally:
+        rec.detach(spark)
