@@ -6566,6 +6566,81 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _sql_dedup_method_agreement() -> str:
+    """Composes the three det near-dup oracles AS REGISTERED (nested
+    WITH subqueries — zero duplication, so the agreement replay can
+    never drift from the standalone rows) into a one-row set-algebra
+    report."""
+    mh = ORACLE["docs_minhash_det_near_dup"]
+    sh = ORACLE["docs_simhash_det_near_dup"]
+    wn = ORACLE["docs_winnowing_det_near_dup"]
+    return f"""
+    WITH mh AS (SELECT id_a, id_b FROM ({mh})),
+    sh AS (SELECT id_a, id_b FROM ({sh})),
+    wn AS (SELECT id_a, id_b FROM ({wn})),
+    u AS (SELECT id_a, id_b, 'mh' AS m FROM mh
+          UNION ALL SELECT id_a, id_b, 'sh' FROM sh
+          UNION ALL SELECT id_a, id_b, 'wn' FROM wn),
+    lab AS (SELECT id_a, id_b,
+                   MAX(CASE WHEN m = 'mh' THEN 1 ELSE 0 END) AS i_mh,
+                   MAX(CASE WHEN m = 'sh' THEN 1 ELSE 0 END) AS i_sh,
+                   MAX(CASE WHEN m = 'wn' THEN 1 ELSE 0 END) AS i_wn
+            FROM u GROUP BY id_a, id_b)
+    SELECT CAST(SUM(i_mh) AS BIGINT) AS minhash_pairs,
+           CAST(SUM(i_sh) AS BIGINT) AS simhash_pairs,
+           CAST(SUM(i_wn) AS BIGINT) AS winnowing_pairs,
+           CAST(SUM(i_mh * i_sh) AS BIGINT) AS mh_sh_both,
+           CAST(SUM(i_mh * i_wn) AS BIGINT) AS mh_wn_both,
+           CAST(SUM(i_sh * i_wn) AS BIGINT) AS sh_wn_both,
+           CAST(SUM(i_mh * i_sh * i_wn) AS BIGINT) AS all_three,
+           CAST(COUNT(*) AS BIGINT) AS any_method
+    FROM lab
+    """
+
+
+@query("docs_dedup_method_agreement", _sql_dedup_method_agreement())
+def docs_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which near-dup detector do we trust? The cross-family agreement
+    report a curation team runs before picking its dedup stack: pair
+    counts per method (det-MinHash jaccard ≥ 0.5, det-SimHash hamming
+    ≤ 16, det-winnowing ≥ 10 common fingerprints — each family's
+    standalone query settings, unchanged), every pairwise intersection,
+    the three-way core, and the union. The oracle nests the three
+    REGISTERED standalone oracles as subqueries, so this row re-pins
+    all three pipelines end-to-end and the agreement math on top.
+
+    Determinism: set algebra over integer pair sets — nothing to
+    round. Scale: the three pipelines share one documents scan each
+    (banded/pigeonholed as documented per family); the agreement
+    aggregate runs over pair sets, which are ≪ corpus by
+    construction."""
+    mh = docs_minhash_det_near_dup(spark, sf_dir).select("id_a", "id_b")
+    sh = docs_simhash_det_near_dup(spark, sf_dir).select("id_a", "id_b")
+    wn = docs_winnowing_det_near_dup(spark, sf_dir).select("id_a", "id_b")
+    u = (
+        mh.withColumn("m", F.lit("mh"))
+        .unionByName(sh.withColumn("m", F.lit("sh")))
+        .unionByName(wn.withColumn("m", F.lit("wn")))
+    )
+    lab = u.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("m") == "mh", 1).otherwise(0)).alias("i_mh"),
+        F.max(F.when(F.col("m") == "sh", 1).otherwise(0)).alias("i_sh"),
+        F.max(F.when(F.col("m") == "wn", 1).otherwise(0)).alias("i_wn"),
+    )
+    return lab.agg(
+        F.sum("i_mh").cast("bigint").alias("minhash_pairs"),
+        F.sum("i_sh").cast("bigint").alias("simhash_pairs"),
+        F.sum("i_wn").cast("bigint").alias("winnowing_pairs"),
+        F.sum(F.col("i_mh") * F.col("i_sh")).cast("bigint").alias("mh_sh_both"),
+        F.sum(F.col("i_mh") * F.col("i_wn")).cast("bigint").alias("mh_wn_both"),
+        F.sum(F.col("i_sh") * F.col("i_wn")).cast("bigint").alias("sh_wn_both"),
+        F.sum(F.col("i_mh") * F.col("i_sh") * F.col("i_wn"))
+        .cast("bigint")
+        .alias("all_three"),
+        F.count(F.lit(1)).cast("bigint").alias("any_method"),
+    )
+
+
 @query(
     "events_coactivity",
     """
@@ -6682,6 +6757,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_weighted_sample",           # NEW: det A-ES weighted sampling
     "events_zorder_histogram",        # NEW: Morton-code layout arithmetic
     "docs_near_dup_quality_winner",   # NEW: det-minhash x NB composition
+    "docs_dedup_method_agreement",    # NEW: 3-family agreement report
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
@@ -6730,7 +6806,6 @@ _NEEDS_DRIVER_ROW = [
     "events_grouping_sets",
     "events_kmv_audience",
     "langid_confusion",
-    "multimodal_payload_stats",
 ]
 
 
