@@ -282,3 +282,26 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
     allw = reduce(lambda a, b: a.unionAll(b), frames).collect()
     wins = sum(1 for r in allw if r.doc_id == 1)
     assert 240 - 35 <= wins <= 240 + 35, wins
+
+
+def test_weighted_sample_partitioning_independent(spark, sf_dir):
+    """The operator's core claim over RNG sampling: the draw is a pure
+    function of (key, salt), so the sample cannot depend on how the
+    data is partitioned. Identical rows at 1, 3, and 13 partitions."""
+    from moisturizer_spark.operators.sampling import weighted_sample
+    from moisturizer_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    results = []
+    for n_parts in (1, 3, 13):
+        out = weighted_sample(
+            docs.repartition(n_parts),
+            n=5,
+            weight_col="n_chars",
+            key_col="doc_id",
+            by=("source",),
+        )
+        results.append(sorted(map(tuple, out.collect())))
+    assert results[0] == results[1] == results[2]

@@ -1241,3 +1241,19 @@ def test_nb_log_odds_llr_table_broadcasts(spark):
     with contextlib.redirect_stdout(buf):
         nb_log_odds(df).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_nb_log_odds_partitioning_independent(spark):
+    """Integer nano-bit sums are exact in any fold order, so NB scores
+    cannot depend on partitioning. Identical output at 1, 3, and 13
+    partitions."""
+    from moisturizer_spark.operators.textan import nb_log_odds
+
+    df = spark.createDataFrame(
+        [(i, y, t) for i, y, t in _NB_DOCS], "doc_id long, label int, text string"
+    )
+    results = []
+    for n_parts in (1, 3, 13):
+        out = nb_log_odds(df.repartition(n_parts))
+        results.append(sorted(map(tuple, out.collect())))
+    assert results[0] == results[1] == results[2]
