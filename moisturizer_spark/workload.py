@@ -6566,6 +6566,92 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "events_minute_gapfill",
+    """
+    WITH b AS (SELECT date_trunc('minute', MIN(ts)) AS lo,
+                      date_trunc('minute', MAX(ts)) AS hi FROM events),
+    m AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+            AS minute FROM b),
+    a AS (SELECT date_trunc('minute', ts) AS minute,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          FROM events GROUP BY 1)
+    SELECT minute,
+           COALESCE(n, 0) AS n_events,
+           CAST(CAST(COALESCE(sv, 0) AS VARCHAR) AS DOUBLE) AS sum_value,
+           LAST_VALUE(CASE WHEN n > 0
+                           THEN CAST(CAST(sv AS VARCHAR) AS DOUBLE) / n
+                      END IGNORE NULLS)
+             OVER (ORDER BY minute
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS avg_value_ffill
+    FROM m LEFT JOIN a USING (minute)
+    ORDER BY minute
+    """,
+)
+def events_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling (the TimescaleDB
+    ``time_bucket_gapfill`` shape): a complete per-minute calendar
+    spine over the data's time range, zero-filled counts/sums for empty
+    minutes, and the per-minute average forward-filled across gaps —
+    the dashboarding/feature-engineering primitive every event store
+    needs and plain GROUP BY can't produce (it emits no row for an
+    empty bucket).
+
+    The calendar spine is generated DISTRIBUTED (sequence() over the
+    1-row min/max aggregate, exploded — no driver action); empty
+    minutes appear via the spine left join. Determinism: counts and
+    decimal sums are exact; the forward-filled average divides a
+    decimal-exact sum by an integer (the suite's avg convention);
+    last(ignorenulls) over a totally-ordered spine is unambiguous.
+    Scale: the one global-order window runs over the SPINE — bounded
+    by the calendar range (43 200 rows/month regardless of data
+    volume), not the corpus; the per-minute aggregate before it is a
+    plain map-side-combinable groupBy. At longer ranges you'd
+    partition the ffill by (day) and stitch boundaries, same as any
+    prefix-scan."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    spine = (
+        ev.agg(
+            F.date_trunc("minute", F.min("ts")).alias("lo"),
+            F.date_trunc("minute", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+            ).alias("minute")
+        )
+    )
+    per_min = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    w = Window.orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = spine.join(per_min, "minute", "left")
+    return (
+        joined.select(
+            "minute",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            _d(F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,6)"))).alias(
+                "sum_value"
+            ),
+            F.last(
+                F.when(F.col("n") > 0, _d(F.col("sv")) / F.col("n")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias("avg_value_ffill"),
+        )
+        .orderBy("minute")
+    )
+
+
 def _sql_dedup_method_agreement() -> str:
     """Composes the three det near-dup oracles AS REGISTERED (nested
     WITH subqueries — zero duplication, so the agreement replay can
@@ -6758,6 +6844,7 @@ _NEEDS_DRIVER_ROW = [
     "events_zorder_histogram",        # NEW: Morton-code layout arithmetic
     "docs_near_dup_quality_winner",   # NEW: det-minhash x NB composition
     "docs_dedup_method_agreement",    # NEW: 3-family agreement report
+    "events_minute_gapfill",          # NEW: calendar spine + ffill resample
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
@@ -6805,7 +6892,6 @@ _NEEDS_DRIVER_ROW = [
     "embedding_hard_negatives",
     "events_grouping_sets",
     "events_kmv_audience",
-    "langid_confusion",
 ]
 
 

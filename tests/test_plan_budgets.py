@@ -98,6 +98,7 @@ BUDGETS = {
     "events_grouping_sets": 2,
     "events_hll_reach": 3,
     "events_kmv_audience": 8,
+    "events_minute_gapfill": 2,
     "events_props_flatten": 2,
     "events_reach_hll_det": 4,
     "events_reach_sketch_rollup": 3,
