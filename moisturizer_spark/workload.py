@@ -6567,6 +6567,76 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_conversion_latency",
+    """
+    WITH f AS (SELECT user_id,
+                      MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+                      MIN(ts) FILTER (WHERE event_type = 'purchase')
+                        AS first_purchase
+               FROM events GROUP BY user_id),
+    lat AS (SELECT user_id,
+                   epoch_us(first_purchase) - epoch_us(first_view) AS lat_us
+            FROM f
+            WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+              AND first_purchase >= first_view)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(lat_us, 0.25) / 1000000.0 AS p25_sec,
+           quantile_cont(lat_us, 0.5)  / 1000000.0 AS p50_sec,
+           quantile_cont(lat_us, 0.9)  / 1000000.0 AS p90_sec,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, first view → first
+    purchase; exact interpolated quartiles of the latency — the
+    product-analytics "how long does conversion take" number the funnel
+    counts don't give.
+
+    Determinism: latencies are exact integer microseconds
+    (``unix_micros`` difference); interpolated percentiles of identical
+    integers are identical doubles in both engines (the
+    order_price_quantiles convention), and the /1e6 rescale divides
+    identical doubles. Scale: one groupBy(user) with min-FILTER
+    partials (map-side combinable, O(1) state per user — the
+    conversion-paths lesson applied from the start), then one global
+    exact percentile over ≤|users| latencies; at extreme user counts
+    swap approx_percentile at the same call site."""
+    t = load_tables(spark, sf_dir, ("events",))
+    f = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("first_view"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+    )
+    lat = (
+        f.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .select(
+            (
+                _micros(F.col("first_purchase")) - _micros(F.col("first_view"))
+            ).alias("lat_us")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.percentile("lat_us", F.lit(0.25)) / F.lit(1e6)).alias("p25_sec"),
+        (F.percentile("lat_us", F.lit(0.5)) / F.lit(1e6)).alias("p50_sec"),
+        (F.percentile("lat_us", F.lit(0.9)) / F.lit(1e6)).alias("p90_sec"),
+        F.max("lat_us").cast("bigint").alias("max_us"),
+    )
+
+
+@query(
     "events_minute_gapfill",
     """
     WITH b AS (SELECT date_trunc('minute', MIN(ts)) AS lo,
@@ -6845,6 +6915,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_near_dup_quality_winner",   # NEW: det-minhash x NB composition
     "docs_dedup_method_agreement",    # NEW: 3-family agreement report
     "events_minute_gapfill",          # NEW: calendar spine + ffill resample
+    "events_conversion_latency",      # NEW: first-view->purchase quantiles
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
@@ -6891,7 +6962,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_vocab_growth",
     "embedding_hard_negatives",
     "events_grouping_sets",
-    "events_kmv_audience",
 ]
 
 

@@ -91,6 +91,7 @@ BUDGETS = {
     "events_coactivity": 3,
     "events_cohort_retention": 4,
     "events_conversion_paths": 3,
+    "events_conversion_latency": 2,
     "events_daily": 2,
     "events_distinct_reach": 3,
     "events_frequent_users": 2,
