@@ -6566,6 +6566,51 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _sql_leakage_free_split() -> str:
+    from moisturizer_spark.operators.sampling import sql_hash_split_case
+
+    case = sql_hash_split_case("cluster_rep", salt="leak:")
+    return f"""
+    WITH cl AS (SELECT doc_id, cluster_rep
+                FROM ({ORACLE["doc_dedup_clusters"]})),
+    s AS (SELECT doc_id, cluster_rep, {case} AS split FROM cl)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM s GROUP BY split ORDER BY split
+    """
+
+
+@query("docs_leakage_free_split", _sql_leakage_free_split())
+def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test splitting: hash-split on the dedup
+    CLUSTER representative, not the document id — so near-duplicates
+    can never straddle a split boundary (the eval-contamination bug a
+    naive per-doc split bakes in: the model "memorizes" train docs
+    whose near-twins sit in test). The split stays a pure projection
+    (the hash_split contract) over the cluster labels; every doc in a
+    cluster inherits its representative's draw by construction, which
+    the pair-level pytest pins directly.
+
+    The oracle nests the REGISTERED doc_dedup_clusters recursive-CTE
+    replay and applies the identical md5-threshold CASE. Scale:
+    clustering cost is the pair source's (banded at corpus scale — see
+    doc_dedup_clusters); the split itself adds zero shuffles."""
+    from moisturizer_spark.operators.sampling import hash_split
+
+    labels = doc_dedup_clusters(spark, sf_dir)
+    s = hash_split(labels, "cluster_rep", salt="leak:")
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("cluster_rep").cast("bigint").alias("n_clusters"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
 @query(
     "events_conversion_latency",
     """
@@ -6916,6 +6961,7 @@ _NEEDS_DRIVER_ROW = [
     "docs_dedup_method_agreement",    # NEW: 3-family agreement report
     "events_minute_gapfill",          # NEW: calendar spine + ffill resample
     "events_conversion_latency",      # NEW: first-view->purchase quantiles
+    "docs_leakage_free_split",        # NEW: cluster-keyed split (no leakage)
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
@@ -6961,7 +7007,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_quality_funnel",
     "docs_vocab_growth",
     "embedding_hard_negatives",
-    "events_grouping_sets",
 ]
 
 

@@ -55,6 +55,7 @@ BUDGETS = {
     "docs_dsir_selection": 7,
     "docs_fingerprint_dedup": 2,
     "docs_hash_split": 2,
+    "docs_leakage_free_split": 8,
     "docs_line_dedup": 3,
     "docs_minhash_det_near_dup": 3,
     "docs_near_dup_quality_winner": 6,

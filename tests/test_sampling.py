@@ -305,3 +305,39 @@ def test_weighted_sample_partitioning_independent(spark, sf_dir):
         )
         results.append(sorted(map(tuple, out.collect())))
     assert results[0] == results[1] == results[2]
+
+
+def test_leakage_free_split_pairs_never_straddle(spark, sf_dir):
+    """The property the query exists for, pinned at the PAIR level:
+    every near-dup pair's two docs land in the same split (a per-doc
+    hash split violates this whenever a cluster's ids straddle a
+    threshold)."""
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.dedup import ngram_jaccard_pairs
+    from moisturizer_spark.operators.sampling import hash_split
+    from moisturizer_spark.session import load_tables
+    from moisturizer_spark.workload import doc_dedup_clusters
+
+    subset = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    s = hash_split(
+        doc_dedup_clusters(spark, sf_dir), "cluster_rep", salt="leak:"
+    ).select("doc_id", "split")
+    pairs = ngram_jaccard_pairs(subset, threshold=0.5).select("id_a", "id_b")
+    crossing = (
+        pairs.join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(
+            s.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert crossing == 0
