@@ -1384,8 +1384,23 @@ def nb_log_odds(
     dc = df.agg(
         F.count(F.when(F.col(label_col) == 1, F.lit(1))),
         F.count(F.when(F.col(label_col) == 0, F.lit(1))),
+        F.count(
+            F.when(
+                F.col(label_col).isNotNull()
+                & ~F.col(label_col).isin(0, 1),
+                F.lit(1),
+            )
+        ),
     ).first()
-    d1, d0 = int(dc[0]), int(dc[1])
+    d1, d0, bad = int(dc[0]), int(dc[1]), int(dc[2])
+    if bad:
+        # a stray label value would silently count its tokens into
+        # NEITHER class while still inflating the vocabulary V —
+        # corrupting every smoothed probability; fail loudly instead
+        raise ValueError(
+            f"nb_log_odds labels must be 1, 0, or NULL; {bad} rows "
+            "carry other values"
+        )
     if min(n1, n0, d1, d0) == 0:
         raise ValueError(
             "nb_log_odds needs both seed classes non-empty (docs and "

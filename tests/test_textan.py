@@ -1257,3 +1257,14 @@ def test_nb_log_odds_partitioning_independent(spark):
         out = nb_log_odds(df.repartition(n_parts))
         results.append(sorted(map(tuple, out.collect())))
     assert results[0] == results[1] == results[2]
+
+
+def test_nb_log_odds_rejects_stray_labels(spark):
+    """A label outside {0,1,NULL} would silently count its tokens into
+    neither class while inflating the vocabulary — must fail loudly."""
+    from moisturizer_spark.operators.textan import nb_log_odds
+
+    docs = [(i, y, t) for i, y, t in _NB_DOCS] + [(99, 2, "stray label doc")]
+    df = spark.createDataFrame(docs, "doc_id long, label int, text string")
+    with pytest.raises(ValueError, match="labels must be 1, 0, or NULL"):
+        nb_log_odds(df).collect()
