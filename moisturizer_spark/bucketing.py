@@ -111,7 +111,9 @@ def rank_bucket_bounds(
 def rank_bucket(col, bounds: list[float]):
     """Bucket id in [0, len(bounds)]: how many boundaries lie at or
     below the value — a JVM-side lambda over a literal array (O(2^bits)
-    comparisons per row, no shuffle, no UDF)."""
+    comparisons per row, no shuffle, no UDF). NULL values compare to
+    nothing and land in bucket 0 (approxQuantile ignored them when
+    drawing the boundaries, so they have no bucket of their own)."""
     from pyspark.sql import functions as F
 
     arr = F.array(*[F.lit(float(b)) for b in bounds])
