@@ -658,3 +658,85 @@ def test_stream_metrics_recorder_captures_batches(spark, warehouse):
         assert back.count() == n1
     finally:
         rec.detach(spark)
+
+
+def test_stream_banded_join_state_evicts_behind_watermark(spark, warehouse):
+    """The O(in-flight window) claim, measured: drive the keyless banded
+    join over multiple micro-batches whose event times advance far past
+    the watermark + band span, and read the state-store size per batch
+    off the observability recorder — final state must hold only the
+    tail's rows, not the whole stream."""
+    from moisturizer_spark.streaming.joins import stream_banded_interval_join
+    from moisturizer_spark.streaming.observability import StreamMetricsRecorder
+
+    src = os.path.join(warehouse, "evict_src")
+    os.makedirs(src, exist_ok=True)
+    # 3 files = 3 micro-batches (maxFilesPerTrigger=1), each a day apart:
+    # with a 1-hour watermark and ±120s span, batch N's rows are evictable
+    # as soon as batch N+1 arrives.
+    for day, name in ((1, "b1.json"), (2, "b2.json"), (3, "b3.json")):
+        with open(os.path.join(src, name), "w") as fh:
+            for i in range(50):
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": day * 1000 + i,
+                            "ts": f"2024-01-0{day} 00:{i:02d}:00",
+                        }
+                    )
+                    + "\n"
+                )
+
+    def stream():
+        return (
+            spark.readStream.schema("event_id long, ts string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    rec = StreamMetricsRecorder().attach(spark)
+    try:
+        joined = stream_banded_interval_join(
+            stream(),
+            stream().select(
+                F.col("event_id").alias("rid"), F.col("ts").alias("rts")
+            ),
+            "ts",
+            "rts",
+            -120,
+            120,
+            watermark="1 hour",
+            right_payload=("rid",),
+        )
+        q = (
+            joined.select("event_id", "rid_right")
+            .writeStream.format("memory")
+            .queryName("evict_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        import time as _t
+
+        for _ in range(50):
+            snap = rec.snapshot(spark).filter(
+                F.col("run_id") == str(q.runId)
+            )
+            if snap.count() >= 3:
+                break
+            _t.sleep(0.2)
+        rows = sorted(
+            snap.collect(), key=lambda r: r.batch_id
+        )
+        assert len(rows) >= 3
+        peak = max(r.state_rows for r in rows)
+        final = rows[-1].state_rows
+        total = 150 * 2  # both sides buffered
+        # eviction happened: the store never held the whole stream, and
+        # the final batch's state is far below the peak-cumulative bound
+        assert peak < total, (peak, total)
+        assert final <= peak
+    finally:
+        rec.detach(spark)
