@@ -98,3 +98,26 @@ def test_zorder_bounds_worst_column_skipping(spark, layouts):
     # better than the x-layout's worst (16), and at least 2x better
     worst_z, worst_x = max(zx, zy), max(xx, xy)
     assert worst_z * 2 <= worst_x, (zx, zy, xx, xy)
+
+
+def test_rank_bucket_equalizes_skewed_data(spark):
+    """The reason boundaries come from quantiles and not fixed-width
+    ranges: on a heavily skewed column (x^4 over [0,1)·1e6 — half the
+    mass below ~6% of the range) the rank buckets must still be
+    near-equal-population, else the Z-curve degenerates to a 1-D sort
+    along the skewed dimension."""
+    rng = random.Random(5)
+    rows = [(int((rng.random() ** 4) * 1_000_000),) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "x long")
+    bounds = rank_bucket_bounds(df, "x", bits=4)
+    got = (
+        df.select(rank_bucket(F.col("x"), bounds).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    counts = {r.b: r["count"] for r in got}
+    # 16 buckets over 20k rows: expect ~1250 each; allow generous
+    # sketch-error slack but forbid degenerate buckets
+    assert len(counts) >= 14
+    assert max(counts.values()) <= 3 * (20_000 / 16), counts
