@@ -153,3 +153,48 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
         *[x for name, i in order.items() for x in (F.lit(name), F.lit(i))]
     )
     return out.withColumn("_ord", mapping[F.col("rule")]).orderBy("_ord").drop("_ord")
+
+
+def profile_numeric(
+    df: DataFrame, cols: list[str], decimal: str = "decimal(18,6)"
+) -> DataFrame:
+    """ANALYZE-style numeric column profile: one row per column with
+    row/filled counts, exact distinct count, min/max, and an exact
+    decimal sum — the statistics a planner (broadcast decisions), a
+    data contract, or a drift monitor reads first.
+
+    Plan: the columns UNPIVOT to (column, value) — a pure projection,
+    no shuffle — then ONE aggregation keyed on the column name produces
+    every stat; adding a column adds rows to the same scan, not a job
+    (the :func:`check` fusion principle applied to profiling). Exact
+    ndv costs a distinct-aggregate expansion; at 100 TB swap
+    ``approx_count_distinct`` or the KMV sketch cells
+    (``operators/sketches.py``) at the same call site — the report
+    schema is unchanged. Determinism: counts exact; values compare as
+    the ORIGINAL column order semantics cast to ``decimal`` (exact),
+    output min/max/sum as double via the decimal→double convention.
+    """
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast(decimal).alias("value"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("s")
+    long = df.select(stack).select("s.column", "s.value")
+    return (
+        long.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("value").cast("bigint").alias("n_filled"),
+            F.count_distinct("value").cast("bigint").alias("ndv"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+        .orderBy("column")
+    )

@@ -6566,6 +6566,47 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+@query(
+    "lineitem_profile",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_filled,
+           CAST(COUNT(DISTINCT CAST({c} AS DECIMAL(18,6))) AS BIGINT) AS ndv,
+           CAST(MIN(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS max_value,
+           CAST(CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + '\n    ORDER BY "column"\n    ',
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile over the fact table's numeric
+    columns (:func:`moisturizer_spark.operators.expectations.
+    profile_numeric`): per column — row/filled counts, exact distinct
+    count, min/max, exact decimal sum. The statistics feeding broadcast
+    decisions, data contracts, and drift monitors.
+
+    Plan: the four columns unpivot in a pure projection and ONE
+    aggregation computes every stat (adding a column adds rows to the
+    same scan, not a job); the oracle states the same contract as four
+    per-column aggregates unioned. Determinism: counts exact; values
+    compared on the exact decimal(18,6) grid; min/max/sum output as
+    double via the decimal→double convention. At 100 TB the exact ndv
+    swaps to approx_count_distinct or the KMV cells at the same call
+    site."""
+    from moisturizer_spark.operators.expectations import profile_numeric
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return profile_numeric(t["lineitem"], list(_PROFILE_COLS))
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -6962,6 +7003,7 @@ _NEEDS_DRIVER_ROW = [
     "events_minute_gapfill",          # NEW: calendar spine + ffill resample
     "events_conversion_latency",      # NEW: first-view->purchase quantiles
     "docs_leakage_free_split",        # NEW: cluster-keyed split (no leakage)
+    "lineitem_profile",               # NEW: ANALYZE-style column profile
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
@@ -7006,7 +7048,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_pack_chunks",
     "docs_quality_funnel",
     "docs_vocab_growth",
-    "embedding_hard_negatives",
 ]
 
 

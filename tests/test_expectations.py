@@ -55,3 +55,34 @@ def test_report_preserves_declaration_order(spark):
     rules = [X.unique("id"), X.not_null("id")]
     names = [r["rule"] for r in X.check(df, rules).collect()]
     assert names == ["unique(id)", "not_null(id)"]
+
+
+def test_profile_numeric_stats(spark):
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.expectations import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0), (None, 10.0)],
+        "a double, b double",
+    )
+    got = {r["column"]: r.asDict() for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert got["a"]["n_rows"] == 4 and got["a"]["n_filled"] == 3
+    assert got["a"]["ndv"] == 2 and got["a"]["min_value"] == 1.0
+    assert got["a"]["max_value"] == 2.0 and got["a"]["sum_value"] == 5.0
+    assert got["b"]["ndv"] == 2 and got["b"]["sum_value"] == 50.0
+    # one aggregation job regardless of column count: single Exchange
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile_numeric(df, ["a", "b"]).explain("formatted")
+    import re
+
+    n = sum(
+        1
+        for m in re.finditer(r"^\(\d+\) (ReusedExchange|Exchange)", buf.getvalue(), re.M)
+        if m.group(1) == "Exchange"
+    )
+    assert n <= 3

@@ -115,6 +115,7 @@ BUDGETS = {
     "late_shipment_priority": 2,
     "latest_event_per_user": 2,
     "lineitem_expectations": 5,
+    "lineitem_profile": 3,
     "min_cost_supplier_per_part": 3,
     "minhash_near_dup": 3,
     "multimodal_payload_stats": 3,
