@@ -6566,6 +6566,110 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_CORR_DIMS = 8  # dims 0..7: 28 pairs — the report stays human-sized
+
+
+def _sql_embedding_dim_correlation() -> str:
+    q = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * 1e6) AS BIGINT)"
+        f" AS x{i}"
+        for i in range(_CORR_DIMS)
+    )
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in range(_CORR_DIMS):
+        aggs.append(f"SUM(x{i}) AS s{i}")
+        aggs.append(f"SUM(x{i} * x{i}) AS ss{i}")
+    for i in range(_CORR_DIMS):
+        for j in range(i + 1, _CORR_DIMS):
+            aggs.append(f"SUM(x{i} * x{j}) AS sp{i}_{j}")
+    sel = []
+    for i in range(_CORR_DIMS):
+        for j in range(i + 1, _CORR_DIMS):
+            num = f"CAST(CAST(n * sp{i}_{j} - s{i} * s{j} AS VARCHAR) AS DOUBLE)"
+            d1 = f"CAST(CAST(n * ss{i} - s{i} * s{i} AS VARCHAR) AS DOUBLE)"
+            d2 = f"CAST(CAST(n * ss{j} - s{j} * s{j} AS VARCHAR) AS DOUBLE)"
+            sel.append(
+                f"SELECT {i} AS dim_i, {j} AS dim_j, "
+                f"ROUND({num} / sqrt({d1} * {d2}), 6) AS corr FROM a"
+            )
+    body = "\nUNION ALL\n".join(sel)
+    return f"""
+    WITH g AS (SELECT {q} FROM embeddings),
+    a AS (SELECT {", ".join(aggs)} FROM g)
+    {body}
+    ORDER BY dim_i, dim_j
+    """
+
+
+@query("embedding_dim_correlation", _sql_embedding_dim_correlation())
+def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the first 8 embedding dimensions
+    — the feature-diagnostics primitive (redundant dimensions, PCA
+    candidates, batch-effect hunting) computed EXACTLY at any scale:
+    coordinates quantize once to the 1e-6 grid (the det-kmeans trick),
+    after which every moment (Σx, Σx², Σxy) is an exact integer sum in
+    DECIMAL(38,0) — order-insensitive, overflow-safe to ~1e12 rows —
+    and the final r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) divides
+    identical doubles (decimal→double convention) with one half-away
+    rounding at the 6-digit grid.
+
+    Plan: ONE aggregation over one scan produces all 45 moments
+    map-side-combinably; the 28 correlations are a projection of the
+    single moment row. At 1000 executors this is a scan + one 1-row
+    reduce — nothing else."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    g = t["embeddings"].select(
+        *[
+            F.round(F.col("embedding")[i].cast("double") * F.lit(1e6))
+            .cast("decimal(38,0)")
+            .alias(f"x{i}")
+            for i in range(_CORR_DIMS)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i in range(_CORR_DIMS):
+        aggs.append(F.sum(F.col(f"x{i}")).alias(f"s{i}"))
+        aggs.append(
+            F.sum((F.col(f"x{i}") * F.col(f"x{i}")).cast("decimal(38,0)"))
+            .alias(f"ss{i}")
+        )
+    for i in range(_CORR_DIMS):
+        for j in range(i + 1, _CORR_DIMS):
+            aggs.append(
+                F.sum(
+                    (F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(38,0)")
+                ).alias(f"sp{i}_{j}")
+            )
+    a = g.agg(*aggs)
+    pairs = []
+    for i in range(_CORR_DIMS):
+        for j in range(i + 1, _CORR_DIMS):
+            num = _d(
+                (F.col("n") * F.col(f"sp{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
+                .cast("decimal(38,0)")
+            )
+            d1 = _d(
+                (F.col("n") * F.col(f"ss{i}") - F.col(f"s{i}") * F.col(f"s{i}"))
+                .cast("decimal(38,0)")
+            )
+            d2 = _d(
+                (F.col("n") * F.col(f"ss{j}") - F.col(f"s{j}") * F.col(f"s{j}"))
+                .cast("decimal(38,0)")
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(i).alias("dim_i"),
+                    F.lit(j).alias("dim_j"),
+                    F.round(num / F.sqrt(d1 * d2), 6).alias("corr"),
+                )
+            )
+    return (
+        a.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.dim_i", "p.dim_j", "p.corr")
+        .orderBy("dim_i", "dim_j")
+    )
+
+
 _PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 
 
@@ -7004,6 +7108,7 @@ _NEEDS_DRIVER_ROW = [
     "events_conversion_latency",      # NEW: first-view->purchase quantiles
     "docs_leakage_free_split",        # NEW: cluster-keyed split (no leakage)
     "lineitem_profile",               # NEW: ANALYZE-style column profile
+    "embedding_dim_correlation",      # NEW: exact-moment Pearson matrix
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ

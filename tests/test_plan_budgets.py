@@ -74,6 +74,7 @@ BUDGETS = {
     "docs_winnowing_near_dup": 2,
     "embedding_cosine_near_dup": 1,
     "embedding_decontamination": 2,
+    "embedding_dim_correlation": 1,
     "embedding_diversity_sample": 2,
     "embedding_diversity_sample_det": 2,
     "embedding_hard_negatives": 2,
