@@ -6566,6 +6566,171 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "customer_rfm_segments",
+    f"""
+    WITH c AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM({_sql_p('o_totalprice')}) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT o_custkey, frequency,
+               NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score,
+               monetary
+        FROM c
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(monetary) AS VARCHAR) AS DOUBLE) AS segment_value
+    FROM r GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics staple: quintile
+    scores for Recency (last order date), Frequency (order count), and
+    Monetary (decimal-exact spend) per customer, reported as segment
+    sizes and value. Composes the suite's cohort/ntile machinery into
+    the canonical customer-value cube.
+
+    Determinism: money is decimal; each ntile orders by (exact metric,
+    custkey) — a total order; segment sums re-cast via the
+    decimal→double convention. Scale: one orders aggregation, then
+    three quintile windows over the CUSTOMER-grain frame (≪ fact
+    table); at extreme customer counts quintile boundaries come from
+    approx quantiles and the windows become projections — same
+    report."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    c = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(_p("o_totalprice")).alias("monetary"),
+        )
+    )
+    r = c.select(
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return (
+        r.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            _d(F.sum("monetary")).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "part_affinity_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem),
+    freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+             FROM li GROUP BY l_partkey),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey
+              HAVING COUNT(*) >= 2)
+    SELECT part_a, part_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) * n_orders
+                 / (fa.n_part * fb.n_part), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top part pairs by LIFT —
+    P(a,b)/(P(a)·P(b)) over orders — the co-occurrence primitive behind
+    recommendations and assortment analysis (frequent-itemsets lite,
+    support ≥ 2 orders).
+
+    Scale: the self-join explodes per-ORDER, so work is
+    Σ_orders k_order² with k = items per order (TPC-H ~4-7) — linear in
+    orders, never |parts|²; the join shuffles on the order key it
+    already groups by. Part frequencies broadcast. Determinism: lift
+    divides exact integers as doubles, rounded to 6 before ranking with
+    the pair as tiebreaker. n_orders is a driver-side scalar inlined as
+    a literal (the tfidf n_docs pattern) — a 1-row cross join would put
+    a nested-loop node in the plan, which the plan suite forbids."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_orders = (
+        t["lineitem"].select("l_orderkey").distinct().count()
+    )
+    freq = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    )
+    a = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(freq.withColumnRenamed("l_partkey", "part_a")
+                        .withColumnRenamed("n_part", "n_a")),
+            "part_a",
+        )
+        .join(
+            F.broadcast(freq.withColumnRenamed("l_partkey", "part_b")
+                        .withColumnRenamed("n_part", "n_b")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.lit(n_orders)
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+    return out
+
+
 _CORR_DIMS = 8  # dims 0..7: 28 pairs — the report stays human-sized
 
 
@@ -7109,6 +7274,8 @@ _NEEDS_DRIVER_ROW = [
     "docs_leakage_free_split",        # NEW: cluster-keyed split (no leakage)
     "lineitem_profile",               # NEW: ANALYZE-style column profile
     "embedding_dim_correlation",      # NEW: exact-moment Pearson matrix
+    "customer_rfm_segments",          # NEW: RFM quintile segmentation
+    "part_affinity_lift",             # NEW: market-basket lift pairs
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ

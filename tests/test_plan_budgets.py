@@ -36,6 +36,7 @@ BUDGETS = {
     "corpus_shard_manifest": 2,
     "crosslingual_near_dup": 1,
     "customer_name_typo_pairs": 1,
+    "customer_rfm_segments": 2,
     "customer_spend_ntile": 2,
     "customer_year_set_ops": 7,
     "customers_above_nation_avg": 3,
@@ -126,6 +127,7 @@ BUDGETS = {
     "order_price_quantiles": 2,
     "orders_monthly_growth": 2,
     "orders_with_returns_exists": 2,
+    "part_affinity_lift": 7,
     "purchase_asof_view": 2,
     "purchase_followon_events": 3,
     "q10_returned_items": 1,
