@@ -7,7 +7,10 @@ in this package need one on the hot path — similarity math uses JVM
 higher-order functions).
 """
 
-from moisturizer_spark.operators.asof import asof_join  # noqa: F401
+from moisturizer_spark.operators.asof import (  # noqa: F401
+    asof_join,
+    banded_interval_join,
+)
 from moisturizer_spark.operators.clustering import (  # noqa: F401
     assign_clusters,
     cluster_sizes,

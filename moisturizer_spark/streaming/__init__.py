@@ -27,3 +27,11 @@ from moisturizer_spark.streaming.near_dup import (  # noqa: F401
 from moisturizer_spark.streaming.semantic_dedup import (  # noqa: F401
     start_semantic_dedup_stream,
 )
+from moisturizer_spark.streaming.joins import (  # noqa: F401
+    stream_banded_interval_join,
+    stream_interval_join,
+)
+from moisturizer_spark.streaming.observability import (  # noqa: F401
+    StreamMetricsRecorder,
+    lag_report,
+)
