@@ -6567,6 +6567,87 @@ def docs_near_dup_quality_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+          WHERE len(w) >= 3),
+    first AS (SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+              FROM g GROUP BY g),
+    per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+                FROM g GROUP BY doc_id),
+    novel AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+              FROM g JOIN first ON g.g = first.g
+                                AND g.doc_id = first.first_doc
+              GROUP BY g.doc_id)
+    SELECT p.doc_id, p.n_grams,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_grams
+             AS novelty_ratio
+    FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: per document, the fraction of its
+    distinct word trigrams appearing for the FIRST time in doc_id order
+    — the "prefer novel text over recombinations of what we already
+    have" curation signal (a streaming-friendly cousin of dedup: a doc
+    of entirely seen trigrams is boilerplate even if no single pair
+    match fires).
+
+    Determinism: counts are exact; first-occurrence is min(doc_id);
+    the ratio divides exact integers (identical IEEE doubles). Scale:
+    one tokenize pass → distinct (doc, gram) frame; ONE gram-keyed
+    aggregation gives first-owners; the novelty join is gram-keyed on
+    the same partitioning (exchange reuse); per-doc rollups shuffle
+    (doc, gram)-distinct rows only. Zipf bounds the gram table well
+    below corpus scale; at 100 TB the gram strings become 8-byte
+    hashes pre-shuffle (the remove_dup_spans hashed-key move)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", tokens_col(F.col("text")).alias("w")
+    ).filter(F.size("w") >= 3)
+    g = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first = g.groupBy("g").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    per_doc = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    novel = (
+        g.join(first, "g")
+        .filter(F.col("doc_id") == F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "customer_rfm_segments",
     f"""
     WITH c AS (
@@ -7276,6 +7357,7 @@ _NEEDS_DRIVER_ROW = [
     "embedding_dim_correlation",      # NEW: exact-moment Pearson matrix
     "customer_rfm_segments",          # NEW: RFM quintile segmentation
     "part_affinity_lift",             # NEW: market-basket lift pairs
+    "docs_ngram_novelty",             # NEW: first-occurrence novelty score
     "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
     "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
     "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ

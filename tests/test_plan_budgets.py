@@ -60,6 +60,7 @@ BUDGETS = {
     "docs_line_dedup": 3,
     "docs_minhash_det_near_dup": 3,
     "docs_near_dup_quality_winner": 6,
+    "docs_ngram_novelty": 6,
     "docs_pack_chunks": 2,
     "docs_pack_ffd": 3,
     "docs_perplexity_buckets": 6,
