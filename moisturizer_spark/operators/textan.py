@@ -1173,6 +1173,7 @@ def importance_resample(
     id_col: str = "doc_id",
     salt: str = "dsirprop:",
     ratio_clamp: float = 20.0,
+    bound_bits: int = 62,
 ) -> DataFrame:
     """DSIR's actual selection rule — importance-PROPORTIONAL sampling
     (Xie et al. 2023 resample docs with probability ∝ importance
@@ -1208,10 +1209,24 @@ def importance_resample(
     plausible n_target anyway) before exponentiation, identically in
     the SQL oracle. Without the clamp, Spark's non-ANSI BIGINT cast
     would silently saturate an extreme weight at Long.MAX while DuckDB
-    raises — an engine divergence; with it, w ≤ 2^20·10^6 ≈ 1.05e12,
-    ``n_target·w`` stays exact under 2^53, and Σw is int64-safe below
-    ~8·10^6 docs — beyond that, pre-scale weights down (the comparison
-    is scale-invariant).
+    raises — an engine divergence; with it, w ≤ 2^20·10^6 ≈ 1.05e12
+    and ``n_target·w`` stays exact under 2^53. Σw alone would still
+    wrap SILENTLY past ~8·10^6 docs (Spark's non-ANSI sum), so the
+    micro-weights AUTO-RESCALE before summing: one 1-row aggregate
+    reads ``(max w, count)`` and derives the shift
+    ``s = max(0, bitlen(max w) + bitlen(count) − bound_bits)`` — pure
+    integer bit-length arithmetic (``length(bin(x))``, identical in
+    DuckDB), no float log2 at the boundary — then every weight drops
+    to ``w >> s`` (truncating ``div``, w ≥ 0) and
+    ``Σ(w>>s) ≤ count·max(w)/2^s < 2^bound_bits`` by construction.
+    The draw compares ``u < n_target·w′/Σw′`` — scale-invariant up to
+    the shared truncation, which both engines replay bit-identically;
+    below the bound s = 0 and the behavior is unchanged. Weights
+    truncating to 0 under a live shift are deterministically excluded
+    (their untruncated pick probability is ≤ n_target·2^s/Σw — already
+    negligible when the corpus is large enough to force a shift).
+    ``bound_bits`` exists for tests to force the rescale on small
+    corpora; production uses the int64-safe default.
 
     Returns the selected rows of ``scored`` unchanged (plus nothing):
     filter, not transform."""
@@ -1223,17 +1238,37 @@ def importance_resample(
         * F.lit(1e6)
     ).cast("bigint")
     weighted = materialize(scored.withColumn("_w", w_micro))
-    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    # 1-row header: shift amount from exact bit lengths (never the sum,
+    # which is the quantity that can overflow). GREATEST skips the NULL
+    # max on an empty frame in both engines -> s = 0 there.
+    hdr = weighted.agg(
+        F.max("_w").alias("_wmax"), F.count(F.lit(1)).alias("_cnt")
+    ).select(
+        F.greatest(
+            F.lit(0),
+            (
+                F.length(F.bin(F.col("_wmax")))
+                + F.length(F.bin(F.col("_cnt")))
+                - F.lit(bound_bits)
+            ).cast("int"),
+        ).alias("_s")
+    )
+    shifted = materialize(
+        weighted.crossJoin(F.broadcast(hdr)).withColumn(
+            "_ws", F.expr("_w div shiftleft(CAST(1 AS BIGINT), _s)")
+        )
+    )
+    tot = shifted.agg(F.sum("_ws").alias("_tw"))
     u = hash_fraction(F.col(id_col), salt)
     p = F.least(
         F.lit(1.0),
-        (F.lit(n_target) * F.col("_w")).cast("double")
+        (F.lit(n_target) * F.col("_ws")).cast("double")
         / F.col("_tw").cast("double"),
     )
     return (
-        weighted.crossJoin(F.broadcast(tot))
+        shifted.crossJoin(F.broadcast(tot))
         .filter(u < p)
-        .drop("_w", "_tw")
+        .drop("_w", "_ws", "_s", "_tw")
     )
 
 

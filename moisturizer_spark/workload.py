@@ -3034,10 +3034,14 @@ def _sql_dsir_proportional() -> str:
                   CAST(ROUND(POWER(2.0, LEAST(log2_ratio_per_token, 20.0))
                              * 1000000) AS BIGINT) AS w
            FROM doc),
-    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wm)
+    hdr AS (SELECT GREATEST(0, CAST(length(bin(MAX(w)))
+                    + length(bin(COUNT(*))) - 62 AS INT)) AS s FROM wm),
+    wsh AS (SELECT doc_id, source, log2_ratio_per_token,
+                   w // (CAST(1 AS BIGINT) << s) AS ws FROM wm, hdr),
+    tot AS (SELECT CAST(SUM(ws) AS BIGINT) AS tw FROM wsh)
     SELECT source, doc_id, log2_ratio_per_token
-    FROM wm, tot
-    WHERE {pick} < LEAST(1.0, CAST(60 * w AS DOUBLE) / CAST(tw AS DOUBLE))
+    FROM wsh, tot
+    WHERE {pick} < LEAST(1.0, CAST(60 * ws AS DOUBLE) / CAST(tw AS DOUBLE))
     ORDER BY source, doc_id
     """
 
@@ -3054,7 +3058,9 @@ def docs_dsir_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are near-certain picks, middling docs enter the mix at
     proportional rates (the diversity DSIR's resampling buys over pure
     top-k), and the whole draw replays in DuckDB: integer micro-weights
-    off the 1e-6 score grid, exact integer Σw, one IEEE division.
+    off the 1e-6 score grid, a bit-length rescale header that keeps the
+    integer Σw exact past the int64 bound (s = 0 below ~8M docs — a
+    no-op here), one IEEE division.
     Shares the score pipeline with ``docs_dsir_selection`` via
     ``_DSIR_SCORE_CTES``. Expected sample ≈ 60 docs at any scale
     factor; acceptance-rate-vs-weight statistics pinned in

@@ -80,7 +80,8 @@ ALLOWED = {
     ("operators/skew.py", "salted_join"):
         "crossJoin is broadcast(salt range): n_salts rows",
     ("operators/textan.py", "importance_resample"):
-        "crossJoin is broadcast of the ONE-row sum-of-weights scalar",
+        "both crossJoins are ONE-row scalar broadcasts: the bit-length "
+        "rescale header and the sum-of-shifted-weights",
     ("operators/textan.py", "_bigram_lm"):
         "vocabulary-size scalar from the cached count table",
     ("operators/textan.py", "dsir_log_ratio"):

@@ -1130,6 +1130,103 @@ def test_importance_resample_clamps_extreme_ratios(spark):
     assert len(ids) >= 1
 
 
+def _resample_ref(rows, n_target, salt="dsirprop:", bound_bits=62):
+    """Unbounded-integer Python replay of importance_resample: same
+    half-away rounding, same bit-length shift header, same truncating
+    division, ONE IEEE division, same md5 draw. Ground truth that can
+    never wrap."""
+    import hashlib
+    import math
+
+    w = {
+        i: int(math.floor(2.0 ** min(r, 20.0) * 1e6 + 0.5))
+        for i, r in rows
+    }
+    s = max(0, max(w.values()).bit_length() + len(w).bit_length() - bound_bits)
+    ws = {i: v >> s for i, v in w.items()}
+    tw = sum(ws.values())  # Python int: exact at ANY magnitude
+    picked = []
+    for i, _ in rows:
+        h = hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8]
+        u = int(h, 16) / float(1 << 32)
+        if u < min(1.0, float(n_target * ws[i]) / float(tw)):
+            picked.append(i)
+    return s, sorted(picked)
+
+
+def test_importance_resample_rescale_exact_replay(spark):
+    """Lowered bound_bits forces the bit-length rescale on a small
+    frame: the engaged shift must reproduce the unbounded-integer
+    Python replay EXACTLY (same truncation, same draw), and the DuckDB
+    oracle formula replays the identical shift."""
+    import duckdb
+
+    from moisturizer_spark.operators.sampling import sql_hash_fraction
+    from moisturizer_spark.operators.textan import importance_resample
+
+    rows = [(i, (i % 41) / 2.0) for i in range(2000)]
+    s_ref, ref = _resample_ref(rows, n_target=300, bound_bits=30)
+    assert s_ref > 0  # the planted bound actually engages the shift
+    scored = spark.createDataFrame(
+        rows, "doc_id long, log2_ratio_per_token double"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in importance_resample(
+            scored, n_target=300, bound_bits=30
+        ).collect()
+    )
+    assert got == ref
+    # DuckDB replay of the oracle's shift formula (bound lowered to 30)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE sc AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {r!r})" for i, r in rows)
+        + ") t(doc_id, log2_ratio_per_token)"
+    )
+    pick = sql_hash_fraction("doc_id", "dsirprop:")
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH wm AS (SELECT doc_id,
+                CAST(ROUND(POWER(2.0, LEAST(log2_ratio_per_token, 20.0))
+                           * 1000000) AS BIGINT) AS w FROM sc),
+            hdr AS (SELECT GREATEST(0, CAST(length(bin(MAX(w)))
+                     + length(bin(COUNT(*))) - 30 AS INT)) AS s FROM wm),
+            wsh AS (SELECT doc_id, w // (CAST(1 AS BIGINT) << s) AS ws
+                    FROM wm, hdr),
+            tot AS (SELECT CAST(SUM(ws) AS BIGINT) AS tw FROM wsh)
+            SELECT doc_id FROM wsh, tot
+            WHERE {pick} < LEAST(1.0,
+                CAST(300 * ws AS DOUBLE) / CAST(tw AS DOUBLE))
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert duck == ref
+
+
+def test_importance_resample_past_int64_sum_bound(spark):
+    """The planted >8x10^6-doc corpus the r6 verdict demanded: at
+    ratio_clamp weights, 9M docs push the RAW micro-weight sum past
+    2^63 — without the rescale Spark's non-ANSI sum wraps NEGATIVE and
+    the filter silently returns zero rows. With it, acceptance lands at
+    the binomial expectation around n_target."""
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.textan import importance_resample
+
+    n = 9_000_000  # raw sum = n * 2^20*1e6 ~ 9.4e18 > 2^63 ~ 9.22e18
+    scored = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(20.0).alias("log2_ratio_per_token"),
+    )
+    got = importance_resample(scored, n_target=60).count()
+    # all weights equal -> p = 60/9e6 exactly; 5 sigma of Binomial(n,p)
+    assert abs(got - 60) <= 5 * 60**0.5, got
+
+
 # -- nb_log_odds: the Naive-Bayes quality classifier ------------------------
 
 
