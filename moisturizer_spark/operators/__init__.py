@@ -52,3 +52,7 @@ from moisturizer_spark.operators.tokenizer import (  # noqa: F401
     bpe_segment,
     bpe_train,
 )
+from moisturizer_spark.operators.expectations import (  # noqa: F401
+    profile_numeric,
+    profile_numeric_approx,
+)

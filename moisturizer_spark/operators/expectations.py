@@ -168,33 +168,229 @@ def profile_numeric(
     every stat; adding a column adds rows to the same scan, not a job
     (the :func:`check` fusion principle applied to profiling). Exact
     ndv costs a distinct-aggregate expansion; at 100 TB swap
-    ``approx_count_distinct`` or the KMV sketch cells
-    (``operators/sketches.py``) at the same call site — the report
-    schema is unchanged. Determinism: counts exact; values compare as
-    the ORIGINAL column order semantics cast to ``decimal`` (exact),
-    output min/max/sum as double via the decimal→double convention.
-    """
+    :func:`profile_numeric_approx` at the same call site. Determinism:
+    counts exact; values compare as the ORIGINAL column order
+    semantics cast to ``decimal`` (exact), output min/max/sum as
+    double via the decimal→double convention.
+
+    Range contract: a value outside ``decimal``'s range would NULL out
+    under Spark's non-ANSI cast (skewing ndv/min/max/sum and
+    misreporting the row as missing) while a DuckDB oracle CAST
+    raises — so overflow is DETECTED in the same aggregation (raw
+    non-null count vs post-cast count) and raised loudly, aligning the
+    engines on fail-loud. Widen the ``decimal`` parameter for
+    wider-range columns."""
     stack = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(c).alias("column"),
                     F.col(c).cast(decimal).alias("value"),
+                    F.col(c).isNotNull().alias("present"),
                 )
                 for c in cols
             ]
         )
     ).alias("s")
-    long = df.select(stack).select("s.column", "s.value")
+    long = df.select(stack).select("s.column", "s.value", "s.present")
+    agg = long.groupBy("column").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("present").cast("bigint")).alias("_n_raw"),
+        F.count("value").cast("bigint").alias("_n_cast"),
+        F.count_distinct("value").cast("bigint").alias("ndv"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+    # overflow guard rides the n_filled output column (a dropped
+    # assert_true column would be pruned away by Catalyst)
+    n_filled = F.when(
+        F.col("_n_raw") == F.col("_n_cast"), F.col("_n_raw")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "profile_numeric: %d value(s) in column '%s' overflow "
+                + decimal
+                + " — widen the decimal parameter",
+                F.col("_n_raw") - F.col("_n_cast"),
+                F.col("column"),
+            )
+        )
+    )
     return (
-        long.groupBy("column")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.count("value").cast("bigint").alias("n_filled"),
-            F.count_distinct("value").cast("bigint").alias("ndv"),
-            F.min("value").cast("double").alias("min_value"),
-            F.max("value").cast("double").alias("max_value"),
-            F.sum("value").cast("double").alias("sum_value"),
+        agg.select(
+            "column",
+            "n_rows",
+            n_filled.cast("bigint").alias("n_filled"),
+            "ndv",
+            "min_value",
+            "max_value",
+            "sum_value",
         )
         .orderBy("column")
+    )
+
+
+# -- approximate ndv profile (the 100 TB swap for profile_numeric) ----------
+#
+# MinCount / Flajolet-Martin-style estimator (Bar-Yossef et al. 2002,
+# "Counting distinct elements in a data stream"): k pairwise-independent
+# hash fractions per value; the per-column state is k running MINIMUMS —
+# map-side combinable doubles, so the aggregation carries 64 doubles per
+# column instead of profile_numeric's full distinct-value expansion.
+# min over ROWS == min over DISTINCT values (duplicates can't lower a
+# min), which is what makes the estimator shuffle-free. Estimate:
+# each min ~ Beta(1, n) with mean 1/(n+1), so n_hat = k/sum(m_j) - 1;
+# relative error ~ 1/sqrt(k) (12.5% at k=64).
+#
+# Determinism (oracle parity): fractions come from one md5 per value —
+# four 32-bit words h1..h4 — pushed through TWO independent 2-universal
+# hashes over the Mersenne prime Q = 2^31-1,
+#   g = ((a*h1) mod Q + (b*h2) mod Q + c) mod Q,
+# concatenated into a 62-bit fraction u = (g1*Q + g2 + 1) / Q^2 ∈ (0,1].
+# The per-TERM mod is load-bearing twice over: (Q-1)*(2^32-1) < 2^63-1
+# keeps every product inside int64 (exact and IDENTICAL in Spark and
+# DuckDB — no silent wrap / no ANSI divergence), and a coefficient
+# smaller than Q/h would leave the sum short of Q so the min frac would
+# be FLOORED at ~c/Q instead of uniform (the bug the first cut of this
+# file had, caught by the accuracy check below). Constants derive from
+# md5(j) at import; the k-term addition is one left-associated
+# expression chain in both engines, so the IEEE sum is bit-equal.
+
+_NDV_Q = (1 << 31) - 1
+_NDV_K = 64
+
+
+def _ndv_consts(k: int = _NDV_K) -> list[tuple[int, ...]]:
+    import hashlib
+
+    out = []
+    for j in range(k):
+        h = hashlib.md5(f"ndvhash:{j}".encode()).hexdigest()
+        words = [int(h[i * 5 : i * 5 + 5], 16) for i in range(6)]
+        a1, b1, a2, b2 = (w % (_NDV_Q - 1) + 1 for w in words[:4])
+        c1, c2 = (w % _NDV_Q for w in words[4:])
+        out.append((a1, b1, c1, a2, b2, c2))
+    return out
+
+
+def profile_numeric_approx(
+    df: DataFrame, cols: list[str], decimal: str = "decimal(18,6)",
+    k: int = _NDV_K,
+) -> DataFrame:
+    """:func:`profile_numeric` with the ndv column swapped to the
+    MinCount estimate (``ndv_est``, double) — the scale path: the
+    per-column aggregation state is ``k`` doubles instead of every
+    distinct value, so profiling a 100 TB fact table costs one
+    map-combinable pass with bounded shuffle payload. Same unpivot,
+    same single aggregation, same exact counts/min/max/sum and the
+    same fail-loud decimal overflow guard.
+
+    The estimate is deterministic (md5-seeded hash family, fixed
+    addition order) and replays bit-identically in the DuckDB oracle
+    via :func:`sql_ndv_est`."""
+    consts = _ndv_consts(k)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast(decimal).alias("value"),
+                    F.col(c).isNotNull().alias("present"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("s")
+    long = df.select(stack).select("s.column", "s.value", "s.present")
+    h = F.md5(F.col("value").cast("string"))
+    for i in range(4):
+        long = long.withColumn(
+            f"_h{i + 1}",
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint"),
+        )
+    Q = F.lit(_NDV_Q)
+
+    def _g(a, b, c, hx, hy):
+        return (
+            (F.lit(a) * hx) % Q + (F.lit(b) * hy) % Q + F.lit(c)
+        ) % Q
+
+    mins = []
+    for j, (a1, b1, c1, a2, b2, c2) in enumerate(consts):
+        g1 = _g(a1, b1, c1, F.col("_h1"), F.col("_h2"))
+        g2 = _g(a2, b2, c2, F.col("_h3"), F.col("_h4"))
+        mins.append(
+            F.min(
+                (g1 * Q + g2 + F.lit(1)).cast("double")
+                / F.lit(float(_NDV_Q) * float(_NDV_Q))
+            ).alias(f"_m{j}")
+        )
+    agg = long.groupBy("column").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("present").cast("bigint")).alias("_n_raw"),
+        F.count("value").cast("bigint").alias("_n_cast"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        F.sum("value").cast("double").alias("sum_value"),
+        *mins,
+    )
+    total = F.col("_m0")
+    for j in range(1, k):
+        total = total + F.col(f"_m{j}")
+    ndv_est = F.when(F.col("_n_cast") == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
+    )
+    n_filled = F.when(
+        F.col("_n_raw") == F.col("_n_cast"), F.col("_n_raw")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "profile_numeric_approx: %d value(s) in column '%s' "
+                "overflow " + decimal + " — widen the decimal parameter",
+                F.col("_n_raw") - F.col("_n_cast"),
+                F.col("column"),
+            )
+        )
+    )
+    return (
+        agg.select(
+            "column",
+            "n_rows",
+            n_filled.cast("bigint").alias("n_filled"),
+            ndv_est.alias("ndv_est"),
+            "min_value",
+            "max_value",
+            "sum_value",
+        )
+        .orderBy("column")
+    )
+
+
+def sql_ndv_est(col_sql: str, decimal: str = "DECIMAL(18,6)",
+                k: int = _NDV_K) -> str:
+    """DuckDB rendering of the MinCount ndv estimate for one column —
+    the same md5 words, hash family, min aggregates, and left-chained
+    addition as :func:`profile_numeric_approx` (oracle parity)."""
+    consts = _ndv_consts(k)
+    v = f"CAST(CAST({col_sql} AS {decimal}) AS VARCHAR)"
+    hw = [
+        f"CAST(('0x' || substr(md5({v}), {1 + 8 * i}, 8)) AS BIGINT)"
+        for i in range(4)
+    ]
+    Q = _NDV_Q
+    denom = float(Q) * float(Q)
+
+    def _g(a, b, c, hx, hy):
+        return f"((({a} * {hx}) % {Q} + ({b} * {hy}) % {Q} + {c}) % {Q})"
+
+    terms = [
+        f"MIN(CAST({_g(a1, b1, c1, hw[0], hw[1])} * {Q} "
+        f"+ {_g(a2, b2, c2, hw[2], hw[3])} + 1 AS DOUBLE) / {denom!r})"
+        for a1, b1, c1, a2, b2, c2 in consts
+    ]
+    chain = " + ".join(terms)
+    return (
+        f"CASE WHEN COUNT(CAST({col_sql} AS {decimal})) = 0 THEN 0.0 "
+        f"ELSE ROUND({float(k)!r} / ({chain}) - 1.0, 6) END"
     )

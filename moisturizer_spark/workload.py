@@ -6963,6 +6963,53 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_numeric(t["lineitem"], list(_PROFILE_COLS))
 
 
+def _sql_profile_approx() -> str:
+    from moisturizer_spark.operators.expectations import sql_ndv_est
+
+    return (
+        "\nUNION ALL\n".join(
+            f"""
+    SELECT '{c}' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_filled,
+           {sql_ndv_est(c)} AS ndv_est,
+           CAST(MIN(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS max_value,
+           CAST(CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM lineitem"""
+            for c in _PROFILE_COLS
+        )
+        + '\n    ORDER BY "column"\n    '
+    )
+
+
+@query("lineitem_profile_approx", _sql_profile_approx())
+def lineitem_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lineitem_profile``'s verified 100 TB scale path
+    (:func:`moisturizer_spark.operators.expectations.
+    profile_numeric_approx`): the exact-ndv distinct expansion — the
+    first thing to fall over when the fact table grows 100× — swaps to
+    the deterministic MinCount estimator (Bar-Yossef et al. 2002):
+    64 md5-seeded 2-universal hash fractions per value, per-column
+    state = 64 running MINIMUMS (map-combinable doubles), estimate
+    ``k/Σmin − 1`` with ~12.5% relative error. Counts, min/max, and
+    the decimal sum stay exact; the whole profile remains ONE
+    aggregation over one unpivot scan with bounded shuffle payload at
+    any table size (no Expand, plan-pinned in pytest).
+
+    Determinism: the hash family is integer arithmetic inside int64
+    (per-term mod against the Mersenne prime 2^31−1) and the k-term
+    addition is one fixed-order IEEE chain — the DuckDB oracle replays
+    the estimate bit-for-bit."""
+    from moisturizer_spark.operators.expectations import (
+        profile_numeric_approx,
+    )
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return profile_numeric_approx(t["lineitem"], list(_PROFILE_COLS))
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -7348,66 +7395,63 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 #   4. rows-only queries last — their checks live in pytest.
 
 _NEEDS_DRIVER_ROW = [
-    # round 6: tainted (mechanically computed by tests/test_driver_window
-    # against the round-5 end commit — new queries, the conversion-paths
-    # rewrite, the LM-operator skew_guard edits, newly-oracle FFD/BPE)
-    "events_coactivity",              # NEW: banded keyless interval join
-    "docs_weighted_sample",           # NEW: det A-ES weighted sampling
-    "events_zorder_histogram",        # NEW: Morton-code layout arithmetic
-    "docs_near_dup_quality_winner",   # NEW: det-minhash x NB composition
-    "docs_dedup_method_agreement",    # NEW: 3-family agreement report
-    "events_minute_gapfill",          # NEW: calendar spine + ffill resample
-    "events_conversion_latency",      # NEW: first-view->purchase quantiles
-    "docs_leakage_free_split",        # NEW: cluster-keyed split (no leakage)
-    "lineitem_profile",               # NEW: ANALYZE-style column profile
-    "embedding_dim_correlation",      # NEW: exact-moment Pearson matrix
-    "customer_rfm_segments",          # NEW: RFM quintile segmentation
-    "part_affinity_lift",             # NEW: market-basket lift pairs
-    "docs_ngram_novelty",             # NEW: first-occurrence novelty score
-    "docs_quality_classifier",        # NEW: det Naive-Bayes quality filter
-    "embedding_ivf_det_top5",         # NEW: md5-frozen-centroid det IVF
-    "embedding_pq_det_top5",          # NEW: md5-frozen-codebook det PQ
-    "events_conversion_paths",        # O(1)-state window rewrite
-    "docs_dsir_proportional",         # NEW: importance-proportional DSIR
-    "docs_pack_ffd",                  # NEWLY ORACLE: recursive-CTE replay
-    "bpe_merge_table",                # NEWLY ORACLE: unrolled merge loop
-    "bpe_fertility_by_lang",          # NEW: chars-per-subword by language
-    "docs_minhash_det_near_dup",      # shingle-n param plumb taint
-    "ngram_jaccard_near_dup",         # docstring-reference taint (same plumb)
-    "docs_dsir_selection",            # skew_guard plumbing in dsir_log_ratio
-    "docs_perplexity_buckets",        # skew_guard plumbing in bigram_lm_bits
-    "embedding_kmeans_det",           # NEW: all-integer Lloyd k-means
-    "embedding_diversity_sample_det", # NEW: det-clustered quota sample
-    "embedding_lsh_det_top5",         # _det_uniform consolidation taint
-    # oldest green rows: last verified round 3
-    "crosslingual_near_dup",
-    "customer_name_typo_pairs",
-    "docs_line_dedup",
-    "docs_pii_scan",
-    "event_type_audience_overlap",
-    "events_cohort_retention",
-    "events_frequent_users",
-    "events_funnel",
-    "events_volume_anomalies",
-    "lineitem_expectations",
-    "q18_large_orders",
-    "q7_volume_shipping",
-    # backfill: round-4 green rows (the 12 left outside keep age 2,
-    # first in line for the round-7 window)
-    "corpus_shard_manifest",
-    "doc_dedup_clusters",
-    "doc_dup_span_coverage",
-    "doc_median_tokens",
-    "doc_repetition_by_source",
-    "doc_term_counts_udtf",
-    "docs_benchmark_containment",
-    "docs_chunk_dedup",
-    "docs_chunk_sliding",
-    "docs_curation_report",
+    # round 7: new queries + queries tainted by the r7 operator edits
+    # (importance_resample rescale; profile_numeric overflow guard),
+    # mechanically confirmed by tests/test_driver_window.py
+    "lineitem_profile_approx",        # NEW: MinCount ndv scale path
+    "lineitem_profile",               # profile_numeric overflow guard
+    "docs_dsir_proportional",         # importance_resample rescale
+    # stalest-first rotation: every oracle whose last green driver row
+    # is round 4 (the displaced r6 backfill set)...
     "docs_decontaminated",
     "docs_pack_chunks",
     "docs_quality_funnel",
     "docs_vocab_growth",
+    "embedding_hard_negatives",
+    "events_grouping_sets",
+    "events_kmv_audience",
+    "langid_confusion",
+    "multimodal_payload_stats",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_order_counts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_suppliers",
+    "q22_idle_customers",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "quality_by_source",
+    "source_epoch_plan",
+    "source_mix_temperature",
+    "tfidf_top_terms",
+    "token_stats_by_lang",
+    "top3_customers_per_nation",
+    "top_bigrams",
+    "top_words_per_lang",
+    # ...backfilled to 50 with round-5-green oracles (alphabetical head;
+    # the rest stay age 2 and rotate next round)
+    "bpe_token_stats",
+    "brand_revenue_share",
+    "customer_spend_ntile",
+    "customer_year_set_ops",
+    "customers_above_nation_avg",
+    "customers_without_orders",
+    "docs_fingerprint_dedup",
+    "docs_hash_split",
+    "docs_remove_dup_spans",
+    "docs_remove_dup_spans_hashed",
+    "docs_simhash_det_near_dup",
+    "docs_winnowing_det_near_dup",
+    "embedding_cosine_near_dup",
+    "embedding_decontamination",
+    "embedding_norm_stats",
 ]
 
 

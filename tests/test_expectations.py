@@ -86,3 +86,92 @@ def test_profile_numeric_stats(spark):
         if m.group(1) == "Exchange"
     )
     assert n <= 3
+
+
+def test_profile_numeric_overflow_raises_loudly(spark):
+    """A value outside the decimal range must FAIL, never silently
+    skew the stats: under ANSI the cast itself raises; with ANSI off
+    (the non-ANSI deployment the r6 ADVICE flagged) the raw-vs-cast
+    count guard raises instead. Either way: loud."""
+    import pytest
+
+    from moisturizer_spark.operators.expectations import (
+        profile_numeric,
+        profile_numeric_approx,
+    )
+
+    bad = spark.createDataFrame([(1.0,), (1e14,)], "x double")
+    for fn in (profile_numeric, profile_numeric_approx):
+        with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+            fn(bad, ["x"]).collect()
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        for fn in (profile_numeric, profile_numeric_approx):
+            with pytest.raises(Exception, match="widen the decimal"):
+                fn(bad, ["x"]).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_profile_numeric_approx_accuracy_and_parity(spark):
+    """MinCount ndv estimate: within the estimator's statistical band
+    (~1/sqrt(64) relative) of truth at two very different cardinalities,
+    bit-identical to the DuckDB oracle rendering, and exact counts /
+    min / max / sum agree with the exact profile."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.expectations import (
+        profile_numeric,
+        profile_numeric_approx,
+        sql_ndv_est,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 5000).cast("double").alias("a"),
+        (F.col("id") % 37).cast("double").alias("b"),
+    )
+    approx = {
+        r["column"]: r.asDict()
+        for r in profile_numeric_approx(df, ["a", "b"]).collect()
+    }
+    exact = {
+        r["column"]: r.asDict()
+        for r in profile_numeric(df, ["a", "b"]).collect()
+    }
+    for c, truth in (("a", 5000), ("b", 37)):
+        assert abs(approx[c]["ndv_est"] - truth) <= 0.45 * truth, (
+            c,
+            approx[c]["ndv_est"],
+        )
+        for k in ("n_rows", "n_filled", "min_value", "max_value", "sum_value"):
+            assert approx[c][k] == exact[c][k], (c, k)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    for c in ("a", "b"):
+        duck = con.execute(f"SELECT {sql_ndv_est(c)} FROM t").fetchone()[0]
+        assert duck == approx[c]["ndv_est"], (c, duck)
+
+
+def test_profile_numeric_approx_bounded_state(spark):
+    """The approx profile's aggregation must carry NO distinct-expand:
+    the plan has no 'distinct' aggregate expressions (the exact
+    profile's count_distinct forces a two-phase expand) — the state is
+    k doubles per column, which is what makes it the 100 TB path."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.expectations import (
+        profile_numeric_approx,
+    )
+
+    df = spark.range(100).select((F.col("id") % 7).cast("double").alias("a"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile_numeric_approx(df, ["a"]).explain("formatted")
+    plan = buf.getvalue()
+    assert "Expand" not in plan
+    assert "distinct" not in plan.lower().replace("count_distinct", "")

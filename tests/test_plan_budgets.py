@@ -119,6 +119,7 @@ BUDGETS = {
     "latest_event_per_user": 2,
     "lineitem_expectations": 5,
     "lineitem_profile": 3,
+    "lineitem_profile_approx": 2,
     "min_cost_supplier_per_part": 3,
     "minhash_near_dup": 3,
     "multimodal_payload_stats": 3,
