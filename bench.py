@@ -37,6 +37,8 @@ import argparse
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 
@@ -61,6 +63,34 @@ def _drop_extremes(ts: list[float]) -> list[float]:
         return ts
     out = sorted(ts)[1:-1]
     return out or ts
+
+
+def _ratio_vs_prev(medians: dict[str, float]) -> dict | None:
+    """Median of per-query median-time ratios vs HEAD's committed
+    bench_detail.json, over the common query subset."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        res = subprocess.run(
+            ["git", "show", "HEAD:bench_detail.json"],
+            capture_output=True, text=True, cwd=here, timeout=30,
+        )
+        if res.returncode != 0:
+            return None
+        prev = json.loads(res.stdout).get("queries_median") or {}
+    except Exception:
+        return None
+    common = [q for q in medians if q in prev and prev[q] > 0]
+    if not common:
+        return None
+    ratios = [medians[q] / prev[q] for q in common]
+    return {
+        "n_common": len(common),
+        "n_new": len(medians) - len(common),
+        "median": round(statistics.median(ratios), 3),
+        "mean": round(sum(ratios) / len(ratios), 3),
+        "worst_query": max(common, key=lambda q: medians[q] / prev[q]),
+        "worst": round(max(ratios), 3),
+    }
 
 
 def main() -> None:
@@ -175,7 +205,12 @@ def main() -> None:
         else runs
     )
     timings = {name: min(ts) for name, ts in kept.items()}
-    medians = {name: sorted(ts)[len(ts) // 2] for name, ts in kept.items()}
+    # true median (statistics.median averages the middle pair on
+    # even-length kept lists; the old upper-middle pick biased high
+    # for --passes 4 / --passes 6 --drop-extremes runs)
+    medians = {
+        name: round(statistics.median(ts), 3) for name, ts in kept.items()
+    }
     match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
 
@@ -210,6 +245,13 @@ def main() -> None:
             "load_avg_at_start": round(load_at_start, 2),
             "load_gate": LOAD_GATE,
             "load_gate_ok": 0 <= load_at_start < LOAD_GATE,
+            # mechanical round-over-round number (r6 verdict #8): the
+            # median per-query median-time ratio vs the LAST COMMITTED
+            # artifact, on the common query subset — computed here so
+            # nobody has to re-derive it by diffing artifacts by hand.
+            # New/removed queries are excluded by construction; null
+            # when no prior artifact exists (or git is unavailable).
+            "common_median_ratio_vs_prev": _ratio_vs_prev(medians),
         },
     }
     if load_at_start >= LOAD_GATE:

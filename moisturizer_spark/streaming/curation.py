@@ -37,13 +37,12 @@ from pyspark.sql.streaming import StreamingQuery
 from moisturizer_spark.operators.dedup import incremental_exact_dedup
 from moisturizer_spark.operators.textan import default_quality_rules
 from moisturizer_spark.storage import ParquetTable
-from moisturizer_spark.streaming._txn import txn_behind as _behind_app
+from moisturizer_spark.streaming._txn import (
+    stream_app_id as _stream_app_id,
+    txn_behind as _behind_app,
+)
 
 APP_ID = "curation_stream"
-
-
-def _behind(table: ParquetTable, batch_id: int) -> bool:
-    return _behind_app(table, APP_ID, batch_id)
 
 
 def start_curation_stream(
@@ -72,6 +71,12 @@ def start_curation_stream(
     """
     rules_ = default_quality_rules(text_col) if rules is None else rules
     q_pass = reduce(lambda a, b: a & b, [cond for _, cond in rules_])
+    # stream-lifetime watermark namespace: a FRESH checkpoint restarts
+    # batch ids at 0, so the app id must change with it (_txn docstring)
+    app_id = _stream_app_id(APP_ID, checkpoint_dir)
+
+    def _behind(table: ParquetTable, batch_id: int) -> bool:
+        return _behind_app(table, app_id, batch_id)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not (
@@ -87,7 +92,7 @@ def start_curation_stream(
         )
         if _behind(curated, batch_id):
             curated.upsert(
-                kept.drop("fp"), txn=(APP_ID, batch_id)
+                kept.drop("fp"), txn=(app_id, batch_id)
             )
         # stats BEFORE store: n_kept is derived from the pre-batch store
         # (via `kept`), so it must be persisted before the store absorbs
@@ -102,7 +107,7 @@ def start_curation_stream(
                     [(batch_id, n_in, good.count(), n_kept)],
                     f"{stats.key} long, n_input long, n_quality long, n_kept long",
                 ),
-                txn=(APP_ID, batch_id),
+                txn=(app_id, batch_id),
             )
         if _behind(store, batch_id):
             store.upsert(
@@ -110,7 +115,7 @@ def start_curation_stream(
                     F.col("fp").alias(store.key),
                     F.col(id_col).cast("string").alias("first_doc_id"),
                 ),
-                txn=(APP_ID, batch_id),
+                txn=(app_id, batch_id),
             )
 
     writer = doc_stream.writeStream.foreachBatch(process).option(

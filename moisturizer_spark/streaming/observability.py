@@ -111,7 +111,16 @@ def lag_report(metrics: DataFrame) -> DataFrame:
     """Keep-up diagnosis per query over a metrics table: batches where
     processing ran slower than arrival (``falling_behind``), plus state
     growth between consecutive batches — the first thing an on-call
-    looks at. Pure DataFrame ops over the small metrics table."""
+    looks at. Pure DataFrame ops over the small metrics table.
+
+    Input contract: run this over the ACCUMULATED parquet metrics
+    table (``spark.read.parquet(path)`` after :meth:`MetricsBuffer.
+    flush`), not over a post-flush in-memory snapshot —
+    ``state_rows_delta`` is a lag() over only the rows present in
+    ``metrics``, so a frame holding just the latest flush gets a NULL
+    delta on its first batch and deltas never span flush boundaries.
+    Reading the full table restores the cross-flush chain; the one
+    irreducibly-NULL delta is each query's genuinely-first batch."""
     from pyspark.sql import Window, functions as F
 
     w = Window.partitionBy("query_id").orderBy("batch_id")

@@ -43,6 +43,7 @@ from moisturizer_spark.streaming._txn import (
     txn_behind as _behind_app,
     bump_index_watermark as _bump,
     index_watermark as _index_watermark,
+    stream_app_id as _stream_app_id,
 )
 
 from moisturizer_spark.operators.similarity import (
@@ -53,14 +54,6 @@ from moisturizer_spark.operators.similarity import (
 from moisturizer_spark.storage import ParquetTable
 
 APP_ID = "semantic_dedup_stream"
-
-
-def _behind(table: ParquetTable, batch_id: int) -> bool:
-    return _behind_app(table, APP_ID, batch_id)
-
-
-def _bump_index_watermark(path: str, batch_id: int) -> None:
-    _bump(path, APP_ID, batch_id)
 
 
 def start_semantic_dedup_stream(
@@ -83,9 +76,19 @@ def start_semantic_dedup_stream(
         meta = json.load(fh)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
 
+    # stream-lifetime watermark namespace: a FRESH checkpoint restarts
+    # batch ids at 0, so the app id must change with it (_txn docstring)
+    app_id = _stream_app_id(APP_ID, checkpoint_dir)
+
+    def _behind(table: ParquetTable, batch_id: int) -> bool:
+        return _behind_app(table, app_id, batch_id)
+
+    def _bump_index_watermark(path: str, batch_id: int) -> None:
+        _bump(path, app_id, batch_id)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        idx_applied = _index_watermark(index_path)
+        idx_applied = _index_watermark(index_path, app_id)
         if (
             not (_behind(curated, batch_id) or _behind(stats, batch_id))
             and idx_applied is not None
@@ -112,7 +115,7 @@ def start_semantic_dedup_stream(
         )
         survivors = batch_keep.join(dup_ids, id_col, "left_anti")
         if _behind(curated, batch_id):
-            curated.upsert(survivors, txn=(APP_ID, batch_id))
+            curated.upsert(survivors, txn=(app_id, batch_id))
         if _behind(stats, batch_id):
             n_batch_keep = batch_keep.count()
             n_kept = survivors.count()
@@ -130,7 +133,7 @@ def start_semantic_dedup_stream(
                     f"{stats.key} long, n_input long, n_batch_dups long, "
                     "n_corpus_dups long, n_kept long",
                 ),
-                txn=(APP_ID, batch_id),
+                txn=(app_id, batch_id),
             )
         if idx_applied is None or idx_applied < batch_id:
             ivf_append(

@@ -110,7 +110,11 @@ def test_streaming_near_dup_replay_converges_after_partial_append(
         minhash_compact,
         minhash_query,
     )
-    from moisturizer_spark.streaming.near_dup import _index_watermark
+    def _applied_batch(path):
+        # raw sidecar cursor, app-id-agnostic (the lifetime namespace is
+        # exercised by test_fresh_checkpoint_reprocesses_instead_of_dropping)
+        with open(os.path.join(path, "_stream_txn.json")) as fh:
+            return json.load(fh)["applied_batch"]
 
     seed = spark.createDataFrame([(100, BASE)], SCHEMA)
     index = f"{warehouse}/nd_index2"
@@ -120,7 +124,7 @@ def test_streaming_near_dup_replay_converges_after_partial_append(
     _drop(src, "b1.json", [(1, FRESH), (2, FRESH2)])
     curated, stats = _run(spark, warehouse, src, index)
     assert {r["doc_id"] for r in curated.read().collect()} == {1, 2}
-    assert _index_watermark(index) == 0
+    assert _applied_batch(index) == 0
 
     # simulate the lost sidecar bump: rewind the watermark, delete the
     # checkpoint so the SAME files replay as a fresh batch 0
@@ -132,7 +136,7 @@ def test_streaming_near_dup_replay_converges_after_partial_append(
     # identical survivor set; curated/stats unchanged via watermarks
     assert {r["doc_id"] for r in curated.read().collect()} == {1, 2}
     assert stats.read().count() == 1
-    assert _index_watermark(index) == 0
+    assert _applied_batch(index) == 0
     # the double-append left duplicate physical rows; queries still
     # behave (duplicate pairs collapse) and compaction sheds them
     probe = spark.createDataFrame(
@@ -145,3 +149,56 @@ def test_streaming_near_dup_replay_converges_after_partial_append(
     assert bands.count() == bands.dropDuplicates().count()
     after = minhash_query(spark, index, probe)
     assert {r["corpus_id"] for r in after.collect()} == {1}
+
+
+def test_fresh_checkpoint_reprocesses_instead_of_dropping(spark, warehouse):
+    """The r6-ADVICE hazard: batch ids restart at 0 under a NEW
+    checkpoint directory, so a bare batch-id watermark would silently
+    drop every batch of the new stream (id <= the old cursor). The
+    stream-lifetime app-id namespace must make a fresh checkpoint
+    REPROCESS: new source files flow through, new stats rows land, and
+    the index keeps absorbing survivors."""
+    seed = spark.createDataFrame([(100, BASE)], SCHEMA)
+    index = f"{warehouse}/nd_index"
+    minhash_build(seed, index, threshold=0.6)
+    src = os.path.join(warehouse, "nd_src")
+    os.makedirs(src)
+    _drop(src, "b1.json", [(1, FRESH)])
+    curated, stats = _run(spark, warehouse, src, index)
+    assert {r["doc_id"] for r in curated.read().collect()} == {1}
+    # the first lifetime committed watermarks for batch id 0
+    assert stats.read().count() == 1
+
+    # NEW checkpoint + NEW source dir (same tables, same index): its
+    # first batch is id 0 again — under the old bare-app-id scheme the
+    # cursor at 0 suppressed it entirely
+    src2 = os.path.join(warehouse, "nd_src2")
+    os.makedirs(src2)
+    _drop(src2, "b1.json", [(6, FRESH2)])
+    curated2 = ParquetTable(spark, f"{warehouse}/nd_curated", key="doc_id")
+    stats2 = ParquetTable(spark, f"{warehouse}/nd_stats2", key="batch_id")
+    stream = spark.readStream.schema(SCHEMA).json(src2)
+    q = start_near_dup_stream(
+        stream, index, curated2, stats2,
+        os.path.join(warehouse, "nd_ckpt_fresh"),
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in curated2.read().collect()}
+    assert 6 in got, (
+        "fresh-checkpoint batch 0 was dropped by a stale watermark"
+    )
+    assert stats2.read().count() == 1
+    # and a near-dup of doc 6 via a THIRD lifetime still dedups against
+    # the index doc 6 just joined
+    src3 = os.path.join(warehouse, "nd_src3")
+    os.makedirs(src3)
+    _drop(src3, "b1.json", [(7, FRESH2.replace("rye", "oat"))])
+    stats3 = ParquetTable(spark, f"{warehouse}/nd_stats3", key="batch_id")
+    stream = spark.readStream.schema(SCHEMA).json(src3)
+    q = start_near_dup_stream(
+        stream, index, curated2, stats3,
+        os.path.join(warehouse, "nd_ckpt_fresh3"),
+    )
+    q.awaitTermination(120)
+    s = stats3.read().first()
+    assert (s["n_corpus_dups"], s["n_kept"]) == (1, 0)

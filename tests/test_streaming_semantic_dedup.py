@@ -129,7 +129,11 @@ def test_streaming_semantic_dedup_replay_converges(spark, warehouse):
         ivf_compact,
         ivf_query,
     )
-    from moisturizer_spark.streaming.semantic_dedup import _index_watermark
+    def _applied_batch(path):
+        # raw sidecar cursor, app-id-agnostic (the lifetime namespace is
+        # exercised by test_fresh_checkpoint_reprocesses_instead_of_dropping)
+        with open(os.path.join(path, "_stream_txn.json")) as fh:
+            return json.load(fh)["applied_batch"]
 
     seed = spark.createDataFrame(
         [(100 + i, _unit(i)) for i in range(8)], SCHEMA
@@ -141,14 +145,14 @@ def test_streaming_semantic_dedup_replay_converges(spark, warehouse):
     _drop(src, "b1.json", [(1, _unit(50)), (2, _unit(60))])
     curated, stats = _run(spark, warehouse, src, index, n_probe=4)
     assert {r["vec_id"] for r in curated.read().collect()} == {1, 2}
-    assert _index_watermark(index) == 0
+    assert _applied_batch(index) == 0
 
     os.remove(os.path.join(index, "_stream_txn.json"))
     shutil.rmtree(os.path.join(warehouse, "sd_ckpt"))
     curated, stats = _run(spark, warehouse, src, index, n_probe=4)
     assert {r["vec_id"] for r in curated.read().collect()} == {1, 2}
     assert stats.read().count() == 1
-    assert _index_watermark(index) == 0
+    assert _applied_batch(index) == 0
 
     # duplicated (id, vector) rows are inert for queries; compaction
     # sheds them
