@@ -228,3 +228,190 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+# -- perceptual hashing + near-dup over image payloads ----------------------
+#
+# The dedup matrix's third modality (text: minhash/simhash/winnowing;
+# embeddings: SemDeDup/IVF; THIS: raw image bytes). aHash/dHash are the
+# standard perceptual-hash family (average hash: bit = cell >= mean;
+# difference hash: bit = cell < right neighbor): near-identical images
+# differ in a few bits, so near-dup pairs are Hamming-close and the
+# pigeonhole band trick from SimHash applies unchanged.
+#
+# All-integer by construction (uint8 cells, integer block means via
+# floor division, the mean test as 64*cell >= sum): two engines — or a
+# Python replay — can never disagree on a bit. Hashes are returned as
+# TWO 32-bit halves (hi, lo) instead of one int64 so bit 63 never
+# touches the sign bit in either engine.
+
+def ahash_from_array(img, grid: int = 8) -> tuple[int, int]:
+    """Average-hash of an (h, w, c) uint8 array: integer-downsample to
+    ``grid x grid`` (block mean by floor division; rows/cols cropped to
+    the largest multiple of the block), grayscale via (R+G+B)//3, then
+    bit_k = 1 iff grid^2 * cell_k >= sum(cells) — the mean test kept in
+    integers. Returns (hi, lo): bits 63..32 and 31..0, row-major from
+    bit 0 = cell (0,0)."""
+    import numpy as np
+
+    gray = img.astype(np.int64).sum(axis=2) // img.shape[2]
+    h, w = gray.shape
+    bh, bw = max(h // grid, 1), max(w // grid, 1)
+    gh, gw = min(grid, h), min(grid, w)
+    blocks = (
+        gray[: gh * bh, : gw * bw]
+        .reshape(gh, bh, gw, bw)
+        .sum(axis=(1, 3))
+        // (bh * bw)
+    )
+    cells = np.zeros((grid, grid), dtype=np.int64)
+    cells[:gh, :gw] = blocks
+    flat = cells.reshape(-1)
+    total = int(flat.sum())
+    n = grid * grid
+    bits = [1 if n * int(v) >= total else 0 for v in flat]
+    lo = sum(b << k for k, b in enumerate(bits[:32]))
+    hi = sum(b << k for k, b in enumerate(bits[32:64]))
+    return hi, lo
+
+
+def dhash_from_array(img, grid: int = 8) -> tuple[int, int]:
+    """Difference-hash: same integer downsample, bit = 1 iff cell is
+    strictly less than its RIGHT neighbor (grid x (grid-1) bits,
+    row-major). Robust to global brightness shifts where aHash is
+    robust to local noise — the standard complementary pair."""
+    import numpy as np
+
+    gray = img.astype(np.int64).sum(axis=2) // img.shape[2]
+    h, w = gray.shape
+    bh, bw = max(h // grid, 1), max(w // grid, 1)
+    gh, gw = min(grid, h), min(grid, w)
+    blocks = (
+        gray[: gh * bh, : gw * bw]
+        .reshape(gh, bh, gw, bw)
+        .sum(axis=(1, 3))
+        // (bh * bw)
+    )
+    cells = np.zeros((grid, grid), dtype=np.int64)
+    cells[:gh, :gw] = blocks
+    bits = [
+        1 if cells[r, c] < cells[r, c + 1] else 0
+        for r in range(grid)
+        for c in range(grid - 1)
+    ]
+    lo = sum(b << k for k, b in enumerate(bits[:32]))
+    hi = sum(b << k for k, b in enumerate(bits[32:]))
+    return hi, lo
+
+
+def image_phash(
+    df: DataFrame,
+    decoder: Callable[[bytes], object] | None = None,
+    kernel: Callable[..., tuple[int, int]] | None = None,
+    content_col: str = "content",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual hash per image payload as an Arrow-batched
+    mapInPandas: ``decoder(bytes) -> (h, w, c) uint8 array`` (default
+    the library-free :func:`decode_ppm`; inject for JPEG etc.), then
+    ``kernel`` (default :func:`ahash_from_array`). Adds ``phash_hi`` /
+    ``phash_lo`` int columns; bytes cross the JVM boundary once per
+    Arrow batch and only the 2x32-bit hashes continue downstream."""
+    decoder = decoder or decode_ppm
+    kernel = kernel or ahash_from_array
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("phash_hi", T.LongType()),
+            T.StructField("phash_lo", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                kernel(decoder(bytes(b)), grid=grid) if b is not None else (None, None)
+                for b in pdf[content_col]
+            ]
+            pdf["phash_hi"] = [h for h, _ in hashes]
+            pdf["phash_lo"] = [lo for _, lo in hashes]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "phash_hi",
+    lo_col: str = "phash_lo",
+    max_distance: int = 6,
+) -> DataFrame:
+    """Hamming-banded near-dup pairs over perceptual hashes: the 64
+    bits split into four 16-bit bands; candidate pairs share at least
+    one exact band (an equi-join per band — never an all-pairs
+    comparison), then the exact Hamming distance
+    ``bit_count(hi XOR hi') + bit_count(lo XOR lo')`` filters to
+    ``<= max_distance``. Pigeonhole: any pair within distance 3 shares
+    a band, so recall is TOTAL there; pairs at 4..max_distance are
+    reported when banding happens to catch them (same contract as the
+    SimHash pigeonhole family, and the oracle replays the identical
+    banding so the semantics are engine-exact).
+
+    Scale: shuffles are (band_value, id, hash) projections keyed per
+    band; hot bands (e.g. all-black thumbnails) behave like SimHash's
+    hot buckets — cap or salt upstream if a degenerate corpus makes
+    one band value dominate. The hash frame is persisted before the
+    self-join (both sides consume it; without the boundary the whole
+    upstream decode+hash pipeline executes twice — the
+    ngram_jaccard_pairs materialize rule). Output: (id_a, id_b,
+    hamming), id_a < id_b, each pair once."""
+    from moisturizer_spark.operators.common import materialize
+
+    df = materialize(df.select(id_col, hi_col, lo_col))
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hi_col).alias("_hi"),
+        F.col(lo_col).alias("_lo"),
+        (F.col(lo_col) % F.lit(65536)).alias("_b0"),
+        (F.col(lo_col) / F.lit(65536)).cast("bigint").alias("_b1"),
+        (F.col(hi_col) % F.lit(65536)).alias("_b2"),
+        (F.col(hi_col) / F.lit(65536)).cast("bigint").alias("_b3"),
+    )
+    melted = bands.select(
+        "_id",
+        "_hi",
+        "_lo",
+        F.posexplode(
+            F.array(F.col("_b0"), F.col("_b1"), F.col("_b2"), F.col("_b3"))
+        ).alias("_band", "_val"),
+    )
+    left = melted.select(
+        F.col("_id").alias("id_a"),
+        F.col("_hi").alias("_hi_a"),
+        F.col("_lo").alias("_lo_a"),
+        "_band",
+        "_val",
+    )
+    right = melted.select(
+        F.col("_id").alias("id_b"),
+        F.col("_hi").alias("_hi_b"),
+        F.col("_lo").alias("_lo_b"),
+        "_band",
+        "_val",
+    )
+    cand = (
+        left.join(right, ["_band", "_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_hi_a", "_lo_a", "_hi_b", "_lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.expr("_hi_a ^ _hi_b"))
+        + F.bit_count(F.expr("_lo_a ^ _lo_b"))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(max_distance))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -7010,6 +7010,141 @@ def lineitem_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_numeric_approx(t["lineitem"], list(_PROFILE_COLS))
 
 
+# -- images_near_dup_det: perceptual-hash near-dup over the image modality --
+#
+# 64 hash buckets -> 64 pixels: each document renders to a REAL 8x8
+# grayscale PPM (P6) whose pixel k is the (255-capped) count of
+# DISTINCT char trigrams whose md5 lands in bucket k — a doc-SPECIFIC
+# content fingerprint. (A plain character histogram fails here: every
+# English document has nearly the same letter-frequency shape and
+# aHash is scale-invariant, so the first cut produced a quadratic
+# 100k-pair blob; token buckets still left stopword-bucket occupancy
+# dominating. Trigram buckets measured: pair-hamming centered ~18,
+# 0.25% of pairs <= 6, ground-truth 0.7-Jaccard near-dups at 0.)
+# Near-dup documents share vocabulary -> near-identical images; the
+# Spark side runs the genuine binary path (JVM-built PPM bytes ->
+# decode_ppm -> integer aHash in mapInPandas -> banded Hamming join);
+# the oracle replays the pixel arithmetic directly, since
+# construct∘decode is the identity on the raster payload by the PPM
+# round-trip tests.
+_PHASH_MAX_DIST = 6
+
+
+def _sql_images_near_dup() -> str:
+    pix = ",\n        ".join(
+        f"LEAST(255, SUM(CASE WHEN bk = {k} THEN 1 ELSE 0 END)) AS p{k}"
+        for k in range(64)
+    )
+    # shingle CTEs: the exact rendering the det-MinHash oracle proved
+    # (normalized text, distinct char trigrams)
+    shingle_ctes = f"""d AS (SELECT doc_id,
+           regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g') AS t
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS g
+           FROM d, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),"""
+    total = " + ".join(f"p{k}" for k in range(64))
+    lo = " + ".join(
+        f"(CASE WHEN 64 * p{k} >= total THEN 1 ELSE 0 END) * {1 << k}"
+        for k in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 64 * p{k} >= total THEN 1 ELSE 0 END) * {1 << (k - 32)}"
+        for k in range(32, 64)
+    )
+    return f"""
+    WITH {shingle_ctes}
+    bk AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(g), 1, 4)) AS INT) % 64 AS bk FROM sh),
+    px AS (SELECT doc_id,
+        {pix}
+        FROM bk GROUP BY doc_id),
+    tt AS (SELECT *, {total} AS total FROM px),
+    h AS (SELECT doc_id, CAST({hi} AS BIGINT) AS hi,
+                 CAST({lo} AS BIGINT) AS lo FROM tt),
+    bands AS (
+        SELECT doc_id, hi, lo, 0 AS band, lo % 65536 AS val FROM h
+        UNION ALL
+        SELECT doc_id, hi, lo, 1 AS band, lo // 65536 AS val FROM h
+        UNION ALL
+        SELECT doc_id, hi, lo, 2 AS band, hi % 65536 AS val FROM h
+        UNION ALL
+        SELECT doc_id, hi, lo, 3 AS band, hi // 65536 AS val FROM h),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.val = b.val
+              AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b))
+                + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+          <= {_PHASH_MAX_DIST}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("images_near_dup_det", _sql_images_near_dup())
+def images_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over the IMAGE modality — the dedup
+    matrix's third axis (text: MinHash/SimHash/winnowing; embeddings:
+    SemDeDup; this: raw image bytes). Every document renders to a real
+    8x8 PPM (P6) payload (pixel k = capped count of distinct char
+    trigrams md5-bucketed to k — the same shingle normalization the
+    det-MinHash oracle proved), built JVM-side as binary, then the
+    genuine multimodal path runs:
+    :func:`~moisturizer_spark.operators.multimodal.decode_ppm` parses
+    the bytes inside an Arrow-batched mapInPandas, the all-integer
+    aHash kernel (:func:`~moisturizer_spark.operators.multimodal.
+    ahash_from_array`) emits two 32-bit halves, and the Hamming-banded
+    self-join (:func:`~moisturizer_spark.operators.multimodal.
+    phash_near_duplicates`) reports pairs within distance 6 — total
+    recall at distance <= 3 by pigeonhole over four 16-bit bands.
+
+    Scale: the image bytes never shuffle — hashing is map-side; the
+    join shuffles (band, val, id, hash) rows only, equi-keyed per band
+    (never all-pairs). Determinism: uint8 arithmetic, integer block
+    means, the mean test as 64*cell >= sum — the DuckDB oracle replays
+    the pixel math directly (construct-then-decode is the raster
+    identity, pinned by the PPM round-trip tests)."""
+    from moisturizer_spark.operators.multimodal import (
+        image_phash,
+        phash_near_duplicates,
+    )
+    from moisturizer_spark.operators.dedup import shingles
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    grams = shingles(
+        t["documents"].select("doc_id", "text"), "text", n=3, out_col="g"
+    ).select("doc_id", "g").distinct()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("int")
+        % F.lit(64)
+    )
+    pix = grams.withColumn("bk", bucket).groupBy("doc_id").agg(
+        *[
+            F.least(
+                F.lit(255),
+                F.sum(F.when(F.col("bk") == k, 1).otherwise(0)),
+            ).alias(f"p{k}")
+            for k in range(64)
+        ]
+    )
+    hexparts = [
+        F.repeat(F.lpad(F.hex(F.col(f"p{k}")), 2, "0"), 3) for k in range(64)
+    ]
+    payload = pix.select(
+        "doc_id",
+        F.concat(F.lit(b"P6\n8 8\n255\n"), F.unhex(F.concat(*hexparts))).alias(
+            "content"
+        ),
+    )
+    hashed = image_phash(payload).drop("content")
+    return phash_near_duplicates(
+        hashed, max_distance=_PHASH_MAX_DIST
+    ).orderBy("id_a", "id_b")
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -7398,6 +7533,7 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "images_near_dup_det",            # NEW: perceptual-hash image dedup
     "lineitem_profile_approx",        # NEW: MinCount ndv scale path
     "lineitem_profile",               # profile_numeric overflow guard
     "docs_dsir_proportional",         # importance_resample rescale

@@ -151,3 +151,114 @@ def test_real_feature_extraction_through_spark(spark):
     f2 = extract_features(df2, extractor=wav_features).first()["features"]
     assert f2[0] == 4000.0 and f2[1] == 800.0
     assert abs(f2[3] - 0.2) < 1e-6  # 800 samples at 4 kHz = 0.2 s
+
+
+# -- perceptual hashing (aHash/dHash) + Hamming-banded near-dup -------------
+
+
+def _ppm_bytes(img):
+    import numpy as np
+
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def _ahash_ref(img, grid=8):
+    """Independent pure-Python replay of the integer aHash recipe."""
+    h, w, c = img.shape
+    gray = [[sum(int(img[r][cc][k]) for k in range(c)) // c for cc in range(w)]
+            for r in range(h)]
+    bh, bw = max(h // grid, 1), max(w // grid, 1)
+    gh, gw = min(grid, h), min(grid, w)
+    cells = [[0] * grid for _ in range(grid)]
+    for r in range(gh):
+        for cc in range(gw):
+            s = sum(
+                gray[r * bh + i][cc * bw + j]
+                for i in range(bh)
+                for j in range(bw)
+            )
+            cells[r][cc] = s // (bh * bw)
+    flat = [cells[r][cc] for r in range(grid) for cc in range(grid)]
+    total = sum(flat)
+    bits = [1 if len(flat) * v >= total else 0 for v in flat]
+    lo = sum(b << k for k, b in enumerate(bits[:32]))
+    hi = sum(b << k for k, b in enumerate(bits[32:]))
+    return hi, lo
+
+
+def test_ahash_matches_independent_replay_and_flips_few_bits():
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import ahash_from_array
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    assert ahash_from_array(img) == _ahash_ref(img)
+    # 16x16 exercises the block-mean downsample
+    big = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert ahash_from_array(big) == _ahash_ref(big)
+    # near-identical image: nudge two pixels slightly -> hamming small
+    near = img.copy()
+    near[0, 0] = np.minimum(255, near[0, 0].astype(int) + 4).astype(np.uint8)
+    near[3, 5] = np.maximum(0, near[3, 5].astype(int) - 4).astype(np.uint8)
+    h1, l1 = ahash_from_array(img)
+    h2, l2 = ahash_from_array(near)
+    d = bin(h1 ^ h2).count("1") + bin(l1 ^ l2).count("1")
+    assert d <= 3
+    # unrelated image: hamming large
+    other = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    h3, l3 = ahash_from_array(other)
+    d2 = bin(h1 ^ h3).count("1") + bin(l1 ^ l3).count("1")
+    assert d2 > 6
+
+
+def test_dhash_brightness_invariance():
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import dhash_from_array
+
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 200, size=(8, 8, 3), dtype=np.uint8)
+    brighter = np.minimum(255, img.astype(int) + 40).astype(np.uint8)
+    # a uniform brightness shift preserves every left<right comparison
+    assert dhash_from_array(img) == dhash_from_array(brighter)
+
+
+def test_image_phash_pipeline_and_banded_pairs(spark):
+    """e2e through the REAL decode path: PPM bytes -> decode_ppm ->
+    aHash in mapInPandas -> banded Hamming join. The planted
+    near-identical pair must surface with its exact distance; the
+    unrelated image must not pair with it."""
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import (
+        ahash_from_array,
+        image_phash,
+        phash_near_duplicates,
+    )
+
+    rng = np.random.RandomState(13)
+    base = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    near = base.copy()
+    near[1, 1] = 255 - near[1, 1]  # flip one pixel hard: 1-2 bits
+    other = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, _ppm_bytes(base)),
+        (2, _ppm_bytes(near)),
+        (3, _ppm_bytes(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    hashed = image_phash(df)
+    got = {r["doc_id"]: (r["phash_hi"], r["phash_lo"]) for r in hashed.collect()}
+    assert got[1] == tuple(ahash_from_array(base))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_duplicates(hashed).collect()
+    }
+    h1, l1 = got[1]
+    h2, l2 = got[2]
+    want = bin(h1 ^ h2).count("1") + bin(l1 ^ l2).count("1")
+    assert want <= 6
+    assert pairs.get((1, 2)) == want
+    assert not any(3 in p for p in pairs)

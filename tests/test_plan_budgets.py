@@ -113,6 +113,7 @@ BUDGETS = {
     "events_user_pivot": 2,
     "events_volume_anomalies": 3,
     "events_zorder_histogram": 2,
+    "images_near_dup_det": 4,
     "lang_sources_csv": 3,
     "langid_confusion": 2,
     "late_shipment_priority": 2,
