@@ -97,3 +97,72 @@ def frequent_items(
         .agg(F.count(F.lit(1)).alias(out_count))
         .filter(F.col(out_count) >= threshold)
     )
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    item_cap: int = 32,
+    freq: DataFrame | None = None,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Per-basket co-occurrence pairs — the market-basket primitive —
+    with a HOT-BASKET guard: the self-join on the basket key costs
+    Σ_baskets k², which is linear in baskets only while baskets stay
+    small; one pathological 10^5-item basket alone would emit 10^10
+    pairs and wedge its task. Each basket is therefore capped at
+    ``item_cap`` items BEFORE the join, keeping the most-frequent
+    items (rank by global item frequency DESC, then item id — a
+    deterministic total order, so an oracle replays the cut exactly).
+    Most-frequent wins because lift/affinity reports rank SUPPORT-heavy
+    pairs; the dropped tail of a pathological basket contributes pairs
+    of near-zero support. With sane baskets (k <= item_cap) the cap is
+    provably a no-op.
+
+    Returns (item_a, item_b, n_both) with item_a < item_b, n_both =
+    number of capped baskets containing both.
+
+    Scale: frequency is one combinable aggregation; the cap window and
+    the pair join both shuffle on ``basket_col`` (same key — AQE reuses
+    the partitioning); per-basket work is bounded at item_cap² by
+    construction. The distinct item set and the capped baskets are
+    persisted — each feeds two plan branches (freq + cap; both self-
+    join sides), and without the boundaries the source scan re-executes
+    per branch."""
+    from pyspark.sql import Window
+
+    from moisturizer_spark.operators.common import materialize
+
+    # assume_distinct: the caller already holds a distinct (and usually
+    # persisted) (basket, item) frame — re-distincting the same plan
+    # here would double-cache the identical subtree (CacheManager
+    # "already cached" warnings) and add a redundant Exchange
+    items = (
+        df.select(basket_col, item_col)
+        if assume_distinct
+        else materialize(df.select(basket_col, item_col).distinct())
+    )
+    if freq is None:
+        freq = items.groupBy(item_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n_item")
+        )
+    else:
+        freq = freq.select(item_col, F.col(freq.columns[-1]).alias("_n_item"))
+    w = Window.partitionBy(basket_col).orderBy(
+        F.col("_n_item").desc(), F.col(item_col)
+    )
+    capped = materialize(
+        items.join(F.broadcast(freq), item_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= item_cap)
+        .select(basket_col, item_col)
+    )
+    a = capped.select(basket_col, F.col(item_col).alias("item_a"))
+    b = capped.select(basket_col, F.col(item_col).alias("item_b"))
+    return (
+        a.join(b, basket_col)
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )

@@ -6737,9 +6737,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM lineitem),
     freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
              FROM li GROUP BY l_partkey),
+    capped AS (SELECT l_orderkey, l_partkey FROM (
+                 SELECT li.l_orderkey, li.l_partkey,
+                        ROW_NUMBER() OVER (PARTITION BY li.l_orderkey
+                                           ORDER BY freq.n_part DESC,
+                                                    li.l_partkey) AS rn
+                 FROM li JOIN freq USING (l_partkey))
+               WHERE rn <= 32),
     pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                      CAST(COUNT(*) AS BIGINT) AS n_both
-              FROM li a JOIN li b
+              FROM capped a JOIN capped b
                 ON a.l_orderkey = b.l_orderkey
                AND a.l_partkey < b.l_partkey
               GROUP BY a.l_partkey, b.l_partkey
@@ -6764,30 +6771,39 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the self-join explodes per-ORDER, so work is
     Σ_orders k_order² with k = items per order (TPC-H ~4-7) — linear in
     orders, never |parts|²; the join shuffles on the order key it
-    already groups by. Part frequencies broadcast. Determinism: lift
+    already groups by. A HOT-BASKET guard caps every order at 32 items
+    before the join (:func:`moisturizer_spark.operators.frequent.
+    basket_pairs` — most-frequent-first deterministic cut, replayed in
+    the oracle; one 10^5-item pathological basket would otherwise emit
+    10^10 pairs; a no-op on sane baskets, pinned by the planted test).
+    Part frequencies broadcast. Determinism: lift
     divides exact integers as doubles, rounded to 6 before ranking with
     the pair as tiebreaker. n_orders is a driver-side scalar inlined as
     a literal (the tfidf n_docs pattern) — a 1-row cross join would put
     a nested-loop node in the plan, which the plan suite forbids."""
+    from moisturizer_spark.operators.common import materialize
+
     t = load_tables(spark, sf_dir, ("lineitem",))
-    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    li = materialize(
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    )
     n_orders = (
         t["lineitem"].select("l_orderkey").distinct().count()
     )
-    freq = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    freq = materialize(
+        li.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_part")
+        )
     )
-    a = li.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
-    )
-    b = li.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
-    )
+    from moisturizer_spark.operators.frequent import basket_pairs
+
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        basket_pairs(
+            li, "l_orderkey", "l_partkey", item_cap=32, freq=freq,
+            assume_distinct=True,
+        )
+        .withColumnRenamed("item_a", "part_a")
+        .withColumnRenamed("item_b", "part_b")
         .filter(F.col("n_both") >= 2)
     )
     out = (
