@@ -35,6 +35,7 @@ from moisturizer_spark.operators.similarity import (  # noqa: F401
     embedding_cosine_pairs,
     ivf_top_k,
     lsh_top_k,
+    retrain_if_drifted,
 )
 from moisturizer_spark.operators.skew import (  # noqa: F401
     hot_keys,

@@ -1385,3 +1385,61 @@ def ivf_drift_report(spark, path: str) -> dict:
         "rebuild_recommended": skew > 4.0 or empty > n_lists * 0.25,
         "thresholds": {"skew": 4.0, "empty_fraction": 0.25},
     }
+
+
+def retrain_if_drifted(spark, path: str, report: dict | None = None) -> dict:
+    """The operational response :func:`ivf_drift_report` recommends,
+    wired to action: when the report's triggers fire (list-size skew
+    or empty lists past threshold), RE-TRAIN centroids on the full
+    current corpus, re-assign every vector, and atomically swap in the
+    new layout — the faiss "retrain when the add distribution departs
+    from the train distribution" guidance as a one-call helper that a
+    scheduler can run on a cadence.
+
+    Mechanics reuse the :func:`ivf_compact` generation machinery: the
+    re-assigned corpus writes to a fresh ``data_g<n>`` directory, the
+    sidecar (NEW centroids + data pointer) swaps via write-temp +
+    ``os.replace``, and the old generation is removed — readers that
+    loaded the old sidecar keep a consistent old view mid-swap; the
+    same single-writer discipline as append/compact applies. A retrain
+    also inherits compaction's effects (file-count healing, replay-dup
+    shedding via the train/assign pipeline reading the union).
+
+    Returns ``{"retrained": bool, "report": <the triggering report>,
+    "meta": <sidecar after>}`` — callers can log the report either way.
+
+    Scale: the decision reads only per-list counts (footers); a
+    triggered retrain costs one corpus scan for k-means sampling +
+    one assign-and-write pass — the same cost profile as the original
+    :func:`ivf_build`, which is the honest floor for a retrain."""
+    import json
+    import os
+    import shutil
+
+    report = report or ivf_drift_report(spark, path)
+    with open(os.path.join(path, "_ivf.json")) as fh:
+        meta = json.load(fh)
+    if not report["rebuild_recommended"]:
+        return {"retrained": False, "report": report, "meta": meta}
+    old_dir = meta.get("data_dir", "data")
+    c = (
+        spark.read.parquet(os.path.join(path, old_dir))
+        .select("neighbor_id", "_cv")
+    )
+    unit = _ivf_train(c, meta["n_lists"])
+    gen = meta.get("compaction_gen", 0) + 1
+    new_dir = f"data_g{gen}"
+    _ivf_assign(c, unit, meta["id_type"]).repartition(
+        F.col("_c_list")
+    ).write.partitionBy("_c_list").mode("overwrite").parquet(
+        os.path.join(path, new_dir)
+    )
+    meta.update(
+        {"centroids": unit, "data_dir": new_dir, "compaction_gen": gen}
+    )
+    tmp = os.path.join(path, "_ivf.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_ivf.json"))
+    shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
+    return {"retrained": True, "report": report, "meta": meta}

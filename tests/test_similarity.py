@@ -405,3 +405,65 @@ def test_ivf_drift_report(spark, emb, tmp_path):
     rep2 = ivf_drift_report(spark, path)
     assert rep2["n_vectors"] == 1200
     assert rep2["skew"] > 4.0 and rep2["rebuild_recommended"], rep2
+
+
+def test_retrain_if_drifted_end_to_end(spark, emb, tmp_path):
+    """The r6-verdict wiring: drifted appends -> report flags ->
+    retrain -> balance (and recall on the drifted region) restored,
+    all under the generation-dir swap machinery. A healthy index is a
+    no-op."""
+    from moisturizer_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_drift_report,
+        ivf_query,
+        retrain_if_drifted,
+    )
+
+    path = str(tmp_path / "ivf_retrain")
+    ivf_build(emb.filter(F.col("vec_id") < 200), path, n_lists=8)
+    # healthy: no-op, old generation untouched
+    out = retrain_if_drifted(spark, path)
+    assert not out["retrained"]
+    assert out["meta"].get("data_dir", "data") == "data"
+
+    # drift: a new tight cluster, 5x the corpus, all in one list
+    one = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    import random
+
+    rng = random.Random(7)
+    drifted = spark.createDataFrame(
+        [
+            (
+                10_000 + i,
+                [float(x) + rng.uniform(-0.01, 0.01) for x in one],
+            )
+            for i in range(1000)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_append(spark, path, drifted)
+    before = ivf_drift_report(spark, path)
+    assert before["rebuild_recommended"]
+
+    out = retrain_if_drifted(spark, path)
+    assert out["retrained"] and out["report"] == before
+    after = ivf_drift_report(spark, path)
+    assert after["n_vectors"] == 1200
+    assert after["skew"] < before["skew"], (before["skew"], after["skew"])
+    assert not after["rebuild_recommended"], after
+    # recall restored on the drifted region: with retrained centroids
+    # the dense cluster splits across lists, and a 1-probe query from
+    # inside it finds same-cluster neighbors at full similarity
+    q = spark.createDataFrame(
+        [(1, list(one))], "vec_id long, embedding array<float>"
+    )
+    got = ivf_query(spark, path, q, k=5, n_probe=1).collect()
+    assert len(got) == 5
+    assert all(r["neighbor_id"] >= 10_000 or r["neighbor_id"] == 0
+               for r in got), got
+    # swap hygiene: exactly one data generation remains
+    import os
+
+    gens = [d for d in os.listdir(path) if d.startswith("data")]
+    assert gens == [out["meta"]["data_dir"]], gens
