@@ -415,3 +415,32 @@ def phash_near_duplicates(
         .filter(F.col("hamming") <= F.lit(max_distance))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def wav_energy_hash(decoded, grid: int = 8) -> tuple[int, int]:
+    """Audio fingerprint kernel over :func:`decode_wav` output — the
+    audio analog of :func:`ahash_from_array`, shaped to plug into
+    :func:`image_phash`'s ``kernel=`` slot (``grid=64`` for the full
+    64-bit signature): integer downmix, ``grid`` CONTIGUOUS frames of
+    ``m = max(n_samples // grid, 1)`` samples (tail beyond ``grid*m``
+    cropped; frames past a short clip's end are zero), per-frame
+    energy = plain integer sample sum, and the same all-integer mean
+    test ``grid * e_k >= total``. Robust to small edits the way aHash
+    is: a changed sample nudges one frame's energy, flipping at most a
+    few bits. Returns (hi, lo) 32-bit halves."""
+    import numpy as np
+
+    _rate, data = decoded
+    x = data.astype(np.int64).sum(axis=1) // data.shape[1]
+    n = len(x)
+    m = max(n // grid, 1)
+    usable = min(n, grid * m)
+    e = [
+        int(x[k * m : min((k + 1) * m, usable)].sum())
+        for k in range(grid)
+    ]
+    total = sum(e)
+    bits = [1 if grid * v >= total else 0 for v in e]
+    lo = sum(b << k for k, b in enumerate(bits[:32]))
+    hi = sum(b << k for k, b in enumerate(bits[32:64]))
+    return hi, lo

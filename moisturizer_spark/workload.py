@@ -7161,6 +7161,154 @@ def images_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# -- audio_near_dup_det: the dedup matrix's AUDIO modality ------------------
+#
+# One 8-bit PCM sample per token (amplitude = the token's md5 byte —
+# token IDENTITY, not length: lengths are English-universal and left
+# the first cut at 3.4% pair density; md5 amplitudes give distinct
+# docs ~24-bit distances while shared-prefix near-dups stay at 0-3),
+# wrapped in a real RIFF/WAV container built JVM-side (little-endian
+# length fields via hex byte swaps), decoded by the genuine
+# decode_wav, fingerprinted by the 64-frame integer energy hash, and
+# near-dup'd through the SAME Hamming banding as images. The oracle
+# replays the frame-energy arithmetic from the token list directly —
+# construct-then-decode is the identity on the PCM payload (WAV
+# round-trip pinned in tests/test_multimodal.py).
+
+
+def _sql_audio_near_dup() -> str:
+    frames = []
+    for k in range(64):
+        frames.append(
+            f"COALESCE(list_sum(list_transform("
+            f"range({k} * m + 1, least(({k} + 1) * m, usable) + 1), "
+            f"i -> CAST(('0x' || substr(md5(t[CAST(i AS INT)]), 1, 2)) "
+            f"AS INT))), 0) AS e{k}"
+        )
+    e_cols = ",\n        ".join(frames)
+    total = " + ".join(f"e{k}" for k in range(64))
+    lo = " + ".join(
+        f"(CASE WHEN 64 * e{k} >= total THEN 1 ELSE 0 END) * {1 << k}"
+        for k in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 64 * e{k} >= total THEN 1 ELSE 0 END) * {1 << (k - 32)}"
+        for k in range(32, 64)
+    )
+    return f"""
+    WITH tk0 AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tk AS (SELECT * FROM tk0 WHERE len(t) >= 16),
+    dims AS (SELECT doc_id, t, len(t) AS n,
+                    greatest(len(t) // 64, 1) AS m,
+                    least(len(t), 64 * greatest(len(t) // 64, 1)) AS usable
+             FROM tk),
+    en AS (SELECT doc_id,
+        {e_cols}
+        FROM dims),
+    tt AS (SELECT *, {total} AS total FROM en),
+    h AS (SELECT doc_id, CAST({hi} AS BIGINT) AS hi,
+                 CAST({lo} AS BIGINT) AS lo FROM tt),
+    bands AS (
+        SELECT doc_id, hi, lo, 0 AS band, lo % 65536 AS val FROM h
+        UNION ALL
+        SELECT doc_id, hi, lo, 1 AS band, lo // 65536 AS val FROM h
+        UNION ALL
+        SELECT doc_id, hi, lo, 2 AS band, hi % 65536 AS val FROM h
+        UNION ALL
+        SELECT doc_id, hi, lo, 3 AS band, hi // 65536 AS val FROM h),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.val = b.val
+              AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b))
+                + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+          <= {_PHASH_MAX_DIST}
+    ORDER BY id_a, id_b
+    """
+
+
+def _le32_hex(n_col):
+    """Little-endian 4-byte hex rendering of a non-negative int column
+    (the WAV header length fields): big-endian 8-hex, byte-swapped."""
+    h = F.lpad(F.hex(n_col), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2),
+        F.substring(h, 5, 2),
+        F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+
+
+@query("audio_near_dup_det", _sql_audio_near_dup())
+def audio_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over the AUDIO modality, completing the
+    dedup matrix's third-axis pair with ``images_near_dup_det``: every
+    document renders to a REAL RIFF/WAV payload (8-bit PCM mono, one
+    sample per token, amplitude = the token's md5 byte — near-dup
+    documents become near-identical clips), built entirely JVM-side
+    (PCM via transform/array_join/unhex — no explode; header length
+    fields as little-endian hex byte swaps), then the genuine audio
+    path runs: :func:`~moisturizer_spark.operators.multimodal.
+    decode_wav` parses the container inside Arrow-batched mapInPandas,
+    the 64-frame integer energy hash (:func:`~moisturizer_spark.
+    operators.multimodal.wav_energy_hash`) emits two 32-bit halves,
+    and the SAME Hamming banding as the image family reports pairs
+    within distance 6 (total recall at <= 3 by pigeonhole).
+
+    Scale: PCM bytes never shuffle — hashing is map-side; the join
+    shuffles (band, val, id, hash) rows only. Determinism: integer
+    amplitudes, contiguous integer frame sums, the mean test as
+    64*e >= total — the DuckDB oracle replays the arithmetic from the
+    token list directly (WAV construct-then-decode is the PCM
+    identity, pinned by the round-trip tests)."""
+    from moisturizer_spark.operators.multimodal import (
+        decode_wav,
+        image_phash,
+        phash_near_duplicates,
+        wav_energy_hash,
+    )
+    from moisturizer_spark.operators.textan import tokens_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = tokens_col(F.col("text"))
+    # too-short clips all sound alike (mostly-zero frames form an
+    # O(n^2) Hamming clique); 16 tokens is the meaningful-fingerprint
+    # floor, applied identically in the oracle
+    t["documents"] = t["documents"].filter(F.size(toks) >= 16)
+    # the md5 hex prefix IS the sample's hex byte — no re-encoding
+    pcm_hex = F.array_join(
+        F.transform(toks, lambda tok: F.substring(F.md5(tok), 1, 2)), ""
+    )
+    n = F.size(toks)
+    header = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _le32_hex(n + F.lit(36)),     # chunk size
+        F.lit("57415645666d7420"),    # 'WAVEfmt '
+        F.lit("10000000"),            # fmt length 16 (LE)
+        F.lit("0100"),                # PCM
+        F.lit("0100"),                # mono
+        F.lit("401f0000"),            # 8000 Hz (LE)
+        F.lit("401f0000"),            # byte rate (LE)
+        F.lit("0100"),                # block align
+        F.lit("0800"),                # 8 bits/sample
+        F.lit("64617461"),            # 'data'
+        _le32_hex(n),                 # data length
+    )
+    payload = t["documents"].select(
+        "doc_id", F.unhex(F.concat(header, pcm_hex)).alias("content")
+    )
+    hashed = image_phash(
+        payload, decoder=decode_wav, kernel=wav_energy_hash, grid=64
+    ).drop("content")
+    return phash_near_duplicates(
+        hashed, max_distance=_PHASH_MAX_DIST
+    ).orderBy("id_a", "id_b")
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -7549,6 +7697,8 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "audio_near_dup_det",             # NEW: WAV energy-hash audio dedup
+    "part_affinity_lift",             # hot-basket cap changed the plan
     "images_near_dup_det",            # NEW: perceptual-hash image dedup
     "lineitem_profile_approx",        # NEW: MinCount ndv scale path
     "lineitem_profile",               # profile_numeric overflow guard
@@ -7601,9 +7751,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_remove_dup_spans_hashed",
     "docs_simhash_det_near_dup",
     "docs_winnowing_det_near_dup",
-    "embedding_cosine_near_dup",
-    "embedding_decontamination",
-    "embedding_norm_stats",
 ]
 
 

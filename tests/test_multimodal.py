@@ -262,3 +262,101 @@ def test_image_phash_pipeline_and_banded_pairs(spark):
     assert want <= 6
     assert pairs.get((1, 2)) == want
     assert not any(3 in p for p in pairs)
+
+
+def test_wav_energy_hash_near_vs_far():
+    """Audio fingerprint kernel: a couple of flipped samples move 0-3
+    bits; an unrelated clip lands ~half the occupied bits away; the
+    empty clip is the all-ones degenerate (documented); and the kernel
+    crops exactly like its oracle rendering (n not divisible by 64)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import (
+        decode_wav,
+        wav_energy_hash,
+    )
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(8000)
+            wf.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    rng = np.random.RandomState(5)
+    a = list(rng.randint(0, 256, 645))  # 645 = 64*10 + 5: crop path
+    b = list(a)
+    b[10] = 255 - b[10]
+    b[300] = 0
+    c = list(rng.randint(0, 256, 645))
+    ha = wav_energy_hash(decode_wav(wav_bytes(a)), grid=64)
+    hb = wav_energy_hash(decode_wav(wav_bytes(b)), grid=64)
+    hc = wav_energy_hash(decode_wav(wav_bytes(c)), grid=64)
+
+    def d(x, y):
+        return bin(x[0] ^ y[0]).count("1") + bin(x[1] ^ y[1]).count("1")
+
+    assert d(ha, hb) <= 3
+    assert d(ha, hc) > 10
+    assert wav_energy_hash(decode_wav(wav_bytes([])), grid=64) == (
+        (1 << 32) - 1,
+        (1 << 32) - 1,
+    )
+    # independent integer replay incl. the crop (usable = 64*10 = 640)
+    m, usable = 10, 640
+    e = [sum(a[k * m : min((k + 1) * m, usable)]) for k in range(64)]
+    total = sum(e)
+    bits = [1 if 64 * v >= total else 0 for v in e]
+    lo = sum(bit << k for k, bit in enumerate(bits[:32]))
+    hi = sum(bit << k for k, bit in enumerate(bits[32:]))
+    assert ha == (hi, lo)
+
+
+def test_audio_pipeline_through_image_phash(spark):
+    """The kernel plugs into image_phash's decoder/kernel slots: WAV
+    binaries hash through the real decode path and the planted
+    near-identical clip pairs via the shared Hamming banding."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import (
+        decode_wav,
+        image_phash,
+        phash_near_duplicates,
+        wav_energy_hash,
+    )
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(8000)
+            wf.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    rng = np.random.RandomState(6)
+    base = list(rng.randint(0, 256, 640))
+    near = list(base)
+    near[5] = 0
+    other = list(rng.randint(0, 256, 640))
+    df = spark.createDataFrame(
+        [(1, wav_bytes(base)), (2, wav_bytes(near)), (3, wav_bytes(other))],
+        "doc_id long, content binary",
+    )
+    hashed = image_phash(
+        df, decoder=decode_wav, kernel=wav_energy_hash, grid=64
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_duplicates(hashed).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)

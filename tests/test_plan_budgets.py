@@ -29,6 +29,7 @@ import pytest
 from moisturizer_spark.workload import QUERIES
 
 BUDGETS = {
+    "audio_near_dup_det": 2,
     "bpe_fertility_by_lang": 2,
     "bpe_merge_table": 1,
     "bpe_token_stats": 2,
