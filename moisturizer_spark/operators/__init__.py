@@ -57,3 +57,6 @@ from moisturizer_spark.operators.expectations import (  # noqa: F401
     profile_numeric,
     profile_numeric_approx,
 )
+from moisturizer_spark.operators.graph import (  # noqa: F401
+    pagerank_int,
+)

@@ -7309,6 +7309,88 @@ def audio_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _sql_trade_pagerank() -> str:
+    scale, base = 10**10, (15 * 10**10) // 100
+    iters = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        iters.append(f"""c{i} AS (SELECT e.dst AS node,
+              CAST(SUM({prev}.r // deg.d) AS BIGINT) AS s
+       FROM e JOIN deg ON e.src = deg.src
+              JOIN {prev} ON {prev}.node = e.src
+       GROUP BY e.dst),
+    r{i} AS (SELECT r0.node,
+             CAST({base} + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS r
+       FROM r0 LEFT JOIN c{i} ON r0.node = c{i}.node)""")
+        prev = f"r{i}"
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                 's' || CAST(s AS VARCHAR) AS dst FROM cs
+          UNION ALL
+          SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR)
+          FROM cs),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS r FROM deg),
+    {chain}
+    SELECT node, r AS rank_scaled FROM r3
+    ORDER BY rank_scaled DESC, node LIMIT 20
+    """
+
+
+@query("trade_pagerank_det", _sql_trade_pagerank())
+def trade_pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph — the
+    ITERATIVE-GRAPH family joining the det-kmeans/BPE/FFD club of
+    oracle-provable iterative algorithms: 3 unrolled rounds of
+    all-integer rank propagation (:func:`moisturizer_spark.operators.
+    graph.pagerank_int` — truncating DIV contributions on a 1e10 grid,
+    damping 85/100 as exact integer arithmetic), over the symmetrized
+    distinct (customer, supplier) edges mined from orders ⋈ lineitem.
+    Top-20 hubs by final rank: the suppliers/customers most central to
+    the trade network.
+
+    Scale: the edge list persists once and each round is one join +
+    one aggregate keyed on the node id; the fact-table join runs once
+    to mine edges. Determinism: every operation is exact int64 (no
+    float summation anywhere), so partitioning and engine cannot
+    change a single ulp; the oracle unrolls the identical three
+    iterations."""
+    from moisturizer_spark.operators.graph import pagerank_int
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    cs = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e = cs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).unionAll(
+        cs.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    ranks = pagerank_int(
+        e, iterations=3, scale=10**10, broadcast_ranks=True
+    )
+    return ranks.orderBy(
+        F.col("rank_scaled").desc(), "node"
+    ).limit(20)
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -7697,6 +7779,7 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "trade_pagerank_det",             # NEW: all-integer PageRank
     "audio_near_dup_det",             # NEW: WAV energy-hash audio dedup
     "part_affinity_lift",             # hot-basket cap changed the plan
     "images_near_dup_det",            # NEW: perceptual-hash image dedup
@@ -7750,7 +7833,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_remove_dup_spans",
     "docs_remove_dup_spans_hashed",
     "docs_simhash_det_near_dup",
-    "docs_winnowing_det_near_dup",
 ]
 
 

@@ -166,6 +166,7 @@ BUDGETS = {
     "token_stats_by_lang": 2,
     "top3_customers_per_nation": 3,
     "top_bigrams": 1,
+    "trade_pagerank_det": 17,
     "top_words_per_lang": 3,
     "urgent_customers_semi": 1,
 }
