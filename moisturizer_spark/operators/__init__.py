@@ -60,3 +60,6 @@ from moisturizer_spark.operators.expectations import (  # noqa: F401
 from moisturizer_spark.operators.graph import (  # noqa: F401
     pagerank_int,
 )
+from moisturizer_spark.operators.stats import (  # noqa: F401
+    poisson_bootstrap_ci,
+)

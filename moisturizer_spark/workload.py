@@ -7391,6 +7391,74 @@ def trade_pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def _sql_bootstrap_ci() -> str:
+    from moisturizer_spark.operators.stats import sql_weight_expr
+
+    B = 64
+    lo_i, hi_i = 1, 62  # floor(0.025*64), 64-1-1
+    key = "CAST(o_orderkey AS VARCHAR)"
+    h1 = f"CAST(('0x' || substr(md5('bs:' || {key}), 1, 8)) AS BIGINT)"
+    h2 = f"CAST(('0x' || substr(md5('bs:' || {key}), 9, 8)) AS BIGINT)"
+    aggs = []
+    for b in range(B):
+        w = sql_weight_expr("h1", "h2", b)
+        aggs.append(f"SUM(({w}) * v) AS ws{b}")
+        aggs.append(f"SUM({w}) AS wn{b}")
+    agg_cols = ",\n           ".join(aggs)
+    reps = "\n      UNION ALL ".join(
+        f"SELECT g, n, s, ROUND(CAST(ws{b} AS DOUBLE) / CAST(wn{b} AS DOUBLE)"
+        f" / 1e6, 6) AS m FROM agg"
+        for b in range(B)
+    )
+    return f"""
+    WITH r AS (SELECT o_orderpriority AS g, {h1} AS h1, {h2} AS h2,
+                      CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1e6)
+                           AS BIGINT) AS v
+               FROM orders),
+    agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+           {agg_cols}
+            FROM r GROUP BY g),
+    reps AS ({reps}),
+    rk AS (SELECT g, n, s, m,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY m) - 1 AS rk
+           FROM reps)
+    SELECT g AS o_orderpriority, MAX(n) AS n_rows,
+           ROUND(CAST(MAX(s) AS DOUBLE) / MAX(n) / 1e6, 6) AS mean,
+           MAX(CASE WHEN rk = {lo_i} THEN m END) AS ci_lo,
+           MAX(CASE WHEN rk = {hi_i} THEN m END) AS ci_hi
+    FROM rk GROUP BY g ORDER BY g
+    """
+
+
+@query("orders_price_bootstrap_ci", _sql_bootstrap_ci())
+def orders_price_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile bootstrap CI for mean order value per priority class
+    — uncertainty quantification at table scale via the POISSON
+    bootstrap (Chamandy et al. 2012; :func:`moisturizer_spark.
+    operators.stats.poisson_bootstrap_ci`): each row's multiplicity in
+    a replicate is a deterministic Poisson(1) draw (inverse-CDF CASE
+    ladder over md5-seeded 31-bit hash fractions, exact integer
+    cutoffs), so all 64 replicates ride ONE map-side-combinable
+    aggregation — no per-replicate shuffle, no row explosion, the
+    distributed-bootstrap shape that works at any corpus size.
+
+    Determinism: values quantize to micro BIGINTs, per-replicate sums
+    are exact integers, each replicate mean is one rounded IEEE
+    division, and the CI endpoints are exact order statistics of the
+    64 means — the oracle replays weights, sums, and the rank
+    selection bit-for-bit."""
+    from moisturizer_spark.operators.stats import poisson_bootstrap_ci
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return poisson_bootstrap_ci(
+        t["orders"],
+        key_col="o_orderkey",
+        value_col="o_totalprice",
+        group_cols=["o_orderpriority"],
+    )
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -7779,6 +7847,7 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "orders_price_bootstrap_ci",      # NEW: one-pass Poisson bootstrap
     "trade_pagerank_det",             # NEW: all-integer PageRank
     "audio_near_dup_det",             # NEW: WAV energy-hash audio dedup
     "part_affinity_lift",             # hot-basket cap changed the plan
@@ -7832,7 +7901,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_hash_split",
     "docs_remove_dup_spans",
     "docs_remove_dup_spans_hashed",
-    "docs_simhash_det_near_dup",
 ]
 
 

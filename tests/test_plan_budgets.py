@@ -130,6 +130,7 @@ BUDGETS = {
     "order_price_quantile_sketch": 3,
     "order_price_quantiles": 2,
     "orders_monthly_growth": 2,
+    "orders_price_bootstrap_ci": 2,
     "orders_with_returns_exists": 2,
     "part_affinity_lift": 7,
     "purchase_asof_view": 2,
