@@ -104,3 +104,57 @@ def pagerank_int(
     return ranks.select(
         F.col("_node").alias("node"), F.col("_r").alias("rank_scaled")
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """K-hop breadth-first reach: for every node reachable from the
+    seed set within ``max_hops`` directed edges, the MINIMUM hop count
+    (seeds are level 0). The frontier-expansion loop unrolls into the
+    plan (bounded, explicit — the pagerank/BPE iteration pattern), and
+    every step is a join + min-aggregate over integer levels, so the
+    result is exact, engine-independent, and oracle-replayable as a
+    CTE chain.
+
+    Scale: the edge list persists once; each hop joins the CURRENT
+    frontier (not the full visited set) against it and anti-minimizes
+    into the visited frame — per-hop cost tracks frontier size, the
+    textbook distributed BFS shape. Levels are a node-grain frame.
+    ``max_hops`` is a hard bound by design: unbounded BFS on a 100 TB
+    graph is a driver-convergence loop; pipelines want "within k hops"
+    anyway (fraud rings, supply reach, contamination spread)."""
+    from moisturizer_spark.operators.common import materialize
+
+    e = materialize(
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        ).distinct()
+    )
+    visited = materialize(
+        seeds.select(F.col(seed_col).alias("_node"))
+        .distinct()
+        .withColumn("_level", F.lit(0))
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                frontier.withColumnRenamed("_node", "_src").select("_src"),
+                "_src",
+            )
+            .select(F.col("_dst").alias("_node"))
+            .distinct()
+            .join(visited.select("_node"), "_node", "left_anti")
+            .withColumn("_level", F.lit(hop))
+        )
+        frontier = materialize(nxt)
+        visited = materialize(visited.unionByName(frontier))
+    return visited.select(
+        F.col("_node").alias("node"), F.col("_level").alias("hops")
+    )

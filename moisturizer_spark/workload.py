@@ -7459,6 +7459,101 @@ def orders_price_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_TRADE_EDGES = """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                 's' || CAST(s AS VARCHAR) AS dst FROM cs
+          UNION ALL
+          SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR)
+          FROM cs)"""
+
+
+def _sql_supplier_reach() -> str:
+    hops = []
+    prev = "v0"
+    for i in (1, 2, 3):
+        hops.append(f"""f{i} AS (SELECT DISTINCT e.dst AS node FROM e
+        JOIN {prev} ON e.src = {prev}.node AND {prev}.lvl = {i - 1}
+        LEFT JOIN {prev} vv ON e.dst = vv.node
+       WHERE vv.node IS NULL),
+    v{i} AS (SELECT node, lvl FROM {prev}
+             UNION ALL SELECT node, {i} AS lvl FROM f{i})""")
+        prev = f"v{i}"
+    chain = ",\n    ".join(hops)
+    return f"""
+    WITH {_SQL_TRADE_EDGES},
+    v0 AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS lvl
+           FROM supplier WHERE s_suppkey < 3),
+    {chain}
+    SELECT CAST(lvl AS INT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers,
+           MIN(node) AS min_node
+    FROM v3 GROUP BY lvl ORDER BY hops
+    """
+
+
+@query("supplier_reach_bfs", _sql_supplier_reach())
+def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reach over the trade graph — distributed BFS with the
+    bounded-unroll discipline (:func:`moisturizer_spark.operators.
+    graph.bfs_levels`): starting from a seed supplier set, how much of
+    the customer/supplier network is within 1, 2, 3 hops (the
+    supply-chain blast-radius / contamination-spread question). Each
+    hop joins only the CURRENT frontier against the persisted edge
+    list and anti-joins the visited set; levels are exact integers, so
+    the oracle replays the frontier expansion as an unrolled CTE
+    chain. Report: per level — node count, customer share, min node
+    id."""
+    from moisturizer_spark.operators.graph import bfs_levels
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "supplier"))
+    cs = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e = cs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).unionAll(
+        cs.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    seeds = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") < 3)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    levels = bfs_levels(e, seeds, max_hops=3)
+    return (
+        levels.groupBy(F.col("hops").cast("int").alias("hops"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("node").startswith("c"), 1).otherwise(0)
+            ).cast("bigint").alias("n_customers"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy("hops")
+    )
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -7847,6 +7942,7 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "supplier_reach_bfs",             # NEW: bounded k-hop BFS reach
     "orders_price_bootstrap_ci",      # NEW: one-pass Poisson bootstrap
     "trade_pagerank_det",             # NEW: all-integer PageRank
     "audio_near_dup_det",             # NEW: WAV energy-hash audio dedup
@@ -7900,7 +7996,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_fingerprint_dedup",
     "docs_hash_split",
     "docs_remove_dup_spans",
-    "docs_remove_dup_spans_hashed",
 ]
 
 

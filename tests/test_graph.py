@@ -50,3 +50,36 @@ def test_pagerank_int_dangling_nodes_documented_out(spark):
     )
     got = {r["node"] for r in pagerank_int(df).collect()}
     assert got == {"a", "b"}
+
+
+def test_bfs_levels_matches_python_replay(spark):
+    import random
+    from collections import deque
+
+    rng = random.Random(9)
+    edges = list({(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+                  for _ in range(120)})
+    seeds = ["n0", "n1"]
+
+    def ref():
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        lvl = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            n = q.popleft()
+            if lvl[n] >= 3:
+                continue
+            for m in adj.get(n, []):
+                if m not in lvl:
+                    lvl[m] = lvl[n] + 1
+                    q.append(m)
+        return lvl
+
+    from moisturizer_spark.operators.graph import bfs_levels
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {r["node"]: r["hops"] for r in bfs_levels(e, sd).collect()}
+    assert got == ref()

@@ -163,6 +163,7 @@ BUDGETS = {
     "source_epoch_plan": 2,
     "source_mix_temperature": 2,
     "source_quota_sample": 2,
+    "supplier_reach_bfs": 15,
     "tfidf_top_terms": 5,
     "token_stats_by_lang": 2,
     "top3_customers_per_nation": 3,
