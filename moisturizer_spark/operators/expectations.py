@@ -394,3 +394,103 @@ def sql_ndv_est(col_sql: str, decimal: str = "DECIMAL(18,6)",
         f"CASE WHEN COUNT(CAST({col_sql} AS {decimal})) = 0 THEN 0.0 "
         f"ELSE ROUND({float(k)!r} / ({chain}) - 1.0, 6) END"
     )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+    decimal: str = "decimal(18,6)",
+) -> DataFrame:
+    """Population Stability Index per column between a REFERENCE
+    snapshot and a CURRENT one — the standard drift monitor
+    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action):
+    ``PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)`` with 0.5-count
+    smoothing so empty bins stay finite.
+
+    Binning is deterministic and oracle-replayable: values quantize to
+    micro BIGINTs (the ``decimal`` grid), bin edges are fixed-width
+    over the REFERENCE's [min, max] (a 1-row scalar broadcast — the
+    Σw pattern, never a sort), and the bin index is pure int64
+    arithmetic ``least(n−1, max(0, (v − min)·n DIV (span+1)))`` —
+    current-side outliers clamp to the edge bins, which is exactly
+    where a drift monitor wants them counted. The ln runs on exact
+    rationals and the per-column PSI rounds to 6 digits (the repo's
+    ln/log2 parity convention: ulp differences sit far below the
+    rounding grain).
+
+    Plan: ONE aggregation per side for the scalar edges (ref only) +
+    ONE fused unpivot-count aggregation over the union of both tagged
+    sides — adding a column adds rows to the same scan (the
+    :func:`profile_numeric` fusion rule). Returns
+    ``(column, n_ref, n_cur, psi, drift)`` ordered by column."""
+    import math
+
+    def unpivot(df: DataFrame, side: str) -> DataFrame:
+        stack = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.round(
+                            F.col(c).cast(decimal).cast("double") * 1e6
+                        ).cast("bigint").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+        return df.select(stack).select(
+            "s.column", "s.v", F.lit(side).alias("side")
+        )
+
+    edges = unpivot(ref, "ref").groupBy("column").agg(
+        F.min("v").alias("_lo"), F.max("v").alias("_hi")
+    )
+    both = unpivot(ref, "ref").unionByName(unpivot(cur, "cur"))
+    binned = (
+        both.join(F.broadcast(edges), "column")
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(
+                        f"((v - _lo) * {n_bins}) div (_hi - _lo + 1)"
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .groupBy("column", "bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_ref"),
+            F.sum(F.when(F.col("side") == "cur", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_cur"),
+        )
+    )
+    tot = binned.groupBy("column").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p_ref = (F.col("c_ref") + F.lit(0.5)) / (
+        F.col("n_ref") + F.lit(0.5) * n_bins
+    )
+    p_cur = (F.col("c_cur") + F.lit(0.5)) / (
+        F.col("n_cur") + F.lit(0.5) * n_bins
+    )
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        binned.join(F.broadcast(tot), "column")
+        .groupBy("column")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.round(F.sum(contrib), 6).alias("psi"),
+        )
+        .withColumn("drift", F.col("psi") > F.lit(0.25))
+        .orderBy("column")
+    )

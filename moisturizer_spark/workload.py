@@ -7554,6 +7554,99 @@ def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_SPLIT_DATE = "1995-07-01"
+
+
+@query(
+    "lineitem_drift_psi",
+    """
+    WITH sides AS (
+        SELECT CASE WHEN l_shipdate < DATE '1995-07-01' THEN 'ref'
+                    ELSE 'cur' END AS side, *
+        FROM lineitem),
+    v0 AS (SELECT side, CAST(ROUND(CAST(CAST(l_discount AS DECIMAL(18,6))
+                 AS DOUBLE) * 1e6) AS BIGINT) AS v FROM sides),
+    e0 AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v0 WHERE side = 'ref'),
+    b0 AS (SELECT LEAST(9, GREATEST(0,
+                 CAST(((v - lo) * 10) // (hi - lo + 1) AS INT))) AS bin,
+                 SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                 SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+             FROM v0, e0 GROUP BY 1),
+    t0 AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM b0),
+    p0 AS (SELECT 'l_discount' AS "column",
+                 CAST(MAX(t.n_ref) AS BIGINT) AS n_ref,
+                 CAST(MAX(t.n_cur) AS BIGINT) AS n_cur,
+                 ROUND(SUM(((c_cur + 0.5) / (t.n_cur + 5.0)
+                            - (c_ref + 0.5) / (t.n_ref + 5.0))
+                       * ln(((c_cur + 0.5) / (t.n_cur + 5.0))
+                            / ((c_ref + 0.5) / (t.n_ref + 5.0)))), 6) AS psi
+             FROM b0, t0 t),
+    v1 AS (SELECT side, CAST(ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                 AS DOUBLE) * 1e6) AS BIGINT) AS v FROM sides),
+    e1 AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v1 WHERE side = 'ref'),
+    b1 AS (SELECT LEAST(9, GREATEST(0,
+                 CAST(((v - lo) * 10) // (hi - lo + 1) AS INT))) AS bin,
+                 SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                 SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+             FROM v1, e1 GROUP BY 1),
+    t1 AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM b1),
+    p1 AS (SELECT 'l_extendedprice' AS "column",
+                 CAST(MAX(t.n_ref) AS BIGINT) AS n_ref,
+                 CAST(MAX(t.n_cur) AS BIGINT) AS n_cur,
+                 ROUND(SUM(((c_cur + 0.5) / (t.n_cur + 5.0)
+                            - (c_ref + 0.5) / (t.n_ref + 5.0))
+                       * ln(((c_cur + 0.5) / (t.n_cur + 5.0))
+                            / ((c_ref + 0.5) / (t.n_ref + 5.0)))), 6) AS psi
+             FROM b1, t1 t),
+    v2 AS (SELECT side, CAST(ROUND(CAST(CAST(l_quantity AS DECIMAL(18,6))
+                 AS DOUBLE) * 1e6) AS BIGINT) AS v FROM sides),
+    e2 AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v2 WHERE side = 'ref'),
+    b2 AS (SELECT LEAST(9, GREATEST(0,
+                 CAST(((v - lo) * 10) // (hi - lo + 1) AS INT))) AS bin,
+                 SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                 SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+             FROM v2, e2 GROUP BY 1),
+    t2 AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM b2),
+    p2 AS (SELECT 'l_quantity' AS "column",
+                 CAST(MAX(t.n_ref) AS BIGINT) AS n_ref,
+                 CAST(MAX(t.n_cur) AS BIGINT) AS n_cur,
+                 ROUND(SUM(((c_cur + 0.5) / (t.n_cur + 5.0)
+                            - (c_ref + 0.5) / (t.n_ref + 5.0))
+                       * ln(((c_cur + 0.5) / (t.n_cur + 5.0))
+                            / ((c_ref + 0.5) / (t.n_ref + 5.0)))), 6) AS psi
+             FROM b2, t2 t)
+    SELECT "column", n_ref, n_cur, psi, psi > 0.25 AS drift FROM p0 UNION ALL SELECT "column", n_ref, n_cur, psi, psi > 0.25 AS drift FROM p1 UNION ALL SELECT "column", n_ref, n_cur, psi, psi > 0.25 AS drift FROM p2
+    ORDER BY "column"
+    """,
+)
+def lineitem_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor between two snapshots
+    of the fact table (shipments before vs after the split date) —
+    the standard "did the distribution move" check a training-data
+    pipeline runs before trusting a refresh
+    (:func:`moisturizer_spark.operators.expectations.psi_report`).
+    PSI per numeric column over 10 fixed-width bins anchored on the
+    REFERENCE side's [min, max] (a 1-row scalar broadcast, never a
+    sort), 0.5-count smoothing, drift flag at the conventional 0.25.
+
+    Determinism: micro-BIGINT values, integer bin arithmetic; the ln
+    runs on exact rationals and PSI rounds to 6 digits (the repo's
+    ln-parity convention — ulp noise sits far below the grain).
+    Scale: one scalar aggregate on the reference + ONE fused
+    unpivot-count aggregation over both tagged sides; adding a column
+    adds rows to the same scan."""
+    from moisturizer_spark.operators.expectations import psi_report
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    split = F.col("l_shipdate") < F.lit(_PSI_SPLIT_DATE).cast("date")
+    return psi_report(
+        li.filter(split),
+        li.filter(~split),
+        ["l_discount", "l_extendedprice", "l_quantity"],
+    )
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -7942,6 +8035,7 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "lineitem_drift_psi",             # NEW: PSI snapshot drift monitor
     "supplier_reach_bfs",             # NEW: bounded k-hop BFS reach
     "orders_price_bootstrap_ci",      # NEW: one-pass Poisson bootstrap
     "trade_pagerank_det",             # NEW: all-integer PageRank
@@ -7995,7 +8089,6 @@ _NEEDS_DRIVER_ROW = [
     "customers_without_orders",
     "docs_fingerprint_dedup",
     "docs_hash_split",
-    "docs_remove_dup_spans",
 ]
 
 

@@ -175,3 +175,35 @@ def test_profile_numeric_approx_bounded_state(spark):
     plan = buf.getvalue()
     assert "Expand" not in plan
     assert "distinct" not in plan.lower().replace("count_distinct", "")
+
+
+def test_psi_report_detects_planted_shift(spark):
+    """A genuinely shifted current snapshot must trip the drift flag;
+    an identically-distributed one must not — and the report is
+    deterministic (exact re-run equality)."""
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.expectations import psi_report
+
+    ref = spark.range(5000).select(
+        ((F.col("id") * 37 % 1000).cast("double") / 10).alias("x"),
+        ((F.col("id") * 11 % 100).cast("double")).alias("y"),
+    )
+    same = spark.range(5000, 10000).select(
+        ((F.col("id") * 37 % 1000).cast("double") / 10).alias("x"),
+        ((F.col("id") * 11 % 100).cast("double")).alias("y"),
+    )
+    shifted = same.select(
+        (F.col("x") + F.lit(60.0)).alias("x"), F.col("y")
+    )
+    calm = {r["column"]: r for r in psi_report(ref, same, ["x", "y"]).collect()}
+    assert not calm["x"]["drift"] and not calm["y"]["drift"], calm
+    hot = {r["column"]: r
+           for r in psi_report(ref, shifted, ["x", "y"]).collect()}
+    assert hot["x"]["drift"] and hot["x"]["psi"] > 1.0, hot["x"]
+    assert not hot["y"]["drift"]
+    again = {r["column"]: r
+             for r in psi_report(ref, shifted, ["x", "y"]).collect()}
+    assert {k: v.asDict() for k, v in hot.items()} == {
+        k: v.asDict() for k, v in again.items()
+    }

@@ -120,6 +120,7 @@ BUDGETS = {
     "late_shipment_priority": 2,
     "latest_event_per_user": 2,
     "lineitem_expectations": 5,
+    "lineitem_drift_psi": 7,
     "lineitem_profile": 3,
     "lineitem_profile_approx": 2,
     "min_cost_supplier_per_part": 3,
