@@ -963,3 +963,59 @@ def _star_components(cur: DataFrame, max_iter: int) -> DataFrame:
     # src here, so it has no row — the caller's left-join coalesce maps
     # it to its own id, which IS the component minimum.
     return cur.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("_comp"))
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Survivorship — the step AFTER dedup clustering: collapse each
+    duplicate cluster to ONE merged "golden" record, column by column,
+    under declarative rules:
+
+    - ``'max'`` / ``'min'``: extreme value (freshest balance, earliest
+      signup)
+    - ``'longest'``: the longest string, ties broken lexicographically
+      LARGEST — implemented as ``max(struct(length, value))``, which
+      both Spark and an oracle compare field-wise, so the pick is a
+      deterministic total order, never an arbitrary arg_max tie
+    - ``'sum'``: additive facts merge (balances, counts)
+
+    Every rule is a plain aggregate expression, so the whole merge is
+    ONE groupBy over the cluster label (map-side combinable; adding a
+    column adds an expression, not a pass) — no window, no self-join,
+    no per-cluster collect. Output: ``(cluster, canonical_id = min id,
+    n_members, <one column per rule>)``.
+
+    The classic mode/most-frequent rule is deliberately absent: its
+    deterministic form needs a per-(cluster, value) count shuffle per
+    column — when needed, compute it standalone and join, rather than
+    hiding a second shuffle inside this one-pass contract."""
+    aggs = [
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    ]
+    for col, rule in rules.items():
+        if rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "sum":
+            aggs.append(F.sum(col).alias(col))
+        elif rule == "longest":
+            aggs.append(
+                F.max(
+                    F.struct(
+                        F.length(F.col(col)).alias("l"),
+                        F.col(col).alias("v"),
+                    )
+                )["v"].alias(col)
+            )
+        else:
+            raise ValueError(
+                f"unknown survivorship rule {rule!r} for column {col!r} "
+                "(supported: max, min, sum, longest)"
+            )
+    return df.groupBy(cluster_col).agg(*aggs)

@@ -7647,6 +7647,122 @@ def lineitem_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_golden_records",
+    """
+    WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_nationkey,
+                                c_acctbal, c_mktsegment
+                         FROM customer WHERE c_custkey <= 200),
+    pairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+               AND a.c_nationkey = b.c_nationkey
+              WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+                AND levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT c_custkey, c_custkey FROM c
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    labels AS (SELECT src AS c_custkey, MIN(dst) AS rep FROM reach
+               GROUP BY src),
+    g AS (SELECT l.rep,
+                 CAST(MIN(c.c_custkey) AS BIGINT) AS canonical_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_members,
+                 (MAX(struct_pack(l := length(c.c_name), v := c.c_name))).v
+                    AS c_name,
+                 CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                      AS VARCHAR) AS DOUBLE) AS c_acctbal,
+                 MIN(c.c_mktsegment) AS c_mktsegment
+          FROM labels l JOIN c ON c.c_custkey = l.c_custkey
+          GROUP BY l.rep)
+    SELECT canonical_id, n_members, c_name, c_acctbal, c_mktsegment
+    FROM g WHERE n_members >= 2 ORDER BY canonical_id
+    """,
+)
+def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP — the step after duplicate
+    detection: typo-pair clusters (edit-distance join → connected
+    components, the machinery behind ``customer_name_typo_pairs`` and
+    ``doc_dedup_clusters``) collapse to one golden customer record per
+    cluster under declarative rules (:func:`moisturizer_spark.
+    operators.dedup.golden_records`; nation-blocked pairs so serial
+    synthetic names don't chain into one blob): canonical id = min
+    key, name =
+    longest (deterministic struct-max, never an arbitrary arg_max
+    tie), balances merge additively as exact decimals, segment = min.
+    Only multi-member clusters are reported (the actual merges).
+
+    Scale: pair generation is the length-banded edit-distance join;
+    components contract in O(log n) rounds; the merge itself is ONE
+    map-side-combinable groupBy over cluster labels. The oracle
+    replays pairs, a recursive-CTE reachability closure, and the same
+    aggregate rules."""
+    from moisturizer_spark.operators.dedup import (
+        connected_components,
+        golden_records,
+        levenshtein_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    subset = t["customer"].filter(F.col("c_custkey") <= 200).select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    # nation blocking: serial synthetic names chain transitively at
+    # dist 1 (one 150-member blob without it); same-nation candidates
+    # break the chain into realistic 2-4 member merge clusters
+    nat = subset.select("c_custkey", "c_nationkey")
+    pairs = (
+        levenshtein_pairs(
+            subset, id_col="c_custkey", str_col="c_name", max_dist=1
+        )
+        .join(
+            F.broadcast(nat.select(F.col("c_custkey").alias("id_a"),
+                                   F.col("c_nationkey").alias("_na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(nat.select(F.col("c_custkey").alias("id_b"),
+                                   F.col("c_nationkey").alias("_nb"))),
+            "id_b",
+        )
+        .filter(F.col("_na") == F.col("_nb"))
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(
+        pairs, subset.select(F.col("c_custkey").alias("id")), id_col="id"
+    )
+    merged = golden_records(
+        subset.join(
+            labels.select(
+                F.col("id").alias("c_custkey"),
+                F.col("component").alias("rep"),
+            ),
+            "c_custkey",
+        ),
+        cluster_col="rep",
+        id_col="c_custkey",
+        rules={
+            "c_name": "longest",
+            "c_acctbal": "sum",
+            "c_mktsegment": "min",
+        },
+    )
+    return (
+        merged.filter(F.col("n_members") >= 2)
+        .select(
+            F.col("canonical_id").cast("bigint").alias("canonical_id"),
+            "n_members",
+            "c_name",
+            _d(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .orderBy("canonical_id")
+    )
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -8035,6 +8151,7 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "customer_golden_records",        # NEW: survivorship golden records
     "lineitem_drift_psi",             # NEW: PSI snapshot drift monitor
     "supplier_reach_bfs",             # NEW: bounded k-hop BFS reach
     "orders_price_bootstrap_ci",      # NEW: one-pass Poisson bootstrap
@@ -8088,7 +8205,6 @@ _NEEDS_DRIVER_ROW = [
     "customers_above_nation_avg",
     "customers_without_orders",
     "docs_fingerprint_dedup",
-    "docs_hash_split",
 ]
 
 

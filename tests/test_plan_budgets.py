@@ -36,6 +36,7 @@ BUDGETS = {
     "brand_revenue_share": 2,
     "corpus_shard_manifest": 2,
     "crosslingual_near_dup": 1,
+    "customer_golden_records": 4,
     "customer_name_typo_pairs": 1,
     "customer_rfm_segments": 2,
     "customer_spend_ntile": 2,
