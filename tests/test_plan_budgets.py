@@ -54,7 +54,7 @@ BUDGETS = {
     "docs_curation_report": 5,
     "docs_decontaminated": 4,
     "docs_dedup_method_agreement": 9,
-    "docs_dsir_proportional": 7,
+    "docs_dsir_proportional": 8,
     "docs_dsir_selection": 7,
     "docs_fingerprint_dedup": 2,
     "docs_hash_split": 2,
