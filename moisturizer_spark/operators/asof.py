@@ -179,3 +179,48 @@ def banded_interval_join(
         & (F.col("_ivj_rus") <= F.col("_ivj_us") + F.lit(hi_us))
     )
     return joined.drop("_ivj_us", "_ivj_band", "_ivj_rus")
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from a change log: per
+    key, consecutive records with UNCHANGED attributes collapse, each
+    surviving attribute version carries ``valid_from`` (its first
+    appearance), ``valid_to`` (the next version's start; NULL while
+    current) and ``is_current`` — the half-open intervals an as-of
+    join (:func:`asof_join`) consumes.
+
+    ``tiebreak_cols`` extends the per-key ordering past ``ts_col`` to a
+    TOTAL order (pass the change-log's unique id) — without it, equal
+    timestamps make version order nondeterministic, which is the
+    classic silent SCD2 bug.
+
+    Plan: two windows over the same (key, order) partitioning — a lag
+    per attribute to detect change rows, a lead for the interval end —
+    so the whole build is ONE shuffle on the key (the second window
+    reuses the sort). Change detection is null-safe (``<=>``): a NULL
+    attribute is a value, not a wildcard. Scale: windows partition per
+    key; no key's history is ever driver-side."""
+    from pyspark.sql import Window
+
+    order = [ts_col, *(tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    versions = changes.withColumn(
+        "_is_version", first | changed
+    ).filter("_is_version")
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
+    )

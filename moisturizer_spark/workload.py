@@ -7763,6 +7763,154 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_priority_scd2",
+    """
+    WITH src AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+                 FROM orders WHERE o_custkey <= 300),
+    l AS (SELECT *, LAG(o_orderpriority) OVER w AS prev,
+                 ROW_NUMBER() OVER w AS rn
+          FROM src WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)),
+    v AS (SELECT * FROM l
+          WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+    f AS (SELECT o_custkey, o_orderpriority,
+                 o_orderdate AS valid_from,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS valid_to
+          FROM v)
+    SELECT o_custkey, o_orderpriority, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM f
+    ORDER BY o_custkey, valid_from, valid_to, o_orderpriority
+    """,
+)
+def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log
+    (:func:`moisturizer_spark.operators.asof.scd2_build`): each
+    customer's order-priority history as half-open validity intervals
+    — consecutive unchanged values collapse, ``valid_to`` = the next
+    version's start, ``is_current`` marks the open interval — the
+    warehouse-standard dimension shape an as-of join consumes.
+    The (ts, orderkey) tiebreak makes version order a TOTAL order;
+    without it, equal timestamps are the classic silent SCD2 bug.
+
+    Plan: ONE shuffle on the key — both windows (the change-detect lag
+    and the interval lead) share the (key, ts, tiebreak) sort.
+    Bounded to custkey ≤ 300 for a human-sized report; the build is
+    per-key windowed, so the unbounded form scales the same way."""
+    from moisturizer_spark.operators.asof import scd2_build
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    src = t["orders"].filter(F.col("o_custkey") <= 300)
+    return scd2_build(
+        src,
+        key_col="o_custkey",
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("valid_from"),
+        F.col("valid_to"),
+        "is_current",
+    ).orderBy("o_custkey", "valid_from", "valid_to", "o_orderpriority")
+
+
+@query(
+    "daily_volume_revenue_corr",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
+                        AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE)
+                           * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM lineitem GROUP BY 1),
+    w AS (SELECT day, n, v,
+                 CAST(COUNT(*) OVER win AS DECIMAL(38,0)) AS c,
+                 CAST(SUM(n) OVER win AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(v) OVER win AS DECIMAL(38,0)) AS sy,
+                 CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) OVER win
+                      AS DECIMAL(38,0)) AS sxx,
+                 CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) OVER win
+                      AS DECIMAL(38,0)) AS syy,
+                 CAST(SUM(CAST(n AS DECIMAL(38,0)) * v) OVER win
+                      AS DECIMAL(38,0)) AS sxy
+          FROM d WINDOW win AS (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, n AS n_items,
+           CASE WHEN c >= 2 AND (c * sxx - sx * sx) > 0
+                     AND (c * syy - sy * sy) > 0 THEN
+               ROUND(CAST(c * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(c * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(c * syy - sy * sy AS DOUBLE))), 6)
+           END AS corr7
+    FROM w ORDER BY day
+    """,
+)
+def daily_volume_revenue_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between daily shipment volume
+    and daily revenue — the time-series co-movement monitor (does
+    revenue track volume, or is price mix drifting?). Every moment is
+    an EXACT integer on the cent grid carried as DECIMAL(38,0) window
+    sums (the ``embedding_dim_correlation`` recipe under a moving
+    frame), so the only float ops are the final casts, two sqrts, and
+    one rounded division — engine-exact.
+
+    Scale: the heavy work is the daily aggregation of the fact table
+    (map-side combinable); the global ordered window then runs over
+    the CALENDAR-sized daily frame (≤ 1 row/day — thousands of rows at
+    any corpus size), so the single-partition sort is bounded by the
+    calendar, not the data. The same moving-moment recipe partitions
+    by series key when there are many series
+    (``events_volume_anomalies``)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    d = (
+        t["lineitem"]
+        .groupBy(
+            F.date_trunc("day", F.col("l_shipdate")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice").cast("double") * 100)
+                .cast("bigint")
+            ).cast("bigint").alias("v"),
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(-6, 0)
+    dec = "decimal(38,0)"
+    w = d.select(
+        "day",
+        "n",
+        "v",
+        F.count(F.lit(1)).over(win).cast(dec).alias("c"),
+        F.sum("n").over(win).cast(dec).alias("sx"),
+        F.sum("v").over(win).cast(dec).alias("sy"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).over(win).cast(dec)
+        .alias("sxx"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).over(win).cast(dec)
+        .alias("syy"),
+        F.sum(F.col("n").cast(dec) * F.col("v")).over(win).cast(dec)
+        .alias("sxy"),
+    )
+    num = (F.col("c") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("c") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dy = (F.col("c") * F.col("syy") - F.col("sy") * F.col("sy"))
+    corr = F.when(
+        (F.col("c") >= 2) & (dx > 0) & (dy > 0),
+        F.round(
+            num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 6
+        ),
+    )
+    return w.select(
+        "day", F.col("n").alias("n_items"), corr.alias("corr7")
+    ).orderBy("day")
+
+
 def _sql_leakage_free_split() -> str:
     from moisturizer_spark.operators.sampling import sql_hash_split_case
 
@@ -8151,6 +8299,8 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "customer_priority_scd2",         # NEW: Type-2 SCD builder
+    "daily_volume_revenue_corr",      # NEW: rolling exact-moment Pearson
     "customer_golden_records",        # NEW: survivorship golden records
     "lineitem_drift_psi",             # NEW: PSI snapshot drift monitor
     "supplier_reach_bfs",             # NEW: bounded k-hop BFS reach
@@ -8203,8 +8353,6 @@ _NEEDS_DRIVER_ROW = [
     "customer_spend_ntile",
     "customer_year_set_ops",
     "customers_above_nation_avg",
-    "customers_without_orders",
-    "docs_fingerprint_dedup",
 ]
 
 

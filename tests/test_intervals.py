@@ -218,3 +218,37 @@ def test_banded_join_traffic_spike_parity_and_aqe_split(spark):
                 conf.unset(key)
             else:
                 conf.set(key, val)
+
+
+def test_scd2_build_collapses_and_orders(spark):
+    """Consecutive unchanged attributes collapse; interleaved values
+    re-version; equal timestamps resolve by the tiebreak column (the
+    classic silent SCD2 bug, here a hard contract); NULL attributes
+    compare as values."""
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.asof import scd2_build
+
+    rows = [
+        (1, "A", 1, 10),
+        (1, "A", 2, 11),   # unchanged -> collapses
+        (1, "B", 3, 12),
+        (1, "A", 4, 13),   # back to A -> NEW version
+        (2, None, 1, 20),  # NULL is a value
+        (2, None, 2, 21),  # unchanged NULL collapses
+        (2, "X", 2, 22),   # same ts as row 21: tiebreak by id
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts long, id long")
+    got = [
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_build(
+            df, "k", ["attr"], "ts", tiebreak_cols=["id"]
+        ).orderBy("k", "valid_from", "id").collect()
+    ]
+    assert got == [
+        (1, "A", 1, 3, False),
+        (1, "B", 3, 4, False),
+        (1, "A", 4, None, True),
+        (2, None, 1, 2, False),
+        (2, "X", 2, None, True),
+    ]

@@ -38,11 +38,13 @@ BUDGETS = {
     "crosslingual_near_dup": 1,
     "customer_golden_records": 4,
     "customer_name_typo_pairs": 1,
+    "customer_priority_scd2": 2,
     "customer_rfm_segments": 2,
     "customer_spend_ntile": 2,
     "customer_year_set_ops": 7,
     "customers_above_nation_avg": 3,
     "customers_without_orders": 2,
+    "daily_volume_revenue_corr": 2,
     "doc_dedup_clusters": 6,
     "doc_dup_span_coverage": 4,
     "doc_median_tokens": 2,
