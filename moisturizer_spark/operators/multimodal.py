@@ -444,3 +444,152 @@ def wav_energy_hash(decoded, grid: int = 8) -> tuple[int, int]:
     lo = sum(b << k for k, b in enumerate(bits[:32]))
     hi = sum(b << k for k, b in enumerate(bits[32:64]))
     return hi, lo
+
+
+# -- persisted perceptual-hash index (build / query / append) ---------------
+#
+# The minhash_build/ivf_build analog for media: the index is the tiny
+# (id, phash_hi, phash_lo) table plus a sidecar pinning the decode
+# kernel and distance threshold, so batch jobs AND a streaming stage
+# dedup incoming media against everything the corpus already absorbed
+# — without re-decoding a single stored byte (hashes ARE the index).
+
+PHASH_KERNELS = {
+    "ppm_ahash": ("decode_ppm", "ahash_from_array", 8),
+    "ppm_dhash": ("decode_ppm", "dhash_from_array", 8),
+    "wav_energy": ("decode_wav", "wav_energy_hash", 64),
+}
+
+
+def _resolve_kernel(name: str):
+    import moisturizer_spark.operators.multimodal as M
+
+    dec, ker, grid = PHASH_KERNELS[name]
+    return getattr(M, dec), getattr(M, ker), grid
+
+
+def phash_build(
+    media: DataFrame,
+    path: str,
+    kernel: str = "ppm_ahash",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    max_distance: int = 6,
+) -> dict:
+    """Hash a media corpus and persist the perceptual-hash index:
+    ``<path>/data/*.parquet`` holding (id, phash_hi, phash_lo) — bytes
+    are decoded ONCE, at build — plus ``<path>/_phash.json`` pinning
+    the kernel name, grid, and distance threshold so every later
+    query/append/stream uses identical semantics (the sidecar-pins-
+    the-params rule from the MinHash index)."""
+    import json
+    import os
+
+    decoder, ker, grid = _resolve_kernel(kernel)
+    hashed = image_phash(
+        media.select(id_col, content_col),
+        decoder=decoder,
+        kernel=ker,
+        content_col=content_col,
+        grid=grid,
+    ).select(id_col, "phash_hi", "phash_lo")
+    hashed.write.mode("overwrite").parquet(os.path.join(path, "data"))
+    meta = {
+        "kernel": kernel,
+        "grid": grid,
+        "id_col": id_col,
+        "content_col": content_col,
+        "max_distance": max_distance,
+    }
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_phash.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_phash.json"))
+    return meta
+
+
+def _phash_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_phash.json")) as fh:
+        return json.load(fh)
+
+
+def phash_query(spark, path: str, media: DataFrame) -> DataFrame:
+    """Near-dups of a media batch AGAINST the persisted index: decode
+    + hash the batch (its bytes only — stored corpus bytes never
+    re-decode), then the banded Hamming join between batch hashes and
+    index hashes under the sidecar's threshold. Returns
+    ``(batch_id, corpus_id, hamming)``."""
+    import os
+
+    meta = _phash_meta(path)
+    decoder, ker, grid = _resolve_kernel(meta["kernel"])
+    q = image_phash(
+        media.select(meta["id_col"], meta["content_col"]),
+        decoder=decoder,
+        kernel=ker,
+        content_col=meta["content_col"],
+        grid=grid,
+    ).select(
+        F.col(meta["id_col"]).alias("batch_id"),
+        F.col("phash_hi").alias("_qhi"),
+        F.col("phash_lo").alias("_qlo"),
+    )
+    idx = spark.read.parquet(os.path.join(path, "data")).select(
+        F.col(meta["id_col"]).alias("corpus_id"),
+        F.col("phash_hi").alias("_chi"),
+        F.col("phash_lo").alias("_clo"),
+    )
+
+    def bands(df, hi, lo, side):
+        return df.select(
+            "*",
+            F.posexplode(
+                F.array(
+                    (F.col(lo) % 65536),
+                    (F.col(lo) / 65536).cast("bigint"),
+                    (F.col(hi) % 65536),
+                    (F.col(hi) / 65536).cast("bigint"),
+                )
+            ).alias(f"_band_{side}", f"_val_{side}"),
+        )
+
+    qb = bands(q, "_qhi", "_qlo", "q")
+    cb = bands(idx, "_chi", "_clo", "c")
+    ham = (
+        F.bit_count(F.expr("_qhi ^ _chi")) + F.bit_count(F.expr("_qlo ^ _clo"))
+    ).cast("int")
+    return (
+        qb.join(
+            cb,
+            (F.col("_band_q") == F.col("_band_c"))
+            & (F.col("_val_q") == F.col("_val_c")),
+        )
+        .select("batch_id", "corpus_id", "_qhi", "_qlo", "_chi", "_clo")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(meta["max_distance"]))
+        .select("batch_id", "corpus_id", "hamming")
+    )
+
+
+def phash_append(spark, path: str, media: DataFrame) -> None:
+    """Hash a new media batch with the sidecar's pinned kernel and
+    append the (id, hash) rows — the index grows without rewriting or
+    re-decoding anything stored."""
+    import os
+
+    meta = _phash_meta(path)
+    decoder, ker, grid = _resolve_kernel(meta["kernel"])
+    image_phash(
+        media.select(meta["id_col"], meta["content_col"]),
+        decoder=decoder,
+        kernel=ker,
+        content_col=meta["content_col"],
+        grid=grid,
+    ).select(meta["id_col"], "phash_hi", "phash_lo").write.mode(
+        "append"
+    ).parquet(os.path.join(path, "data"))
