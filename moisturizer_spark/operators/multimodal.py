@@ -593,3 +593,65 @@ def phash_append(spark, path: str, media: DataFrame) -> None:
     ).select(meta["id_col"], "phash_hi", "phash_lo").write.mode(
         "append"
     ).parquet(os.path.join(path, "data"))
+
+
+def resize_image_array(img, out_h: int, out_w: int):
+    """Integer box-filter resize of an (h, w, c) uint8 array to
+    (out_h, out_w, c): each output pixel is the floor-mean of its
+    source box (boxes from integer edge splits ``r*h//out_h``), so the
+    result is deterministic across platforms — no float interpolation,
+    no SIMD-order effects. Upscaling repeats pixels (boxes of size 1).
+    Per-output-pixel numpy box sums: the deterministic REFERENCE
+    implementation — swap a reshape-based kernel in at the same call
+    site when output sizes grow past thumbnails and shapes divide
+    evenly."""
+    import numpy as np
+
+    h, w, c = img.shape
+    out = np.zeros((out_h, out_w, c), dtype=np.uint8)
+    src = img.astype(np.int64)
+    for r in range(out_h):
+        r0, r1 = r * h // out_h, max((r + 1) * h // out_h, r * h // out_h + 1)
+        for cc in range(out_w):
+            c0 = cc * w // out_w
+            c1 = max((cc + 1) * w // out_w, c0 + 1)
+            box = src[r0:r1, c0:c1]
+            out[r, cc] = box.sum(axis=(0, 1)) // box[:, :, 0].size
+    return out
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    decoder: Callable[[bytes], object] | None = None,
+    content_col: str = "content",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Batch image resize as Arrow-batched mapInPandas: decode (default
+    the library-free :func:`decode_ppm`; inject for codec formats),
+    integer box-filter resize (:func:`resize_image_array`), re-encode
+    as a raw PPM (P6) payload in ``out_col`` — the
+    normalize-before-embedding step of a multimodal training pipeline.
+    Output payloads are fixed-size (``3*out_h*out_w`` + header), which
+    is what makes downstream batching/packing predictable. Bytes cross
+    the JVM boundary once per Arrow batch, each way."""
+    decoder = decoder or decode_ppm
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf[content_col]:
+                if b is None:
+                    outs.append(None)
+                    continue
+                small = resize_image_array(decoder(bytes(b)), out_h, out_w)
+                outs.append(header + small.tobytes())
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

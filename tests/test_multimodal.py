@@ -360,3 +360,34 @@ def test_audio_pipeline_through_image_phash(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert not any(3 in p for p in pairs)
+
+
+def test_resize_images_integer_box_filter(spark):
+    """Resize is a deterministic integer box filter: 16x16 -> 8x8
+    equals the 2x2 floor-means, the output payload is a valid PPM that
+    round-trips through decode_ppm at the new size, and resize+ahash
+    equals ahash of the already-8x8 mean image (the downsample IS
+    aHash's pooling)."""
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import (
+        ahash_from_array,
+        decode_ppm,
+        resize_image_array,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(21)
+    big = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    small = resize_image_array(big, 8, 8)
+    want = big.astype(np.int64).reshape(8, 2, 8, 2, 3).sum(axis=(1, 3)) // 4
+    assert (small == want).all()
+    # upscale repeats pixels
+    up = resize_image_array(small, 16, 16)
+    assert (up[::2, ::2] == small).all() and (up[1::2, 1::2] == small).all()
+    # through Spark: payload round-trips at the new size
+    df = spark.createDataFrame([(1, _ppm_bytes(big))], "doc_id long, content binary")
+    row = resize_images(df, 8, 8).first()
+    dec = decode_ppm(bytes(row["resized"]))
+    assert dec.shape == (8, 8, 3) and (dec == small).all()
+    assert ahash_from_array(big) == ahash_from_array(small)
