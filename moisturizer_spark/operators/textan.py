@@ -1470,3 +1470,167 @@ def nb_log_odds(
             (F.col("_t") > 0).cast("bigint").alias("is_curated"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram token distribution,
+    in integer micro-bits per token — the information-density quality
+    signal the ratio heuristics (:func:`quality_features`) and
+    repetition counters (:func:`repetition_features`) both miss: a doc
+    that cycles a handful of tokens scores low however long it is,
+    while natural prose sits near the corpus ceiling. (The classic
+    compression-ratio proxy without a codec dependency: H bounds the
+    per-token bits any entropy coder can reach.)
+
+    Identity used: ``H = log2(n) − (Σ c·log2 c)/n`` over the per-doc
+    term counts ``c`` (n = Σc), so the per-term work needs only ``c``
+    — no second pass once ``n`` is known. Cross-engine determinism is
+    the :func:`bigram_lm_bits` nano-bit recipe: each ``c·log2(c)`` term
+    rounds to integer nano-bits (``log2`` of an exact BIGINT — both
+    engines see the identical double), the per-doc sum is an exact
+    BIGINT, the division is :func:`_micro_per_token`'s half-away
+    integer form, and ``log2(n)`` rounds straight to micro-bits.
+    ``GREATEST(·, 0)`` absorbs the one pathological −1-micro rounding
+    tie of a single-term doc. Overflow: Σ c·log2(c) ≤ n·log2(n), inside
+    int64 nano-bits up to ~2×10⁸ tokens in a SINGLE document — beyond
+    parquet's field limit, and the sum is per-doc, so corpus size is
+    irrelevant (the :func:`_nano` argument).
+
+    Returns ``(id_col, *keep_cols, n_tokens, entropy_micro)`` — micro-
+    bits/token as BIGINT; tokenless docs are excluded (no distribution
+    to measure, matching the LM scorers' exclusion rule).
+
+    Scale: one tokenize scan → one (doc, term)-keyed exact aggregation
+    → one doc-keyed aggregation. Both are map-side combinable; nothing
+    touches the driver; no joins, no broadcast state, no skew surface
+    beyond the corpus's own doc-size distribution (one giant doc costs
+    its own token count, linearly).
+    """
+    cnts = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in keep_cols],
+            F.explode(tokens_col(F.col(text_col))).alias("_w"),
+        )
+        .groupBy("_id", *keep_cols, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = cnts.groupBy("_id", *keep_cols).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * _nano(F.log2(F.col("_c").cast("double")))).alias(
+            "_s"
+        ),
+    )
+    h = (
+        F.round(F.log2(F.col("_n").cast("double")) * F.lit(1e6)).cast("bigint")
+        - _micro_per_token("_s", "_n")
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        *keep_cols,
+        F.col("_n").alias("n_tokens"),
+        F.greatest(h, F.lit(0)).alias("entropy_micro"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_tenths: int = 12,
+    b_quarters: int = 3,
+) -> DataFrame:
+    """Keyword retrieval: the top-``k`` documents for a bag-of-terms
+    query under BM25 (Robertson–Spärck Jones) — the ranked-search
+    primitive :func:`tfidf_top_terms` (per-doc term EXTRACTION) does
+    not provide. ``score(d) = Σ_{t∈q} idf(t) ·
+    tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` with the standard
+    ``idf = ln(1 + (N−df+0.5)/(df+0.5))``, k1 = ``k1_tenths``/10
+    (default 1.2), b = ``b_quarters``/4 (default 0.75).
+
+    Cross-engine determinism: every input to the two IEEE operations
+    is an EXACT integer. ``idf = ln(2(N+1)/(2df+1))`` — one division
+    of exact ints, one ``ln``; the tf part clears denominators against
+    avgdl = L/N (L = total corpus tokens): ``22·tf·L / (10·tf·L + 3·L
+    + 9·dl·N)`` — exact BIGINT numerator/denominator, one division.
+    The per-(doc,term) product rounds to integer micro (the suite's
+    6-digit contract, as :func:`~moisturizer_spark.workload`'s tfidf
+    row documents for ``ln``), and per-doc totals are exact BIGINT
+    sums of ≤ |terms| micros. Bounds: the cleared numerator
+    ``4(k1_tenths+10)·tf·L < 2⁶³`` needs ``tf·L < 10¹⁷`` (a 10¹³-token
+    corpus allows per-doc tf up to 10⁴), and BIGINT→double conversion
+    is exact below 2⁵³ — both fail loudly under ANSI rather than wrap.
+
+    Scale: ``dl`` comes from ``size(tokens)`` on the ROW — no explode;
+    only query-term postings explode survive the ``isin`` filter, so
+    the tf/df aggregations are posting-list-sized. ``df`` collapses to
+    ≤ |terms| rows and BROADCASTS; N is a metadata-cheap count and L a
+    1-row scalar — both inlined as literals so the plan has no 1-row
+    nested-loop join. Final top-k is ``orderBy().limit(k)`` — a
+    distributed TakeOrderedAndProject, never a single-partition window.
+
+    Returns ``(id_col, n_terms, score_micro)`` ordered by
+    ``(score_micro DESC, id)`` — a total order, so the k-boundary is
+    deterministic.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("_w"),
+    )
+    dl = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("_dl"),
+    )
+    tot = dl.agg(F.count(F.lit(1)), F.sum("_dl")).first()
+    n_docs, total_len = int(tot[0]), int(tot[1] or 0)
+    if total_len == 0:
+        raise ValueError("bm25_topk: corpus has no tokens")
+    qt = toks.filter(F.col("_w").isin(*[str(t) for t in terms]))
+    tf = qt.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = qt.groupBy("_w").agg(F.count_distinct("_id").alias("_df"))
+    idf = F.log(
+        F.lit(2.0 * (n_docs + 1)) / (2 * F.col("_df") + 1).cast("double")
+    )
+    # tf·(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl), cleared against
+    # avgdl = L/N and the tenths/quarters grids by multiplying num and
+    # den through by 40·L: numerator 4L·(k1_tenths+10)·tf, denominator
+    # 40L·tf + k1_tenths·(4−b_q)·L + k1_tenths·b_q·N·dl (defaults:
+    # 88L·tf over 40L·tf + 12L + 36N·dl ≡ 22tf·L/(10tf·L + 3L + 9dl·N))
+    num = F.lit(4 * total_len * (k1_tenths + 10)) * F.col("_tf")
+    den = (
+        F.lit(40 * total_len) * F.col("_tf")
+        + F.lit(k1_tenths * (4 - b_quarters) * total_len)
+        + F.lit(k1_tenths * b_quarters * n_docs) * F.col("_dl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_w")
+        .join(dl, "_id")
+        .select(
+            "_id",
+            F.round(
+                (idf * (num.cast("double") / den.cast("double")))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("_m"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("_m").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("_id"))
+        .limit(int(k))
+        .select(F.col("_id").alias(id_col), "n_terms", "score_micro")
+    )

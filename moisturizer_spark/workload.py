@@ -7839,14 +7839,16 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS DECIMAL(38,0)) AS sxy
           FROM d WINDOW win AS (ORDER BY day
                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-    SELECT day, n AS n_items,
-           CASE WHEN c >= 2 AND (c * sxx - sx * sx) > 0
-                     AND (c * syy - sy * sy) > 0 THEN
-               ROUND(CAST(c * sxy - sx * sy AS DOUBLE)
-                     / (sqrt(CAST(c * sxx - sx * sx AS DOUBLE))
-                        * sqrt(CAST(c * syy - sy * sy AS DOUBLE))), 6)
-           END AS corr7
-    FROM w ORDER BY day
+    SELECT day, n_items, corr7 FROM (
+        SELECT day, n AS n_items,
+               CASE WHEN c >= 2 AND (c * sxx - sx * sx) > 0
+                         AND (c * syy - sy * sy) > 0 THEN
+                   ROUND(CAST(c * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(c * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(c * syy - sy * sy AS DOUBLE))), 6)
+               END AS corr7
+        FROM w)
+    WHERE corr7 IS NOT NULL ORDER BY day
     """,
 )
 def daily_volume_revenue_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7906,9 +7908,15 @@ def daily_volume_revenue_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 6
         ),
     )
-    return w.select(
-        "day", F.col("n").alias("n_items"), corr.alias("corr7")
-    ).orderBy("day")
+    return (
+        w.select("day", F.col("n").alias("n_items"), corr.alias("corr7"))
+        # degenerate windows (day 1's single row; zero-variance frames)
+        # have no defined correlation — dropped rather than emitted as
+        # NULL so the output never mixes NULL into a float sort key
+        # (the orders_monthly_growth convention)
+        .filter(F.col("corr7").isNotNull())
+        .orderBy("day")
+    )
 
 
 def _sql_leakage_free_split() -> str:
@@ -8258,6 +8266,155 @@ def events_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_token_entropy",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    cnts AS (
+        SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY doc_id, source, w
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               SUM(c) AS n,
+               SUM(c * CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+                   AS s
+        FROM cnts GROUP BY doc_id, source
+    ),
+    ent AS (
+        SELECT source,
+               CAST(GREATEST(
+                   CAST(ROUND(log2(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                   - (2 * s + 1000 * n) // (2000 * n),
+                   0) AS BIGINT) AS h
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((2 * SUM(h) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS avg_entropy_micro,
+           MIN(h) AS min_entropy_micro,
+           MAX(h) AS max_entropy_micro,
+           CAST(COUNT(*) FILTER (h < 3000000) AS BIGINT) AS n_low_entropy
+    FROM ent GROUP BY source ORDER BY source
+    """,
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-density quality screen: per-source stats of each
+    document's unigram token entropy (micro-bits/token) plus the count
+    of low-entropy docs (< 3 bits/token — template/spam territory).
+    The compression-ratio quality proxy of CCNet-style curation without
+    a codec dependency: H lower-bounds any entropy coder's bits/token.
+
+    Runs through :func:`moisturizer_spark.operators.textan.
+    token_entropy` (see its docstring for the integer micro-bit
+    determinism recipe — ``H = log2 n − (Σ c·log2 c)/n`` with nano-bit
+    terms, exact BIGINT sums, half-away integer division). The
+    per-source average is the same half-away integer division, so no
+    float accumulation ever happens across rows.
+
+    Scale: tokenize scan → (doc,term) agg → doc agg → source agg, all
+    map-side combinable, no joins; output is |sources| rows."""
+    from moisturizer_spark.operators.textan import token_entropy
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    ent = token_entropy(t["documents"], keep_cols=("source",))
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("entropy_micro").alias("_sh"),
+            F.min("entropy_micro").alias("min_entropy_micro"),
+            F.max("entropy_micro").alias("max_entropy_micro"),
+            F.count(
+                F.when(F.col("entropy_micro") < 3000000, F.lit(1))
+            ).alias("n_low_entropy"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(2 * _sh + n_docs) DIV (2 * n_docs)").alias(
+                "avg_entropy_micro"
+            ),
+            "min_entropy_micro",
+            "max_entropy_micro",
+            "n_low_entropy",
+        )
+        .orderBy("source")
+    )
+
+
+_BM25_TERMS = ("hash", "join", "stream", "window")
+
+
+@query(
+    "docs_bm25_search",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+    consts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    ),
+    qt AS (
+        SELECT doc_id, t
+        FROM (SELECT doc_id, unnest(w) AS t FROM base)
+        WHERE t IN ('hash', 'join', 'stream', 'window')
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM qt GROUP BY doc_id, t
+    ),
+    dfreq AS (
+        SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM qt GROUP BY t
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   (ln((2.0 * (n_docs + 1)) / CAST(2 * df + 1 AS DOUBLE))
+                    * (CAST(88 * total_len * tf AS DOUBLE)
+                       / CAST(40 * total_len * tf + 12 * total_len
+                              + 36 * n_docs * dl AS DOUBLE)))
+                   * 1e6) AS BIGINT) AS m
+        FROM tf
+        JOIN dfreq USING (t)
+        JOIN dl USING (doc_id)
+        CROSS JOIN consts
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(m) AS BIGINT) AS score_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: top-10 documents for the query bag
+    (hash, join, stream, window) under BM25 (k1=1.2, b=0.75) — the
+    ranked-search primitive over the corpus, complementing
+    ``tfidf_top_terms`` (extraction) and the ANN families (vector
+    retrieval) with the lexical-retrieval leg.
+
+    Runs through :func:`moisturizer_spark.operators.textan.bm25_topk`
+    (see its docstring for the exact-integer idf/tf-rational recipe and
+    the micro-rounding contract). Scale: only query-term postings
+    survive the ``isin`` pushdown before any aggregation; ``df``
+    collapses to ≤4 rows and broadcasts; N and L are inlined literals
+    (no 1-row nested-loop join); the top-10 is a distributed
+    TakeOrderedAndProject."""
+    from moisturizer_spark.operators.textan import bm25_topk
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return bm25_topk(t["documents"], _BM25_TERMS, k=10)
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -8299,6 +8456,8 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "docs_token_entropy",             # NEW: unigram-entropy quality screen
+    "docs_bm25_search",               # NEW: BM25 keyword retrieval
     "customer_priority_scd2",         # NEW: Type-2 SCD builder
     "daily_volume_revenue_corr",      # NEW: rolling exact-moment Pearson
     "customer_golden_records",        # NEW: survivorship golden records
@@ -8351,8 +8510,6 @@ _NEEDS_DRIVER_ROW = [
     "bpe_token_stats",
     "brand_revenue_share",
     "customer_spend_ntile",
-    "customer_year_set_ops",
-    "customers_above_nation_avg",
 ]
 
 

@@ -51,6 +51,7 @@ BUDGETS = {
     "doc_repetition_by_source": 2,
     "doc_term_counts_udtf": 2,
     "docs_benchmark_containment": 6,
+    "docs_bm25_search": 4,
     "docs_chunk_dedup": 3,
     "docs_chunk_sliding": 1,
     "docs_curation_report": 5,
@@ -74,6 +75,7 @@ BUDGETS = {
     "docs_remove_dup_spans": 3,
     "docs_remove_dup_spans_hashed": 3,
     "docs_simhash_det_near_dup": 2,
+    "docs_token_entropy": 4,
     "docs_vocab_growth": 3,
     "docs_weighted_sample": 2,
     "docs_winnowing_det_near_dup": 2,

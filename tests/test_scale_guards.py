@@ -89,6 +89,9 @@ ALLOWED = {
     ("operators/textan.py", "nb_log_odds"):
         "two 1-row aggregates: class token totals + vocab off the "
         "cached count table; seed doc counts",
+    ("operators/textan.py", "bm25_topk"):
+        "one 1-row scalar aggregate (corpus N, total token count L) "
+        "inlined as plan literals",
     ("sinks.py", "write_training_shards"): "manifest stats: n_shards rows",
 }
 

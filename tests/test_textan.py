@@ -1365,3 +1365,225 @@ def test_nb_log_odds_rejects_stray_labels(spark):
     df = spark.createDataFrame(docs, "doc_id long, label int, text string")
     with pytest.raises(ValueError, match="labels must be 1, 0, or NULL"):
         nb_log_odds(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# token_entropy
+# ---------------------------------------------------------------------------
+
+
+def _entropy_ref(docs):
+    """Pure-Python replay of token_entropy's exact integer pipeline:
+    same tokenizer, same nano-bit c·log2(c) terms (half-away), same
+    half-away integer division and micro-rounded log2(n)."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def half_away(x, scale):
+        return math.floor(x * scale + 0.5)  # all inputs non-negative
+
+    out = {}
+    for _id, t in docs:
+        ws = toks(t)
+        if not ws:
+            continue
+        c = Counter(ws)
+        n = len(ws)
+        s = sum(k * half_away(math.log2(k), 1e9) for k in c.values())
+        h = half_away(math.log2(n), 1e6) - (2 * s + 1000 * n) // (2000 * n)
+        out[_id] = (n, max(h, 0))
+    return out
+
+
+_ENTROPY_DOCS = [
+    (0, "spam spam spam spam spam spam spam spam"),      # H = 0
+    (1, "one two three four five six seven eight"),      # H = 3 exactly
+    (2, "a a a a b b c d"),                              # mixed, H = 1.75
+    (3, "word"),                                         # single token, H = 0
+    (4, "the the quick quick brown fox fox fox jumped"),
+    (5, ""),                                             # excluded
+    (6, "!!! ???"),                                      # excluded
+]
+
+
+def test_token_entropy_matches_pure_python_reference(spark):
+    from moisturizer_spark.operators.textan import token_entropy
+
+    df = spark.createDataFrame(_ENTROPY_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.entropy_micro)
+        for r in token_entropy(df).collect()
+    }
+    assert got == _entropy_ref(_ENTROPY_DOCS)
+    # tokenless docs carry no distribution and are excluded
+    assert 5 not in got and 6 not in got
+    # the planted semantics: constant doc = 0 bits; 8 distinct uniform
+    # tokens = exactly 3 bits; the dyadic 4/2/1/1 mix = exactly 1.75
+    assert got[0] == (8, 0)
+    assert got[3] == (1, 0)
+    assert got[1] == (8, 3_000_000)
+    assert got[2] == (8, 1_750_000)
+
+
+def test_token_entropy_orders_repetition_below_prose(spark):
+    """The quality-signal property: a doc cycling 3 tokens scores far
+    below a same-length doc of distinct tokens, regardless of length."""
+    from moisturizer_spark.operators.textan import token_entropy
+
+    rep = " ".join(["agg key row"] * 40)
+    prose = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(0, rep), (1, prose)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.entropy_micro for r in token_entropy(df).collect()}
+    assert got[0] < 2_000_000 < got[1]
+
+
+def test_token_entropy_partitioning_independent(spark):
+    from moisturizer_spark.operators.textan import token_entropy
+
+    docs = [(i, f"alpha beta beta gamma{i % 3} delta" * (1 + i % 4))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    one = {
+        (r.doc_id, r.n_tokens, r.entropy_micro)
+        for r in token_entropy(df.coalesce(1)).collect()
+    }
+    many = {
+        (r.doc_id, r.n_tokens, r.entropy_micro)
+        for r in token_entropy(df.repartition(7, "text")).collect()
+    }
+    assert one == many
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def _bm25_ref(docs, terms, k=10, k1_tenths=12, b_quarters=3):
+    """Pure-Python replay of bm25_topk's exact-integer recipe."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    tokd = {i: toks(t) for i, t in docs}
+    dl = {i: len(ws) for i, ws in tokd.items()}
+    n_docs, total_len = len(docs), sum(dl.values())
+    dfreq = Counter()
+    for ws in tokd.values():
+        for t in set(ws) & set(terms):
+            dfreq[t] += 1
+    scores = {}
+    for i, ws in tokd.items():
+        cnt = Counter(w for w in ws if w in terms)
+        if not cnt:
+            continue
+        s = 0
+        for t, tf in cnt.items():
+            idf = math.log((2.0 * (n_docs + 1)) / (2 * dfreq[t] + 1))
+            num = 4 * total_len * (k1_tenths + 10) * tf
+            den = (40 * total_len * tf
+                   + k1_tenths * (4 - b_quarters) * total_len
+                   + k1_tenths * b_quarters * n_docs * dl[i])
+            s += math.floor(idf * (num / den) * 1e6 + 0.5)
+        scores[i] = (len(cnt), s)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    return [(i, nt, s) for i, (nt, s) in ranked]
+
+
+_BM25_DOCS = [
+    (0, "hash join hash join hash"),                  # high tf, short
+    (1, "hash " + " ".join(f"pad{i}" for i in range(60))),  # low tf, long
+    (2, "stream window stream window stream window"),
+    (3, "join scan filter merge sort"),
+    (4, "hash hash hash hash hash hash hash hash"),   # tf saturation
+    (5, "window"),                                    # shortest doc
+    (6, "scan filter merge"),                         # no query terms
+    (7, "hash join stream window"),                   # all four terms
+]
+
+
+def test_bm25_topk_matches_pure_python_reference(spark):
+    from moisturizer_spark.operators.textan import bm25_topk
+
+    terms = ("hash", "join", "stream", "window")
+    df = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.n_terms, r.score_micro)
+        for r in bm25_topk(df, terms, k=5).collect()
+    ]
+    assert got == _bm25_ref(_BM25_DOCS, terms, k=5)
+    # docs with no query term never appear
+    assert 6 not in {i for i, _, _ in got}
+    # the four-term doc matches 4 postings
+    by_id = {i: nt for i, nt, _ in got}
+    assert by_id.get(7) == 4
+
+
+def test_bm25_length_normalization_and_saturation(spark):
+    """Same tf in a shorter doc ranks higher (b>0); tf has diminishing
+    returns (k1 finite): 8×'hash' in doc 4 beats 3×'hash' in doc 0 by
+    far less than 8/3."""
+    from moisturizer_spark.operators.textan import bm25_topk
+
+    df = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.score_micro
+           for r in bm25_topk(df, ("hash",), k=10).collect()}
+    # doc 0 (tf=3, dl=5) vs doc 1 (tf=1, dl=61): tf and brevity win
+    assert got[0] > got[1]
+    # saturation: 8/3 ≈ 2.7× the tf buys < 1.6× the score
+    assert got[4] < got[0] * 1.6
+
+
+def test_bm25_absent_terms_and_validation(spark):
+    from moisturizer_spark.operators.textan import bm25_topk
+
+    df = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    # a term absent from the corpus contributes nothing but breaks nothing
+    got = [(r.doc_id, r.n_terms) for r in
+           bm25_topk(df, ("hash", "zzzznotaword"), k=3).collect()]
+    assert all(nt == 1 for _, nt in got)
+    # all-absent query → empty result, stable schema
+    empty = bm25_topk(df, ("zzzznotaword",), k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "n_terms", "score_micro"]
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_topk(df, ())
+
+
+def test_bm25_df_table_broadcasts_and_no_nested_loop(spark):
+    """The ≤|terms|-row document-frequency table must broadcast, and
+    inlining N/L as literals must keep the plan free of 1-row
+    nested-loop joins — the 100 TB plan shape."""
+    import contextlib
+    import io
+
+    from moisturizer_spark.operators.textan import bm25_topk
+
+    df = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    plan = bm25_topk(df, ("hash", "join"), k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain("formatted")
+    text = buf.getvalue()
+    assert "BroadcastHashJoin" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_bm25_partitioning_independent(spark):
+    from moisturizer_spark.operators.textan import bm25_topk
+
+    df = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    terms = ("hash", "join", "stream", "window")
+    one = [(r.doc_id, r.score_micro)
+           for r in bm25_topk(df.coalesce(1), terms, k=8).collect()]
+    many = [(r.doc_id, r.score_micro)
+            for r in bm25_topk(df.repartition(7, "text"), terms, k=8).collect()]
+    assert one == many
