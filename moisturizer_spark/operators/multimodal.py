@@ -655,3 +655,163 @@ def resize_images(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+# -- video: fixed-size frame streams -> per-frame phash -> near-dup ---------
+#
+# Video is the modality where row SIZE explodes into row COUNT: a
+# payload is a stream of frames, and every per-image tool applies
+# per frame. The pieces compose the existing machinery — sample_frames
+# is the splitter stage, image_phash the per-frame kernel, and the
+# banded Hamming join gains the frame index in its key so only
+# corresponding frames ever compare.
+
+
+def fixed_frame_splitter(frame_bytes: int) -> Callable[[bytes], list[bytes]]:
+    """Splitter for raw fixed-size-frame streams (uncompressed
+    YUV/RGB-style containers) in the codec-hook shape
+    :func:`sample_frames` expects. A trailing partial chunk is an
+    unfinished frame and is dropped. Real containers (MP4 etc.) inject
+    their own splitter — same contract, no library dependency here."""
+    if frame_bytes <= 0:
+        raise ValueError(f"frame_bytes must be positive, got {frame_bytes}")
+
+    def split(content: bytes) -> list[bytes]:
+        n = len(content) // frame_bytes
+        return [
+            content[i * frame_bytes:(i + 1) * frame_bytes] for i in range(n)
+        ]
+
+    return split
+
+
+def video_phash(
+    df: DataFrame,
+    frame_bytes: int,
+    decoder: Callable[[bytes], object] | None = None,
+    kernel: Callable[..., tuple[int, int]] | None = None,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual hashes of a fixed-size-frame video column:
+    :func:`sample_frames` (frame explosion, Arrow-batched) →
+    :func:`image_phash` per frame. Returns ``(id, frame_idx,
+    phash_hi, phash_lo)`` — frame bytes never survive past the hash
+    stage, so downstream shuffles carry 2×32 bits per frame."""
+    frames = sample_frames(
+        df,
+        splitter=fixed_frame_splitter(frame_bytes),
+        content_col=content_col,
+        id_col=id_col,
+    )
+    hashed = image_phash(
+        frames, decoder=decoder, kernel=kernel, content_col="frame",
+        grid=grid,
+    )
+    return hashed.select(id_col, "frame_idx", "phash_hi", "phash_lo")
+
+
+def video_near_duplicates(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_distance: int = 6,
+) -> DataFrame:
+    """Video near-dup pairs: two videos are near-duplicates iff they
+    have the SAME frame count and EVERY corresponding frame pair is
+    within ``max_distance`` Hamming bits — the all-scenes-match
+    contract (a clip sharing one scene with a longer cut is related
+    content, not a duplicate).
+
+    Candidates come from the image family's 16-bit banding with the
+    FRAME INDEX added to the band key, so only corresponding frames
+    compare. Recall: a qualifying pair has every frame within
+    ``max_distance``; whenever any of its frames lies within distance
+    3, that frame band-matches (pigeonhole over four 16-bit bands) and
+    surfaces the pair — total recall for pairs with at least one
+    ≤3-distance frame, the per-frame contract of
+    :func:`phash_near_duplicates` lifted to videos. After candidacy
+    the exact check joins both sides' frame hashes on frame_idx and
+    keeps pairs whose matched-frame count equals BOTH videos' frame
+    counts (an inner join can only lose frames, never invent them)
+    with max distance ≤ threshold.
+
+    Scale: shuffles carry (frame_idx, band, val, id, hash) rows —
+    4·n_frames rows per video, never pixels; the exact check joins the
+    persisted hash frame twice, keyed on id — pair-count sized. Hot
+    band values (e.g. the all-ones hash of blank frames) behave like
+    SimHash hot buckets: cap or pre-filter degenerate frames upstream
+    if a corpus is blank-heavy. Output: (id_a, id_b, n_frames,
+    max_hamming), id_a < id_b, each pair once."""
+    from moisturizer_spark.operators.common import materialize
+
+    h = materialize(
+        frame_hashes.select(
+            F.col(id_col).alias("_id"),
+            F.col("frame_idx").alias("_f"),
+            F.col("phash_hi").alias("_hi"),
+            F.col("phash_lo").alias("_lo"),
+        )
+    )
+    nf = h.groupBy("_id").agg(F.count(F.lit(1)).alias("_nf"))
+    melted = h.select(
+        "_id",
+        "_f",
+        F.posexplode(
+            F.array(
+                F.col("_lo") % F.lit(65536),
+                (F.col("_lo") / F.lit(65536)).cast("bigint"),
+                F.col("_hi") % F.lit(65536),
+                (F.col("_hi") / F.lit(65536)).cast("bigint"),
+            )
+        ).alias("_band", "_val"),
+    )
+    cand = (
+        melted.select(F.col("_id").alias("id_a"), "_f", "_band", "_val")
+        .join(
+            melted.select(F.col("_id").alias("id_b"), "_f", "_band", "_val"),
+            ["_f", "_band", "_val"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = h.select(
+        F.col("_id").alias("id_a"),
+        F.col("_f").alias("_fa"),
+        F.col("_hi").alias("_hi_a"),
+        F.col("_lo").alias("_lo_a"),
+    )
+    b = h.select(
+        F.col("_id").alias("id_b"),
+        F.col("_f").alias("_fb"),
+        F.col("_hi").alias("_hi_b"),
+        F.col("_lo").alias("_lo_b"),
+    )
+    dist = (
+        F.bit_count(F.expr("_hi_a ^ _hi_b"))
+        + F.bit_count(F.expr("_lo_a ^ _lo_b"))
+    ).cast("int")
+    pf = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("_fa") == F.col("_fb"))
+        .select("id_a", "id_b", dist.alias("_d"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("_d").alias("max_hamming"),
+        )
+    )
+    return (
+        pf.join(nf.select(F.col("_id").alias("id_a"),
+                          F.col("_nf").alias("_na")), "id_a")
+        .join(nf.select(F.col("_id").alias("id_b"),
+                        F.col("_nf").alias("_nb")), "id_b")
+        .filter(
+            (F.col("n_frames") == F.col("_na"))
+            & (F.col("n_frames") == F.col("_nb"))
+            & (F.col("max_hamming") <= F.lit(max_distance))
+        )
+        .select("id_a", "id_b", "n_frames", "max_hamming")
+    )

@@ -8266,6 +8266,167 @@ def events_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- videos_near_dup_det: the dedup matrix's VIDEO modality -----------------
+#
+# A "video" here is a raw fixed-size-frame stream: FOUR 8x8 PPM frames
+# per document, frame f rendered from the doc's trigrams whose md5
+# SECOND hex digit selects frame f (a uniform 16%4 partition of the
+# trigram space -> four quasi-independent content views; bucketing
+# within a frame is the images_near_dup_det pixel recipe). Near-dup
+# docs share vocabulary -> ALL four frames stay Hamming-close;
+# distinct docs scatter every frame. The Spark side runs the genuine
+# container path (JVM-built 812-byte payload -> fixed_frame_splitter
+# -> decode_ppm per frame -> integer aHash -> frame-keyed banded
+# join); the oracle replays the per-frame pixel arithmetic directly.
+
+
+def _sql_videos_near_dup() -> str:
+    pix = ",\n        ".join(
+        f"LEAST(255, SUM(CASE WHEN sel = {f} AND bk = {k} THEN 1 ELSE 0 END))"
+        f" AS p{f}_{k}"
+        for f in range(4)
+        for k in range(64)
+    )
+    shingle_ctes = f"""d AS (SELECT doc_id,
+           regexp_replace(lower(text), '{_SQL_WS}', ' ', 'g') AS t
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS g
+           FROM d, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),"""
+    frame_rows = []
+    for f in range(4):
+        total = " + ".join(f"p{f}_{k}" for k in range(64))
+        lo = " + ".join(
+            f"(CASE WHEN 64 * p{f}_{k} >= ({total}) THEN 1 ELSE 0 END)"
+            f" * {1 << k}"
+            for k in range(32)
+        )
+        hi = " + ".join(
+            f"(CASE WHEN 64 * p{f}_{k} >= ({total}) THEN 1 ELSE 0 END)"
+            f" * {1 << (k - 32)}"
+            for k in range(32, 64)
+        )
+        frame_rows.append(
+            f"SELECT doc_id, {f} AS f, CAST({hi} AS BIGINT) AS hi,"
+            f" CAST({lo} AS BIGINT) AS lo FROM px"
+        )
+    hl = "\n        UNION ALL\n        ".join(frame_rows)
+    return f"""
+    WITH {shingle_ctes}
+    bks AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(g), 1, 4)) AS INT) % 64 AS bk,
+           CAST(('0x' || substr(md5(g), 5, 1)) AS INT) % 4 AS sel
+           FROM sh),
+    px AS (SELECT doc_id,
+        {pix}
+        FROM bks GROUP BY doc_id),
+    hl AS (
+        {hl}
+    ),
+    bands AS (
+        SELECT doc_id, f, hi, lo, 0 AS band, lo % 65536 AS val FROM hl
+        UNION ALL
+        SELECT doc_id, f, hi, lo, 1 AS band, lo // 65536 AS val FROM hl
+        UNION ALL
+        SELECT doc_id, f, hi, lo, 2 AS band, hi % 65536 AS val FROM hl
+        UNION ALL
+        SELECT doc_id, f, hi, lo, 3 AS band, hi // 65536 AS val FROM hl),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.f = b.f AND a.band = b.band AND a.val = b.val
+              AND a.doc_id < b.doc_id),
+    pf AS (SELECT c.id_a, c.id_b,
+                  bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+                      AS dist
+           FROM cand c
+           JOIN hl x ON x.doc_id = c.id_a
+           JOIN hl y ON y.doc_id = c.id_b AND y.f = x.f)
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(dist) AS INT) AS max_hamming
+    FROM pf GROUP BY id_a, id_b
+    HAVING COUNT(*) = 4 AND MAX(dist) <= {_PHASH_MAX_DIST}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("videos_near_dup_det", _sql_videos_near_dup())
+def videos_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over the VIDEO modality — the dedup
+    matrix's last media axis (image and audio kernels landed earlier
+    this round). Every document renders to a real 4-frame raw video
+    payload (812 bytes: four 8x8 PPM frames; frame f = the
+    images_near_dup_det pixel recipe over the trigrams whose md5
+    second hex digit ≡ f mod 4 — a uniform partition of the trigram
+    space into four content views), built JVM-side as one binary
+    column. The genuine container path then runs:
+    :func:`~moisturizer_spark.operators.multimodal.video_phash`
+    explodes frames through ``sample_frames``'s Arrow-batched splitter
+    hook, decodes each with the real ``decode_ppm``, hashes with the
+    all-integer aHash kernel, and
+    :func:`~moisturizer_spark.operators.multimodal.
+    video_near_duplicates` reports pairs where ALL FOUR corresponding
+    frames sit within Hamming distance 6 (frame-keyed 16-bit banding —
+    only corresponding frames ever compare; total recall whenever any
+    frame is within distance 3).
+
+    Scale: pixels never shuffle (hashing is map-side behind the Arrow
+    boundary); the band join carries (frame, band, val, id) rows — 16
+    per video; the exact check re-joins the persisted 2×32-bit hash
+    frame, pair-count sized. Determinism: uint8 arithmetic, integer
+    means, `64·cell ≥ sum` — the oracle replays the pixel math
+    directly (construct∘decode is the raster identity, pinned by the
+    PPM round-trip tests)."""
+    from moisturizer_spark.operators.dedup import shingles
+    from moisturizer_spark.operators.multimodal import (
+        video_near_duplicates,
+        video_phash,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    grams = shingles(
+        t["documents"].select("doc_id", "text"), "text", n=3, out_col="g"
+    ).select("doc_id", "g").distinct()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("int")
+        % F.lit(64)
+    )
+    sel = (
+        F.conv(F.substring(F.md5(F.col("g")), 5, 1), 16, 10).cast("int")
+        % F.lit(4)
+    )
+    pix = (
+        grams.withColumn("bk", bucket)
+        .withColumn("sel", sel)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.least(
+                    F.lit(255),
+                    F.sum(
+                        F.when(
+                            (F.col("sel") == f) & (F.col("bk") == k), 1
+                        ).otherwise(0)
+                    ),
+                ).alias(f"p{f}_{k}")
+                for f in range(4)
+                for k in range(64)
+            ]
+        )
+    )
+    pieces = []
+    for f in range(4):
+        hexparts = [
+            F.repeat(F.lpad(F.hex(F.col(f"p{f}_{k}")), 2, "0"), 3)
+            for k in range(64)
+        ]
+        pieces.append(F.lit(b"P6\n8 8\n255\n"))
+        pieces.append(F.unhex(F.concat(*hexparts)))
+    payload = pix.select("doc_id", F.concat(*pieces).alias("content"))
+    hashes = video_phash(payload, frame_bytes=203)
+    return video_near_duplicates(
+        hashes, max_distance=_PHASH_MAX_DIST
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "docs_token_entropy",
     f"""
@@ -8456,6 +8617,7 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "videos_near_dup_det",            # NEW: 4-frame video near-dup
     "docs_token_entropy",             # NEW: unigram-entropy quality screen
     "docs_bm25_search",               # NEW: BM25 keyword retrieval
     "customer_priority_scd2",         # NEW: Type-2 SCD builder
@@ -8509,7 +8671,6 @@ _NEEDS_DRIVER_ROW = [
     # the rest stay age 2 and rotate next round)
     "bpe_token_stats",
     "brand_revenue_share",
-    "customer_spend_ntile",
 ]
 
 

@@ -391,3 +391,90 @@ def test_resize_images_integer_box_filter(spark):
     dec = decode_ppm(bytes(row["resized"]))
     assert dec.shape == (8, 8, 3) and (dec == small).all()
     assert ahash_from_array(big) == ahash_from_array(small)
+
+
+# -- video: fixed-frame splitter + per-frame phash + near-dup ---------------
+
+
+def test_fixed_frame_splitter_contract():
+    from moisturizer_spark.operators.multimodal import fixed_frame_splitter
+
+    split = fixed_frame_splitter(4)
+    assert split(b"aaaabbbbcc") == [b"aaaa", b"bbbb"]  # partial tail dropped
+    assert split(b"") == []
+    with pytest.raises(ValueError, match="positive"):
+        fixed_frame_splitter(0)
+
+
+def _video_bytes(frames):
+    return b"".join(_ppm_bytes(f) for f in frames)
+
+
+def test_video_near_duplicates_all_frames_must_match(spark):
+    """Planted contract: B = A with one pixel nudged in one frame →
+    near-dup; C = A with one frame REPLACED by noise → excluded (that
+    frame's distance blows past the threshold even though the other
+    frames band-match); D = A truncated to 2 frames → excluded by the
+    frame-count equality even though every common frame is identical."""
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import (
+        video_near_duplicates,
+        video_phash,
+    )
+
+    rng = np.random.RandomState(23)
+    base = [rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            for _ in range(3)]
+    near = [f.copy() for f in base]
+    near[1][0][0][0] = (int(near[1][0][0][0]) + 40) % 256  # one pixel
+    far = [f.copy() for f in base]
+    far[2] = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, _video_bytes(base)),
+        (2, _video_bytes(near)),
+        (3, _video_bytes(far)),
+        (4, _video_bytes(base[:2])),  # shorter cut of A
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    frame_bytes = len(_ppm_bytes(base[0]))
+    hashes = video_phash(df, frame_bytes=frame_bytes)
+    got = {(r.id_a, r.id_b): (r.n_frames, r.max_hamming)
+           for r in video_near_duplicates(hashes, max_distance=6).collect()}
+    assert (1, 2) in got
+    nf, mh = got[(1, 2)]
+    assert nf == 3 and mh <= 6
+    assert all(3 not in pair and 4 not in pair for pair in got)
+
+
+def test_video_phash_equals_per_frame_image_phash(spark):
+    """video_phash is exactly sample_frames ∘ image_phash: per-frame
+    hashes match hashing each frame as a standalone image."""
+    import numpy as np
+
+    from moisturizer_spark.operators.multimodal import (
+        image_phash,
+        video_phash,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+              for _ in range(4)]
+    df = spark.createDataFrame(
+        [(9, _video_bytes(frames))], "doc_id long, content binary"
+    )
+    via_video = {
+        r.frame_idx: (r.phash_hi, r.phash_lo)
+        for r in video_phash(
+            df, frame_bytes=len(_ppm_bytes(frames[0]))
+        ).collect()
+    }
+    singles = spark.createDataFrame(
+        [(i, _ppm_bytes(f)) for i, f in enumerate(frames)],
+        "doc_id long, content binary",
+    )
+    via_image = {
+        r.doc_id: (r.phash_hi, r.phash_lo)
+        for r in image_phash(singles).collect()
+    }
+    assert via_video == via_image

@@ -177,6 +177,7 @@ BUDGETS = {
     "trade_pagerank_det": 17,
     "top_words_per_lang": 3,
     "urgent_customers_semi": 1,
+    "videos_near_dup_det": 6,
 }
 
 _RX = re.compile(r"^\(\d+\) (ReusedExchange|Exchange)", re.M)
