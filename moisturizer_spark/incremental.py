@@ -561,3 +561,186 @@ class IncrementalKMVView:
         return self.read().select(
             *self.keys, kmv_estimate(F.col("kmv"), self.k).alias(out_col)
         )
+
+
+_TXN_TOPK = "ivm_topk"
+
+
+class IncrementalTopKView:
+    """A PERSISTED per-group top-k item ranking kept in sync with a
+    source table's CDC feed — the RANKING member of the incremental-
+    view family (counts/sums: :class:`IncrementalAggView`; quantiles:
+    :class:`IncrementalDDSketchView`; distinct: det-HLL / KMV). The
+    dashboard staple ("top products per region, live") maintained
+    EXACTLY under inserts AND deletes — the approximate alternative
+    (Misra-Gries / SpaceSaving) cannot process deletes at all, which
+    is why the state here is the full (group, item) count table, not
+    a fixed-width summary.
+
+    Two tables, one source of truth:
+
+    - ``counts`` — (group, item) → n, the IVM delta algebra of
+      :class:`IncrementalAggView` over a composite key; zero-count
+      pairs drop out. Its txn cursor is THE view cursor.
+    - ``topk`` — the materialized ranking, recomputed per refresh ONLY
+      for groups the delta touched (untouched groups' counts are
+      unchanged, so their rows carry over byte-identical); rank order
+      is the deterministic total order (n DESC, item ASC). A deletion
+      can PROMOTE an item that never appears in the delta, so touched
+      groups recompute from their full counts rows — never from the
+      delta alone.
+
+    Crash safety: the two writes share the source version but commit
+    separately; if a crash lands between them, the next refresh sees
+    ``topk`` behind ``counts`` and rebuilds the STALE GROUPS' rankings
+    from the counts table alone — recovery never rescans the source
+    (and cannot: the counts cursor has already advanced past the feed
+    range). ``last_refresh_mode`` records the path; ``groups_touched``
+    the delta-prune width.
+
+    Scale: a refresh reads the changed buckets of the unapplied
+    versions, folds them map-side to one row per touched (group,
+    item), and re-ranks only the touched groups — a 100 TB source
+    with a bounded item domain refreshes by feed size, never corpus
+    size. The counts table is |domain|-sized (the exactness price;
+    the det-HLL/KMV views are the sketch-sized alternatives when item
+    domains are unbounded)."""
+
+    def __init__(
+        self,
+        source: ParquetTable,
+        view_path: str,
+        group_col: str,
+        item_col: str,
+        k: int = 10,
+    ):
+        self.source = source
+        self.group_col = group_col
+        self.item_col = item_col
+        self.k = int(k)
+        self.last_refresh_mode: str | None = None
+        self.groups_touched: int | None = None
+        self.counts = ParquetTable(
+            source.spark,
+            f"{view_path}/counts",
+            key=group_col,
+            n_buckets=source.n_buckets,
+        )
+        self.topk = ParquetTable(
+            source.spark,
+            f"{view_path}/topk",
+            key=group_col,
+            n_buckets=source.n_buckets,
+        )
+
+    # -- pieces ---------------------------------------------------------------
+    def _full_counts(self) -> DataFrame:
+        return (
+            self.source.read()
+            .groupBy(self.group_col, self.item_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _delta_counts(self, feed: DataFrame) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        return feed.groupBy(self.group_col, self.item_col).agg(
+            F.sum(sign).alias("n")
+        )
+
+    def _rank(self, counts: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.group_col).orderBy(
+            F.col("n").desc(), F.col(self.item_col).asc()
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= self.k)
+        )
+
+    def _write_both(self, counts: DataFrame, topk: DataFrame, version: int):
+        self.counts.overwrite(counts, txn=(_TXN_TOPK, version))
+        self.topk.overwrite(topk, txn=(_TXN_TOPK, version))
+
+    def _full_refresh(self, current: int) -> int:
+        counts = self._full_counts().persist()
+        try:
+            self._write_both(counts, self._rank(counts), current)
+        finally:
+            counts.unpersist()
+        self.last_refresh_mode = "full"
+        self.groups_touched = None
+        return current
+
+    def _reconcile_topk(self, counts_version: int) -> None:
+        """Counts committed but topk didn't (crash between the two
+        writes): rebuild the ranking FROM THE COUNTS TABLE — the feed
+        range is gone (cursor advanced), the counts are authoritative,
+        and the source is never touched."""
+        self.topk.overwrite(
+            self._rank(self.counts.read()), txn=(_TXN_TOPK, counts_version)
+        )
+
+    # -- public surface -------------------------------------------------------
+    def refresh(self) -> int:
+        man = self.source._load_manifest()
+        if man is None:
+            raise ValueError(f"source {self.source.path} has no manifest")
+        current = man["version"]
+        applied = self.counts.txn_version(_TXN_TOPK)
+        if applied is None:
+            return self._full_refresh(current)
+        if self.topk.txn_version(_TXN_TOPK) != applied:
+            self._reconcile_topk(applied)
+        if applied >= current:
+            self.last_refresh_mode = "noop"
+            self.groups_touched = 0
+            return current
+        from moisturizer_spark.storage import VersionNotRetained
+
+        try:
+            feed = self.source.table_changes(applied, current)
+        except VersionNotRetained:
+            return self._full_refresh(current)
+        delta = self._delta_counts(feed)
+        merged = (
+            self.counts.read()
+            .unionByName(delta)
+            .groupBy(self.group_col, self.item_col)
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+            .persist()
+        )
+        try:
+            touched = delta.select(self.group_col).distinct().persist()
+            try:
+                n_touched = touched.count()  # bounded: groups in ONE delta
+                # no broadcast hint: touched is usually tiny (AQE will
+                # broadcast it), but a backfill delta can touch every
+                # group — forcing a broadcast there would be the bug
+                re_ranked = self._rank(
+                    merged.join(touched, self.group_col)
+                )
+                kept = self.topk.read().join(
+                    touched, self.group_col, "left_anti"
+                )
+                self._write_both(
+                    merged, kept.unionByName(re_ranked), current
+                )
+            finally:
+                touched.unpersist()
+        finally:
+            merged.unpersist()
+        self.last_refresh_mode = "delta"
+        self.groups_touched = n_touched
+        return current
+
+    def read(self) -> DataFrame:
+        """The full (group, item, n) count table."""
+        return self.counts.read()
+
+    def read_topk(self) -> DataFrame:
+        """The materialized ranking: (group, item, n, rank ≤ k)."""
+        return self.topk.read()

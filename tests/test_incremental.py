@@ -532,3 +532,161 @@ def test_incremental_kmv_null_key_cell_delete(spark, warehouse):
         for r in kmv_sketch(src.read(), ["grp"], "v", k=4).collect()
     }
     assert got == want
+
+
+# -- IncrementalTopKView ------------------------------------------------------
+
+
+def _items(spark, rows):
+    return spark.createDataFrame(
+        [(k, g, i) for k, g, i in rows], "id string, grp string, item string"
+    )
+
+
+def _topk_truth(src, k):
+    """Ground-truth ranking recomputed from the current source state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+    return {
+        (r["grp"], r["rank"]): (r["item"], r["n"])
+        for r in src.read()
+        .groupBy("grp", "item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .collect()
+    }
+
+
+def _topk_dict(view):
+    return {
+        (r["grp"], r["rank"]): (r["item"], r["n"])
+        for r in view.read_topk().collect()
+    }
+
+
+def test_incremental_topk_delete_promotes_unseen_item(spark, warehouse):
+    """The case that separates exact top-k from Misra-Gries: deleting
+    occurrences of the leader must PROMOTE an item that never appears
+    in the delta — the touched group's ranking recomputes from its
+    full counts rows, not from the delta. The source read() is
+    booby-trapped during the delta refresh to prove no rescan."""
+    from moisturizer_spark.incremental import IncrementalTopKView
+
+    src = _tbl(spark, warehouse)
+    rows = (
+        [(f"a{i}", "x", "alpha") for i in range(5)]
+        + [(f"b{i}", "x", "beta") for i in range(3)]
+        + [(f"c{i}", "x", "gamma") for i in range(2)]
+        + [(f"y{i}", "y", "delta") for i in range(4)]
+    )
+    src.overwrite(_items(spark, rows))
+    view = IncrementalTopKView(src, f"{warehouse}/topk", "grp", "item", k=2)
+    view.refresh()
+    assert view.last_refresh_mode == "full"
+    assert _topk_dict(view) == _topk_truth(src, 2)
+    assert _topk_dict(view)[("x", 1)] == ("alpha", 5)
+
+    # delete 4 of alpha's 5 rows: beta takes rank 1, gamma ENTERS the
+    # top-2 — gamma appears in no delta row
+    src.delete_by_key([f"a{i}" for i in range(4)])
+    orig_read = src.read
+    src.read = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("delta refresh must not rescan the source")
+    )
+    try:
+        view.refresh()
+    finally:
+        src.read = orig_read
+    assert view.last_refresh_mode == "delta"
+    assert view.groups_touched == 1
+    got = _topk_dict(view)
+    assert got == _topk_truth(src, 2)
+    assert got[("x", 1)] == ("beta", 3)
+    assert got[("x", 2)] == ("gamma", 2)
+    # group y untouched: rows carried over
+    assert got[("y", 1)] == ("delta", 4)
+
+
+def test_incremental_topk_tie_order_and_group_drop(spark, warehouse):
+    """Ties rank by (n DESC, item ASC) — a total order; a group whose
+    rows all fold to zero disappears from counts AND ranking."""
+    from moisturizer_spark.incremental import IncrementalTopKView
+
+    src = _tbl(spark, warehouse)
+    src.overwrite(
+        _items(spark, [("a", "x", "mu"), ("b", "x", "nu"),
+                       ("c", "y", "xi"), ("d", "y", "xi")])
+    )
+    view = IncrementalTopKView(src, f"{warehouse}/topk", "grp", "item", k=3)
+    view.refresh()
+    got = _topk_dict(view)
+    assert got[("x", 1)] == ("mu", 1) and got[("x", 2)] == ("nu", 1)
+
+    src.delete_by_key(["c", "d"])  # y folds to zero rows
+    view.refresh()
+    assert view.last_refresh_mode == "delta"
+    got = _topk_dict(view)
+    assert all(g != "y" for g, _ in got)
+    assert {r["grp"] for r in view.read().collect()} == {"x"}
+    assert got == _topk_truth(src, 3)
+
+
+def test_incremental_topk_crash_between_writes_reconciles(spark, warehouse):
+    """Counts committed, topk write lost (crash window): the next
+    refresh rebuilds stale rankings FROM THE COUNTS TABLE — cursors
+    re-align without touching the source feed (which has moved on)."""
+    from moisturizer_spark.incremental import IncrementalTopKView
+
+    src = _tbl(spark, warehouse)
+    src.overwrite(_items(spark, [("a", "x", "alpha"), ("b", "x", "beta")]))
+    view = IncrementalTopKView(src, f"{warehouse}/topk", "grp", "item", k=2)
+    view.refresh()
+
+    # manufacture the crash: apply a delta with the topk write disabled
+    src.upsert(_items(spark, [("c", "x", "beta"), ("d", "z", "zeta")]))
+    orig_overwrite = view.topk.overwrite
+    view.topk.overwrite = lambda *a, **k: None  # lost write
+    try:
+        view.refresh()
+    finally:
+        view.topk.overwrite = orig_overwrite
+    assert view.counts.txn_version("ivm_topk") == 2
+    assert view.topk.txn_version("ivm_topk") == 1  # behind
+
+    # no new source version: refresh reconciles topk from counts only
+    orig_read = src.read
+    src.read = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("reconcile must not rescan the source")
+    )
+    try:
+        view.refresh()
+    finally:
+        src.read = orig_read
+    assert view.last_refresh_mode == "noop"
+    assert view.topk.txn_version("ivm_topk") == 2
+    assert _topk_dict(view) == _topk_truth(src, 2)
+
+
+def test_incremental_topk_idempotent_and_vacuum_fallback(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalTopKView
+
+    src = _tbl(spark, warehouse, retain=1)
+    src.overwrite(_items(spark, [("a", "x", "alpha")]))
+    view = IncrementalTopKView(src, f"{warehouse}/topk", "grp", "item", k=2)
+    view.refresh()
+    before = _topk_dict(view)
+    view.refresh()
+    assert view.last_refresh_mode == "noop"
+    assert _topk_dict(view) == before
+
+    # burn past the retention window (retain=1): overwrites orphan the
+    # previous versions' files, so the CDC range is gone → full fallback
+    src.overwrite(_items(spark, [("b", "x", "beta"), ("e", "x", "beta")]))
+    src.overwrite(_items(spark, [("c", "y", "eta"), ("d", "x", "beta")]))
+    view.refresh()
+    assert view.last_refresh_mode == "full"
+    assert _topk_dict(view) == _topk_truth(src, 2)
