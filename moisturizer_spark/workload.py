@@ -8385,42 +8385,56 @@ def videos_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = shingles(
         t["documents"].select("doc_id", "text"), "text", n=3, out_col="g"
     ).select("doc_id", "g").distinct()
-    bucket = (
+    # (frame, bucket) fused into one 256-cell id; pixels built through a
+    # (doc, cell) count + a bounded map instead of 256 SUM(CASE ...)
+    # aggregate expressions — the wide form evaluated 256 CASEs per
+    # TRIGRAM row (measured 3x slower at sf0.1); this form counts each
+    # row once and pays the 256-way expansion only per DOCUMENT
+    # (collect_list is executor-side and ≤256 entries/doc by range)
+    cell = (
+        F.conv(F.substring(F.md5(F.col("g")), 5, 1), 16, 10).cast("int")
+        % F.lit(4)
+    ) * 64 + (
         F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("int")
         % F.lit(64)
     )
-    sel = (
-        F.conv(F.substring(F.md5(F.col("g")), 5, 1), 16, 10).cast("int")
-        % F.lit(4)
+    cnts = (
+        grams.select("doc_id", cell.alias("cell"))
+        .groupBy("doc_id", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    pix = (
-        grams.withColumn("bk", bucket)
-        .withColumn("sel", sel)
-        .groupBy("doc_id")
+    pixarr = (
+        cnts.groupBy("doc_id")
         .agg(
-            *[
-                F.least(
-                    F.lit(255),
-                    F.sum(
-                        F.when(
-                            (F.col("sel") == f) & (F.col("bk") == k), 1
-                        ).otherwise(0)
-                    ),
-                ).alias(f"p{f}_{k}")
-                for f in range(4)
-                for k in range(64)
-            ]
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("cell"),
+                        F.least(F.lit(255), F.col("n")).cast("int"),
+                    )
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(255)),
+                lambda c: F.coalesce(F.element_at(F.col("m"), c), F.lit(0)),
+            ).alias("px"),
         )
     )
     pieces = []
     for f in range(4):
-        hexparts = [
-            F.repeat(F.lpad(F.hex(F.col(f"p{f}_{k}")), 2, "0"), 3)
-            for k in range(64)
-        ]
+        hexs = F.aggregate(
+            F.slice(F.col("px"), f * 64 + 1, 64),
+            F.lit(""),
+            lambda acc, x: F.concat(
+                acc, F.repeat(F.lpad(F.hex(x), 2, "0"), 3)
+            ),
+        )
         pieces.append(F.lit(b"P6\n8 8\n255\n"))
-        pieces.append(F.unhex(F.concat(*hexparts)))
-    payload = pix.select("doc_id", F.concat(*pieces).alias("content"))
+        pieces.append(F.unhex(hexs))
+    payload = pixarr.select("doc_id", F.concat(*pieces).alias("content"))
     hashes = video_phash(payload, frame_bytes=203)
     return video_near_duplicates(
         hashes, max_distance=_PHASH_MAX_DIST

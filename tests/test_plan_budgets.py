@@ -177,7 +177,9 @@ BUDGETS = {
     "trade_pagerank_det": 17,
     "top_words_per_lang": 3,
     "urgent_customers_semi": 1,
-    "videos_near_dup_det": 6,
+    # 7th exchange is the (doc, cell) pre-aggregation that replaced 256
+    # per-trigram-row SUM(CASE) expressions — measured 3x faster at sf0.1
+    "videos_near_dup_det": 7,
 }
 
 _RX = re.compile(r"^\(\d+\) (ReusedExchange|Exchange)", re.M)
