@@ -42,12 +42,18 @@ from moisturizer_spark.operators.skew import (  # noqa: F401
     salted_join,
 )
 from moisturizer_spark.operators.textan import (  # noqa: F401
+    bm25_topk,
     bpe_tokens_col,
     language_id,
     quality_features,
+    token_entropy,
     token_stats,
     winnowing_fingerprints,
     winnowing_near_duplicates,
+)
+from moisturizer_spark.operators.multimodal import (  # noqa: F401
+    video_near_duplicates,
+    video_phash,
 )
 from moisturizer_spark.operators.tokenizer import (  # noqa: F401
     bpe_segment,
