@@ -60,3 +60,30 @@ def cache_scope() -> Iterator[None]:
         for df in scope:
             with contextlib.suppress(Exception):
                 df.unpersist()
+
+
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition a NARROW input up to the session's
+    default parallelism — the small-file guard for CPU-heavy per-row
+    stages (hashing families, wide aggregates, shingle explodes) whose
+    parallelism is otherwise pinned to the input's FILE count.
+
+    The failure mode this removes: a 20 MB parquet table reads as one
+    partition, so everything up to the first shuffle — a 64-hash-
+    function profile, a trigram explode, a 130-expression bootstrap
+    aggregate — runs on ONE core of a 32-core session (measured 4-10×
+    end-to-end on the profiling and media queries at sf0.1). On a real
+    cluster read the input already has thousands of partitions, the
+    guard compares ≥ and no-ops, and the repartition never happens —
+    so this costs nothing exactly where it isn't needed.
+
+    Only safe where downstream results are partitioning-independent
+    (every deterministic recipe in this package is — pinned by the
+    partitioning-independence tests); the round-robin shuffle carries
+    the narrow projected rows once.
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(sc.defaultParallelism) * int(factor)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

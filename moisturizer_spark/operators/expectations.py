@@ -302,7 +302,12 @@ def profile_numeric_approx(
             ]
         )
     ).alias("s")
-    long = df.select(stack).select("s.column", "s.value", "s.present")
+    from moisturizer_spark.operators.common import fan_out
+
+    # the 64-hash arithmetic below is the job's CPU; without the
+    # small-file guard it runs at the input's FILE parallelism (one
+    # core for a single-file local table — measured ~10x end-to-end)
+    long = fan_out(df.select(stack).select("s.column", "s.value", "s.present"))
     h = F.md5(F.col("value").cast("string"))
     for i in range(4):
         long = long.withColumn(

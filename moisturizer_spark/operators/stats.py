@@ -105,20 +105,47 @@ def poisson_bootstrap_ci(
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
     v = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("bigint")
-    rows = df.select(
-        *group_cols,
-        h1.alias("_h1"),
-        h2.alias("_h2"),
-        v.alias("_v"),
+    from moisturizer_spark.operators.common import fan_out
+
+    # the 2B+2-sum aggregation is the job's CPU; the small-file guard
+    # keeps it from running at the input's file parallelism (no-op on
+    # a many-partition cluster read)
+    rows = fan_out(
+        df.select(
+            *group_cols,
+            h1.alias("_h1"),
+            h2.alias("_h2"),
+            v.alias("_v"),
+        )
+    )
+    # weights become STORED columns behind a persist boundary: inlined
+    # into the aggregate, the inverse-CDF ladder was evaluated TWICE
+    # per replicate per row inside the hash-aggregate's update path
+    # (which, unlike projection codegen, cannot split its generated
+    # method) — a projection evaluates each ladder once and the
+    # aggregate's 2B+2 sums reference plain columns. The persist stops
+    # CollapseProject from re-inlining the hash into all B ladders.
+    from moisturizer_spark.operators.common import materialize
+
+    rows = materialize(
+        rows.select(
+            *group_cols,
+            "_v",
+            *[
+                _weight_expr(F.col("_h1"), F.col("_h2"), b).alias(f"_w{b}")
+                for b in range(n_replicates)
+            ],
+        )
     )
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.sum("_v").alias("_s"),
     ]
     for b in range(n_replicates):
-        w = _weight_expr(F.col("_h1"), F.col("_h2"), b)
-        aggs.append(F.sum(w * F.col("_v")).alias(f"_ws{b}"))
-        aggs.append(F.sum(w).alias(f"_wn{b}"))
+        aggs.append(
+            F.sum(F.col(f"_w{b}") * F.col("_v")).alias(f"_ws{b}")
+        )
+        aggs.append(F.sum(F.col(f"_w{b}")).alias(f"_wn{b}"))
     agg = (
         rows.groupBy(*group_cols).agg(*aggs)
         if group_cols

@@ -7129,9 +7129,14 @@ def images_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from moisturizer_spark.operators.dedup import shingles
 
+    from moisturizer_spark.operators.common import fan_out
+
     t = load_tables(spark, sf_dir, ("documents",))
+    # fan_out: the shingle explode + md5 bucketing is the CPU; a
+    # single-file local table would otherwise run it on one core
     grams = shingles(
-        t["documents"].select("doc_id", "text"), "text", n=3, out_col="g"
+        fan_out(t["documents"].select("doc_id", "text")),
+        "text", n=3, out_col="g"
     ).select("doc_id", "g").distinct()
     bucket = (
         F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("int")
@@ -8381,9 +8386,14 @@ def videos_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_phash,
     )
 
+    from moisturizer_spark.operators.common import fan_out
+
     t = load_tables(spark, sf_dir, ("documents",))
+    # fan_out: the shingle explode + md5 bucketing is the CPU; a
+    # single-file local table would otherwise run it on one core
     grams = shingles(
-        t["documents"].select("doc_id", "text"), "text", n=3, out_col="g"
+        fan_out(t["documents"].select("doc_id", "text")),
+        "text", n=3, out_col="g"
     ).select("doc_id", "g").distinct()
     # (frame, bucket) fused into one 256-cell id; pixels built through a
     # (doc, cell) count + a bounded map instead of 256 SUM(CASE ...)

@@ -119,7 +119,9 @@ BUDGETS = {
     "events_user_pivot": 2,
     "events_volume_anomalies": 3,
     "events_zorder_histogram": 2,
-    "images_near_dup_det": 4,
+    # +1: fan_out repartition before the shingle explode (small-file
+    # parallelism guard; measured 3.4x at sf0.1)
+    "images_near_dup_det": 5,
     "lang_sources_csv": 3,
     "langid_confusion": 2,
     "late_shipment_priority": 2,
@@ -127,7 +129,9 @@ BUDGETS = {
     "lineitem_expectations": 5,
     "lineitem_drift_psi": 7,
     "lineitem_profile": 3,
-    "lineitem_profile_approx": 2,
+    # +1: fan_out repartition before the 64-hash projection (small-file
+    # parallelism guard; measured 2.4x at sf0.1)
+    "lineitem_profile_approx": 3,
     "min_cost_supplier_per_part": 3,
     "minhash_near_dup": 3,
     "multimodal_payload_stats": 3,
@@ -136,7 +140,9 @@ BUDGETS = {
     "order_price_quantile_sketch": 3,
     "order_price_quantiles": 2,
     "orders_monthly_growth": 2,
-    "orders_price_bootstrap_ci": 2,
+    # +1: fan_out repartition before the weight projection (small-file
+    # parallelism guard)
+    "orders_price_bootstrap_ci": 3,
     "orders_with_returns_exists": 2,
     "part_affinity_lift": 7,
     "purchase_asof_view": 2,
@@ -178,8 +184,9 @@ BUDGETS = {
     "top_words_per_lang": 3,
     "urgent_customers_semi": 1,
     # 7th exchange is the (doc, cell) pre-aggregation that replaced 256
-    # per-trigram-row SUM(CASE) expressions — measured 3x faster at sf0.1
-    "videos_near_dup_det": 7,
+    # per-trigram-row SUM(CASE) expressions (measured 3x at sf0.1); 8th is
+    # the fan_out repartition before the shingle explode (2.6x more)
+    "videos_near_dup_det": 8,
 }
 
 _RX = re.compile(r"^\(\d+\) (ReusedExchange|Exchange)", re.M)
