@@ -975,8 +975,16 @@ def _micro_per_token(sum_nano_sql: str, n_sql: str = "_n") -> "Column":
 def _bigram_pairs(
     df: DataFrame, id_col: str, text_col: str, keep_cols: tuple = ()
 ) -> DataFrame:
-    """One tokenize pass → the (doc, w1, w2) bigram-occurrence frame."""
-    toks = df.select(
+    """One tokenize pass → the (doc, w1, w2) bigram-occurrence frame.
+
+    The input fans out first (:func:`~moisturizer_spark.operators.
+    common.fan_out`): the tokenize + bigram explode + map-side count
+    partials are the LM scorers' CPU, and a single-file local table
+    would otherwise run them at file parallelism — one core. No-op on
+    many-partition cluster reads."""
+    from moisturizer_spark.operators.common import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in keep_cols],
         tokens_col(F.col(text_col)).alias("_w"),

@@ -8657,6 +8657,12 @@ _NEEDS_DRIVER_ROW = [
     "lineitem_profile_approx",        # NEW: MinCount ndv scale path
     "lineitem_profile",               # profile_numeric overflow guard
     "docs_dsir_proportional",         # importance_resample rescale
+    # tainted by the fan_out small-file parallelism guard in
+    # _bigram_pairs (plan-only; values re-verified at 3 scales)
+    "docs_perplexity_buckets",
+    "docs_dsir_selection",
+    "docs_quality_classifier",
+    "docs_near_dup_quality_winner",
     # stalest-first rotation: every oracle whose last green driver row
     # is round 4 (the displaced r6 backfill set)...
     "docs_decontaminated",
@@ -8689,12 +8695,9 @@ _NEEDS_DRIVER_ROW = [
     "tfidf_top_terms",
     "token_stats_by_lang",
     "top3_customers_per_nation",
-    "top_bigrams",
-    "top_words_per_lang",
-    # ...backfilled to 50 with round-5-green oracles (alphabetical head;
-    # the rest stay age 2 and rotate next round)
-    "bpe_token_stats",
-    "brand_revenue_share",
+    # (top_bigrams / top_words_per_lang displaced by the four
+    # _bigram_pairs-tainted entries above — they reach age 3 this round,
+    # stay mirror-verified at 3 scales, and rotate FIRST in round 8)
 ]
 
 

@@ -57,8 +57,12 @@ BUDGETS = {
     "docs_curation_report": 5,
     "docs_decontaminated": 4,
     "docs_dedup_method_agreement": 9,
-    "docs_dsir_proportional": 8,
-    "docs_dsir_selection": 7,
+    # dsir/perplexity: +1 per corpus scan (3/3/2 scans) from the
+    # fan_out small-file guard in _bigram_pairs — narrow-row
+    # repartitions that no-op (and vanish from the plan) on
+    # many-partition cluster reads; measured ~30% end-to-end at sf0.1
+    "docs_dsir_proportional": 11,
+    "docs_dsir_selection": 10,
     "docs_fingerprint_dedup": 2,
     "docs_hash_split": 2,
     "docs_leakage_free_split": 8,
@@ -68,7 +72,7 @@ BUDGETS = {
     "docs_ngram_novelty": 6,
     "docs_pack_chunks": 2,
     "docs_pack_ffd": 3,
-    "docs_perplexity_buckets": 6,
+    "docs_perplexity_buckets": 9,
     "docs_pii_scan": 2,
     "docs_quality_classifier": 4,
     "docs_quality_funnel": 2,
