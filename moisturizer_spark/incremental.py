@@ -592,11 +592,13 @@ class IncrementalTopKView:
 
     Crash safety: the two writes share the source version but commit
     separately; if a crash lands between them, the next refresh sees
-    ``topk`` behind ``counts`` and rebuilds the STALE GROUPS' rankings
-    from the counts table alone — recovery never rescans the source
-    (and cannot: the counts cursor has already advanced past the feed
-    range). ``last_refresh_mode`` records the path; ``groups_touched``
-    the delta-prune width.
+    ``topk`` behind ``counts`` and rebuilds the FULL ranking from the
+    counts table alone (which groups went stale is unknowable without
+    a compare that costs as much as the re-rank; the rebuild input is
+    the |domain|-sized counts view, not the corpus) — recovery never
+    rescans the source (and cannot: the counts cursor has already
+    advanced past the feed range). ``last_refresh_mode`` records the
+    path; ``groups_touched`` the delta-prune width.
 
     Scale: a refresh reads the changed buckets of the unapplied
     versions, folds them map-side to one row per touched (group,

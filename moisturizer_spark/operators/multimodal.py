@@ -778,13 +778,13 @@ def video_near_duplicates(
     )
     a = h.select(
         F.col("_id").alias("id_a"),
-        F.col("_f").alias("_fa"),
+        "_f",
         F.col("_hi").alias("_hi_a"),
         F.col("_lo").alias("_lo_a"),
     )
     b = h.select(
         F.col("_id").alias("id_b"),
-        F.col("_f").alias("_fb"),
+        "_f",
         F.col("_hi").alias("_hi_b"),
         F.col("_lo").alias("_lo_b"),
     )
@@ -792,10 +792,12 @@ def video_near_duplicates(
         F.bit_count(F.expr("_hi_a ^ _hi_b"))
         + F.bit_count(F.expr("_lo_a ^ _lo_b"))
     ).cast("int")
+    # the frame index is IN both join keys: joining on ids alone would
+    # build pairs x n_frames^2 intermediate rows before a frame filter
+    # — quadratic in video length exactly where long videos hurt
     pf = (
         cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(F.col("_fa") == F.col("_fb"))
+        .join(b, ["id_b", "_f"])
         .select("id_a", "id_b", dist.alias("_d"))
         .groupBy("id_a", "id_b")
         .agg(
