@@ -1587,3 +1587,45 @@ def test_bm25_partitioning_independent(spark):
     many = [(r.doc_id, r.score_micro)
             for r in bm25_topk(df.repartition(7, "text"), terms, k=8).collect()]
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# fan_out (the small-file parallelism guard under the LM pipelines)
+# ---------------------------------------------------------------------------
+
+
+def test_fan_out_widens_small_inputs_and_noops_on_wide(spark):
+    """The guard's two contracts: a below-parallelism input repartitions
+    UP to defaultParallelism; an already-wide input passes through
+    untouched (same object — no repartition node enters cluster-scale
+    plans, the 'costs nothing at scale' claim)."""
+    from moisturizer_spark.operators.common import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    wide = spark.range(1000).repartition(target + 2)
+    assert fan_out(wide) is wide
+
+    # values are partitioning-independent by construction
+    assert sorted(r.id for r in widened.collect()) == list(range(1000))
+
+
+def test_fan_out_results_identical_through_an_lm_pipeline(spark):
+    """End-to-end pin: the bigram LM scores are byte-identical whether
+    the corpus arrives as one partition (guard engages) or many (guard
+    no-ops) — the partitioning-independence the guard's safety rests
+    on, asserted through a real consumer."""
+    from moisturizer_spark.operators.textan import bigram_lm_bits
+
+    docs = [(i, f"alpha beta gamma{i % 5} delta epsilon " * 3)
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    one = {(r["doc_id"], r["bits_per_token"])
+           for r in bigram_lm_bits(df.coalesce(1)).collect()}
+    many = {(r["doc_id"], r["bits_per_token"])
+            for r in bigram_lm_bits(
+                df.repartition(spark.sparkContext.defaultParallelism + 3)
+            ).collect()}
+    assert one == many
