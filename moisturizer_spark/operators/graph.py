@@ -26,7 +26,10 @@ def pagerank_int(
     to the iterative-graph family: ranks live on a fixed integer grid
     (``scale`` = initial rank), per-edge contributions are truncating
     integer division ``rank DIV out_degree``, and the update is
-    ``r' = ((den-num)*scale + num*Σcontrib) DIV den`` — every operation
+    ``r' = base + (num·Σcontrib) DIV den`` with
+    ``base = ((den−num)·scale) DIV den`` (the two terms truncate
+    SEPARATELY — the oracle and the Python replay mirror exactly this
+    form) — every operation
     is exact int64 arithmetic, so the result is independent of
     partitioning, engine, and float-summation order, and an oracle can
     replay each unrolled iteration bit-for-bit (the BPE/FFD pattern).
