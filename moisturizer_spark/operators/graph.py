@@ -109,6 +109,162 @@ def pagerank_int(
     )
 
 
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_degrees: bool = False,
+) -> DataFrame:
+    """Exact triangle enumeration over an undirected graph — the motif
+    primitive behind clustering coefficients, cohesion scoring, and
+    community quality. Input edges may carry either direction and
+    duplicates; self-loops drop. Returns one row per triangle as
+    ``(node_a, node_b, node_c)`` with ``node_a < node_b < node_c`` —
+    a set, so the result is engine- and partitioning-independent and
+    an oracle enumerates it with plain id-ordered joins.
+
+    Scale: enumeration uses DEGREE ORIENTATION (Suri & Vassilvitskii
+    2011, "Counting triangles and the curse of the last reducer"):
+    each undirected edge orients from its (degree, id)-smaller to its
+    (degree, id)-larger endpoint, making the graph a DAG whose
+    max out-degree is O(sqrt(m)) — so the wedge join's fan-out is
+    bounded at Σ outdeg² ≤ m·sqrt(2m) instead of the Σ deg² blow-up a
+    skewed hub would cause under naive id-ordering. Each triangle
+    x≺y≺z appears exactly once as the path x→y→z closed by x→z; the
+    output re-canonicalizes to id order, so the orientation is purely
+    a physical strategy. The oriented edge list persists once and
+    feeds all three join legs; joins are equi-key (never a nested
+    loop). ``broadcast_degrees=True`` broadcasts the node-grain degree
+    frame into the orientation join (the ``pagerank_int
+    broadcast_ranks`` contract: right whenever the node dimension fits
+    a broadcast, up to ~10^7 nodes; the default shuffles instead for
+    unbounded node counts)."""
+    from moisturizer_spark.operators.common import materialize
+
+    a = F.least(F.col(src_col), F.col(dst_col))
+    b = F.greatest(F.col(src_col), F.col(dst_col))
+    und = materialize(
+        edges.select(a.alias("_a"), b.alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionAll(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    )
+    if broadcast_degrees:
+        deg = F.broadcast(deg)
+    e = und.join(
+        deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da")), "_a"
+    ).join(
+        deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db")), "_b"
+    )
+    lo_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    oriented = materialize(
+        e.select(
+            F.when(lo_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+            F.when(lo_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("_u").alias("_x"), F.col("_v").alias("_y")
+    )
+    e2 = oriented.select(
+        F.col("_u").alias("_y"), F.col("_v").alias("_z")
+    )
+    e3 = oriented.select(
+        F.col("_u").alias("_x"), F.col("_v").alias("_z")
+    )
+    tri = e1.join(e2, "_y").join(e3, ["_x", "_z"])
+    arr = F.array_sort(F.array("_x", "_y", "_z"))
+    return tri.select(
+        arr[0].alias("node_a"), arr[1].alias("node_b"), arr[2].alias("node_c")
+    )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (Raghavan et al.
+    2007) — community detection as bounded unrolled iteration, the
+    pagerank/BFS discipline applied to the clustering family. Every
+    node starts labeled with its own id; each round it adopts the most
+    frequent label among its NEIGHBORS (self-vote excluded), breaking
+    count ties by the SMALLEST label — a total order, so the result is
+    partitioning- and engine-independent and an oracle replays each
+    round as a CTE with ``ROW_NUMBER() OVER (ORDER BY count DESC,
+    label)``. Classic sync-LPA label oscillation is possible on
+    bipartite-ish structure — ``iterations`` is a hard bound by design
+    (the BFS argument: unbounded convergence is a driver loop), and
+    the returned labels are exactly the round-``iterations`` state.
+
+    Input edges are symmetrized and de-duplicated here; isolated nodes
+    (no edges) don't appear. Returns ``(node, community)``.
+
+    Scale: the symmetrized edge list persists once; each round is one
+    equi-join (labels onto edge sources) + two aggregations keyed on
+    the destination node — the (node, label) count and the per-node
+    argmax, which fold map-side. The per-round argmax uses
+    ``min(struct(-count, label))`` so no second shuffle for a window.
+    Each round's labels materialize — the pagerank lineage-doubling
+    lesson. ``broadcast_labels=True`` broadcasts the node-grain label
+    frame into each round's edge join (the ``pagerank_int
+    broadcast_ranks`` contract — one shuffle saved per round while the
+    node dimension fits a broadcast, up to ~10^7 nodes)."""
+    from moisturizer_spark.operators.common import materialize
+
+    sym = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).unionAll(
+        edges.select(
+            F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")
+        )
+    )
+    e = materialize(sym.filter(F.col("_src") != F.col("_dst")).distinct())
+    labels = materialize(
+        e.select(F.col("_src").alias("_node"))
+        .distinct()
+        .withColumn("_lab", F.col("_node"))
+    )
+    for _ in range(iterations):
+        l_side = labels.select(F.col("_node").alias("_src"), F.col("_lab"))
+        if broadcast_labels:
+            l_side = F.broadcast(l_side)
+        cnt = (
+            e.join(
+                l_side,
+                "_src",
+            )
+            .groupBy("_dst", "_lab")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        )
+        labels = materialize(
+            cnt.groupBy("_dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("_negc"),
+                        F.col("_lab").alias("_l"),
+                    )
+                ).alias("_m")
+            )
+            .select(
+                F.col("_dst").alias("_node"), F.col("_m._l").alias("_lab")
+            )
+        )
+    return labels.select(
+        F.col("_node").alias("node"), F.col("_lab").alias("community")
+    )
+
+
 def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,

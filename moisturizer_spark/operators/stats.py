@@ -207,3 +207,74 @@ def poisson_bootstrap_ci(
             F.max(F.when(F.col("_rk") == hi_i, F.col("_m"))).alias("ci_hi"),
         )
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum identity — model
+    evaluation as one aggregation chain, no threshold sweep, no
+    sampling: ``AUC = P(score_pos > score_neg) + P(score_pos =
+    score_neg)/2`` over all positive×negative pairs, computed WITHOUT
+    forming pairs. Per distinct score the positive/negative counts
+    aggregate; a cumulative window over scores ascending gives each
+    score the negatives strictly below it; then ``2U = Σ_scores
+    np·(2·nn_below + nn_tied)`` — all exact integers (ties handled by
+    the midrank convention exactly, not approximately) — and ``AUC =
+    2U / (2·n1·n0)`` is one rounded IEEE division of exact integers,
+    identical across engines. Oracle-replayable line by line.
+
+    ``label_col`` must be 1 (positive) / 0 (negative); rows with other
+    or NULL labels are the caller's job to exclude. Prefer integer
+    ``score_col`` grids (the workload's micro/nano convention) so score
+    equality — which drives tie handling — is exact, not float-lucky.
+
+    Returns per group: ``n_pos``, ``n_neg``, ``u2`` (the integer 2U
+    statistic), ``auc`` (rounded to 6; NULL when a group lacks one of
+    the classes — stated, not NaN). Scale: the per-score aggregation is
+    map-side combinable and shrinks data to the distinct-score grain
+    before the window; the window partitions per group (a GLOBAL sort
+    only for the ungrouped single-report case, over distinct scores —
+    bounded by the score grid, stated). ``2U ≤ n1·n0·2 < 2^63`` for any
+    n1·n0 < 4.6e18 — beyond int64 only past ~2e9 rows per class."""
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    per = df.groupBy(*g, score_col).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_np"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nn"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.withColumn(
+        "_nnb", F.coalesce(F.sum("_nn").over(w), F.lit(0).cast("bigint"))
+    )
+    agg = (cum.groupBy(*g) if g else cum.groupBy()).agg(
+        F.sum("_np").cast("bigint").alias("n_pos"),
+        F.sum("_nn").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("_np") * (F.lit(2) * F.col("_nnb") + F.col("_nn"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ),
+    )
+    out = agg.select(*g, "n_pos", "n_neg", "u2", auc.alias("auc"))
+    return out.orderBy(*g) if g else out

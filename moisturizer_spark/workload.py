@@ -6382,13 +6382,18 @@ _NB_POS = ("src0", "src1", "src2")
 _NB_NEG = ("src17", "src18", "src19")
 
 
-# Shared by docs_quality_classifier and docs_near_dup_quality_winner:
-# the Naive-Bayes scoring chain through the per-doc `doc` CTE (raw
-# BIGINT log-odds sum `s` + token count `n`) — ONE source of truth so
-# the two consumers can never drift on the model recipe.
-_NB_SCORE_CTES = f"""lab AS (SELECT doc_id, source, text,
-           CASE WHEN source IN {_NB_POS!r} THEN 1
-                WHEN source IN {_NB_NEG!r} THEN 0 END AS lbl
+# Shared by docs_quality_classifier, docs_near_dup_quality_winner and
+# quality_classifier_auc: the Naive-Bayes scoring chain through the
+# per-doc `doc` CTE (raw BIGINT log-odds sum `s` + token count `n`) —
+# ONE source of truth so no consumer can drift on the model recipe.
+# ``train_cond`` restricts which rows keep their seed label (the AUC
+# query trains on even doc_ids and evaluates held-out odd ones);
+# scoring always covers every document.
+def _nb_score_ctes(train_cond: str = "TRUE") -> str:
+    return f"""lab AS (SELECT doc_id, source, text,
+           CASE WHEN {train_cond} THEN
+             CASE WHEN source IN {_NB_POS!r} THEN 1
+                  WHEN source IN {_NB_NEG!r} THEN 0 END END AS lbl
          FROM documents),
     tok AS (SELECT doc_id, source, lbl, unnest({_SQL_TOKS}) AS w FROM lab),
     cw AS (SELECT w,
@@ -6422,6 +6427,9 @@ _NB_SCORE_CTES = f"""lab AS (SELECT doc_id, source, text,
                 AS micro,
               CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_curated
             FROM doc)"""
+
+
+_NB_SCORE_CTES = _nb_score_ctes()
 
 
 @query(
@@ -6468,6 +6476,79 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "log_odds_per_token", "is_curated")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "quality_classifier_auc",
+    f"""
+    WITH {_nb_score_ctes("doc_id % 2 = 0")},
+    ev AS (SELECT micro,
+                  CASE WHEN source IN {_NB_POS!r} THEN 1 ELSE 0 END AS y
+           FROM nbmicro
+           WHERE doc_id % 2 = 1
+             AND (source IN {_NB_POS!r} OR source IN {_NB_NEG!r})),
+    per AS (SELECT micro, CAST(SUM(y) AS BIGINT) AS np,
+                   CAST(SUM(1 - y) AS BIGINT) AS nn
+            FROM ev GROUP BY micro),
+    c AS (SELECT np, nn,
+                 COALESCE(CAST(SUM(nn) OVER (ORDER BY micro
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS nnb
+          FROM per)
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CAST(SUM(np * (2 * nnb + nn)) AS BIGINT) AS u2,
+           ROUND(CAST(SUM(np * (2 * nnb + nn)) AS DOUBLE)
+                 / (2.0 * SUM(np) * SUM(nn)), 6) AS auc
+    FROM c
+    """,
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT evaluation of the quality classifier — the measurement
+    leg the model family lacked: train the Naive-Bayes curated-vs-crawl
+    classifier on the EVEN-doc_id half of the seed sources only
+    (``nb_log_odds`` sees NULL labels elsewhere), score everything,
+    then compute the EXACT ROC-AUC of the per-token log-odds margin on
+    the held-out ODD-doc_id seed documents via the Mann-Whitney
+    rank-sum identity (:func:`moisturizer_spark.operators.stats.
+    auc_exact`) — no threshold sweep, no sampling, ties handled by the
+    midrank convention exactly. Turns the classifier's quality claim
+    into a driver-proven number instead of a narrated one.
+
+    Determinism: scores live on the integer micro grid (the nano-bit
+    NB recipe), so score equality — which drives tie handling — is
+    exact; 2U is an exact BIGINT; AUC is one rounded division. The
+    oracle nests the SAME parameterized NB scoring CTEs as the
+    standalone classifier query (drift impossible) and replays the
+    rank-sum line by line. Scale: the NB chain is the classifier
+    query's plan; the AUC adds one distinct-score aggregation + a
+    window over the score GRID (bounded), map-side combinable."""
+    from moisturizer_spark.operators.stats import auc_exact
+    from moisturizer_spark.operators.textan import nb_log_odds
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    labeled = t["documents"].select(
+        "doc_id",
+        "source",
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.when(F.col("source").isin(*_NB_POS), 1).when(
+                F.col("source").isin(*_NB_NEG), 0
+            ),
+        ).alias("lbl"),
+    )
+    scored = nb_log_odds(labeled, label_col="lbl", keep_cols=("source",))
+    ev = scored.filter(
+        (F.col("doc_id") % 2 == 1)
+        & F.col("source").isin(*(_NB_POS + _NB_NEG))
+    ).select(
+        F.round(F.col("log_odds_per_token") * 1e6)
+        .cast("bigint")
+        .alias("score_micro"),
+        F.when(F.col("source").isin(*_NB_POS), 1).otherwise(0).alias("y"),
+    )
+    return auc_exact(ev, "score_micro", "y")
 
 
 @query(
@@ -7559,6 +7640,188 @@ def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- user co-presence graph (shared by the triangle / LPA queries) -----------
+#
+# Edge = two users active in >= min_cells of the same (event_type, hour)
+# cells — the behavioral-affinity graph. The cell self-join is guarded by
+# the basket_pairs hot-basket cap (a viral hour-cell with 10^5 users would
+# otherwise emit 10^10 pairs); cap 64 is a measured no-op at every tested
+# scale (max cell occupancy 51 at sf0.1) and the oracle replays the cut.
+
+
+def _copresence_pairs(t: dict, min_cells: int) -> DataFrame:
+    from moisturizer_spark.operators.common import materialize
+    from moisturizer_spark.operators.frequent import basket_pairs
+
+    cell = materialize(
+        t["events"]
+        .select(
+            F.concat(
+                F.col("event_type"),
+                F.lit("|"),
+                F.date_trunc("hour", F.col("ts")).cast("string"),
+            ).alias("cell"),
+            F.col("user_id"),
+        )
+        .distinct()
+    )
+    # persisted: both consumers fan the pair frame into multiple plan
+    # branches (triangle legs + node set; LPA symmetrization unions two
+    # references) — without the boundary the cell self-join re-executes
+    # per branch
+    return materialize(
+        basket_pairs(
+            cell, "cell", "user_id", item_cap=64, assume_distinct=True
+        ).filter(F.col("n_both") >= min_cells)
+    )
+
+
+def _sql_copresence_pairs(min_cells: int) -> str:
+    return f"""cell AS (SELECT DISTINCT user_id AS u, event_type AS et,
+                      date_trunc('hour', ts) AS h FROM events),
+    ufreq AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS uf FROM cell GROUP BY u),
+    capped AS (SELECT u, et, h FROM (
+                 SELECT cell.u, cell.et, cell.h,
+                        ROW_NUMBER() OVER (PARTITION BY cell.et, cell.h
+                                           ORDER BY ufreq.uf DESC, cell.u)
+                          AS rn
+                 FROM cell JOIN ufreq USING (u))
+               WHERE rn <= 64),
+    cop AS (SELECT a.u AS user_a, b.u AS user_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM capped a JOIN capped b
+              ON a.et = b.et AND a.h = b.h AND a.u < b.u
+            GROUP BY a.u, b.u
+            HAVING COUNT(*) >= {min_cells})"""
+
+
+@query(
+    "user_copresence_triangles",
+    f"""
+    WITH {_sql_copresence_pairs(4)},
+    e AS (SELECT user_a AS a, user_b AS b FROM cop),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    nodes AS (SELECT a AS u FROM e UNION SELECT b FROM e),
+    m AS (SELECT x AS u FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    SELECT nodes.u AS user_id, CAST(COUNT(m.u) AS BIGINT) AS n_triangles
+    FROM nodes LEFT JOIN m ON nodes.u = m.u
+    GROUP BY nodes.u ORDER BY n_triangles DESC, user_id LIMIT 15
+    """,
+)
+def user_copresence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation in the user co-presence graph — the
+    motif-counting member of the graph family (:func:`moisturizer_spark.
+    operators.graph.triangle_count`): users whose behavioral neighbors
+    are also neighbors of each other, i.e. the cohesion centers of the
+    activity network (ring detection, community seeding). Edge = two
+    users sharing ≥ 4 (event_type, hour) activity cells; report = the
+    top-15 users by triangle count (graph members with zero triangles
+    count as 0 — the output never goes empty just because the graph is
+    triangle-free at small scale).
+
+    Scale: the cell self-join rides the capped basket primitive
+    (hot-cell guard, oracle-replayed); enumeration degree-orients the
+    edge list so wedge fan-out is O(m·√m) even around hubs — the plain
+    id-ordered oracle join enumerates the same triangle SET, which is
+    the point of orientation being physical-only. Determinism: exact
+    integer counts over a set-valued enumeration; top-15 tiebreaks on
+    user_id."""
+    from moisturizer_spark.operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir, ("events",))
+    edges = _copresence_pairs(t, min_cells=4)
+    # degree frame is user-grain — broadcastable far past any plausible
+    # co-present-user population (the pagerank broadcast_ranks bound)
+    tri = triangle_count(
+        edges, src_col="item_a", dst_col="item_b", broadcast_degrees=True
+    )
+    members = tri.select(F.col("node_a").alias("u")).unionAll(
+        tri.select(F.col("node_b").alias("u"))
+    ).unionAll(tri.select(F.col("node_c").alias("u")))
+    nodes = (
+        edges.select(F.col("item_a").alias("u"))
+        .unionAll(edges.select(F.col("item_b").alias("u")))
+        .distinct()
+    )
+    per = members.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    return (
+        nodes.join(per, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+        )
+        .orderBy(F.col("n_triangles").desc(), "user_id")
+        .limit(15)
+    )
+
+
+def _sql_copresence_lpa() -> str:
+    rounds = []
+    prev = "l0"
+    for i in (1, 2, 3):
+        rounds.append(f"""c{i} AS (SELECT e.d AS node, {prev}.lab AS lab,
+                CAST(COUNT(*) AS BIGINT) AS c
+       FROM e JOIN {prev} ON e.s = {prev}.node GROUP BY e.d, {prev}.lab),
+    l{i} AS (SELECT node, lab FROM (
+               SELECT node, lab,
+                      ROW_NUMBER() OVER (PARTITION BY node
+                                         ORDER BY c DESC, lab) AS rn
+               FROM c{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_sql_copresence_pairs(3)},
+    e AS (SELECT user_a AS s, user_b AS d FROM cop
+          UNION ALL SELECT user_b, user_a FROM cop),
+    l0 AS (SELECT DISTINCT s AS node, s AS lab FROM e),
+    {chain}
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l3 GROUP BY lab ORDER BY n_members DESC, community LIMIT 15
+    """
+
+
+@query("user_copresence_communities", _sql_copresence_lpa())
+def user_copresence_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral communities via deterministic synchronous label
+    propagation (:func:`moisturizer_spark.operators.graph.
+    lpa_communities`, 3 unrolled rounds, most-frequent-neighbor label
+    with smallest-label tiebreak): the community-detection member of
+    the graph family, over the user co-presence graph (edge = ≥ 3
+    shared (event_type, hour) activity cells). Report = the top-15
+    communities by member count.
+
+    Determinism: every round's argmax is a total order (count DESC,
+    label ASC), so the oracle replays each round as a ROW_NUMBER CTE
+    bit-for-bit; no floats anywhere. Scale: per round one equi-join +
+    two map-side-combinable aggregations keyed on the node; the
+    symmetrized edge list persists once; the iteration bound is a hard
+    contract (the BFS argument)."""
+    from moisturizer_spark.operators.graph import lpa_communities
+
+    t = load_tables(spark, sf_dir, ("events",))
+    edges = _copresence_pairs(t, min_cells=3)
+    labels = lpa_communities(
+        edges,
+        src_col="item_a",
+        dst_col="item_b",
+        iterations=3,
+        broadcast_labels=True,
+    )
+    return (
+        labels.groupBy(F.col("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(15)
+    )
+
+
 _PSI_SPLIT_DATE = "1995-07-01"
 
 
@@ -8641,6 +8904,9 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "quality_classifier_auc",         # NEW: held-out exact ROC-AUC
+    "user_copresence_triangles",      # NEW: degree-oriented triangles
+    "user_copresence_communities",    # NEW: deterministic sync LPA
     "videos_near_dup_det",            # NEW: 4-frame video near-dup
     "docs_token_entropy",             # NEW: unigram-entropy quality screen
     "docs_bm25_search",               # NEW: BM25 keyword retrieval

@@ -83,3 +83,118 @@ def test_bfs_levels_matches_python_replay(spark):
     sd = spark.createDataFrame([(s,) for s in seeds], "node string")
     got = {r["node"]: r["hops"] for r in bfs_levels(e, sd).collect()}
     assert got == ref()
+
+
+def _triangles_ref(edges):
+    """Brute-force triangle set over the undirected simple graph."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    es = set(und)
+    out = set()
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) not in es:
+                continue
+            for z in nodes:
+                if z > y and (x, z) in es and (y, z) in es:
+                    out.add((x, y, z))
+    return out
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(17)
+    # mixed directions + duplicates + self-loops: the operator must
+    # canonicalize all of it away
+    edges = [(f"n{rng.randrange(20)}", f"n{rng.randrange(20)}")
+             for _ in range(120)]
+    edges += [(b, a) for a, b in edges[:30]] + [("n3", "n3")]
+    from moisturizer_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["node_a"], r["node_b"], r["node_c"])
+        for r in triangle_count(df).collect()
+    }
+    ref = _triangles_ref(edges)
+    assert got == ref and len(got) > 5
+
+
+def test_triangle_count_skewed_hub(spark):
+    """A hub connected to everything plus one outer edge: exactly the
+    shape degree orientation exists for. Triangles = hub + each outer
+    edge's endpoints."""
+    hub = [("hub", f"n{i}") for i in range(50)]
+    outer = [("n1", "n2"), ("n7", "n8"), ("n7", "n9")]
+    from moisturizer_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(hub + outer, "src string, dst string")
+    got = {
+        (r["node_a"], r["node_b"], r["node_c"])
+        for r in triangle_count(df).collect()
+    }
+    assert got == {("hub", "n1", "n2"), ("hub", "n7", "n8"),
+                   ("hub", "n7", "n9")}
+
+
+def _lpa_ref(edges, iterations=3):
+    """Synchronous LPA replay: most-frequent neighbor label, ties to
+    the smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n in adj:
+            c = Counter(lab[m] for m in adj[n])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[n] = best[0]
+        lab = nxt
+    return lab
+
+
+def test_lpa_communities_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(23)
+    # two dense blobs + a weak bridge: LPA should find the blobs
+    edges = []
+    for lo, hi in ((0, 12), (12, 24)):
+        names = [f"n{i:02d}" for i in range(lo, hi)]
+        for _ in range(60):
+            a, b = rng.sample(names, 2)
+            edges.append((a, b))
+    edges.append(("n00", "n12"))
+    from moisturizer_spark.operators.graph import lpa_communities
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(df, iterations=3).collect()
+    }
+    assert got == _lpa_ref(edges, 3)
+    # blob structure: far more intra-blob label agreement than across
+    blob1 = {got[f"n{i:02d}"] for i in range(12)}
+    blob2 = {got[f"n{i:02d}"] for i in range(12, 24)}
+    assert len(blob1) <= 3 and len(blob2) <= 3
+
+
+def test_lpa_communities_iteration_bound_is_exact_state(spark):
+    """iterations=0 returns the self-labels (the documented contract:
+    the returned labels are exactly the round-k state)."""
+    from moisturizer_spark.operators.graph import lpa_communities
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(df, iterations=0).collect()
+    }
+    assert got == {"a": "a", "b": "b", "c": "c"}

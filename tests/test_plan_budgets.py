@@ -185,6 +185,14 @@ BUDGETS = {
     "top3_customers_per_nation": 3,
     "top_bigrams": 1,
     "trade_pagerank_det": 17,
+    # NB chain (as the classifier query) + one distinct-score agg + the
+    # bounded score-grid window + the final scalar agg
+    "quality_classifier_auc": 5,
+    # copresence graph pair: the shared capped cell self-join costs 5;
+    # triangles add the orientation + two enumeration joins (degree
+    # frame broadcast), LPA adds 2 per round (labels broadcast)
+    "user_copresence_triangles": 21,
+    "user_copresence_communities": 13,
     "top_words_per_lang": 3,
     "urgent_customers_semi": 1,
     # 7th exchange is the (doc, cell) pre-aggregation that replaced 256

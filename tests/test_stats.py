@@ -70,3 +70,58 @@ def test_bootstrap_ci_width_shrinks_with_n(spark):
         widths[n] = r["ci_hi"] - r["ci_lo"]
     ratio = widths[1000] / widths[16000]
     assert 2.0 < ratio < 8.0, widths  # sqrt(16) = 4 expected
+
+
+def _auc_ref(pairs):
+    """Brute-force AUC over (score, label) pairs: P(s+ > s-) + ties/2."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return (2 * wins + ties), len(pos), len(neg)
+
+
+def test_auc_exact_matches_brute_force_with_ties(spark):
+    import random
+
+    from moisturizer_spark.operators.stats import auc_exact
+
+    rng = random.Random(41)
+    # coarse integer score grid => plenty of cross-class ties, the case
+    # midranks exist for
+    rows = [(rng.randrange(8) + (3 if rng.random() < 0.5 else 0),
+             1 if rng.random() < 0.4 else 0) for _ in range(300)]
+    df = spark.createDataFrame(rows, "score bigint, y int")
+    got = auc_exact(df, "score", "y").collect()[0]
+    u2, n1, n0 = _auc_ref(rows)
+    assert (got["n_pos"], got["n_neg"], got["u2"]) == (n1, n0, u2)
+    assert got["auc"] == round(u2 / (2 * n1 * n0), 6)
+
+
+def test_auc_exact_grouped_and_degenerate(spark):
+    from moisturizer_spark.operators.stats import auc_exact
+
+    rows = [
+        # group a: perfect separation -> AUC 1.0
+        ("a", 10, 1), ("a", 9, 1), ("a", 1, 0), ("a", 2, 0),
+        # group b: anti-separation -> AUC 0.0
+        ("b", 1, 1), ("b", 9, 0),
+        # group c: positives only -> NULL auc, counts still reported
+        ("c", 5, 1), ("c", 6, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, score bigint, y int")
+    got = {r["g"]: r for r in auc_exact(df, "score", "y", ["g"]).collect()}
+    assert got["a"]["auc"] == 1.0
+    assert got["b"]["auc"] == 0.0
+    assert got["c"]["auc"] is None
+    assert (got["c"]["n_pos"], got["c"]["n_neg"]) == (2, 0)
+
+
+def test_auc_exact_all_ties_is_half(spark):
+    from moisturizer_spark.operators.stats import auc_exact
+
+    df = spark.createDataFrame(
+        [(7, 1)] * 5 + [(7, 0)] * 3, "score bigint, y int"
+    )
+    got = auc_exact(df, "score", "y").collect()[0]
+    assert got["auc"] == 0.5
