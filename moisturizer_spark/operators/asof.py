@@ -224,3 +224,62 @@ def scd2_build(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    attr_cols: list[str] | None = None,
+    suffix: str = "_dim",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension VERSION
+    whose half-open validity interval contains the fact's timestamp —
+    the lookup a Type-2 SCD (:func:`scd2_build`) exists to serve
+    ("what was this customer's segment WHEN the order happened", the
+    leakage-free feature-store read). Match rule: ``valid_from <= ts``
+    and (``valid_to`` IS NULL or ``ts < valid_to``).
+
+    ``attr_cols`` defaults to every dim column except the key, the
+    validity pair, and ``is_current``; matched attributes come back
+    suffixed, plus ``valid_from{suffix}`` as the version identifier.
+    ``how='left'`` keeps facts that precede the key's first version
+    (NULL attributes), the warehouse default.
+
+    Scale: this is an EQUI join on the key with the interval test as a
+    residual join predicate — a SortMergeJoin/broadcast on the key,
+    never a range-explosion or nested loop: when the dim is a proper
+    SCD2 (intervals per key are disjoint and tile the timeline —
+    scd2_build's construction guarantees it, zero-length versions from
+    equal-timestamp changes match nothing by half-openness), each fact
+    row matches AT MOST ONE version, so output cardinality is bounded
+    by |facts|. Per-key version history fans out only within the
+    matched key's sort run; hot keys split under AQE. An unversioned
+    (messy, overlapping) dim is the caller's bug — this operator
+    faithfully returns the duplicate matches rather than guessing."""
+    if attr_cols is None:
+        attr_cols = [
+            c
+            for c in dim.columns
+            if c not in (key_col, valid_from_col, valid_to_col, "is_current")
+        ]
+    d = dim.select(
+        F.col(key_col).alias("_k"),
+        F.col(valid_from_col).alias("_vf"),
+        F.col(valid_to_col).alias("_vt"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in attr_cols],
+    )
+    cond = (
+        (facts[key_col] == d["_k"])
+        & (d["_vf"] <= facts[ts_col])
+        & (d["_vt"].isNull() | (facts[ts_col] < d["_vt"]))
+    )
+    return facts.join(d, cond, how).select(
+        *facts.columns,
+        *[f"{c}{suffix}" for c in attr_cols],
+        F.col("_vf").alias(f"{valid_from_col}{suffix}"),
+    )

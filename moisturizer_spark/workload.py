@@ -1757,6 +1757,85 @@ def embedding_pq_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _sql_ann_recall() -> str:
+    """Nests the REGISTERED brute-force and det-ANN oracles verbatim
+    (the quality-winner pattern: shared text, drift impossible)."""
+    fams = (
+        ("lsh", ORACLE["embedding_lsh_det_top5"]),
+        ("ivf", ORACLE["embedding_ivf_det_top5"]),
+        ("pq", ORACLE["embedding_pq_det_top5"]),
+    )
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT '{fam}' AS family,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(a{fam}.neighbor_id) AS BIGINT) AS n_hits
+    FROM bf LEFT JOIN ({sql}) a{fam}
+      ON bf.query_id = a{fam}.query_id
+     AND bf.neighbor_id = a{fam}.neighbor_id"""
+        for fam, sql in fams
+    )
+    return f"""
+    WITH bf AS ({ORACLE["embedding_top5_cosine"]}),
+    u AS (
+{branches})
+    SELECT family, n_true, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall_at_5
+    FROM u ORDER BY family
+    """
+
+
+@query("ann_recall_report", _sql_ann_recall())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every DETERMINISTIC approximate-nearest-neighbor
+    family against the exact brute-force top-5 — the ANN quality claim
+    as a DRIVER-PROVEN number instead of a pytest-only measurement:
+    det-LSH / det-IVF / det-PQ answers join the ground truth on
+    (query, neighbor) and the hit ratio reports per family. Because
+    every side is engine-exact, the oracle nests the four REGISTERED
+    oracle queries verbatim as CTEs (the quality-winner pattern — the
+    recall replay can never drift from the standalone families).
+
+    Scale: ground truth is the brute-force scan (broadcast queries);
+    each family adds its own index-probe plan; the hit joins are
+    50-row-sided equi joins — report cost is the sum of the four
+    members it audits. Determinism: integer hit counts; one rounded
+    division."""
+    from moisturizer_spark.operators.common import materialize
+
+    bf = materialize(
+        embedding_top5_cosine(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    fams = (
+        ("lsh", embedding_lsh_det_top5),
+        ("ivf", embedding_ivf_det_top5),
+        ("pq", embedding_pq_det_top5),
+    )
+    parts = []
+    for fam, fn in fams:
+        ann = fn(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_h")
+        )
+        parts.append(
+            bf.join(ann, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_true"),
+                F.count("_h").cast("bigint").alias("n_hits"),
+            )
+            .select(F.lit(fam).alias("family"), "n_true", "n_hits")
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.select(
+        "family",
+        "n_true",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6).alias(
+            "recall_at_5"
+        ),
+    ).orderBy("family")
+
+
 def embedding_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH top-5 (bucketed random projection → rows-only)."""
     from moisturizer_spark.operators.similarity import lsh_top_k
@@ -8031,10 +8110,11 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customer_priority_scd2",
-    """
-    WITH src AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+# Shared by customer_priority_scd2 and orders_priority_pit_lookup: the
+# SCD2 build over the bounded customer-priority change log — one source
+# of truth so the lookup's replay can never drift from the build's.
+_SQL_SCD2_PRIORITY_CTES = """src AS (SELECT o_custkey, o_orderpriority,
+                      o_orderdate, o_orderkey
                  FROM orders WHERE o_custkey <= 300),
     l AS (SELECT *, LAG(o_orderpriority) OVER w AS prev,
                  ROW_NUMBER() OVER w AS rn
@@ -8046,7 +8126,13 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_orderdate AS valid_from,
                  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey) AS valid_to
-          FROM v)
+          FROM v)"""
+
+
+@query(
+    "customer_priority_scd2",
+    f"""
+    WITH {_SQL_SCD2_PRIORITY_CTES}
     SELECT o_custkey, o_orderpriority, valid_from, valid_to,
            valid_to IS NULL AS is_current
     FROM f
@@ -8084,6 +8170,122 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to"),
         "is_current",
     ).orderBy("o_custkey", "valid_from", "valid_to", "o_orderpriority")
+
+
+@query(
+    "orders_priority_pit_lookup",
+    f"""
+    WITH {_SQL_SCD2_PRIORITY_CTES},
+    j AS (SELECT s.o_orderpriority AS own, f.o_orderpriority AS pit
+          FROM src s JOIN f ON s.o_custkey = f.o_custkey
+           AND f.valid_from <= s.o_orderdate
+           AND (f.valid_to IS NULL OR s.o_orderdate < f.valid_to))
+    SELECT pit AS pit_priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN own = pit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matching_own
+    FROM j GROUP BY pit ORDER BY pit_priority
+    """,
+)
+def orders_priority_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the Type-2 dimension — the read
+    path :func:`moisturizer_spark.operators.asof.pit_join` exists for:
+    every order (same bounded slice the SCD2 builds from) fetches the
+    priority version valid AT its order date, i.e. the leakage-free
+    feature-store read. Self-consistency makes it provable: the version
+    at an order's date is that date's LAST change, so ``n_matching_own
+    < n_orders`` exactly where two same-day orders for one customer
+    carry different priorities — the half-open zero-length-version rule
+    in action, replayed by the oracle through the SAME shared SCD2 CTEs
+    as the build query (drift impossible).
+
+    Scale: an EQUI join on the customer key with the interval test as a
+    residual predicate (plan-pinned: no nested loop); SCD2 intervals
+    tile each key's timeline, so each fact matches at most one version
+    and output is bounded by |facts|. One shuffle for the SCD2 windows,
+    one for the join, one for the report aggregation."""
+    from moisturizer_spark.operators.asof import pit_join, scd2_build
+    from moisturizer_spark.operators.common import materialize
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    src = materialize(
+        t["orders"]
+        .filter(F.col("o_custkey") <= 300)
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    )
+    dim = scd2_build(
+        src,
+        key_col="o_custkey",
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
+    joined = pit_join(src, dim, "o_custkey", "o_orderdate")
+    return (
+        joined.groupBy(
+            F.col("o_orderpriority_dim").alias("pit_priority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority")
+                    == F.col("o_orderpriority_dim"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matching_own"),
+        )
+        .orderBy("pit_priority")
+    )
+
+
+@query(
+    "promo_revenue_bloom_join",
+    f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type LIKE 'PROMO%'
+    GROUP BY 1 ORDER BY ship_year
+    """,
+)
+def promo_revenue_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-part revenue by ship year, with the fact side BLOOM-
+    PREFILTERED before the join (:func:`moisturizer_spark.operators.
+    joins.bloom_prefilter`): the selective part dimension sketches its
+    join keys into a kilobyte bitmap that drops non-promo lineitems at
+    the scan — the explicit form of Spark's runtime bloom filter, for
+    when the dim is too big to broadcast as rows but its KEY SET fits a
+    sketch, or the planner's injection heuristics miss. The oracle is
+    the PLAIN join: Bloom filters have no false negatives and the exact
+    join removes false positives, so the sketch changes shuffle bytes,
+    never results — which is exactly what the hash check proves.
+
+    Scale: sketch build is one map-combinable bit_or aggregation over
+    the dim; the fact side evaluates k codegen'd hash-probe tests
+    against an array literal and only surviving rows reach the join
+    Exchange (~selectivity × fact bytes shuffled). Determinism: the
+    decimal revenue recipe; the sketch cannot affect values."""
+    from moisturizer_spark.operators.joins import bloom_prefilter
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    promo = t["part"].filter(F.col("p_type").startswith("PROMO")).select(
+        "p_partkey"
+    )
+    pre = bloom_prefilter(t["lineitem"], "l_partkey", promo, "p_partkey")
+    return (
+        pre.join(promo, pre["l_partkey"] == promo["p_partkey"])
+        .groupBy(
+            F.year(F.col("l_shipdate")).cast("bigint").alias("ship_year")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            _d(F.sum(_rev())).alias("revenue"),
+        )
+        .orderBy("ship_year")
+    )
 
 
 @query(
@@ -8904,6 +9106,9 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "ann_recall_report",              # NEW: driver-proven ANN recall@5
+    "promo_revenue_bloom_join",       # NEW: bloom-prefiltered fact join
+    "orders_priority_pit_lookup",     # NEW: point-in-time SCD2 read
     "quality_classifier_auc",         # NEW: held-out exact ROC-AUC
     "user_copresence_triangles",      # NEW: degree-oriented triangles
     "user_copresence_communities",    # NEW: deterministic sync LPA

@@ -252,3 +252,86 @@ def test_scd2_build_collapses_and_orders(spark):
         (2, None, 1, 2, False),
         (2, "X", 2, None, True),
     ]
+
+
+def test_pit_join_picks_containing_version(spark):
+    from moisturizer_spark.operators.asof import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            ("k1", "bronze", 10, 20),
+            ("k1", "silver", 20, 40),
+            ("k1", "gold", 40, None),
+            ("k2", "solo", 5, None),
+        ],
+        "key string, tier string, valid_from int, valid_to int",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("k1", 1, 15),   # inside bronze
+            ("k1", 2, 20),   # boundary: half-open -> silver, not bronze
+            ("k1", 3, 39),   # last instant of silver
+            ("k1", 4, 99),   # open interval -> gold
+            ("k1", 5, 3),    # precedes first version -> NULL
+            ("k2", 6, 5),    # open interval from its own start
+            ("k3", 7, 50),   # unknown key -> NULL
+        ],
+        "key string, fact_id int, ts int",
+    )
+    got = {
+        r["fact_id"]: (r["tier_dim"], r["valid_from_dim"])
+        for r in pit_join(facts, dim, "key", "ts").collect()
+    }
+    assert got == {
+        1: ("bronze", 10),
+        2: ("silver", 20),
+        3: ("silver", 20),
+        4: ("gold", 40),
+        5: (None, None),
+        6: ("solo", 5),
+        7: (None, None),
+    }
+
+
+def test_pit_join_zero_length_versions_match_nothing(spark):
+    """Two same-timestamp changes produce a zero-length version; the
+    half-open rule resolves the lookup to the LAST version at that
+    instant, exactly once per fact."""
+    from moisturizer_spark.operators.asof import pit_join, scd2_build
+
+    changes = spark.createDataFrame(
+        [("k", "a", 10, 1), ("k", "b", 10, 2), ("k", "c", 30, 3)],
+        "key string, v string, ts int, seq int",
+    )
+    dim = scd2_build(changes, "key", ["v"], "ts", tiebreak_cols=["seq"])
+    facts = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, 29), ("k", 3, 31)],
+        "key string, fact_id int, ts int",
+    )
+    rows = pit_join(facts, dim, "key", "ts").collect()
+    assert len(rows) == 3  # exactly one match per fact, no dup explosion
+    got = {r["fact_id"]: r["v_dim"] for r in rows}
+    assert got == {1: "b", 2: "b", 3: "c"}
+
+
+def test_pit_join_equi_key_plan_no_nested_loop(spark):
+    """The interval test must ride the equi join as a residual
+    predicate — never a BroadcastNestedLoopJoin/CartesianProduct."""
+    import contextlib
+    import io
+
+    from moisturizer_spark.operators.asof import pit_join
+
+    dim = spark.createDataFrame(
+        [("k1", "x", 0, None)],
+        "key string, attr string, valid_from int, valid_to int",
+    )
+    facts = spark.createDataFrame(
+        [("k1", 1, 5)], "key string, fact_id int, ts int"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pit_join(facts, dim, "key", "ts").explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -185,6 +185,14 @@ BUDGETS = {
     "top3_customers_per_nation": 3,
     "top_bigrams": 1,
     "trade_pagerank_det": 17,
+    # SCD2 windows (1, shared sort) + the equi PIT join + the report agg
+    "orders_priority_pit_lookup": 3,
+    # bloom-prefiltered scan -> broadcast join -> year aggregation (the
+    # sketch build is a separate tiny job, not in this plan)
+    "promo_revenue_bloom_join": 2,
+    # composite: the four nested member plans' exchanges + three 1-row
+    # report aggregates (each member budgeted separately)
+    "ann_recall_report": 15,
     # NB chain (as the classifier query) + one distinct-score agg + the
     # bounded score-grid window + the final scalar agg
     "quality_classifier_auc": 5,

@@ -58,6 +58,11 @@ BNLJ_ALLOWED = {
     # at extreme benchmark sizes the same scoring rides IVF/LSH
     # candidates instead
     "embedding_decontamination",
+    # composite recall audit: nests the brute-force baseline and the
+    # det-PQ ADC plans above verbatim, inheriting exactly their
+    # allowlisted bounded broadcasts (the hit joins it adds are
+    # equi-joins)
+    "ann_recall_report",
 }
 
 

@@ -44,6 +44,9 @@ ALLOWED = {
         "local union-find gated at <=100k edges, else distributed star rounds",
     ("operators/frequent.py", "frequent_items"):
         "Misra-Gries candidates: <= k rows per partition",
+    ("operators/joins.py", "bloom_prefilter"):
+        "collect is <= n_bits/64 bitmap word rows — sized by the "
+        "(expected_items, fpp) sketch parameters, never by table size",
     ("operators/clustering.py", "_initial_centroids"):
         "k seed vectors (k tiny by contract)",
     ("operators/clustering.py", "kmeans_fit"):
