@@ -10,6 +10,8 @@ higher-order functions).
 from moisturizer_spark.operators.asof import (  # noqa: F401
     asof_join,
     banded_interval_join,
+    pit_join,
+    scd2_build,
 )
 from moisturizer_spark.operators.clustering import (  # noqa: F401
     assign_clusters,
@@ -64,8 +66,14 @@ from moisturizer_spark.operators.expectations import (  # noqa: F401
     profile_numeric_approx,
 )
 from moisturizer_spark.operators.graph import (  # noqa: F401
+    lpa_communities,
     pagerank_int,
+    triangle_count,
+)
+from moisturizer_spark.operators.joins import (  # noqa: F401
+    bloom_prefilter,
 )
 from moisturizer_spark.operators.stats import (  # noqa: F401
+    auc_exact,
     poisson_bootstrap_ci,
 )
