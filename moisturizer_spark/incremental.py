@@ -746,3 +746,179 @@ class IncrementalTopKView:
     def read_topk(self) -> DataFrame:
         """The materialized ranking: (group, item, n, rank ≤ k)."""
         return self.topk.read()
+
+
+_TXN_JL = "ivm_join_left"
+_TXN_JR = "ivm_join_right"
+
+
+class IncrementalJoinView:
+    """Delta-maintained equi-JOIN view over TWO sources — the binary
+    member of the IVM family (the aggregate/sketch views above are all
+    unary). The view materializes ``left ⋈ right`` under multiset
+    (counting) semantics: one row per distinct joined tuple with its
+    multiplicity ``_mult``, so deletes fold exactly and duplicate source
+    rows are first-class.
+
+    Refresh applies the classic bilinear delta algebra computed purely
+    from CURRENT table reads plus the two CDC feeds::
+
+        ΔV = ΔL ⋈ R_new  +  L_new ⋈ ΔR  −  ΔL ⋈ ΔR
+
+    (substituting ``X_old = X_new − ΔX`` into the textbook three-term
+    expansion — the subtraction corrects the pairs both delta terms
+    count). Feed rows weigh +1 (insert/update_postimage) or −1
+    (delete/update_preimage); join weights multiply; tuples folding to
+    zero multiplicity drop out.
+
+    BOTH source cursors commit atomically with the view data (one
+    manifest swap carries the two txn watermarks), so a crash or replay
+    between refreshes can never apply a delta twice or tear the two
+    sides apart. Falling behind either side's retention window triggers
+    a full recompute, stated not hidden.
+
+    Scale: each refresh joins the (small) deltas against the other
+    side's current table on the join key — the unavoidable IVM join
+    cost, |ΔL|·match + |ΔR|·match, NOT a view recompute; the delta ⋈
+    delta term is tiny by construction. The view table buckets on the
+    join key, so the merge rewrite prunes to touched buckets downstream
+    of the storage layer's MERGE machinery. Payload column sets must be
+    disjoint (rename before constructing — the operator refuses to
+    guess)."""
+
+    def __init__(
+        self,
+        left: ParquetTable,
+        right: ParquetTable,
+        view_path: str,
+        left_on: str,
+        right_on: str,
+        left_cols: list[str],
+        right_cols: list[str],
+    ):
+        overlap = set(left_cols) & set(right_cols)
+        if overlap or left_on in right_cols:
+            raise ValueError(
+                f"payload column collision {sorted(overlap)}: rename before "
+                "building the view"
+            )
+        self.left, self.right = left, right
+        self.left_on, self.right_on = left_on, right_on
+        self.left_cols, self.right_cols = list(left_cols), list(right_cols)
+        self.view = ParquetTable(
+            left.spark, view_path, key=left_on, n_buckets=left.n_buckets
+        )
+
+    # -- pieces ---------------------------------------------------------------
+    def _side(self, df: DataFrame, on: str, cols: list[str], feed: bool):
+        w = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            if feed
+            else F.lit(1)
+        )
+        return df.select(
+            F.col(on).alias(self.left_on),
+            *cols,
+            w.cast("bigint").alias("_w"),
+        )
+
+    def _pairs(self, lhs: DataFrame, rhs: DataFrame, negate: bool = False):
+        sign = -1 if negate else 1
+        l = lhs.withColumnRenamed("_w", "_wl")
+        r = rhs.withColumnRenamed("_w", "_wr")
+        return l.join(r, self.left_on).select(
+            self.left_on,
+            *self.left_cols,
+            *self.right_cols,
+            (F.lit(sign) * F.col("_wl") * F.col("_wr")).alias("_w"),
+        )
+
+    def _fold(self, parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        keys = [self.left_on, *self.left_cols, *self.right_cols]
+        return (
+            out.groupBy(*keys)
+            .agg(F.sum("_w").cast("bigint").alias("_mult"))
+            .filter(F.col("_mult") > 0)
+        )
+
+    def _full(self) -> DataFrame:
+        l = self._side(self.left.read(), self.left_on, self.left_cols, False)
+        r = self._side(
+            self.right.read(), self.right_on, self.right_cols, False
+        )
+        return self._fold([self._pairs(l, r)])
+
+    # -- public surface --------------------------------------------------------
+    def refresh(self) -> tuple[int, int]:
+        """Bring the view up to both sources' current versions; returns
+        ``(left_version, right_version)``."""
+        man_l, man_r = self.left._load_manifest(), self.right._load_manifest()
+        if man_l is None or man_r is None:
+            raise ValueError("both sources need a manifest")
+        cur_l, cur_r = man_l["version"], man_r["version"]
+        app_l = self.view.txn_version(_TXN_JL)
+        app_r = self.view.txn_version(_TXN_JR)
+        txn = {_TXN_JL: cur_l, _TXN_JR: cur_r}
+        if app_l is None or app_r is None:
+            self.view.overwrite(self._full(), txn=txn)
+            return cur_l, cur_r
+        if app_l >= cur_l and app_r >= cur_r:
+            return cur_l, cur_r  # idempotent replay lands here
+        from moisturizer_spark.storage import VersionNotRetained
+
+        try:
+            feed_l = (
+                self.left.table_changes(app_l, cur_l)
+                if cur_l > app_l
+                else None
+            )
+            feed_r = (
+                self.right.table_changes(app_r, cur_r)
+                if cur_r > app_r
+                else None
+            )
+        except VersionNotRetained:
+            self.view.overwrite(self._full(), txn=txn)
+            return cur_l, cur_r
+        d_l = (
+            self._side(feed_l, self.left_on, self.left_cols, True)
+            if feed_l is not None
+            else None
+        )
+        d_r = (
+            self._side(feed_r, self.right_on, self.right_cols, True)
+            if feed_r is not None
+            else None
+        )
+        parts = [
+            self.view.read().select(
+                self.left_on,
+                *self.left_cols,
+                *self.right_cols,
+                F.col("_mult").alias("_w"),
+            )
+        ]
+        if d_l is not None:
+            r_new = self._side(
+                self.right.read(), self.right_on, self.right_cols, False
+            )
+            parts.append(self._pairs(d_l, r_new))
+        if d_r is not None:
+            l_new = self._side(
+                self.left.read(), self.left_on, self.left_cols, False
+            )
+            parts.append(self._pairs(l_new, d_r))
+        if d_l is not None and d_r is not None:
+            parts.append(self._pairs(d_l, d_r, negate=True))
+        self.view.overwrite(self._fold(parts), txn=txn)
+        return cur_l, cur_r
+
+    def read(self) -> DataFrame:
+        """The materialized join: key + payloads + ``_mult``."""
+        return self.view.read()

@@ -60,3 +60,58 @@ def salted_join(
     salts = left.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
     replicated_right = right.crossJoin(F.broadcast(salts))
     return salted_left.join(replicated_right, [*on, "_salt"], how).drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    percentiles: tuple[float, float] = (0.5, 0.99),
+) -> DataFrame:
+    """ONE-ROW distribution report over a shuffle key — the diagnosis
+    that decides between a plain join, a broadcast, AQE skew-split, or
+    :func:`salted_join` BEFORE the job runs at 100 TB: key cardinality,
+    row count, the max key's absolute count and share, interpolated
+    percentiles of the per-key count distribution, and the Gini
+    coefficient of key mass (0 = perfectly uniform keys, →1 = one key
+    owns the table).
+
+    Gini uses the sorted-rank identity ``G = (2·Σ rank·x − (n+1)·Σx) /
+    (n·Σx)`` over per-key counts ranked ascending — all terms exact
+    BIGINTs (tie order cannot change the sum: equal x at swapped ranks
+    contribute identically), one final IEEE division. Scale: the heavy
+    step is the per-key count (map-side combinable); everything after
+    runs at KEY grain, with one global window over the key-count frame
+    — bounded by key cardinality, stated (a 10^9-key report should
+    sample keys first; the count frame, not this operator, is then the
+    thing to shard)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    ranked = counts.select(
+        "_c",
+        F.row_number()
+        .over(Window.orderBy(F.col("_c").asc(), *key_cols))
+        .cast("bigint")
+        .alias("_rk"),
+    )
+    p_lo, p_hi = percentiles
+    return ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.max("_c").cast("bigint").alias("max_key_rows"),
+        F.round(
+            F.max("_c").cast("double") / F.sum("_c").cast("double"), 6
+        ).alias("max_key_share"),
+        F.percentile("_c", F.lit(p_lo)).alias("p_lo"),
+        F.percentile("_c", F.lit(p_hi)).alias("p_hi"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("_rk") * F.col("_c"))
+                - (F.count(F.lit(1)) + F.lit(1)) * F.sum("_c")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("_c")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -278,3 +278,56 @@ def auc_exact(
     )
     out = agg.select(*g, "n_pos", "n_neg", "u2", auc.alias("auc"))
     return out.orderBy(*g) if g else out
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    season: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forecast-quality baseline as one window pass: the SEASONAL NAIVE
+    forecast (value of ``season`` periods ago — the baseline every real
+    forecasting model must beat; Hyndman & Athanasopoulos call beating
+    it the minimum bar) evaluated against actuals. For every period
+    with a season-back actual: ``forecast``, signed ``err``, ``abs_err``,
+    and ``ape`` (absolute percentage error, rounded to 6; NULL on a zero
+    actual — stated, not NaN).
+
+    ``df`` must be ONE ROW PER (group, period) — aggregate first (the
+    series frame is calendar-sized, so the ordered window is bounded at
+    any corpus size; state that in the caller the way the rolling-corr
+    query does). Keep ``value_col`` on an exact integer grid (cents,
+    micros) so errors are exact and engine-independent; the only float
+    op is the rounded APE division. Lags ride
+    ``lag(season) OVER (PARTITION BY group ORDER BY time)`` — one
+    shuffle on the group key (or the documented bounded global sort,
+    ungrouped)."""
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    w = Window.partitionBy(*g).orderBy(time_col)
+    fc = F.lag(value_col, season).over(w)
+    out = df.select(
+        *g,
+        time_col,
+        F.col(value_col).alias("actual"),
+        fc.alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    return out.select(
+        *g,
+        time_col,
+        "actual",
+        "forecast",
+        (F.col("actual") - F.col("forecast")).alias("err"),
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+        F.when(
+            F.col("actual") != 0,
+            F.round(
+                F.abs(F.col("actual") - F.col("forecast")).cast("double")
+                / F.abs(F.col("actual")).cast("double"),
+                6,
+            ),
+        ).alias("ape"),
+    )

@@ -335,15 +335,23 @@ class ParquetTable:
         v = (man.get("txn") or {}).get(app_id)
         return int(v) if v is not None else None
 
-    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | dict[str, int] | None = None,
+    ) -> None:
         """Replace the full table contents (DDL-scale op: type migration,
-        rollup refresh, compaction). All buckets rewritten."""
+        rollup refresh, compaction). All buckets rewritten. ``txn`` may be
+        one ``(app_id, version)`` pair or a dict of several — a view
+        maintained from MULTIPLE sources commits every source cursor in
+        the same atomic swap (the two-table IVM join view)."""
         prev = self._load_manifest()
         version = (prev["version"] + 1) if prev else 1
         with_bucket = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
         produced = self._write_version(with_bucket, version)
-        self._commit(produced, _strip_internal(df.schema), prev,
-                     txn=dict([txn]) if txn else None)
+        if isinstance(txn, tuple):
+            txn = dict([txn])
+        self._commit(produced, _strip_internal(df.schema), prev, txn=txn)
 
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         """Blind append (no key dedup): new files join each bucket's list.

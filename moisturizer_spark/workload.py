@@ -8289,6 +8289,98 @@ def promo_revenue_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "monthly_revenue_forecast_eval",
+    """
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                        AS month,
+                      CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+               FROM orders GROUP BY 1),
+    f AS (SELECT month, cents AS actual,
+                 LAG(cents, 12) OVER (ORDER BY month) AS forecast
+          FROM m)
+    SELECT month, actual, forecast,
+           actual - forecast AS err,
+           ABS(actual - forecast) AS abs_err,
+           CASE WHEN actual <> 0 THEN
+               ROUND(CAST(ABS(actual - forecast) AS DOUBLE) / ABS(actual), 6)
+           END AS ape
+    FROM f WHERE forecast IS NOT NULL ORDER BY month
+    """,
+)
+def monthly_revenue_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation over monthly revenue — the
+    forecast-quality BASELINE every model must beat (:func:`moisturizer_
+    spark.operators.stats.seasonal_naive_eval`): forecast for month m =
+    actual of m−12, with signed/absolute error and APE per month. The
+    monitoring query a pipeline runs to decide whether its revenue
+    forecasting model earns its keep.
+
+    Determinism: revenue on the exact cent grid, errors exact BIGINTs,
+    APE one rounded division (NULL on a zero actual — stated). Scale:
+    the fact table folds to the CALENDAR-sized monthly frame first
+    (map-side combinable), so the ordered lag window is bounded at any
+    corpus size (the rolling-corr argument); lag counts ROWS — a
+    calendar with missing months needs gap-fill first
+    (``events_minute_gapfill`` is the tool), stated in the operator."""
+    from moisturizer_spark.operators.stats import seasonal_naive_eval
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    monthly = t["orders"].groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    return seasonal_naive_eval(
+        monthly, "month", "cents", season=12
+    ).orderBy("month")
+
+
+@query(
+    "orders_custkey_skew_report",
+    """
+    WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS rk FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS max_key_share,
+           quantile_cont(c, 0.5) AS p_lo,
+           quantile_cont(c, 0.99) AS p_hi,
+           ROUND(CAST(2 * SUM(rk * c) - (COUNT(*) + 1) * SUM(c) AS DOUBLE)
+                 / (COUNT(*) * SUM(c)), 6) AS gini
+    FROM r
+    """,
+)
+def orders_custkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for the orders→customer join key —
+    the pre-flight report (:func:`moisturizer_spark.operators.skew.
+    key_skew_report`) that decides between a plain sort-merge join, a
+    broadcast, AQE skew-split, or an explicit ``salted_join`` BEFORE a
+    100 TB job runs: key cardinality, max-key share, per-key-count
+    percentiles, and the Gini coefficient of key mass via the exact
+    sorted-rank identity (all-BIGINT sums; tie order provably cannot
+    move the rank sum).
+
+    Scale: one map-side-combinable count shuffle at key grain; the
+    rank window is bounded by key cardinality (stated — sample keys
+    first at 10^9 keys). Determinism: exact integers everywhere; the
+    two interpolated percentiles follow the ``order_price_quantiles``
+    cross-engine recipe; two rounded divisions."""
+    from moisturizer_spark.operators.skew import key_skew_report
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return key_skew_report(t["orders"], ["o_custkey"])
+
+
+@query(
     "daily_volume_revenue_corr",
     """
     WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
@@ -9106,6 +9198,8 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "monthly_revenue_forecast_eval",  # NEW: seasonal-naive baseline
+    "orders_custkey_skew_report",     # NEW: key-skew pre-flight report
     "ann_recall_report",              # NEW: driver-proven ANN recall@5
     "promo_revenue_bloom_join",       # NEW: bloom-prefiltered fact join
     "orders_priority_pit_lookup",     # NEW: point-in-time SCD2 read

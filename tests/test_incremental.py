@@ -690,3 +690,174 @@ def test_incremental_topk_idempotent_and_vacuum_fallback(spark, warehouse):
     view.refresh()
     assert view.last_refresh_mode == "full"
     assert _topk_dict(view) == _topk_truth(src, 2)
+
+
+# -- IncrementalJoinView -------------------------------------------------------
+
+
+def _jl(spark, pairs):
+    return spark.createDataFrame(
+        [(k, c, q) for k, c, q in pairs], "id string, cust string, qty long"
+    )
+
+
+def _jr(spark, pairs):
+    return spark.createDataFrame(
+        [(c, n) for c, n in pairs], "cust string, nation string"
+    )
+
+
+def _join_view(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalJoinView
+
+    left = ParquetTable(spark, f"{warehouse}/orders", retain_versions=20)
+    right = ParquetTable(spark, f"{warehouse}/cust", key="cust",
+                         retain_versions=20)
+    view = IncrementalJoinView(
+        left, right, f"{warehouse}/jview",
+        left_on="cust", right_on="cust",
+        left_cols=["id", "qty"], right_cols=["nation"],
+    )
+    return left, right, view
+
+
+def _join_truth(left, right):
+    j = (
+        left.read().select("cust", "id", "qty")
+        .join(right.read().select("cust", "nation"), "cust")
+        .groupBy("cust", "id", "qty", "nation")
+        .agg(F.count(F.lit(1)).alias("_mult"))
+    )
+    return {tuple(r) for r in j.collect()}
+
+
+def test_join_view_matches_recompute_under_both_side_changes(spark, warehouse):
+    left, right, view = _join_view(spark, warehouse)
+    left.overwrite(_jl(spark, [("o1", "c1", 5), ("o2", "c1", 3),
+                               ("o3", "c2", 7)]))
+    right.overwrite(_jr(spark, [("c1", "FR"), ("c2", "DE")]))
+    view.refresh()
+    assert {tuple(r) for r in view.read().collect()} == _join_truth(left, right)
+
+    # one refresh absorbing BOTH sides changing: left insert + delete,
+    # right attribute update + delete (kills c2's pairs) + insert
+    left.upsert(_jl(spark, [("o4", "c3", 1)]))
+    left.delete_by_key(["o2"])
+    right.upsert(_jr(spark, [("c1", "BE"), ("c3", "US")]))
+    right.delete_by_key(["c2"])
+    view.refresh()
+    got = {tuple(r) for r in view.read().collect()}
+    assert got == _join_truth(left, right)
+    assert ("c1", "o1", 5, "BE", 1) in got      # update propagated
+    assert not any(r[0] == "c2" for r in got)   # dim delete cascaded
+
+
+def test_join_view_multiset_semantics(spark, warehouse):
+    """Duplicate left rows (no key column constraint on the FACT side of
+    the join) carry multiplicity > 1 and fold back out one at a time."""
+    from moisturizer_spark.incremental import IncrementalJoinView
+
+    left = ParquetTable(spark, f"{warehouse}/facts", retain_versions=20)
+    right = ParquetTable(spark, f"{warehouse}/dim", key="cust",
+                         retain_versions=20)
+    # two distinct fact ids with IDENTICAL payload projection: the view
+    # projects (cust, qty) only, so they merge into one tuple, mult 2
+    view = IncrementalJoinView(
+        left, right, f"{warehouse}/jview2",
+        left_on="cust", right_on="cust",
+        left_cols=["qty"], right_cols=["nation"],
+    )
+    left.overwrite(_jl(spark, [("o1", "c1", 5), ("o2", "c1", 5)]))
+    right.overwrite(_jr(spark, [("c1", "FR")]))
+    view.refresh()
+    rows = view.read().collect()
+    assert [(r["cust"], r["qty"], r["nation"], r["_mult"]) for r in rows] == [
+        ("c1", 5, "FR", 2)
+    ]
+    left.delete_by_key(["o1"])
+    view.refresh()
+    rows = view.read().collect()
+    assert [(r["cust"], r["qty"], r["nation"], r["_mult"]) for r in rows] == [
+        ("c1", 5, "FR", 1)
+    ]
+
+
+def test_join_view_refresh_idempotent_and_one_sided(spark, warehouse):
+    left, right, view = _join_view(spark, warehouse)
+    left.overwrite(_jl(spark, [("o1", "c1", 5)]))
+    right.overwrite(_jr(spark, [("c1", "FR")]))
+    view.refresh()
+    before = {tuple(r) for r in view.read().collect()}
+    assert view.refresh() == view.refresh()  # replay: cursors unmoved
+    assert {tuple(r) for r in view.read().collect()} == before
+    # only the RIGHT side moves: the left feed branch must not run
+    right.upsert(_jr(spark, [("c1", "IT")]))
+    view.refresh()
+    assert {tuple(r) for r in view.read().collect()} == _join_truth(left, right)
+
+
+def test_join_view_retention_fallback(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalJoinView
+
+    left = ParquetTable(spark, f"{warehouse}/l", retain_versions=1)
+    right = ParquetTable(spark, f"{warehouse}/r", key="cust",
+                         retain_versions=1)
+    view = IncrementalJoinView(
+        left, right, f"{warehouse}/jv",
+        left_on="cust", right_on="cust",
+        left_cols=["id", "qty"], right_cols=["nation"],
+    )
+    left.overwrite(_jl(spark, [("o1", "c1", 5)]))
+    right.overwrite(_jr(spark, [("c1", "FR")]))
+    view.refresh()
+    left.upsert(_jl(spark, [("o2", "c1", 2)]))
+    left.upsert(_jl(spark, [("o3", "c1", 9)]))
+    view.refresh()  # history vacuumed -> full recompute path
+    assert {tuple(r) for r in view.read().collect()} == _join_truth(left, right)
+
+
+def test_join_view_rejects_payload_collision(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalJoinView
+
+    left = ParquetTable(spark, f"{warehouse}/lc")
+    right = ParquetTable(spark, f"{warehouse}/rc", key="cust")
+    with pytest.raises(ValueError, match="collision"):
+        IncrementalJoinView(
+            left, right, f"{warehouse}/vc",
+            left_on="cust", right_on="cust",
+            left_cols=["x"], right_cols=["x"],
+        )
+
+
+def test_join_view_random_ops_property(spark, warehouse):
+    """Randomized op sequence on both sides; after every refresh the
+    view must equal the full recompute."""
+    import random
+
+    rng = random.Random(77)
+    left, right, view = _join_view(spark, warehouse)
+    left.overwrite(_jl(spark, [("o0", "c0", 0)]))
+    right.overwrite(_jr(spark, [("c0", "N0")]))
+    view.refresh()
+    live_orders = {"o0"}
+    for step in range(4):
+        for _ in range(rng.randrange(1, 3)):
+            which = rng.random()
+            if which < 0.5:
+                oid = f"o{rng.randrange(8)}"
+                live_orders.add(oid)
+                left.upsert(_jl(spark, [
+                    (oid, f"c{rng.randrange(3)}", rng.randrange(5))
+                ]))
+            elif which < 0.7 and live_orders:
+                oid = rng.choice(sorted(live_orders))
+                live_orders.discard(oid)
+                left.delete_by_key([oid])
+            else:
+                right.upsert(_jr(spark, [
+                    (f"c{rng.randrange(3)}", f"N{rng.randrange(4)}")
+                ]))
+        view.refresh()
+        assert {tuple(r) for r in view.read().collect()} == _join_truth(
+            left, right
+        ), f"diverged at step {step}"

@@ -193,6 +193,10 @@ BUDGETS = {
     # composite: the four nested member plans' exchanges + three 1-row
     # report aggregates (each member budgeted separately)
     "ann_recall_report": 15,
+    # monthly fold + the bounded calendar-frame lag window
+    "monthly_revenue_forecast_eval": 2,
+    # per-key count + the key-grain rank window feeding one scalar agg
+    "orders_custkey_skew_report": 2,
     # NB chain (as the classifier query) + one distinct-score agg + the
     # bounded score-grid window + the final scalar agg
     "quality_classifier_auc": 5,

@@ -125,3 +125,33 @@ def test_auc_exact_all_ties_is_half(spark):
     )
     got = auc_exact(df, "score", "y").collect()[0]
     assert got["auc"] == 0.5
+
+
+def test_seasonal_naive_eval_planted(spark):
+    from moisturizer_spark.operators.stats import seasonal_naive_eval
+
+    rows = [(m, v) for m, v in enumerate([10, 20, 30, 12, 26, 0], start=1)]
+    df = spark.createDataFrame(rows, "t int, v long")
+    got = {
+        r["t"]: (r["actual"], r["forecast"], r["err"], r["abs_err"], r["ape"])
+        for r in seasonal_naive_eval(df, "t", "v", season=3).collect()
+    }
+    assert got == {
+        4: (12, 10, 2, 2, round(2 / 12, 6)),
+        5: (26, 20, 6, 6, round(6 / 26, 6)),
+        6: (0, 30, -30, 30, None),  # zero actual -> NULL ape, stated
+    }
+
+
+def test_seasonal_naive_eval_grouped_independent_series(spark):
+    from moisturizer_spark.operators.stats import seasonal_naive_eval
+
+    rows = [("a", 1, 5), ("a", 2, 7), ("b", 1, 100), ("b", 2, 90)]
+    df = spark.createDataFrame(rows, "g string, t int, v long")
+    got = {
+        (r["g"], r["t"]): r["forecast"]
+        for r in seasonal_naive_eval(
+            df, "t", "v", season=1, group_cols=["g"]
+        ).collect()
+    }
+    assert got == {("a", 2): 5, ("b", 2): 100}
