@@ -331,3 +331,92 @@ def seasonal_naive_eval(
             ),
         ).alias("ape"),
     )
+
+
+def pmi_table(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pointwise mutual information between two categorical columns —
+    the feature-association screen (which sources skew toward which
+    languages; which labels leak which metadata): per (a, b) cell,
+    ``pmi = log2( n_ab·N / (n_a·n_b) )`` in bits, positive = the pair
+    co-occurs more than independence predicts.
+
+    Determinism: the nano-bit recipe — both log2 terms are logs of
+    EXACT BIGINT products (``n_ab·N`` and ``n_a·n_b``, in-range below
+    ~3·10^9 rows), each rounded to integer nano-bits before the exact
+    difference; the output divides that integer by 1e9 once. Scale:
+    one cell-grain count (map-side combinable) plus two marginal
+    counts that BROADCAST back onto the cells (marginals are
+    category-grain — tiny by definition of categorical); N is a driver
+    scalar inlined as a literal (the tfidf pattern — no 1-row nested
+    loop). Returns ``(col_a, col_b, n_pairs, pmi_bits)``."""
+    n_total = df.count()
+    cells = df.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    ma = df.groupBy(col_a).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_na")
+    )
+    mb = df.groupBy(col_b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nb")
+    )
+    nano = F.round(
+        F.log2(F.col("n_pairs") * F.lit(int(n_total))) * 1e9
+    ).cast("bigint") - F.round(
+        F.log2(F.col("_na") * F.col("_nb")) * 1e9
+    ).cast("bigint")
+    return (
+        cells.join(F.broadcast(ma), col_a)
+        .join(F.broadcast(mb), col_b)
+        .select(
+            col_a,
+            col_b,
+            "n_pairs",
+            F.round(nano.cast("double") / 1e9, 6).alias("pmi_bits"),
+        )
+    )
+
+
+def quantile_normalize_dims(
+    df: DataFrame,
+    id_col: str,
+    array_col: str,
+    n_dims: int,
+) -> DataFrame:
+    """Per-dimension QUANTILE (rank-uniform) normalization of a vector
+    column — the feature-engineering transform that makes heavy-tailed
+    embedding dimensions comparable before distance math or binning:
+    within each of the first ``n_dims`` dimensions, a value's output is
+    its midrank quantile ``q = (rank − 0.5) / n`` in that dimension's
+    empirical distribution.
+
+    Returns flat ``(id, dim, q)`` rows (dims 0-based) — flat because
+    ranks are per-dimension facts; reassemble arrays downstream if a
+    vector shape is needed. Determinism: rank is a TOTAL order
+    ``(value, id)``, and q = ``(2·rank − 1) / (2n)`` divides exact
+    integers once, rounded to 6. Scale: one explode to (row × n_dims)
+    grain, then a window PARTITIONED PER DIMENSION — n_dims independent
+    sorts of n rows each, embarrassingly parallel across dims; no
+    global sort."""
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(array_col)).alias("dim", "_v"),
+    ).filter(F.col("dim") < n_dims)
+    w = Window.partitionBy("dim").orderBy(
+        F.col("_v").cast("double").asc(), F.col(id_col).asc()
+    )
+    n = Window.partitionBy("dim")
+    return vals.select(
+        id_col,
+        F.col("dim").cast("int").alias("dim"),
+        F.round(
+            (F.lit(2) * F.row_number().over(w) - F.lit(1)).cast("double")
+            / (F.lit(2) * F.count(F.lit(1)).over(n)).cast("double"),
+            6,
+        ).alias("q"),
+    )

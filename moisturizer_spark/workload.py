@@ -8381,6 +8381,82 @@ def orders_custkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_source_lang_pmi",
+    """
+    WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                   FROM documents GROUP BY 1, 2),
+    ma AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS na
+           FROM documents GROUP BY 1),
+    mb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nb
+           FROM documents GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM documents)
+    SELECT c.source, c.lang, c.n_pairs,
+           ROUND(CAST(CAST(ROUND(log2(c.n_pairs * nt) * 1e9) AS BIGINT)
+                    - CAST(ROUND(log2(ma.na * mb.nb) * 1e9) AS BIGINT)
+                 AS DOUBLE) / 1e9, 6) AS pmi_bits
+    FROM cells c JOIN ma USING (source) JOIN mb USING (lang) CROSS JOIN n
+    ORDER BY source, lang
+    """,
+)
+def docs_source_lang_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × language association as pointwise mutual information
+    (:func:`moisturizer_spark.operators.stats.pmi_table`) — the
+    feature-association screen a curation pipeline runs before
+    stratifying ("which crawls skew toward which languages; is `lang`
+    secretly a proxy for `source`"): per cell, PMI in bits vs the
+    independence baseline.
+
+    Determinism: both log2 terms are logs of exact BIGINT products,
+    nano-bit rounded before the exact integer difference (the bigram-LM
+    recipe); one final division. Scale: one cell-grain count; the two
+    category-grain marginals broadcast; N inlined as a literal (no
+    1-row nested loop)."""
+    from moisturizer_spark.operators.stats import pmi_table
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return pmi_table(t["documents"], "source", "lang").orderBy(
+        "source", "lang"
+    )
+
+
+@query(
+    "embedding_quantile_normalize",
+    """
+    WITH v AS (SELECT vec_id, i AS dim,
+                      CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS val
+               FROM embeddings, unnest(generate_series(0, 7)) AS t(i)),
+    r AS (SELECT vec_id, CAST(dim AS INT) AS dim,
+                 ROW_NUMBER() OVER (PARTITION BY dim
+                                    ORDER BY val, vec_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY dim) AS n
+          FROM v)
+    SELECT vec_id, dim, ROUND(CAST(2 * rk - 1 AS DOUBLE) / (2 * n), 6) AS q
+    FROM r ORDER BY dim, vec_id
+    """,
+)
+def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank-uniform) normalization of the
+    embedding table's first 8 dimensions (the ``_CORR_DIMS`` report
+    convention) — the feature-engineering transform that makes
+    heavy-tailed dimensions comparable before binning or distance math
+    (:func:`moisturizer_spark.operators.stats.
+    quantile_normalize_dims`). Output is flat ``(vec_id, dim, q)`` with
+    q the exact midrank ``(2·rank−1)/(2n)``.
+
+    Determinism: rank is the (value, vec_id) total order over floats
+    both engines read identically from parquet; q divides exact
+    integers once. Scale: one explode, then n_dims INDEPENDENT
+    per-dimension window sorts — parallel across dims, never a global
+    sort."""
+    from moisturizer_spark.operators.stats import quantile_normalize_dims
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return quantile_normalize_dims(
+        t["embeddings"], "vec_id", "embedding", n_dims=8
+    ).orderBy("dim", "vec_id")
+
+
+@query(
     "daily_volume_revenue_corr",
     """
     WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
@@ -9198,6 +9274,8 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "docs_source_lang_pmi",           # NEW: PMI feature association
+    "embedding_quantile_normalize",   # NEW: rank-uniform transform
     "monthly_revenue_forecast_eval",  # NEW: seasonal-naive baseline
     "orders_custkey_skew_report",     # NEW: key-skew pre-flight report
     "ann_recall_report",              # NEW: driver-proven ANN recall@5

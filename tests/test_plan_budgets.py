@@ -195,6 +195,10 @@ BUDGETS = {
     "ann_recall_report": 15,
     # monthly fold + the bounded calendar-frame lag window
     "monthly_revenue_forecast_eval": 2,
+    # cell-grain count + two broadcast marginal counts + final sort
+    "docs_source_lang_pmi": 4,
+    # explode + per-dimension window partitioning (parallel across dims)
+    "embedding_quantile_normalize": 2,
     # per-key count + the key-grain rank window feeding one scalar agg
     "orders_custkey_skew_report": 2,
     # NB chain (as the classifier query) + one distinct-score agg + the

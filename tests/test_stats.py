@@ -155,3 +155,79 @@ def test_seasonal_naive_eval_grouped_independent_series(spark):
         ).collect()
     }
     assert got == {("a", 2): 5, ("b", 2): 100}
+
+
+def test_pmi_table_matches_python_replay(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from moisturizer_spark.operators.stats import pmi_table
+
+    rng = random.Random(13)
+    rows = [
+        (f"s{rng.randrange(4)}", f"l{rng.randrange(3)}") for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r["a"], r["b"]): (r["n_pairs"], r["pmi_bits"])
+        for r in pmi_table(df, "a", "b").collect()
+    }
+    n = len(rows)
+    ca, cb, cab = Counter(), Counter(), Counter()
+    for a, b in rows:
+        ca[a] += 1
+        cb[b] += 1
+        cab[(a, b)] += 1
+    for (a, b), nab in cab.items():
+        nano = round(math.log2(nab * n) * 1e9) - round(
+            math.log2(ca[a] * cb[b]) * 1e9
+        )
+        assert got[(a, b)] == (nab, round(nano / 1e9, 6))
+
+
+def test_pmi_table_independence_is_zero(spark):
+    """A perfectly independent 2x2 grid has PMI exactly 0 in every cell."""
+    from moisturizer_spark.operators.stats import pmi_table
+
+    rows = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert all(
+        r["pmi_bits"] == 0.0 for r in pmi_table(df, "a", "b").collect()
+    )
+
+
+def test_quantile_normalize_dims_planted(spark):
+    from moisturizer_spark.operators.stats import quantile_normalize_dims
+
+    df = spark.createDataFrame(
+        [(1, [10.0, 5.0]), (2, [30.0, 5.0]), (3, [20.0, 5.0]),
+         (4, [40.0, 5.0])],
+        "id bigint, v array<double>",
+    )
+    got = {
+        (r["id"], r["dim"]): r["q"]
+        for r in quantile_normalize_dims(df, "id", "v", 2).collect()
+    }
+    # dim 0 ranks: 10<20<30<40 -> ids 1,3,2,4 -> q = 1/8, 3/8, 5/8, 7/8
+    assert got[(1, 0)] == 0.125 and got[(3, 0)] == 0.375
+    assert got[(2, 0)] == 0.625 and got[(4, 0)] == 0.875
+    # dim 1 all-ties: the (value, id) total order spreads them 1..4
+    assert [got[(i, 1)] for i in (1, 2, 3, 4)] == [0.125, 0.375, 0.625, 0.875]
+
+
+def test_quantile_normalize_dims_is_uniform(spark):
+    """Any input distribution maps to the same uniform midrank grid."""
+    import random
+
+    from moisturizer_spark.operators.stats import quantile_normalize_dims
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(i, [rng.expovariate(1.0)]) for i in range(50)],
+        "id bigint, v array<double>",
+    )
+    qs = sorted(
+        r["q"] for r in quantile_normalize_dims(df, "id", "v", 1).collect()
+    )
+    assert qs == [round((2 * k - 1) / 100, 6) for k in range(1, 51)]
