@@ -41,6 +41,7 @@ from moisturizer_spark.operators.similarity import (  # noqa: F401
 )
 from moisturizer_spark.operators.skew import (  # noqa: F401
     hot_keys,
+    key_skew_report,
     salted_join,
 )
 from moisturizer_spark.operators.textan import (  # noqa: F401
@@ -75,5 +76,8 @@ from moisturizer_spark.operators.joins import (  # noqa: F401
 )
 from moisturizer_spark.operators.stats import (  # noqa: F401
     auc_exact,
+    pmi_table,
     poisson_bootstrap_ci,
+    quantile_normalize_dims,
+    seasonal_naive_eval,
 )
