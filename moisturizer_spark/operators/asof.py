@@ -283,3 +283,55 @@ def pit_join(
         *[f"{c}{suffix}" for c in attr_cols],
         F.col("_vf").alias(f"{valid_from_col}{suffix}"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping or touching half-open intervals per key — the
+    gaps-and-islands primitive behind coverage/active-time analytics,
+    interval dedup, and validity-window repair: ``[1,5) ∪ [3,8) ∪
+    [8,9) → [1,9)``. Returns one row per merged island:
+    ``(key…, island_start, island_end)``.
+
+    The sweep is two window passes over ONE (key, start, end) sort: a
+    row opens a new island iff its start lies strictly past the running
+    max of all earlier ends (half-open semantics: an interval starting
+    exactly at the previous max end TOUCHES it and merges); a running
+    sum of those open-flags numbers the islands; min/max per island
+    close them. Works for any orderable interval type (ints, micros,
+    timestamps) with exact comparisons — no epsilon, no floats.
+
+    Scale: one shuffle on the key; the two windows and the final
+    aggregate all share that partitioning (per-key sort runs, the SCD2
+    build shape). Zero-length intervals (start == end) merge into any
+    island containing their point and otherwise produce a zero-length
+    island — faithful, stated."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("bigint")
+    with_island = df.select(
+        *key_cols,
+        start_col,
+        end_col,
+        F.sum(opens)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_island"),
+    )
+    return (
+        with_island.groupBy(*key_cols, "_island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+        )
+        .drop("_island")
+    )

@@ -420,3 +420,72 @@ def quantile_normalize_dims(
             6,
         ).alias("q"),
     )
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (exact-moment OLS) — the
+    trend detector ("is this brand's unit price drifting?") as ONE
+    map-side-combinable aggregation: slope, intercept, and r² from the
+    five moment sums, no iterative fitting, no per-group collect.
+
+    Determinism is the ``embedding_dim_correlation`` recipe under a
+    groupBy: ``x``/``y`` must arrive on exact integer grids (days,
+    cents — caller quantizes); all five moments accumulate as
+    DECIMAL(38,0) (exact, order-independent), the regression deltas
+    ``nSxy − SxSy`` / ``nSxx − Sx²`` / ``nSyy − Sy²`` stay exact
+    decimals, and only the final slope/intercept/r² divisions run in
+    doubles, rounded to 6 — identical inputs, identical IEEE results.
+    Groups with zero x-variance (or < 2 rows) report NULL slope/
+    intercept/r², stated. Decimal headroom: |nSxy| ≤ n²·max|x|·max|y|
+    must stay under 10³⁸ — satisfied up to ~10¹² rows/group at
+    day×cent grids; r²'s squared numerator would overflow decimals, so
+    it squares in DOUBLE (exact inputs → identical doubles).
+
+    Returns ``(group…, n_rows, slope, intercept, r2)``."""
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast(d38)
+    y = F.col(y_col).cast(d38)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    dxy = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    dxx = (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    ).cast("double")
+    dyy = (
+        F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    ).cast("double")
+    slope = F.when(dxx > 0, F.round(dxy / dxx, 6))
+    intercept = F.when(
+        dxx > 0,
+        F.round(
+            (
+                F.col("_sy").cast("double")
+                - F.round(dxy / dxx, 6) * F.col("_sx").cast("double")
+            )
+            / F.col("_n").cast("double"),
+            6,
+        ),
+    )
+    r2 = F.when(
+        (dxx > 0) & (dyy > 0), F.round(dxy * dxy / (dxx * dyy), 6)
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

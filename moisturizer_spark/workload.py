@@ -8457,6 +8457,142 @@ def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_user_active_coverage",
+    """
+    WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 1800000000 AS e FROM events),
+    m AS (SELECT user_id, s, e,
+                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+          FROM iv),
+    isl AS (SELECT user_id, s, e,
+                   SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS g
+            FROM m),
+    agg AS (SELECT user_id, g, MIN(s) AS s, MAX(e) AS e
+            FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(CAST(SUM(e - s) AS DOUBLE) / 60000000.0, 6)
+             AS active_minutes
+    FROM agg GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ACTIVE-TIME COVERAGE via interval union — the
+    gaps-and-islands primitive (:func:`moisturizer_spark.operators.
+    asof.coalesce_intervals`): every event opens a half-open 30-minute
+    activity window; overlapping/touching windows merge into islands;
+    the report is each user's island count and total covered minutes —
+    the "how long was this user actually active" question that naive
+    per-event sums double-count and sessionization (gap-based,
+    ``events_sessionize``) answers differently (coverage counts the
+    trailing window; sessions end at the last event).
+
+    Determinism: exact microsecond integers end-to-end (the `_micros`
+    NTZ recipe == DuckDB ``epoch_us``); one rounded division to
+    minutes. Scale: ONE shuffle on the user key — the sweep's two
+    windows and both aggregations share the (user, start, end) sort
+    runs (the SCD2-build shape)."""
+    from moisturizer_spark.operators.asof import coalesce_intervals
+
+    t = load_tables(spark, sf_dir, ("events",))
+    half_hour = 1_800_000_000
+    iv = t["events"].select(
+        "user_id",
+        _micros(F.col("ts")).alias("s"),
+        (_micros(F.col("ts")) + F.lit(half_hour)).alias("e"),
+    )
+    merged = coalesce_intervals(iv, ["user_id"], "s", "e")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.round(
+                F.sum(F.col("island_end") - F.col("island_start")).cast(
+                    "double"
+                )
+                / 60000000.0,
+                6,
+            ).alias("active_minutes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "brand_price_trend",
+    """
+    WITH pts AS (SELECT p_brand,
+                        date_diff('day', DATE '1970-01-01',
+                                  CAST(l_shipdate AS DATE)) AS x,
+                        CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100)
+                             AS BIGINT) AS y
+                 FROM lineitem JOIN part ON l_partkey = p_partkey),
+    m AS (SELECT p_brand,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                   AS sxx,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                   AS sxy,
+                 CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                   AS syy
+          FROM pts GROUP BY p_brand),
+    d AS (SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(n AS DOUBLE) AS nd,
+                 CAST(sy AS DOUBLE) AS syd,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS dxy,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS dyy
+          FROM m)
+    SELECT p_brand, n_rows,
+           CASE WHEN dxx > 0 THEN ROUND(dxy / dxx, 6) END AS slope,
+           CASE WHEN dxx > 0 THEN
+               ROUND((syd - ROUND(dxy / dxx, 6) * sxd) / nd, 6) END
+             AS intercept,
+           CASE WHEN dxx > 0 AND dyy > 0 THEN
+               ROUND(dxy * dxy / (dxx * dyy), 6) END AS r2
+    FROM d ORDER BY p_brand
+    """,
+)
+def brand_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price trend via exact-moment OLS (:func:`moisturizer_
+    spark.operators.stats.group_ols`): slope/intercept/r² of extended
+    price (cents) against ship day — is a brand's realized price
+    drifting, and does time explain any of it — fitted for every brand
+    in ONE map-side-combinable aggregation, no iteration, no per-group
+    collect.
+
+    Determinism: x = exact day index, y = exact cents; the five moments
+    accumulate as DECIMAL(38,0) (order-independent), regression deltas
+    stay exact decimals, and only the final three divisions run in
+    doubles (identical inputs → identical IEEE results; r² squares in
+    double, headroom documented on the operator). Scale: part is a
+    broadcast dim; the moment aggregation is one shuffle at brand
+    grain."""
+    from moisturizer_spark.operators.stats import group_ols
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    pts = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        t["lineitem"]["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("x"),
+        F.round(F.col("l_extendedprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return group_ols(pts, ["p_brand"], "x", "y").orderBy("p_brand")
+
+
+@query(
     "daily_volume_revenue_corr",
     """
     WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
@@ -9274,6 +9410,8 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "events_user_active_coverage",    # NEW: interval-union coverage
+    "brand_price_trend",              # NEW: grouped exact-moment OLS
     "docs_source_lang_pmi",           # NEW: PMI feature association
     "embedding_quantile_normalize",   # NEW: rank-uniform transform
     "monthly_revenue_forecast_eval",  # NEW: seasonal-naive baseline

@@ -335,3 +335,60 @@ def test_pit_join_equi_key_plan_no_nested_loop(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_coalesce_intervals_planted(spark):
+    from moisturizer_spark.operators.asof import coalesce_intervals
+
+    rows = [
+        ("u1", 1, 5), ("u1", 3, 8), ("u1", 8, 9),   # overlap + touch -> [1,9)
+        ("u1", 20, 25),                              # separate island
+        ("u2", 0, 2), ("u2", 2, 4), ("u2", 10, 11),  # touch chain + island
+    ]
+    df = spark.createDataFrame(rows, "u string, s int, e int")
+    got = sorted(
+        (r["u"], r["island_start"], r["island_end"])
+        for r in coalesce_intervals(df, ["u"], "s", "e").collect()
+    )
+    assert got == [("u1", 1, 9), ("u1", 20, 25), ("u2", 0, 4), ("u2", 10, 11)]
+
+
+def test_coalesce_intervals_contained_and_equal(spark):
+    from moisturizer_spark.operators.asof import coalesce_intervals
+
+    rows = [("k", 1, 10), ("k", 2, 3), ("k", 1, 10), ("k", 5, 7)]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = [
+        (r["island_start"], r["island_end"])
+        for r in coalesce_intervals(df, ["k"], "s", "e").collect()
+    ]
+    assert got == [(1, 10)]
+
+
+def test_coalesce_intervals_matches_python_replay(spark):
+    import random
+
+    from moisturizer_spark.operators.asof import coalesce_intervals
+
+    rng = random.Random(31)
+    rows = []
+    for u in range(5):
+        for _ in range(40):
+            s = rng.randrange(1000)
+            rows.append((f"u{u}", s, s + rng.randrange(1, 30)))
+
+    def ref(intervals):
+        out = []
+        for s, e in sorted(intervals):
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return [tuple(x) for x in out]
+
+    df = spark.createDataFrame(rows, "u string, s int, e int")
+    got = {}
+    for r in coalesce_intervals(df, ["u"], "s", "e").collect():
+        got.setdefault(r["u"], []).append((r["island_start"], r["island_end"]))
+    for u in {r[0] for r in rows}:
+        assert sorted(got[u]) == ref([(s, e) for k, s, e in rows if k == u])

@@ -197,6 +197,10 @@ BUDGETS = {
     "monthly_revenue_forecast_eval": 2,
     # cell-grain count + two broadcast marginal counts + final sort
     "docs_source_lang_pmi": 4,
+    # one user-key shuffle shared by the sweep windows + the final agg
+    "events_user_active_coverage": 2,
+    # broadcast part join + one brand-grain moment aggregation
+    "brand_price_trend": 2,
     # explode + per-dimension window partitioning (parallel across dims)
     "embedding_quantile_normalize": 2,
     # per-key count + the key-grain rank window feeding one scalar agg

@@ -231,3 +231,44 @@ def test_quantile_normalize_dims_is_uniform(spark):
         r["q"] for r in quantile_normalize_dims(df, "id", "v", 1).collect()
     )
     assert qs == [round((2 * k - 1) / 100, 6) for k in range(1, 51)]
+
+
+def test_group_ols_exact_line(spark):
+    from moisturizer_spark.operators.stats import group_ols
+
+    # y = 3x + 7 exactly -> slope 3, intercept 7, r2 = 1
+    rows = [("g", x, 3 * x + 7) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = group_ols(df, ["g"], "x", "y").collect()[0]
+    assert (r["slope"], r["intercept"], r["r2"]) == (3.0, 7.0, 1.0)
+    assert r["n_rows"] == 10
+
+
+def test_group_ols_matches_numpy(spark):
+    import random
+
+    import numpy as np
+
+    from moisturizer_spark.operators.stats import group_ols
+
+    rng = random.Random(11)
+    rows = [("a", x, 2 * x + rng.randrange(-50, 50)) for x in range(50)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = group_ols(df, ["g"], "x", "y").collect()[0]
+    xs = np.array([x for _, x, _ in rows], dtype=float)
+    ys = np.array([y for _, _, y in rows], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r["slope"] - slope) < 1e-5
+    assert abs(r["intercept"] - intercept) < 1e-4
+    assert abs(r["r2"] - corr ** 2) < 1e-5
+
+
+def test_group_ols_degenerate_groups_are_null(spark):
+    from moisturizer_spark.operators.stats import group_ols
+
+    rows = [("const_x", 5, 1), ("const_x", 5, 9), ("single", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    for g in ("const_x", "single"):
+        assert got[g]["slope"] is None and got[g]["r2"] is None
