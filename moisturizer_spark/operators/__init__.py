@@ -10,6 +10,7 @@ higher-order functions).
 from moisturizer_spark.operators.asof import (  # noqa: F401
     asof_join,
     banded_interval_join,
+    coalesce_intervals,
     pit_join,
     scd2_build,
 )
@@ -76,6 +77,7 @@ from moisturizer_spark.operators.joins import (  # noqa: F401
 )
 from moisturizer_spark.operators.stats import (  # noqa: F401
     auc_exact,
+    group_ols,
     pmi_table,
     poisson_bootstrap_ci,
     quantile_normalize_dims,
