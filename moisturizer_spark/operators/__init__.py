@@ -64,8 +64,11 @@ from moisturizer_spark.operators.tokenizer import (  # noqa: F401
     bpe_train,
 )
 from moisturizer_spark.operators.expectations import (  # noqa: F401
+    chi2_report,
+    ks_report,
     profile_numeric,
     profile_numeric_approx,
+    psi_report,
 )
 from moisturizer_spark.operators.graph import (  # noqa: F401
     lpa_communities,

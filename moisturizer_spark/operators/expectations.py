@@ -501,3 +501,148 @@ def psi_report(
         .withColumn("drift", F.col("psi") > F.lit(0.25))
         .orderBy("column")
     )
+
+
+def ks_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    decimal: str = "decimal(18,6)",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between a REFERENCE and a
+    CURRENT snapshot of one numeric column — the distribution-shift
+    test whose statistic this engine can compute EXACTLY: ``D = max_v
+    |F_ref(v) − F_cur(v)|`` clears denominators to ``D_scaled = max_v
+    |cum_ref(v)·n_cur − cum_cur(v)·n_ref|``, an exact BIGINT max (no
+    float CDF, no approximation), divided once at the end. Where PSI
+    (:func:`psi_report`) bins and smooths, KS uses the full empirical
+    CDF — sensitive to any shift, bin-free.
+
+    Values quantize to micro BIGINTs (the ``decimal`` grid); both
+    tagged sides fold to per-distinct-value counts in one aggregation;
+    one cumulative window over the VALUE GRID (bounded by distinct-
+    value cardinality, not row count — a price/discount/score grid is
+    small by nature; a genuinely continuous 10^9-value column should
+    quantize coarser first, stated) and one max. ``cum·n`` stays in
+    int64 below ~3·10⁹ rows per side. Returns one row:
+    ``(n_ref, n_cur, ks, ks_at)`` — ``ks_at`` is the micro-grid value
+    where the max is attained (ties take the largest value; total
+    order)."""
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        v = F.round(
+            F.col(col).cast(decimal).cast("double") * 1e6
+        ).cast("bigint")
+        return df.select(v.alias("_v"), F.lit(tag).alias("_t"))
+
+    both = side(ref, 0).unionAll(side(cur, 1))
+    per = both.groupBy("_v").agg(
+        F.sum(F.when(F.col("_t") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_cr"),
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_cc"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "_v",
+        F.sum("_cr").over(w).alias("_fr"),
+        F.sum("_cc").over(w).alias("_fc"),
+        F.sum("_cr").over(w_all).alias("_nr"),
+        F.sum("_cc").over(w_all).alias("_nc"),
+    )
+    return (
+        cum.groupBy()
+        .agg(
+            F.max("_nr").cast("bigint").alias("n_ref"),
+            F.max("_nc").cast("bigint").alias("n_cur"),
+            F.max(
+                F.struct(
+                    F.abs(
+                        F.col("_fr") * F.col("_nc")
+                        - F.col("_fc") * F.col("_nr")
+                    ).alias("_d"),
+                    F.col("_v").alias("_at"),
+                )
+            ).alias("_m"),
+        )
+        .select(
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.col("_m._d").cast("double")
+                / (F.col("n_ref") * F.col("n_cur")).cast("double"),
+                6,
+            ).alias("ks"),
+            F.col("_m._at").alias("ks_at"),
+        )
+    )
+
+
+def chi2_report(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns
+    — the one-number companion to the per-cell PMI screen
+    (:func:`~moisturizer_spark.operators.stats.pmi_table`): ``χ² =
+    Σ_cells (o − e)²/e`` with ``e = row·col/N``, reported with degrees
+    of freedom ``(R−1)(C−1)`` (compare to the χ² critical value
+    offline; no p-value dependency).
+
+    Determinism: each cell's term is computed from EXACT BIGINTs —
+    ``(o·N − r_a·c_b)² / (N·r_a·c_b)``, identical doubles in both
+    engines — then nano-rounded to an integer BEFORE the sum (the
+    nano-bit recipe: float summation order can never move the result),
+    and the final χ² divides the exact nano sum once. ``o·N`` needs
+    int64: exact below ~3·10⁹ rows. Cells WITHOUT observations
+    contribute their expected mass exactly as the algebraic identity
+    requires — χ² over observed cells uses the equivalent form
+    ``Σ_obs (o·N − ra·cb)²/(N·ra·cb) + missing-cell mass``; this
+    implementation scans observed cells and adds the missing-cell
+    correction ``Σ_missing ra·cb/N`` via the exact identity
+    ``Σ_all e = N``. Scale: one cell-grain count; marginals broadcast;
+    one scalar aggregate. Returns ``(n_rows, dof, chi2)``."""
+    n_total = df.count()
+    cells = df.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_o")
+    )
+    ma = df.groupBy(col_a).agg(F.count(F.lit(1)).cast("bigint").alias("_ra"))
+    mb = df.groupBy(col_b).agg(F.count(F.lit(1)).cast("bigint").alias("_cb"))
+    n = F.lit(int(n_total)).cast("bigint")
+    joined = cells.join(F.broadcast(ma), col_a).join(F.broadcast(mb), col_b)
+    # observed-cell term, nano-rounded before the exact sum; plus each
+    # observed cell's expected mass e = ra*cb/N (float, also nano-
+    # rounded) so the missing-cell correction N - sum(e_obs) is exact
+    num = (F.col("_o") * n - F.col("_ra") * F.col("_cb")).cast("double")
+    den = (n * F.col("_ra") * F.col("_cb")).cast("double")
+    term_nano = F.round(num * num / den * 1e9).cast("bigint")
+    e_nano = F.round(
+        (F.col("_ra") * F.col("_cb")).cast("double")
+        / n.cast("double")
+        * 1e9
+    ).cast("bigint")
+    agg = joined.groupBy().agg(
+        F.sum("_o").cast("bigint").alias("n_rows"),
+        F.sum(term_nano).cast("bigint").alias("_t"),
+        F.sum(e_nano).cast("bigint").alias("_e"),
+        F.count_distinct(F.col(col_a)).cast("bigint").alias("_nr"),
+        F.count_distinct(F.col(col_b)).cast("bigint").alias("_nc"),
+    )
+    # missing-cell mass: sum over unobserved (a,b) of e = N - sum_obs(e)
+    chi2_nano = F.col("_t") + (
+        F.lit(int(n_total) * 10**9).cast("bigint") - F.col("_e")
+    )
+    return agg.select(
+        "n_rows",
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("bigint").alias(
+            "dof"
+        ),
+        F.round(chi2_nano.cast("double") / 1e9, 6).alias("chi2"),
+    )

@@ -8593,6 +8593,113 @@ def brand_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_discount_ks",
+    f"""
+    WITH sides AS (SELECT CASE WHEN l_shipdate < DATE '{_PSI_SPLIT_DATE}'
+                               THEN 0 ELSE 1 END AS t,
+                          CAST(ROUND(CAST(CAST(l_discount AS DECIMAL(18,6))
+                               AS DOUBLE) * 1e6) AS BIGINT) AS v
+                   FROM lineitem),
+    per AS (SELECT v,
+                   CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cr,
+                   CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cc
+            FROM sides GROUP BY v),
+    cum AS (SELECT v,
+                   SUM(cr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS fr,
+                   SUM(cc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS fc,
+                   SUM(cr) OVER () AS nr, SUM(cc) OVER () AS nc
+            FROM per),
+    m AS (SELECT fr, fc, nr, nc, v,
+                 ROW_NUMBER() OVER (ORDER BY ABS(fr * nc - fc * nr) DESC,
+                                    v DESC) AS rk
+          FROM cum)
+    SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+           ROUND(CAST(ABS(fr * nc - fc * nr) AS DOUBLE) / (nr * nc), 6)
+             AS ks,
+           v AS ks_at
+    FROM m WHERE rk = 1
+    """,
+)
+def lineitem_discount_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the discount
+    distributions before and after the PSI split date — the bin-free
+    companion to ``lineitem_drift_psi`` (:func:`moisturizer_spark.
+    operators.expectations.ks_report`): where PSI bins and smooths, KS
+    compares full empirical CDFs, and this engine computes the
+    statistic EXACTLY — ``D`` clears denominators to an integer max
+    ``|cum_ref·n_cur − cum_cur·n_ref|``, so no float CDF ever enters;
+    the report also names the value where the max is attained.
+
+    Scale: one fold to the distinct-VALUE grid (11 discount values —
+    the window is grid-sized, not row-sized, stated on the operator);
+    one rounded division. Determinism: exact BIGINTs end-to-end;
+    max ties resolve (distance, value) descending — a total order."""
+    from moisturizer_spark.operators.expectations import ks_report
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    split = F.lit(_PSI_SPLIT_DATE).cast("date")
+    ref = t["lineitem"].filter(F.col("l_shipdate") < split)
+    cur = t["lineitem"].filter(F.col("l_shipdate") >= split)
+    return ks_report(ref, cur, "l_discount")
+
+
+@query(
+    "source_lang_chi2",
+    """
+    WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+                   FROM documents GROUP BY 1, 2),
+    ma AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ra
+           FROM documents GROUP BY 1),
+    mb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM documents GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM documents),
+    j AS (SELECT o, ra, cb, nt
+          FROM cells JOIN ma USING (source) JOIN mb USING (lang)
+          CROSS JOIN n),
+    s AS (SELECT CAST(SUM(o) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(ROUND(
+                     CAST(o * nt - ra * cb AS DOUBLE)
+                     * CAST(o * nt - ra * cb AS DOUBLE)
+                     / CAST(nt * ra * cb AS DOUBLE) * 1e9) AS BIGINT))
+                   AS BIGINT) AS t,
+                 CAST(SUM(CAST(ROUND(CAST(ra * cb AS DOUBLE)
+                     / CAST(nt AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT)
+                   AS e,
+                 MAX(nt) AS nt
+          FROM j)
+    SELECT n_rows,
+           CAST(((SELECT COUNT(*) FROM ma) - 1)
+                * ((SELECT COUNT(*) FROM mb) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(t + (nt * 1000000000 - e) AS DOUBLE) / 1e9, 6)
+             AS chi2
+    FROM s
+    """,
+)
+def source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test over the same source × language
+    grid the PMI screen inspects cell-by-cell — the ONE-NUMBER verdict
+    (:func:`moisturizer_spark.operators.expectations.chi2_report`):
+    χ² with degrees of freedom, compared to critical values offline.
+    Structurally-empty cells contribute their expected mass through the
+    exact identity ``Σ_all e = N`` (scan observed cells, add
+    ``N − Σ_obs e``) — the subtle term naive implementations drop.
+
+    Determinism: every cell term computes from exact BIGINTs into
+    identical doubles, nano-rounds BEFORE the sum (summation order can
+    never move the result), one final division. Scale: one cell-grain
+    count; category-grain marginals broadcast; N inlined as a
+    literal."""
+    from moisturizer_spark.operators.expectations import chi2_report
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return chi2_report(t["documents"], "source", "lang")
+
+
+@query(
     "daily_volume_revenue_corr",
     """
     WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
@@ -9410,6 +9517,8 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "lineitem_discount_ks",           # NEW: exact-integer KS drift test
+    "source_lang_chi2",               # NEW: chi-squared independence
     "events_user_active_coverage",    # NEW: interval-union coverage
     "brand_price_trend",              # NEW: grouped exact-moment OLS
     "docs_source_lang_pmi",           # NEW: PMI feature association

@@ -207,3 +207,95 @@ def test_psi_report_detects_planted_shift(spark):
     assert {k: v.asDict() for k, v in hot.items()} == {
         k: v.asDict() for k, v in again.items()
     }
+
+
+def test_ks_report_matches_scipy_style_replay(spark):
+    import random
+    from collections import Counter
+
+    from moisturizer_spark.operators.expectations import ks_report
+
+    rng = random.Random(7)
+    a = [round(rng.gauss(0, 1), 2) for _ in range(300)]
+    b = [round(rng.gauss(0.5, 1.2), 2) for _ in range(250)]
+    ref = spark.createDataFrame([(v,) for v in a], "x double")
+    cur = spark.createDataFrame([(v,) for v in b], "x double")
+    r = ks_report(ref, cur, "x").collect()[0]
+
+    # exact integer replay on the micro grid
+    am = Counter(round(v * 1e6) for v in a)
+    bm = Counter(round(v * 1e6) for v in b)
+    vals = sorted(set(am) | set(bm))
+    fr = fc = 0
+    best = (-1, None)
+    for v in vals:
+        fr += am.get(v, 0)
+        fc += bm.get(v, 0)
+        d = abs(fr * len(b) - fc * len(a))
+        if d >= best[0]:
+            best = (d, v)
+    assert (r["n_ref"], r["n_cur"]) == (300, 250)
+    assert r["ks"] == round(best[0] / (300 * 250), 6)
+    assert r["ks_at"] == best[1]
+    # sanity: the shift is real
+    assert r["ks"] > 0.1
+
+
+def test_ks_report_identical_distributions_zero(spark):
+    from moisturizer_spark.operators.expectations import ks_report
+
+    df = spark.createDataFrame([(float(i % 7),) for i in range(70)], "x double")
+    r = ks_report(df, df, "x").collect()[0]
+    assert r["ks"] == 0.0
+
+
+def test_chi2_report_matches_python_replay(spark):
+    import random
+    from collections import Counter
+
+    from moisturizer_spark.operators.expectations import chi2_report
+
+    rng = random.Random(19)
+    rows = [
+        (f"a{rng.randrange(3)}", f"b{rng.randrange(4)}") for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_report(df, "a", "b").collect()[0]
+    n = len(rows)
+    ca, cb, co = Counter(), Counter(), Counter()
+    for a, b in rows:
+        ca[a] += 1
+        cb[b] += 1
+        co[(a, b)] += 1
+    t_nano = sum(
+        round((o * n - ca[a] * cb[b]) ** 2 / (n * ca[a] * cb[b]) * 1e9)
+        for (a, b), o in co.items()
+    )
+    e_nano = sum(round(ca[a] * cb[b] / n * 1e9) for (a, b) in co)
+    chi2 = round((t_nano + (n * 10**9 - e_nano)) / 1e9, 6)
+    assert r["chi2"] == chi2
+    assert (r["n_rows"], r["dof"]) == (500, 6)
+
+
+def test_chi2_report_independent_grid_is_zero(spark):
+    from moisturizer_spark.operators.expectations import chi2_report
+
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_report(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1
+
+
+def test_chi2_report_missing_cell_mass_counted(spark):
+    """A structurally-empty cell (a2 never meets b2) must contribute its
+    expected mass — scipy's chi2_contingency agrees on this grid."""
+    from moisturizer_spark.operators.expectations import chi2_report
+
+    rows = [("a1", "b1")] * 10 + [("a1", "b2")] * 10 + [("a2", "b1")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_report(df, "a", "b").collect()[0]
+    # marginals: a1=20,a2=10 ; b1=20,b2=10 ; N=30
+    # e: (a1,b1)=13.33,(a1,b2)=6.67,(a2,b1)=6.67,(a2,b2)=3.33
+    # chi2 = (10-13.33)^2/13.33 + (10-6.67)^2/6.67 + (10-6.67)^2/6.67
+    #        + (0-3.33)^2/3.33 = 0.8333+1.6667+1.6667+3.3333 = 7.5
+    assert abs(r["chi2"] - 7.5) < 1e-6

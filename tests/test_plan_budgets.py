@@ -199,6 +199,10 @@ BUDGETS = {
     "docs_source_lang_pmi": 4,
     # one user-key shuffle shared by the sweep windows + the final agg
     "events_user_active_coverage": 2,
+    # value-grid fold + the bounded grid window feeding one scalar agg
+    "lineitem_discount_ks": 2,
+    # cell count + two broadcast marginals + the scalar agg + dof subqueries
+    "source_lang_chi2": 5,
     # broadcast part join + one brand-grain moment aggregation
     "brand_price_trend": 2,
     # explode + per-dimension window partitioning (parallel across dims)
