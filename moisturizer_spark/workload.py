@@ -9588,6 +9588,13 @@ _NEEDS_DRIVER_ROW = [
     # (top_bigrams / top_words_per_lang displaced by the four
     # _bigram_pairs-tainted entries above — they reach age 3 this round,
     # stay mirror-verified at 3 scales, and rotate FIRST in round 8)
+    #
+    # The 14 continuation-session queries at the head displace the last
+    # 14 rotation entries past slot 50 (q20_dominant_suppliers ..
+    # top3_customers_per_nation — harmless here, the driver ignores
+    # list positions beyond the window): together with top_bigrams /
+    # top_words_per_lang they are the round-8 stalest-first rotation
+    # set; all stay mirror-verified at 3 scales every suite run.
 ]
 
 
