@@ -71,6 +71,7 @@ from moisturizer_spark.operators.expectations import (  # noqa: F401
     psi_report,
 )
 from moisturizer_spark.operators.graph import (  # noqa: F401
+    hits_bipartite,
     lpa_communities,
     pagerank_int,
     triangle_count,

@@ -260,7 +260,13 @@ def pit_join(
     by |facts|. Per-key version history fans out only within the
     matched key's sort run; hot keys split under AQE. An unversioned
     (messy, overlapping) dim is the caller's bug — this operator
-    faithfully returns the duplicate matches rather than guessing."""
+    faithfully returns the duplicate matches rather than guessing.
+
+    Works UNCHANGED with a STREAMING fact side (Structured Streaming's
+    stream-static join): each event enriches with the version valid at
+    its EVENT time, so late data gets the historical version instead
+    of the current one — the leakage-free streaming feature read
+    (e2e-tested in ``tests/test_streaming.py``)."""
     if attr_cols is None:
         attr_cols = [
             c

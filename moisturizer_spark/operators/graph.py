@@ -317,3 +317,68 @@ def bfs_levels(
     return visited.select(
         F.col("_node").alias("node"), F.col("_level").alias("hops")
     )
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list, in the all-integer discipline of :func:`pagerank_int` — the
+    mutual-reinforcement ranking PageRank cannot express (a hub is good
+    because it points at good authorities, and vice versa; on the
+    customer→supplier trade graph: breadth-weighted buyers vs
+    demand-weighted suppliers). Classic HITS L2-normalizes each round —
+    a float op; instead the UNNORMALIZED power iteration runs a FIXED
+    number of rounds on exact DECIMAL(38,0) sums (rankings are
+    normalization-invariant), so the result is partitioning- and
+    engine-exact and an oracle unrolls it as CTE chains.
+
+    One round = ``a ← Σ_in h`` then ``h ← Σ_out a``; hubs start at 1.
+    Growth bounds the round count instead of a convergence loop (the
+    BFS argument): scores grow like ``(d_src·d_dst)^rounds`` — at the
+    default 2 rounds, exact below ~10^9 nodes of degree ~10^4
+    (max ≈ 10^26 ≪ 10^38); raise ``rounds`` only with the headroom
+    arithmetic redone. Returns ``(node, role, score)`` with role
+    'hub' (source side) / 'authority' (destination side), scores as
+    DECIMAL(38,0).
+
+    Scale: each half-round is one equi-join of the persisted edge list
+    against a node-grain score frame plus one map-combinable sum; score
+    frames materialize per half-round (the pagerank lineage lesson)."""
+    from moisturizer_spark.operators.common import materialize
+
+    d38 = "decimal(38,0)"
+    e = materialize(
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        ).distinct()
+    )
+    h = materialize(
+        e.select("_s").distinct().withColumn("_h", F.lit(1).cast(d38))
+    )
+    a = None
+    for _ in range(rounds):
+        a = materialize(
+            e.join(h, "_s")
+            .groupBy("_d")
+            .agg(F.sum("_h").cast(d38).alias("_a"))
+        )
+        h = materialize(
+            e.join(a, "_d")
+            .groupBy("_s")
+            .agg(F.sum("_a").cast(d38).alias("_h"))
+        )
+    hubs = h.select(
+        F.col("_s").alias("node"),
+        F.lit("hub").alias("role"),
+        F.col("_h").alias("score"),
+    )
+    auths = a.select(
+        F.col("_d").alias("node"),
+        F.lit("authority").alias("role"),
+        F.col("_a").alias("score"),
+    )
+    return hubs.unionByName(auths)

@@ -7556,6 +7556,77 @@ def trade_pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@query(
+    "trade_hits_authorities",
+    """
+    WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    a1 AS (SELECT s, CAST(COUNT(*) AS HUGEINT) AS a FROM cs GROUP BY s),
+    h1 AS (SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+           FROM cs JOIN a1 USING (s) GROUP BY c),
+    a2 AS (SELECT s, CAST(SUM(h) AS HUGEINT) AS a
+           FROM cs JOIN h1 USING (c) GROUP BY s),
+    h2 AS (SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+           FROM cs JOIN a2 USING (s) GROUP BY c),
+    u AS (SELECT 'hub' AS role, 'c' || CAST(c AS VARCHAR) AS node,
+                 CAST(h AS BIGINT) AS score FROM h2
+          UNION ALL
+          SELECT 'authority', 's' || CAST(s AS VARCHAR), CAST(a AS BIGINT)
+          FROM a2)
+    SELECT role, node, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY role
+                                     ORDER BY score DESC, node) AS rn
+        FROM u)
+    WHERE rn <= 10 ORDER BY role, score DESC, node
+    """,
+)
+def trade_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the DIRECTED customer→supplier
+    trade graph (:func:`moisturizer_spark.operators.graph.
+    hits_bipartite`) — the mutual-reinforcement ranking PageRank's
+    random walk cannot express: top-10 hub customers (broad buyers of
+    in-demand suppliers) and top-10 authority suppliers (suppliers the
+    broad buyers concentrate on), from two unrolled unnormalized power
+    rounds on exact DECIMAL(38,0) sums (rankings are normalization-
+    invariant; growth bound documented on the operator).
+
+    Determinism: exact integer sums end-to-end, BIGINT output (ANSI
+    raises loudly if the documented headroom is ever exceeded); top-10
+    tiebreaks on node. Scale: the edge list persists once; each
+    half-round is one equi-join + one map-combinable sum at node
+    grain."""
+    from pyspark.sql import Window
+
+    from moisturizer_spark.operators.graph import hits_bipartite
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    cs = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = cs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    scores = hits_bipartite(edges, rounds=2).select(
+        "role", "node", F.col("score").cast("bigint").alias("score")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("role").orderBy(F.col("score").desc(), "node")
+    )
+    return (
+        scores.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= 10)
+        .select("role", "node", "score")
+        .orderBy("role", F.col("score").desc(), "node")
+    )
+
+
 def _sql_bootstrap_ci() -> str:
     from moisturizer_spark.operators.stats import sql_weight_expr
 
@@ -9517,6 +9588,7 @@ _NEEDS_DRIVER_ROW = [
     # round 7: new queries + queries tainted by the r7 operator edits
     # (importance_resample rescale; profile_numeric overflow guard),
     # mechanically confirmed by tests/test_driver_window.py
+    "trade_hits_authorities",         # NEW: HITS mutual reinforcement
     "lineitem_discount_ks",           # NEW: exact-integer KS drift test
     "source_lang_chi2",               # NEW: chi-squared independence
     "events_user_active_coverage",    # NEW: interval-union coverage

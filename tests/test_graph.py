@@ -198,3 +198,55 @@ def test_lpa_communities_iteration_bound_is_exact_state(spark):
         for r in lpa_communities(df, iterations=0).collect()
     }
     assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def _hits_ref(edges, rounds=2):
+    from collections import defaultdict
+
+    e = sorted(set(edges))
+    h = {s: 1 for s, _ in e}
+    a = {}
+    for _ in range(rounds):
+        a = defaultdict(int)
+        for s, d in e:
+            a[d] += h[s]
+        h = defaultdict(int)
+        for s, d in e:
+            h[s] += a[d]
+    return dict(h), dict(a)
+
+
+def test_hits_bipartite_matches_python_replay(spark):
+    import random
+
+    from moisturizer_spark.operators.graph import hits_bipartite
+
+    rng = random.Random(29)
+    edges = list({(f"c{rng.randrange(20)}", f"s{rng.randrange(8)}")
+                  for _ in range(120)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got_h, got_a = {}, {}
+    for r in hits_bipartite(df).collect():
+        (got_h if r["role"] == "hub" else got_a)[r["node"]] = int(r["score"])
+    ref_h, ref_a = _hits_ref(edges)
+    assert got_h == ref_h and got_a == ref_a
+
+
+def test_hits_bipartite_mutual_reinforcement(spark):
+    """A supplier serving the broad hub outranks one serving a narrow
+    buyer, even at equal in-degree — the signal degree counting misses."""
+    from moisturizer_spark.operators.graph import hits_bipartite
+
+    edges = (
+        # c_big buys from s1..s4 (broad hub); c_small only from s_niche
+        [("c_big", f"s{i}") for i in range(1, 5)]
+        + [("c_small", "s_niche")]
+        # both s1 and s_niche have in-degree 1 after this point
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    scores = {
+        (r["role"], r["node"]): int(r["score"])
+        for r in hits_bipartite(df).collect()
+    }
+    assert scores[("authority", "s1")] > scores[("authority", "s_niche")]
+    assert scores[("hub", "c_big")] > scores[("hub", "c_small")]

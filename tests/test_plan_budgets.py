@@ -185,6 +185,9 @@ BUDGETS = {
     "top3_customers_per_nation": 3,
     "top_bigrams": 1,
     "trade_pagerank_det": 17,
+    # edge mining + 4 half-rounds (join + node-grain agg each) + the
+    # per-role top-10 window over the union
+    "trade_hits_authorities": 16,
     # SCD2 windows (1, shared sort) + the equi PIT join + the report agg
     "orders_priority_pit_lookup": 3,
     # bloom-prefiltered scan -> broadcast join -> year aggregation (the

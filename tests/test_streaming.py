@@ -740,3 +740,42 @@ def test_stream_banded_join_state_evicts_behind_watermark(spark, warehouse):
         assert final <= peak
     finally:
         rec.detach(spark)
+
+
+def test_stream_pit_enrichment_uses_event_time_version(spark, tmp_path):
+    """pit_join works UNCHANGED as a stream-static enrichment: each
+    streaming fact row joins the dimension version valid at its EVENT
+    time — a late-arriving event enriches with the historical version,
+    not the current one (the leakage a naive current-dim join causes)."""
+    import os
+
+    from moisturizer_spark.operators.asof import pit_join
+
+    src = os.path.join(str(tmp_path), "facts")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        for fid, ts in ((1, 5), (2, 15), (3, 25)):  # 3 event times
+            fh.write(json.dumps({"key": "k", "fid": fid, "ts": ts}) + "\n")
+    dim = spark.createDataFrame(
+        [("k", "old", 0, 10), ("k", "mid", 10, 20), ("k", "new", 20, None)],
+        "key string, tier string, valid_from int, valid_to int",
+    )
+    stream = (
+        spark.readStream.schema("key string, fid int, ts int")
+        .json(src)
+    )
+    enriched = pit_join(stream, dim, "key", "ts")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("pit_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["fid"]: r["tier_dim"]
+        for r in spark.sql("SELECT * FROM pit_enriched").collect()
+    }
+    # event at t=5 gets the OLD version even though 'new' is current
+    assert got == {1: "old", 2: "mid", 3: "new"}
