@@ -12,6 +12,127 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _grid_header(nodes: DataFrame, scale: int, damping_num: int,
+                 bound_bits: int) -> DataFrame:
+    """1-row header deriving the AUTO-RESCALED rank grid: the largest
+    ``_scale_eff = scale >> s`` such that
+    ``damping_num · n_nodes · _scale_eff < 2^bound_bits``.
+
+    Total rank mass is non-increasing under the pagerank update
+    (``n·base + (num/den)·Σcontrib ≤ n·scale_eff`` by induction), so
+    ``Σcontrib ≤ n_nodes · _scale_eff`` at every round and the header
+    bound makes ``damping_num · Σcontrib`` exact int64 at ANY node
+    count — the importance-resample recipe (textan.py:1249): the shift
+    comes from exact integer bit lengths (``length(bin(x))``, identical
+    in DuckDB), computed BEFORE any sum, never from the quantity that
+    overflows. Below the bound s = 0 and the grid is exactly ``scale``
+    (existing results unchanged). A graph so large the grid would
+    truncate to zero (bitlen(n) ≥ bitlen(scale) + bitlen(num) −
+    bound_bits — ~10^16 nodes at the defaults) raises loudly via
+    ``raise_error`` instead of silently ranking everything 0.
+    ``bound_bits`` exists so tests can force the rescale on small
+    graphs; production uses the int64-safe default."""
+    from moisturizer_spark.operators.common import materialize
+
+    hdr = nodes.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.greatest(
+            F.lit(0),
+            (
+                F.length(F.bin(F.lit(scale).cast("bigint")))
+                + F.length(F.bin(F.col("_n").cast("bigint")))
+                + F.length(F.bin(F.lit(damping_num).cast("bigint")))
+                - F.lit(bound_bits)
+            ).cast("int"),
+        ).alias("_s")
+    )
+    return materialize(
+        hdr.select(
+            F.expr(
+                f"CASE WHEN CAST({scale} AS BIGINT) div "
+                "shiftleft(CAST(1 AS BIGINT), _s) < 1 THEN "
+                "CAST(raise_error('pagerank_int: node count exhausts the "
+                "integer rank grid — raise scale or bound_bits') AS BIGINT) "
+                f"ELSE CAST({scale} AS BIGINT) div "
+                "shiftleft(CAST(1 AS BIGINT), _s) END"
+            ).alias("_scale_eff")
+        )
+    )
+
+
+def _pagerank_setup(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    scale: int,
+    damping_num: int,
+    bound_bits: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared preamble: persisted (edge, out-degree) frame, static node
+    list, and the 1-row auto-rescale grid header."""
+    from moisturizer_spark.operators.common import materialize
+
+    e0 = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct()
+    deg = e0.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_deg")
+    )
+    e = materialize(e0.join(deg, "_src"))
+    nodes = materialize(deg.select(F.col("_src").alias("_node")))
+    hdr = _grid_header(nodes, scale, damping_num, bound_bits)
+    return e, nodes, hdr
+
+
+def _pagerank_step(
+    e: DataFrame,
+    hdr: DataFrame,
+    ranks: DataFrame,
+    damping_num: int,
+    damping_den: int,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    """One materialized pagerank round (the lineage-doubling lesson:
+    without the per-round boundary the broadcast side AND the
+    keep-alive side both re-derive the previous round and the plan
+    grows exponentially). The rank frame IS the static node list
+    (same keys by induction), so left-joining contributions back
+    against it keeps zero-inflow nodes alive AND carries the previous
+    rank out as ``_rp`` for free — the convergence diagnostic reads it
+    with zero extra joins; :func:`pagerank_int` just drops it."""
+    from moisturizer_spark.operators.common import materialize
+
+    r_side = ranks.select(F.col("_node").alias("_src"), "_r")
+    if broadcast_ranks:
+        r_side = F.broadcast(r_side)
+    contrib = (
+        e.join(r_side, "_src")
+        .select(
+            F.col("_dst").alias("_node"),
+            F.expr("_r div _deg").alias("_c"),
+        )
+        .groupBy("_node")
+        .agg(F.sum("_c").alias("_sum"))
+    )
+    base = (
+        f"(CAST({damping_den - damping_num} AS BIGINT) * _scale_eff) "
+        f"div CAST({damping_den} AS BIGINT)"
+    )
+    return materialize(
+        ranks.select("_node", F.col("_r").alias("_rp"))
+        .join(contrib, "_node", "left")
+        .crossJoin(F.broadcast(hdr))
+        .select(
+            "_node",
+            "_rp",
+            F.expr(
+                f"{base} + (CAST({damping_num} AS BIGINT) * "
+                "coalesce(_sum, CAST(0 AS BIGINT))) "
+                f"div CAST({damping_den} AS BIGINT)"
+            ).cast("bigint").alias("_r"),
+        )
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     src_col: str = "src",
@@ -21,6 +142,7 @@ def pagerank_int(
     damping_den: int = 100,
     scale: int = 10**12,
     broadcast_ranks: bool = False,
+    bound_bits: int = 62,
 ) -> DataFrame:
     """ALL-INTEGER PageRank — the det-kmeans determinism recipe applied
     to the iterative-graph family: ranks live on a fixed integer grid
@@ -43,11 +165,15 @@ def pagerank_int(
     handling is the caller's modeling decision, stated rather than
     hidden).
 
-    Overflow: ``damping_num·Σcontrib ≤ 85·n_nodes·scale`` must stay
-    inside int64 — exact below ~10^5 nodes at the default 1e12 grid;
-    lower ``scale`` for bigger graphs (the ranking is scale-invariant:
-    1e9 covers ~10^8 nodes), mirroring the importance-resample bound
-    note.
+    Overflow: ``damping_num·Σcontrib ≤ 85·n_nodes·grid`` must stay
+    inside int64, so the grid AUTO-RESCALES — a 1-row header derives
+    ``grid = scale >> s`` from exact bit lengths of (scale, n_nodes,
+    damping_num) so the product sits under ``2^bound_bits`` at ANY
+    node count (see :func:`_grid_header`; the ranking is
+    scale-invariant, and rank RESOLUTION degrades gracefully: at 10^9
+    nodes the grid is still ~2^25). Below the bound s = 0 and ranks
+    sit on exactly ``scale`` — small-graph results are unchanged. The
+    oracle mirrors the same bit-length arithmetic.
 
     Scale plan: the (edge, out-degree) frame is PERSISTED once — every
     iteration joins it. With ``broadcast_ranks=True`` the node-grain
@@ -57,56 +183,85 @@ def pagerank_int(
     (up to ~10^7 nodes). The default shuffles ranks instead —
     unbounded node counts, two shuffles per round; pre-partition edges
     by ``src`` on a cluster so the rank join co-locates."""
-    from moisturizer_spark.operators.common import materialize
-
-    e0 = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct()
-    deg = e0.groupBy("_src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_deg")
+    e, nodes, hdr = _pagerank_setup(
+        edges, src_col, dst_col, scale, damping_num, bound_bits
     )
-    e = materialize(e0.join(deg, "_src"))
-    # the node set is STATIC (deg's keys): left-joining contributions
-    # back against it each round keeps zero-inflow nodes alive without
-    # referencing the evolving rank frame twice. Each round's ranks
-    # are materialized — without the boundary the lineage doubles per
-    # iteration (the broadcast side AND the keep-alive side both
-    # re-derive the previous round) and the plan grows exponentially.
-    nodes = materialize(deg.select(F.col("_src").alias("_node")))
-    ranks = nodes.select(
-        "_node", F.lit(scale).cast("bigint").alias("_r")
+    ranks = nodes.crossJoin(F.broadcast(hdr)).select(
+        "_node", F.col("_scale_eff").alias("_r")
     )
-    base = ((damping_den - damping_num) * scale) // damping_den
     for _ in range(iterations):
-        r_side = ranks.withColumnRenamed("_node", "_src")
-        if broadcast_ranks:
-            r_side = F.broadcast(r_side)
-        contrib = (
-            e.join(r_side, "_src")
-            .select(
-                F.col("_dst").alias("_node"),
-                F.expr("_r div _deg").alias("_c"),
-            )
-            .groupBy("_node")
-            .agg(F.sum("_c").alias("_sum"))
-        )
-        ranks = materialize(
-            nodes.join(contrib, "_node", "left")
-            .select(
-                "_node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"(CAST({damping_num} AS BIGINT) * "
-                        f"coalesce(_sum, CAST(0 AS BIGINT))) "
-                        f"div CAST({damping_den} AS BIGINT)"
-                    )
-                ).cast("bigint").alias("_r"),
-            )
+        ranks = _pagerank_step(
+            e, hdr, ranks, damping_num, damping_den, broadcast_ranks
         )
     return ranks.select(
         F.col("_node").alias("node"), F.col("_r").alias("rank_scaled")
     )
+
+
+def pagerank_convergence(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    broadcast_ranks: bool = False,
+    bound_bits: int = 62,
+) -> DataFrame:
+    """Per-round convergence diagnostic for :func:`pagerank_int` — the
+    measurement that turns the fixed iteration count from an article of
+    faith into a checked choice (the ``key_skew_report`` /
+    ``ivf_drift_report`` move applied to the iterative-graph family):
+    for each round, how much did the rank vector MOVE?
+
+    Returns one row per round ``(round, n_moved, moved_l1, max_move)``:
+    the count of nodes whose integer rank changed, the L1 distance
+    ``Σ|r_i − r_{i-1}|`` between consecutive rank vectors, and the
+    largest single-node move — all exact integers on the shared rank
+    grid, so the oracle unrolls the identical rounds and diffs them
+    bit-for-bit. Interpretation: a healthy damped walk decays
+    geometrically (≈ damping factor per round); a final-round
+    ``moved_l1`` still near round 1's means ``iterations`` is too low
+    for this graph — raise it (or flag the artifact) BEFORE shipping
+    ranks downstream.
+
+    Scale: ZERO extra joins — the step already carries the previous
+    rank (``_rp``) on the updated frame, so each round's diff is one
+    map-combinable 1-row aggregate over the materialized rank frame
+    the pagerank rounds compute anyway."""
+    e, nodes, hdr = _pagerank_setup(
+        edges, src_col, dst_col, scale, damping_num, bound_bits
+    )
+    ranks = nodes.crossJoin(F.broadcast(hdr)).select(
+        "_node", F.col("_scale_eff").alias("_r")
+    )
+    reports = []
+    for i in range(1, iterations + 1):
+        ranks = _pagerank_step(
+            e, hdr, ranks, damping_num, damping_den, broadcast_ranks
+        )
+        diff = F.abs(F.col("_r") - F.col("_rp"))
+        reports.append(
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(diff > 0, F.lit(1)).otherwise(F.lit(0))),
+                    F.lit(0),
+                ).cast("bigint").alias("n_moved"),
+                F.coalesce(F.sum(diff), F.lit(0)).cast("bigint")
+                .alias("moved_l1"),
+                F.coalesce(F.max(diff), F.lit(0)).cast("bigint")
+                .alias("max_move"),
+            )
+            .select(
+                F.lit(i).cast("int").alias("round"),
+                "n_moved", "moved_l1", "max_move",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def triangle_count(
@@ -219,6 +374,19 @@ def lpa_communities(
     frame into each round's edge join (the ``pagerank_int
     broadcast_ranks`` contract — one shuffle saved per round while the
     node dimension fits a broadcast, up to ~10^7 nodes)."""
+    e, labels = _lpa_setup(edges, src_col, dst_col)
+    for _ in range(iterations):
+        labels = _lpa_step(e, labels, broadcast_labels)
+    return labels.select(
+        F.col("_node").alias("node"), F.col("_lab").alias("community")
+    )
+
+
+def _lpa_setup(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared preamble: persisted symmetrized simple edge list + the
+    self-labeled initial node frame."""
     from moisturizer_spark.operators.common import materialize
 
     sym = edges.select(
@@ -234,35 +402,92 @@ def lpa_communities(
         .distinct()
         .withColumn("_lab", F.col("_node"))
     )
-    for _ in range(iterations):
-        l_side = labels.select(F.col("_node").alias("_src"), F.col("_lab"))
-        if broadcast_labels:
-            l_side = F.broadcast(l_side)
-        cnt = (
-            e.join(
-                l_side,
-                "_src",
-            )
-            .groupBy("_dst", "_lab")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    return e, labels
+
+
+def _lpa_step(
+    e: DataFrame, labels: DataFrame, broadcast_labels: bool
+) -> DataFrame:
+    """One materialized synchronous LPA round: neighbor-label count +
+    per-node argmax via ``min(struct(-count, label))`` (no second
+    shuffle for a window; materialized per the lineage lesson)."""
+    from moisturizer_spark.operators.common import materialize
+
+    l_side = labels.select(F.col("_node").alias("_src"), F.col("_lab"))
+    if broadcast_labels:
+        l_side = F.broadcast(l_side)
+    cnt = (
+        e.join(
+            l_side,
+            "_src",
         )
-        labels = materialize(
-            cnt.groupBy("_dst")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("_c")).alias("_negc"),
-                        F.col("_lab").alias("_l"),
-                    )
-                ).alias("_m")
-            )
-            .select(
-                F.col("_dst").alias("_node"), F.col("_m._l").alias("_lab")
-            )
-        )
-    return labels.select(
-        F.col("_node").alias("node"), F.col("_lab").alias("community")
+        .groupBy("_dst", "_lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )
+    return materialize(
+        cnt.groupBy("_dst")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_c")).alias("_negc"),
+                    F.col("_lab").alias("_l"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            F.col("_dst").alias("_node"), F.col("_m._l").alias("_lab")
+        )
+    )
+
+
+def lpa_convergence(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """Per-round convergence diagnostic for :func:`lpa_communities` —
+    label-flip counts, the measurement that makes the fixed iteration
+    bound a checked choice (the :func:`pagerank_convergence` companion
+    for the clustering family).
+
+    Returns one row per round ``(round, flips, n_nodes)``: how many
+    nodes changed label this round, over how many labeled nodes —
+    exact integers, so the oracle unrolls the identical rounds and
+    compares them bit-for-bit. Interpretation: healthy community
+    structure collapses flips toward 0 within a few rounds; a
+    final-round flip count stuck near ``n_nodes`` is the classic
+    sync-LPA oscillation signature (bipartite-ish structure) — the
+    round-``iterations`` labels are then an arbitrary phase of a
+    2-cycle and should not ship.
+
+    Scale: one extra node-grain equi-join + 1-row aggregate per round
+    on top of the LPA rounds themselves."""
+    e, labels = _lpa_setup(edges, src_col, dst_col)
+    reports = []
+    for i in range(1, iterations + 1):
+        nxt = _lpa_step(e, labels, broadcast_labels)
+        flipped = F.when(
+            F.col("_lab") != F.col("_labp"), F.lit(1)
+        ).otherwise(F.lit(0))
+        prev = labels.withColumnRenamed("_lab", "_labp")
+        if broadcast_labels:
+            prev = F.broadcast(prev)
+        reports.append(
+            nxt.join(prev, "_node")
+            .agg(
+                F.coalesce(F.sum(flipped), F.lit(0)).cast("bigint")
+                .alias("flips"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            )
+            .select(F.lit(i).cast("int").alias("round"), "flips", "n_nodes")
+        )
+        labels = nxt
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def bfs_levels(
@@ -350,6 +575,11 @@ def hits_bipartite(
     frames materialize per half-round (the pagerank lineage lesson)."""
     from moisturizer_spark.operators.common import materialize
 
+    if rounds < 1:
+        raise ValueError(
+            f"rounds must be >= 1 (got {rounds}): zero rounds would leave "
+            "the authority side undefined"
+        )
     d38 = "decimal(38,0)"
     e = materialize(
         edges.select(

@@ -7474,8 +7474,13 @@ def audio_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _sql_trade_pagerank() -> str:
-    scale, base = 10**10, (15 * 10**10) // 100
+def _sql_trade_pagerank_ctes() -> str:
+    """Shared CTE chain for the trade-graph pagerank oracles: edge
+    mining, the AUTO-RESCALE grid header (the same exact bit-length
+    arithmetic as graph._grid_header — s = 0 at every test scale, so
+    the grid is exactly 1e10 there), and the three unrolled integer
+    rounds r0..r3."""
+    scale = 10**10
     iters = []
     prev = "r0"
     for i in (1, 2, 3):
@@ -7485,12 +7490,12 @@ def _sql_trade_pagerank() -> str:
               JOIN {prev} ON {prev}.node = e.src
        GROUP BY e.dst),
     r{i} AS (SELECT r0.node,
-             CAST({base} + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS r
-       FROM r0 LEFT JOIN c{i} ON r0.node = c{i}.node)""")
+             CAST((15 * g.grid) // 100
+                  + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS r
+       FROM r0 LEFT JOIN c{i} ON r0.node = c{i}.node CROSS JOIN g)""")
         prev = f"r{i}"
     chain = ",\n    ".join(iters)
-    return f"""
-    WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    return f"""cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     e AS (SELECT 'c' || CAST(c AS VARCHAR) AS src,
                  's' || CAST(s AS VARCHAR) AS dst FROM cs
@@ -7498,8 +7503,18 @@ def _sql_trade_pagerank() -> str:
           SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR)
           FROM cs),
     deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
-    r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS r FROM deg),
-    {chain}
+    g AS (SELECT CAST({scale} AS BIGINT) // (CAST(1 AS BIGINT) <<
+              GREATEST(0, LENGTH(BIN(CAST({scale} AS BIGINT)))
+                          + LENGTH(BIN(CAST(COUNT(*) AS BIGINT)))
+                          + LENGTH(BIN(CAST(85 AS BIGINT))) - 62)) AS grid
+          FROM deg),
+    r0 AS (SELECT src AS node, g.grid AS r FROM deg CROSS JOIN g),
+    {chain}"""
+
+
+def _sql_trade_pagerank() -> str:
+    return f"""
+    WITH {_sql_trade_pagerank_ctes()}
     SELECT node, r AS rank_scaled FROM r3
     ORDER BY rank_scaled DESC, node LIMIT 20
     """
@@ -7554,6 +7569,71 @@ def trade_pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(
         F.col("rank_scaled").desc(), "node"
     ).limit(20)
+
+
+def _sql_trade_pagerank_convergence() -> str:
+    diffs = []
+    for i in (1, 2, 3):
+        a, b = f"r{i}", f"r{i - 1}"
+        diffs.append(f"""SELECT {i} AS round,
+           CAST(SUM(CASE WHEN {a}.r <> {b}.r THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(SUM(ABS({a}.r - {b}.r)) AS BIGINT) AS moved_l1,
+           CAST(MAX(ABS({a}.r - {b}.r)) AS BIGINT) AS max_move
+    FROM {a} JOIN {b} ON {a}.node = {b}.node""")
+    body = "\n    UNION ALL\n    ".join(diffs)
+    return f"""
+    WITH {_sql_trade_pagerank_ctes()}
+    SELECT * FROM ({body}) ORDER BY round
+    """
+
+
+@query("trade_pagerank_convergence", _sql_trade_pagerank_convergence())
+def trade_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence diagnostic for the trade-graph PageRank — the
+    measurement that turns the fixed 3-round bound into a CHECKED
+    choice (:func:`moisturizer_spark.operators.graph.
+    pagerank_convergence`, the ``key_skew_report``/``ivf_drift_report``
+    move applied to the iterative-graph family): per round, how many
+    nodes moved, the exact integer L1 distance between consecutive
+    rank vectors, and the largest single-node move. A healthy damped
+    walk decays ≈ 0.85× per round; a final round still moving like
+    round 1 means 3 rounds is not enough for this graph and the ranks
+    should not ship.
+
+    Determinism: diffs of the all-integer rank grid, so the oracle
+    unrolls the identical rounds (sharing the trade_pagerank_det CTE
+    chain verbatim — drift impossible) and diffs them bit-for-bit.
+    Scale: one node-grain equi-join + 1-row aggregate per round on top
+    of the pagerank rounds themselves."""
+    from moisturizer_spark.operators.graph import pagerank_convergence
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    cs = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e = cs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).unionAll(
+        cs.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return pagerank_convergence(
+        e, iterations=3, scale=10**10, broadcast_ranks=True
+    ).orderBy("round")
 
 
 @query(
@@ -7912,7 +7992,10 @@ def user_copresence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_copresence_lpa() -> str:
+def _sql_copresence_lpa_ctes() -> str:
+    """Shared CTE chain for the co-presence LPA oracles: capped pair
+    mining, symmetrized edges, and the three unrolled sync-LPA rounds
+    l0..l3 (argmax as a ROW_NUMBER total order)."""
     rounds = []
     prev = "l0"
     for i in (1, 2, 3):
@@ -7926,12 +8009,16 @@ def _sql_copresence_lpa() -> str:
                FROM c{i}) WHERE rn = 1)""")
         prev = f"l{i}"
     chain = ",\n    ".join(rounds)
-    return f"""
-    WITH {_sql_copresence_pairs(3)},
+    return f"""{_sql_copresence_pairs(3)},
     e AS (SELECT user_a AS s, user_b AS d FROM cop
           UNION ALL SELECT user_b, user_a FROM cop),
     l0 AS (SELECT DISTINCT s AS node, s AS lab FROM e),
-    {chain}
+    {chain}"""
+
+
+def _sql_copresence_lpa() -> str:
+    return f"""
+    WITH {_sql_copresence_lpa_ctes()}
     SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
     FROM l3 GROUP BY lab ORDER BY n_members DESC, community LIMIT 15
     """
@@ -7970,6 +8057,51 @@ def user_copresence_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), "community")
         .limit(15)
     )
+
+
+def _sql_copresence_lpa_convergence() -> str:
+    diffs = []
+    for i in (1, 2, 3):
+        a, b = f"l{i}", f"l{i - 1}"
+        diffs.append(f"""SELECT {i} AS round,
+           CAST(SUM(CASE WHEN {a}.lab <> {b}.lab THEN 1 ELSE 0 END)
+                AS BIGINT) AS flips,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM {a} JOIN {b} ON {a}.node = {b}.node""")
+    body = "\n    UNION ALL\n    ".join(diffs)
+    return f"""
+    WITH {_sql_copresence_lpa_ctes()}
+    SELECT * FROM ({body}) ORDER BY round
+    """
+
+
+@query("copresence_lpa_convergence", _sql_copresence_lpa_convergence())
+def copresence_lpa_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence diagnostic for the co-presence LPA communities —
+    per-round label-flip counts (:func:`moisturizer_spark.operators.
+    graph.lpa_convergence`), the :func:`trade_pagerank_convergence`
+    companion for the clustering family. Healthy community structure
+    collapses flips toward 0 within a few rounds; a final-round flip
+    count stuck near ``n_nodes`` is the classic sync-LPA oscillation
+    signature (bipartite-ish structure) — the round-3 labels are then
+    an arbitrary phase of a 2-cycle and should not ship.
+
+    Determinism: exact integer counts over the same total-order argmax
+    rounds; the oracle shares the user_copresence_communities CTE
+    chain verbatim (drift impossible) and diffs consecutive label
+    frames bit-for-bit. Scale: one node-grain equi-join + 1-row
+    aggregate per round on top of the LPA rounds themselves."""
+    from moisturizer_spark.operators.graph import lpa_convergence
+
+    t = load_tables(spark, sf_dir, ("events",))
+    edges = _copresence_pairs(t, min_cells=3)
+    return lpa_convergence(
+        edges,
+        src_col="item_a",
+        dst_col="item_b",
+        iterations=3,
+        broadcast_labels=True,
+    ).orderBy("round")
 
 
 _PSI_SPLIT_DATE = "1995-07-01"

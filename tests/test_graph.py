@@ -250,3 +250,225 @@ def test_hits_bipartite_mutual_reinforcement(spark):
     }
     assert scores[("authority", "s1")] > scores[("authority", "s_niche")]
     assert scores[("hub", "c_big")] > scores[("hub", "c_small")]
+
+
+# -- auto-rescaled grid + convergence diagnostics (round 8) -------------------
+
+
+def _shifted_ref(edges, iterations=3, scale=10**12, num=85, den=100,
+                 bound_bits=62):
+    """Unbounded-int replay of the AUTO-RESCALED grid: the header shift
+    from exact bit lengths, then the standard integer rounds on the
+    effective grid — mirrors _grid_header + _pagerank_step."""
+    from collections import defaultdict
+
+    e = sorted(set(edges))
+    deg = defaultdict(int)
+    for s, _ in e:
+        deg[s] += 1
+    n = len(deg)
+    shift = max(
+        0, scale.bit_length() + n.bit_length() + num.bit_length() - bound_bits
+    )
+    grid = scale >> shift
+    r = {v: grid for v in deg}
+    base = ((den - num) * grid) // den
+    rounds = []
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for s, d in e:
+            inflow[d] += r[s] // deg[s]
+        nxt = {v: base + (num * inflow.get(v, 0)) // den for v in deg}
+        moved = {v: abs(nxt[v] - r[v]) for v in deg}
+        rounds.append(
+            (
+                sum(1 for m in moved.values() if m > 0),
+                sum(moved.values()),
+                max(moved.values()) if moved else 0,
+            )
+        )
+        r = nxt
+    return r, rounds
+
+
+def test_pagerank_int_auto_rescale_matches_shifted_replay(spark):
+    """Planted over-bound graph (lowered bound_bits, the
+    importance_resample test recipe): the shift ENGAGES, nothing
+    raises, and Spark == unbounded-int Python replay with the same
+    bit-length arithmetic."""
+    import random
+
+    from moisturizer_spark.operators.graph import pagerank_int
+
+    rng = random.Random(41)
+    raw = [(rng.randrange(30), rng.randrange(30)) for _ in range(200)]
+    edges = [(f"n{a}", f"n{b}") for a, b in raw if a != b]
+    edges = edges + [(b, a) for a, b in edges]
+    n = len({s for s, _ in edges})
+    bound = (10**12).bit_length() + n.bit_length() + (85).bit_length() - 4
+    ref, _ = _shifted_ref(edges, bound_bits=bound)
+    assert ref != _pagerank_ref(edges), "shift must engage for this test"
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for bcast in (False, True):
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_int(
+                df, broadcast_ranks=bcast, bound_bits=bound
+            ).collect()
+        }
+        assert got == ref, f"broadcast_ranks={bcast}"
+
+
+def test_pagerank_int_auto_rescale_preserves_ranking(spark):
+    """Tiered star graph: hubs of clearly different sizes keep their
+    relative order under a forced shift — resolution degrades, ranking
+    does not."""
+    from moisturizer_spark.operators.graph import pagerank_int
+
+    edges = []
+    for hub, n_sat in (("h_big", 24), ("h_mid", 12), ("h_small", 4)):
+        for i in range(n_sat):
+            edges.append((f"{hub}_s{i}", hub))
+            edges.append((hub, f"{hub}_s{i}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def hub_order(bound):
+        rows = pagerank_int(df, bound_bits=bound).collect()
+        ranks = {r["node"]: r["rank_scaled"] for r in rows}
+        return sorted(
+            ("h_big", "h_mid", "h_small"), key=lambda h: -ranks[h]
+        )
+
+    n = df.select("src").distinct().count()
+    forced = (10**12).bit_length() + n.bit_length() + (85).bit_length() - 6
+    assert hub_order(62) == hub_order(forced) == [
+        "h_big", "h_mid", "h_small"
+    ]
+
+
+def test_pagerank_int_grid_exhaustion_raises(spark):
+    """A bound so tight the grid would truncate to zero raises loudly
+    (raise_error in the header) instead of silently ranking all-zero."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from moisturizer_spark.operators.graph import pagerank_int
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        pagerank_int(df, bound_bits=2).collect()
+    assert "rank grid" in str(ei.value)
+
+
+def test_pagerank_convergence_matches_replay_and_decays(spark):
+    """Per-round movement == unbounded-int replay, and a healthy damped
+    graph decays geometrically (each round's L1 movement well below the
+    previous round's)."""
+    import random
+
+    from moisturizer_spark.operators.graph import pagerank_convergence
+
+    rng = random.Random(43)
+    raw = [(rng.randrange(25), rng.randrange(25)) for _ in range(220)]
+    edges = [(f"n{a}", f"n{b}") for a, b in raw if a != b]
+    edges = edges + [(b, a) for a, b in edges]
+    _, ref_rounds = _shifted_ref(edges, iterations=4)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = pagerank_convergence(df, iterations=4).orderBy("round").collect()
+    got = [(r["n_moved"], r["moved_l1"], r["max_move"]) for r in rows]
+    assert got == ref_rounds
+    l1 = [r["moved_l1"] for r in rows]
+    assert l1[3] < l1[1] < l1[0]
+
+
+def test_pagerank_convergence_flags_insufficient_iterations(spark):
+    """Planted slow-mixing graph (a long symmetrized path: boundary
+    corrections travel one hop per round): after 3 rounds the rank
+    vector is STILL moving hard — the diagnostic's reason to exist."""
+    from moisturizer_spark.operators.graph import pagerank_convergence
+
+    path = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(30)]
+    edges = path + [(b, a) for a, b in path]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = pagerank_convergence(df, iterations=3).orderBy("round").collect()
+    # far from converged: the correction wave front is still GROWING
+    # (more nodes moving each round), and final-round L1 movement holds
+    # at ~72% of round 1 — nothing like the geometric collapse of a
+    # well-mixed graph
+    n_moved = [r["n_moved"] for r in rows]
+    assert n_moved[0] < n_moved[1] < n_moved[2]
+    assert rows[-1]["moved_l1"] * 2 > rows[0]["moved_l1"]
+
+
+def _lpa_flips_ref(edges, iterations=3):
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {n: n for n in adj}
+    out = []
+    for _ in range(iterations):
+        nxt = {}
+        for n in adj:
+            c = Counter(lab[m] for m in adj[n])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[n] = best[0]
+        out.append((sum(1 for n in adj if nxt[n] != lab[n]), len(adj)))
+        lab = nxt
+    return out
+
+
+def test_lpa_convergence_matches_replay_and_converges(spark):
+    """Two dense blobs: flips == Python replay and collapse toward 0
+    by the final round."""
+    import random
+
+    from moisturizer_spark.operators.graph import lpa_convergence
+
+    rng = random.Random(47)
+    edges = []
+    for lo, hi in ((0, 12), (12, 24)):
+        names = [f"n{i:02d}" for i in range(lo, hi)]
+        for _ in range(70):
+            a, b = rng.sample(names, 2)
+            edges.append((a, b))
+    edges.append(("n00", "n12"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = lpa_convergence(df, iterations=4).orderBy("round").collect()
+    got = [(r["flips"], r["n_nodes"]) for r in rows]
+    assert got == _lpa_flips_ref(edges, 4)
+    assert rows[-1]["flips"] <= 2
+
+
+def test_lpa_convergence_flags_oscillation(spark):
+    """Planted sync-LPA oscillator (complete bipartite K_{6,6}): labels
+    2-cycle forever, so the final round still flips ~everything — the
+    planted '3 rounds is insufficient' graph the diagnostic must
+    flag."""
+    from moisturizer_spark.operators.graph import lpa_convergence
+
+    left = [f"l{i}" for i in range(6)]
+    right = [f"r{i}" for i in range(6)]
+    edges = [(a, b) for a in left for b in right]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = lpa_convergence(df, iterations=3).orderBy("round").collect()
+    got = [(r["flips"], r["n_nodes"]) for r in rows]
+    assert got == _lpa_flips_ref(edges, 3)
+    final = rows[-1]
+    assert final["flips"] >= final["n_nodes"] // 2
+
+
+def test_hits_bipartite_rejects_zero_rounds(spark):
+    import pytest
+
+    from moisturizer_spark.operators.graph import hits_bipartite
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="rounds"):
+        hits_bipartite(df, rounds=0)

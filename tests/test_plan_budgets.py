@@ -184,7 +184,14 @@ BUDGETS = {
     "token_stats_by_lang": 2,
     "top3_customers_per_nation": 3,
     "top_bigrams": 1,
-    "trade_pagerank_det": 17,
+    # 18th exchange is the 1-row auto-rescale grid header aggregate
+    # (the importance_resample recipe applied to the rank grid)
+    "trade_pagerank_det": 18,
+    # the pagerank rounds + three 1-row movement aggregates (the diff
+    # itself is free: the step carries _rp on the rank frame)
+    "trade_pagerank_convergence": 21,
+    # the LPA rounds + per-round broadcast diff join + 1-row aggregate
+    "copresence_lpa_convergence": 15,
     # edge mining + 4 half-rounds (join + node-grain agg each) + the
     # per-role top-10 window over the union
     "trade_hits_authorities": 16,

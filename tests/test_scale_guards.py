@@ -82,6 +82,14 @@ ALLOWED = {
         "crossJoin is broadcast(qs): |quantiles| rows",
     ("operators/skew.py", "salted_join"):
         "crossJoin is broadcast(salt range): n_salts rows",
+    ("operators/graph.py", "pagerank_int"):
+        "crossJoin is the ONE-row auto-rescale grid header broadcast "
+        "(the importance_resample bit-length recipe)",
+    ("operators/graph.py", "pagerank_convergence"):
+        "crossJoin is the ONE-row auto-rescale grid header broadcast",
+    ("operators/graph.py", "_pagerank_step"):
+        "crossJoin is the ONE-row auto-rescale grid header broadcast "
+        "(base term of the rank update)",
     ("operators/textan.py", "importance_resample"):
         "both crossJoins are ONE-row scalar broadcasts: the bit-length "
         "rescale header and the sum-of-shifted-weights",
