@@ -781,10 +781,15 @@ class IncrementalJoinView:
     side's current table on the join key — the unavoidable IVM join
     cost, |ΔL|·match + |ΔR|·match, NOT a view recompute; the delta ⋈
     delta term is tiny by construction. The view table buckets on the
-    join key, so the merge rewrite prunes to touched buckets downstream
-    of the storage layer's MERGE machinery. Payload column sets must be
-    disjoint (rename before constructing — the operator refuses to
-    guess)."""
+    join key, and the delta merge REWRITES ONLY THE TOUCHED BUCKETS:
+    existing view rows are read back from (and re-folded into) just
+    the buckets the delta keys hash to, while every other bucket's
+    files carry over verbatim in the manifest (the storage ``upsert``
+    pruning pattern at the view's multiset grain) — so refresh cost
+    tracks |Δ|·match + |touched buckets|, never view size. Payload
+    column sets must be disjoint, and neither join key may be repeated
+    in its own payload list (rename before constructing — the operator
+    refuses to guess)."""
 
     def __init__(
         self,
@@ -797,9 +802,16 @@ class IncrementalJoinView:
         right_cols: list[str],
     ):
         overlap = set(left_cols) & set(right_cols)
-        if overlap or left_on in right_cols:
+        if (
+            overlap
+            or left_on in right_cols
+            or left_on in left_cols
+            or right_on in right_cols
+        ):
             raise ValueError(
-                f"payload column collision {sorted(overlap)}: rename before "
+                f"payload column collision {sorted(overlap) or [left_on, right_on]}: "
+                "the join keys already project into the view — listing one "
+                "in a payload list would select it twice; rename before "
                 "building the view"
             )
         self.left, self.right = left, right
@@ -854,6 +866,61 @@ class IncrementalJoinView:
         )
         return self._fold([self._pairs(l, r)])
 
+    def _merge_pruned(
+        self, delta_parts: list[DataFrame], txn: dict[str, int]
+    ) -> None:
+        """Fold the bilinear delta terms into ONLY the view buckets
+        their keys hash to; every untouched bucket's files carry over
+        verbatim in the new manifest (the storage ``upsert`` pruning
+        recipe, applied at the view's multiset grain — the view is
+        keyed on the join key, so a delta key maps to exactly one
+        bucket)."""
+        import json
+
+        from pyspark.sql import types as T
+
+        from moisturizer_spark.storage import _BUCKET_COL, _strip_internal
+
+        man = self.view._load_manifest()
+        delta = delta_parts[0]
+        for p in delta_parts[1:]:
+            delta = delta.unionByName(p)
+        keyed = delta.withColumn(_BUCKET_COL, self.view._bucket_expr(delta))
+        # one tiny distinct over bucket ids (<= n_buckets rows) buys
+        # per-bucket pruning of BOTH the read-back and the rewrite
+        touched = sorted(
+            r[0] for r in keyed.select(_BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            # delta folded to nothing (feeds joined no rows): data is
+            # already current — commit just the cursor watermarks
+            carried = {
+                int(b): list(d) for b, d in man["buckets"].items()
+            }
+            schema = T.StructType.fromJson(json.loads(man["schema"]))
+            self.view._commit(carried, schema, man, txn=txn)
+            return
+        existing = self.view._read_buckets(touched, man).select(
+            self.left_on,
+            *self.left_cols,
+            *self.right_cols,
+            F.col("_mult").alias("_w"),
+        )
+        merged = self._fold([existing, keyed.drop(_BUCKET_COL)])
+        with_bucket = merged.withColumn(
+            _BUCKET_COL, self.view._bucket_expr(merged)
+        )
+        produced = self.view._write_version(with_bucket, man["version"] + 1)
+        carried = {
+            int(b): list(d)
+            for b, d in man["buckets"].items()
+            if int(b) not in set(touched)
+        }
+        carried.update(produced)
+        self.view._commit(
+            carried, _strip_internal(merged.schema), man, txn=txn
+        )
+
     # -- public surface --------------------------------------------------------
     def refresh(self) -> tuple[int, int]:
         """Bring the view up to both sources' current versions; returns
@@ -896,14 +963,7 @@ class IncrementalJoinView:
             if feed_r is not None
             else None
         )
-        parts = [
-            self.view.read().select(
-                self.left_on,
-                *self.left_cols,
-                *self.right_cols,
-                F.col("_mult").alias("_w"),
-            )
-        ]
+        parts = []
         if d_l is not None:
             r_new = self._side(
                 self.right.read(), self.right_on, self.right_cols, False
@@ -916,7 +976,7 @@ class IncrementalJoinView:
             parts.append(self._pairs(l_new, d_r))
         if d_l is not None and d_r is not None:
             parts.append(self._pairs(d_l, d_r, negate=True))
-        self.view.overwrite(self._fold(parts), txn=txn)
+        self._merge_pruned(parts, txn)
         return cur_l, cur_r
 
     def read(self) -> DataFrame:

@@ -524,7 +524,11 @@ def ks_report(
     value cardinality, not row count — a price/discount/score grid is
     small by nature; a genuinely continuous 10^9-value column should
     quantize coarser first, stated) and one max. ``cum·n`` stays in
-    int64 below ~3·10⁹ rows per side. Returns one row:
+    int64 below ~3·10⁹ rows per side. NULL values are EXCLUDED on both
+    sides (a NULL has no place on an empirical CDF — and engines
+    disagree on NULL sort placement, Spark NULLS FIRST vs DuckDB NULLS
+    LAST, so counting them would make the statistic engine-dependent);
+    ``n_ref``/``n_cur`` count non-NULL rows only. Returns one row:
     ``(n_ref, n_cur, ks, ks_at)`` — ``ks_at`` is the micro-grid value
     where the max is attained (ties take the largest value; total
     order)."""
@@ -534,7 +538,10 @@ def ks_report(
         v = F.round(
             F.col(col).cast(decimal).cast("double") * 1e6
         ).cast("bigint")
-        return df.select(v.alias("_v"), F.lit(tag).alias("_t"))
+        return (
+            df.select(v.alias("_v"), F.lit(tag).alias("_t"))
+            .filter(F.col("_v").isNotNull())
+        )
 
     both = side(ref, 0).unionAll(side(cur, 1))
     per = both.groupBy("_v").agg(

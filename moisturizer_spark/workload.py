@@ -8808,7 +8808,7 @@ def brand_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS cr,
                    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS cc
-            FROM sides GROUP BY v),
+            FROM sides WHERE v IS NOT NULL GROUP BY v),
     cum AS (SELECT v,
                    SUM(cr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
                                  PRECEDING AND CURRENT ROW) AS fr,

@@ -249,6 +249,27 @@ def test_ks_report_identical_distributions_zero(spark):
     assert r["ks"] == 0.0
 
 
+def test_ks_report_excludes_nulls(spark):
+    """Planted NULLs (on one side only, to be maximally asymmetric):
+    the statistic and side counts must equal the NULL-free computation —
+    NULLs have no place on an empirical CDF, and Spark (NULLS FIRST)
+    vs DuckDB (NULLS LAST) window ordering would otherwise make the
+    documented oracle replay engine-dependent."""
+    from moisturizer_spark.operators.expectations import ks_report
+
+    a = [float(i % 5) for i in range(50)]
+    b = [float(i % 7) for i in range(70)]
+    ref = spark.createDataFrame([(v,) for v in a], "x double")
+    cur_clean = spark.createDataFrame([(v,) for v in b], "x double")
+    cur_nulls = spark.createDataFrame(
+        [(v,) for v in b] + [(None,)] * 13, "x double"
+    )
+    clean = ks_report(ref, cur_clean, "x").collect()[0]
+    dirty = ks_report(ref, cur_nulls, "x").collect()[0]
+    assert dirty.asDict() == clean.asDict()
+    assert (dirty["n_ref"], dirty["n_cur"]) == (50, 70)
+
+
 def test_chi2_report_matches_python_replay(spark):
     import random
     from collections import Counter

@@ -827,6 +827,73 @@ def test_join_view_rejects_payload_collision(spark, warehouse):
             left_on="cust", right_on="cust",
             left_cols=["x"], right_cols=["x"],
         )
+    # a join key repeated in its OWN payload list would project the
+    # column twice and fail later with an opaque ambiguous-reference
+    # error — reject at construction instead
+    with pytest.raises(ValueError, match="collision"):
+        IncrementalJoinView(
+            left, right, f"{warehouse}/vc2",
+            left_on="cust", right_on="cust",
+            left_cols=["cust", "x"], right_cols=["y"],
+        )
+    with pytest.raises(ValueError, match="collision"):
+        IncrementalJoinView(
+            left, right, f"{warehouse}/vc3",
+            left_on="cust", right_on="cust",
+            left_cols=["x"], right_cols=["cust"],
+        )
+
+
+def test_join_view_delta_merge_rewrites_only_touched_buckets(spark, warehouse):
+    """The scale contract behind the delta path: a refresh whose delta
+    touches one key must carry every other bucket's FILES verbatim in
+    the new manifest (bucket-pruned merge), while the view still equals
+    the full recompute."""
+    import json
+
+    left, right, view = _join_view(spark, warehouse)
+    # seed keys spread over several buckets
+    custs = [f"c{i}" for i in range(10)]
+    left.overwrite(_jl(spark, [(f"o{i}", c, i) for i, c in enumerate(custs)]))
+    right.overwrite(_jr(spark, [(c, f"N{i}") for i, c in enumerate(custs)]))
+    view.refresh()
+    with open(f"{warehouse}/jview/_manifest.json") as fh:
+        man_before = json.load(fh)
+
+    # delta touches exactly one key -> exactly one view bucket
+    left.upsert(_jl(spark, [("oX", "c3", 42)]))
+    view.refresh()
+    with open(f"{warehouse}/jview/_manifest.json") as fh:
+        man_after = json.load(fh)
+
+    touched = str(view.view.bucket_of("c3"))
+    untouched_before = {
+        b: d for b, d in man_before["buckets"].items() if b != touched
+    }
+    untouched_after = {
+        b: d for b, d in man_after["buckets"].items() if b != touched
+    }
+    assert untouched_before == untouched_after, (
+        "untouched buckets were rewritten — the merge is not pruned"
+    )
+    assert man_after["buckets"][touched] != man_before["buckets"].get(touched)
+    assert {tuple(r) for r in view.read().collect()} == _join_truth(left, right)
+
+
+def test_join_view_empty_delta_still_commits_cursors(spark, warehouse):
+    """A source version whose delta joins to NOTHING (new left key with
+    no dim match) must still advance the view cursors — otherwise every
+    refresh reprocesses the same dead delta forever."""
+    left, right, view = _join_view(spark, warehouse)
+    left.overwrite(_jl(spark, [("o1", "c1", 5)]))
+    right.overwrite(_jr(spark, [("c1", "FR")]))
+    view.refresh()
+    before = {tuple(r) for r in view.read().collect()}
+    left.upsert(_jl(spark, [("o9", "c_unmatched", 1)]))
+    lv, rv = view.refresh()
+    assert view.view.txn_version("ivm_join_left") == lv
+    assert {tuple(r) for r in view.read().collect()} == before
+    assert view.refresh() == (lv, rv)  # idempotent replay
 
 
 def test_join_view_random_ops_property(spark, warehouse):

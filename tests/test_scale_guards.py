@@ -104,6 +104,9 @@ ALLOWED = {
         "one 1-row scalar aggregate (corpus N, total token count L) "
         "inlined as plan literals",
     ("sinks.py", "write_training_shards"): "manifest stats: n_shards rows",
+    ("incremental.py", "_merge_pruned"):
+        "distinct bucket ids of the delta, <= n_buckets rows (the "
+        "storage.upsert pruning recipe at the view grain)",
 }
 
 
