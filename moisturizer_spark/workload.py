@@ -9717,88 +9717,65 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 #   4. rows-only queries last — their checks live in pytest.
 
 _NEEDS_DRIVER_ROW = [
-    # round 7: new queries + queries tainted by the r7 operator edits
-    # (importance_resample rescale; profile_numeric overflow guard),
-    # mechanically confirmed by tests/test_driver_window.py
-    "trade_hits_authorities",         # NEW: HITS mutual reinforcement
-    "lineitem_discount_ks",           # NEW: exact-integer KS drift test
-    "source_lang_chi2",               # NEW: chi-squared independence
-    "events_user_active_coverage",    # NEW: interval-union coverage
-    "brand_price_trend",              # NEW: grouped exact-moment OLS
-    "docs_source_lang_pmi",           # NEW: PMI feature association
-    "embedding_quantile_normalize",   # NEW: rank-uniform transform
-    "monthly_revenue_forecast_eval",  # NEW: seasonal-naive baseline
-    "orders_custkey_skew_report",     # NEW: key-skew pre-flight report
-    "ann_recall_report",              # NEW: driver-proven ANN recall@5
-    "promo_revenue_bloom_join",       # NEW: bloom-prefiltered fact join
-    "orders_priority_pit_lookup",     # NEW: point-in-time SCD2 read
-    "quality_classifier_auc",         # NEW: held-out exact ROC-AUC
-    "user_copresence_triangles",      # NEW: degree-oriented triangles
-    "user_copresence_communities",    # NEW: deterministic sync LPA
-    "videos_near_dup_det",            # NEW: 4-frame video near-dup
-    "docs_token_entropy",             # NEW: unigram-entropy quality screen
-    "docs_bm25_search",               # NEW: BM25 keyword retrieval
-    "customer_priority_scd2",         # NEW: Type-2 SCD builder
-    "daily_volume_revenue_corr",      # NEW: rolling exact-moment Pearson
-    "customer_golden_records",        # NEW: survivorship golden records
-    "lineitem_drift_psi",             # NEW: PSI snapshot drift monitor
-    "supplier_reach_bfs",             # NEW: bounded k-hop BFS reach
-    "orders_price_bootstrap_ci",      # NEW: one-pass Poisson bootstrap
-    "trade_pagerank_det",             # NEW: all-integer PageRank
-    "audio_near_dup_det",             # NEW: WAV energy-hash audio dedup
-    "part_affinity_lift",             # hot-basket cap changed the plan
-    "images_near_dup_det",            # NEW: perceptual-hash image dedup
-    "lineitem_profile_approx",        # NEW: MinCount ndv scale path
-    "lineitem_profile",               # profile_numeric overflow guard
-    "docs_dsir_proportional",         # importance_resample rescale
-    # tainted by the fan_out small-file parallelism guard in
-    # _bigram_pairs (plan-only; values re-verified at 3 scales)
-    "docs_perplexity_buckets",
-    "docs_dsir_selection",
-    "docs_quality_classifier",
-    "docs_near_dup_quality_winner",
-    # stalest-first rotation: every oracle whose last green driver row
-    # is round 4 (the displaced r6 backfill set)...
-    "docs_decontaminated",
-    "docs_pack_chunks",
-    "docs_quality_funnel",
-    "docs_vocab_growth",
-    "embedding_hard_negatives",
-    "events_grouping_sets",
-    "events_kmv_audience",
-    "langid_confusion",
-    "multimodal_payload_stats",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_order_counts",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
+    # round 8: new queries first, then queries tainted by the r8 operator
+    # edits (pagerank auto-rescale grid, graph convergence diagnostics,
+    # HITS rounds validation, KS NULL exclusion), mechanically confirmed
+    # by tests/test_driver_window.py against baseline cfca9f5.
+    "trade_pagerank_convergence",     # NEW: per-round rank-movement report
+    "copresence_lpa_convergence",     # NEW: per-round label-flip report
+    "trade_pagerank_det",             # tainted: auto-rescaled rank grid
+    "trade_hits_authorities",         # tainted: rounds>=1 validation
+    "user_copresence_communities",    # tainted: LPA prev-label carry
+    "user_copresence_triangles",      # tainted: shared graph helpers
+    "lineitem_discount_ks",           # tainted: NULL exclusion in side()
+    # stalest-first rotation: ALL 17 oracles whose last green driver row
+    # is round 4 (age 3 — the first window-policy violation; recomputed
+    # from CORRECTNESS_r01..r07 exactly as VERDICT r07 did)
+    "top_bigrams",
+    "top_words_per_lang",
     "q1_pricing_summary",
-    "q20_dominant_suppliers",
-    "q22_idle_customers",
     "q3_top_revenue_orders",
     "q4_order_priority",
     "q5_region_nation_revenue",
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_type_profit",
+    "q20_dominant_suppliers",
+    "q22_idle_customers",
     "quality_by_source",
     "source_epoch_plan",
     "source_mix_temperature",
     "tfidf_top_terms",
     "token_stats_by_lang",
     "top3_customers_per_nation",
-    # (top_bigrams / top_words_per_lang displaced by the four
-    # _bigram_pairs-tainted entries above — they reach age 3 this round,
-    # stay mirror-verified at 3 scales, and rotate FIRST in round 8)
-    #
-    # The 14 continuation-session queries at the head displace the last
-    # 14 rotation entries past slot 50 (q20_dominant_suppliers ..
-    # top3_customers_per_nation — harmless here, the driver ignores
-    # list positions beyond the window): together with top_bigrams /
-    # top_words_per_lang they are the round-8 stalest-first rotation
-    # set; all stay mirror-verified at 3 scales every suite run.
+    # age-2 backfill (last green driver row round 5) to fill the window;
+    # trimmed from the tail as round-8 queries land at the head
+    "bpe_token_stats",
+    "brand_revenue_share",
+    "customer_spend_ntile",
+    "customer_year_set_ops",
+    "customers_above_nation_avg",
+    "customers_without_orders",
+    "docs_fingerprint_dedup",
+    "docs_hash_split",
+    "docs_remove_dup_spans",
+    "docs_remove_dup_spans_hashed",
+    "docs_simhash_det_near_dup",
+    "docs_winnowing_det_near_dup",
+    "embedding_cosine_near_dup",
+    "embedding_decontamination",
+    "embedding_norm_stats",
+    "embedding_top5_cosine",
+    "events_7day_moving",
+    "events_daily",
+    "events_distinct_reach",
+    "events_props_flatten",
+    "events_reach_hll_det",
+    "events_running_total",
+    "events_sessionize",
+    "events_unpivot",
+    "events_user_pivot",
+    "lang_sources_csv",
 ]
 
 
