@@ -468,6 +468,34 @@ def _resolve_kernel(name: str):
     return getattr(M, dec), getattr(M, ker), grid
 
 
+def _hash_media(media: DataFrame, meta: dict) -> DataFrame:
+    """Hash a media frame under a sidecar's pinned parameters: single
+    ``(id, phash_hi, phash_lo)`` rows for image/audio kernels, or
+    frame-indexed ``(id, frame_idx, phash_hi, phash_lo)`` rows when the
+    sidecar pins ``frame_bytes`` (fixed-size-frame video). The ONE
+    hashing entry point shared by build/query/append and the streaming
+    pipeline so none of them can drift from the index's semantics."""
+    decoder, ker, grid = _resolve_kernel(meta["kernel"])
+    cols = media.select(meta["id_col"], meta["content_col"])
+    if meta.get("frame_bytes"):
+        return video_phash(
+            cols,
+            meta["frame_bytes"],
+            decoder=decoder,
+            kernel=ker,
+            content_col=meta["content_col"],
+            id_col=meta["id_col"],
+            grid=grid,
+        )
+    return image_phash(
+        cols,
+        decoder=decoder,
+        kernel=ker,
+        content_col=meta["content_col"],
+        grid=grid,
+    ).select(meta["id_col"], "phash_hi", "phash_lo")
+
+
 def phash_build(
     media: DataFrame,
     path: str,
@@ -475,32 +503,37 @@ def phash_build(
     id_col: str = "doc_id",
     content_col: str = "content",
     max_distance: int = 6,
+    frame_bytes: int | None = None,
 ) -> dict:
     """Hash a media corpus and persist the perceptual-hash index:
     ``<path>/data/*.parquet`` holding (id, phash_hi, phash_lo) — bytes
     are decoded ONCE, at build — plus ``<path>/_phash.json`` pinning
     the kernel name, grid, and distance threshold so every later
     query/append/stream uses identical semantics (the sidecar-pins-
-    the-params rule from the MinHash index)."""
+    the-params rule from the MinHash index).
+
+    ``frame_bytes`` builds a VIDEO index instead: payloads split into
+    fixed-size frames (:func:`fixed_frame_splitter`), rows are
+    frame-indexed, and queries apply the all-frames-match contract of
+    :func:`video_near_duplicates`."""
     import json
     import os
 
-    decoder, ker, grid = _resolve_kernel(kernel)
-    hashed = image_phash(
-        media.select(id_col, content_col),
-        decoder=decoder,
-        kernel=ker,
-        content_col=content_col,
-        grid=grid,
-    ).select(id_col, "phash_hi", "phash_lo")
-    hashed.write.mode("overwrite").parquet(os.path.join(path, "data"))
+    _, _, grid = _resolve_kernel(kernel)
     meta = {
         "kernel": kernel,
         "grid": grid,
         "id_col": id_col,
         "content_col": content_col,
         "max_distance": max_distance,
+        "data_dir": "data",
+        "compaction_gen": 0,
     }
+    if frame_bytes:
+        meta["frame_bytes"] = frame_bytes
+    _hash_media(media, meta).write.mode("overwrite").parquet(
+        os.path.join(path, "data")
+    )
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, "_phash.json.tmp")
     with open(tmp, "w") as fh:
@@ -522,23 +555,23 @@ def phash_query(spark, path: str, media: DataFrame) -> DataFrame:
     + hash the batch (its bytes only — stored corpus bytes never
     re-decode), then the banded Hamming join between batch hashes and
     index hashes under the sidecar's threshold. Returns
-    ``(batch_id, corpus_id, hamming)``."""
+    ``(batch_id, corpus_id, hamming)``; for a frame-indexed (video)
+    index, ``hamming`` is the MAX per-frame distance and a match
+    requires every corresponding frame pair to qualify
+    (:func:`video_near_duplicates`' all-frames contract)."""
     import os
 
     meta = _phash_meta(path)
-    decoder, ker, grid = _resolve_kernel(meta["kernel"])
-    q = image_phash(
-        media.select(meta["id_col"], meta["content_col"]),
-        decoder=decoder,
-        kernel=ker,
-        content_col=meta["content_col"],
-        grid=grid,
-    ).select(
+    qh = _hash_media(media, meta)
+    idx = spark.read.parquet(os.path.join(path, meta.get("data_dir", "data")))
+    if meta.get("frame_bytes"):
+        return _frame_indexed_query(qh, idx, meta)
+    q = qh.select(
         F.col(meta["id_col"]).alias("batch_id"),
         F.col("phash_hi").alias("_qhi"),
         F.col("phash_lo").alias("_qlo"),
     )
-    idx = spark.read.parquet(os.path.join(path, "data")).select(
+    c = idx.select(
         F.col(meta["id_col"]).alias("corpus_id"),
         F.col("phash_hi").alias("_chi"),
         F.col("phash_lo").alias("_clo"),
@@ -558,7 +591,7 @@ def phash_query(spark, path: str, media: DataFrame) -> DataFrame:
         )
 
     qb = bands(q, "_qhi", "_qlo", "q")
-    cb = bands(idx, "_chi", "_clo", "c")
+    cb = bands(c, "_chi", "_clo", "c")
     ham = (
         F.bit_count(F.expr("_qhi ^ _chi")) + F.bit_count(F.expr("_qlo ^ _clo"))
     ).cast("int")
@@ -572,6 +605,96 @@ def phash_query(spark, path: str, media: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= F.lit(meta["max_distance"]))
+        # self-pairs out (minhash_query parity): a replayed streaming
+        # batch whose hashes already landed in the index must not count
+        # its own rows as corpus duplicates
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id", "hamming")
+    )
+
+
+def _frame_indexed_query(
+    qh: DataFrame, idx: DataFrame, meta: dict
+) -> DataFrame:
+    """Video leg of :func:`phash_query`: banded candidacy with the
+    frame index IN the band key (only corresponding frames compare —
+    the pairs×frames² guard from :func:`video_near_duplicates`), then
+    the exact all-frames check joining both sides' hashes on frame_idx
+    and requiring the matched-frame count to equal BOTH videos' frame
+    counts with max per-frame distance ≤ the sidecar threshold.
+    Shuffles carry 4 band rows per frame, never pixels."""
+    from moisturizer_spark.operators.common import materialize
+
+    id_col = meta["id_col"]
+    q = materialize(
+        qh.select(
+            F.col(id_col).alias("batch_id"),
+            F.col("frame_idx").alias("_f"),
+            F.col("phash_hi").alias("_hi"),
+            F.col("phash_lo").alias("_lo"),
+        )
+    )
+    c = idx.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("frame_idx").alias("_f"),
+        F.col("phash_hi").alias("_hi"),
+        F.col("phash_lo").alias("_lo"),
+    )
+
+    def bands(df, keep):
+        return df.select(
+            keep,
+            "_f",
+            F.posexplode(
+                F.array(
+                    F.col("_lo") % F.lit(65536),
+                    (F.col("_lo") / F.lit(65536)).cast("bigint"),
+                    F.col("_hi") % F.lit(65536),
+                    (F.col("_hi") / F.lit(65536)).cast("bigint"),
+                )
+            ).alias("_band", "_val"),
+        )
+
+    cand = (
+        bands(q, "batch_id")
+        .join(bands(c, "corpus_id"), ["_f", "_band", "_val"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    nq = q.groupBy("batch_id").agg(F.count(F.lit(1)).alias("_nq"))
+    nc = c.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("_nc"))
+    a = q.select(
+        "batch_id", "_f",
+        F.col("_hi").alias("_hi_a"), F.col("_lo").alias("_lo_a"),
+    )
+    b = c.select(
+        "corpus_id", "_f",
+        F.col("_hi").alias("_hi_b"), F.col("_lo").alias("_lo_b"),
+    )
+    dist = (
+        F.bit_count(F.expr("_hi_a ^ _hi_b"))
+        + F.bit_count(F.expr("_lo_a ^ _lo_b"))
+    ).cast("int")
+    pf = (
+        cand.join(a, "batch_id")
+        .join(b, ["corpus_id", "_f"])
+        .select("batch_id", "corpus_id", dist.alias("_d"))
+        .groupBy("batch_id", "corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("_d").alias("hamming"),
+        )
+    )
+    return (
+        pf.join(nq, "batch_id")
+        .join(nc, "corpus_id")
+        .filter(
+            (F.col("_n") == F.col("_nq"))
+            & (F.col("_n") == F.col("_nc"))
+            & (F.col("hamming") <= F.lit(meta["max_distance"]))
+            # self-pairs out (minhash_query parity; replay convergence)
+            & (F.col("batch_id") != F.col("corpus_id"))
+        )
         .select("batch_id", "corpus_id", "hamming")
     )
 
@@ -583,16 +706,54 @@ def phash_append(spark, path: str, media: DataFrame) -> None:
     import os
 
     meta = _phash_meta(path)
-    decoder, ker, grid = _resolve_kernel(meta["kernel"])
-    image_phash(
-        media.select(meta["id_col"], meta["content_col"]),
-        decoder=decoder,
-        kernel=ker,
-        content_col=meta["content_col"],
-        grid=grid,
-    ).select(meta["id_col"], "phash_hi", "phash_lo").write.mode(
-        "append"
-    ).parquet(os.path.join(path, "data"))
+    _hash_media(media, meta).write.mode("append").parquet(
+        os.path.join(path, meta.get("data_dir", "data"))
+    )
+
+
+def phash_compact(spark, path: str) -> dict:
+    """Compact a persisted perceptual-hash index after many appends —
+    the same small-file healing step :func:`minhash_compact
+    <moisturizer_spark.operators.dedup.minhash_compact>` and
+    ``ivf_compact`` give the other two persisted indexes: each
+    :func:`phash_append` adds ~shuffle-partitions files, and a replayed
+    streaming append (:mod:`moisturizer_spark.streaming.media_dedup`)
+    can leave exact duplicate (id, hash) rows that queries collapse via
+    DISTINCT but that otherwise persist physically forever.
+
+    Rewrites the hash table into a fresh generation directory
+    (``data_g{n}``) with exact replay duplicates shed — an id
+    re-appended with DIFFERENT content keeps both hash rows rather than
+    arbitrarily dropping one — then atomically swaps the sidecar to
+    point at it (temp file + ``os.replace``) and removes the old
+    generation. Readers resolve the directory through the sidecar, so a
+    reader holding the OLD sidecar finishes against the old files; the
+    swap assumes the index's single-writer discipline (same as append).
+    Returns the updated metadata dict.
+    """
+    import json
+    import os
+    import shutil
+
+    meta = _phash_meta(path)
+    gen = meta.get("compaction_gen", 0) + 1
+    old_dir = meta.get("data_dir", "data")
+    new_dir = f"data_g{gen}"
+    keys = [meta["id_col"], "phash_hi", "phash_lo"]
+    if meta.get("frame_bytes"):
+        keys.append("frame_idx")
+    spark.read.parquet(os.path.join(path, old_dir)).dropDuplicates(
+        keys
+    ).repartition("phash_hi").write.mode("overwrite").parquet(
+        os.path.join(path, new_dir)
+    )
+    meta.update({"data_dir": new_dir, "compaction_gen": gen})
+    tmp = os.path.join(path, "_phash.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_phash.json"))
+    shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
+    return meta
 
 
 def resize_image_array(img, out_h: int, out_w: int):

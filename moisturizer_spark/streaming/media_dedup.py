@@ -18,7 +18,9 @@ Per micro-batch, against a persisted perceptual-hash index
    append. Replay converges for the near_dup.py reason: self-pairs are
    filtered and survivors are mutually non-dup, so a re-append only
    leaves duplicate physical hash rows, which queries collapse via the
-   candidate DISTINCT.
+   candidate DISTINCT and :func:`~moisturizer_spark.operators.
+   multimodal.phash_compact` physically sheds (generation-dir rewrite +
+   atomic sidecar swap, mirroring ``minhash_compact``/``ivf_compact``).
 """
 
 from __future__ import annotations
@@ -29,12 +31,12 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from moisturizer_spark.operators.multimodal import (
+    _hash_media,
     _phash_meta,
-    _resolve_kernel,
-    image_phash,
     phash_append,
     phash_query,
     phash_near_duplicates,
+    video_near_duplicates,
 )
 from moisturizer_spark.storage import ParquetTable
 from moisturizer_spark.streaming._txn import (
@@ -76,16 +78,15 @@ def start_media_dedup_stream(
         ):
             return  # fully-applied batch replayed after a restart
         n_in = batch_df.count()
-        decoder, ker, grid = _resolve_kernel(meta["kernel"])
-        hashed = image_phash(
-            batch_df.select(id_col, content_col),
-            decoder=decoder,
-            kernel=ker,
-            content_col=content_col,
-            grid=grid,
-        )
+        hashed = _hash_media(batch_df, meta)
         # 1) within-batch: drop the LATER id of every near-dup pair
-        pairs_in = phash_near_duplicates(
+        # (frame-indexed sidecar → the video all-frames-match contract)
+        pair_finder = (
+            video_near_duplicates
+            if meta.get("frame_bytes")
+            else phash_near_duplicates
+        )
+        pairs_in = pair_finder(
             hashed, id_col=id_col, max_distance=meta["max_distance"]
         )
         losers = pairs_in.select(

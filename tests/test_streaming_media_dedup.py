@@ -99,3 +99,157 @@ def test_streaming_media_dedup_across_restarts(spark, warehouse):
     probe = spark.createDataFrame([(9, _ppm(_near(fresh2)))], SCHEMA)
     got = phash_query(spark, index, probe)
     assert {r["corpus_id"] for r in got.collect()} == {5}
+
+
+def _wav(samples):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def _wav_mk(seed):
+    rng = np.random.RandomState(seed)
+    return list(rng.randint(0, 256, 640))
+
+
+def _wav_near(samples):
+    out = list(samples)
+    out[10] = 255 - out[10]
+    return out
+
+
+def _vid(frames):
+    return b"".join(_ppm(f) for f in frames)
+
+
+def _vid_near(frames):
+    return [_near(frames[0])] + [f.copy() for f in frames[1:]]
+
+
+def test_streaming_media_dedup_audio_and_video_kernels(spark, warehouse):
+    """The audio (wav_energy) and video (frame-indexed ppm_ahash)
+    kernels run the SAME streaming pipeline e2e: within-batch dedup,
+    corpus-index dedup without re-decoding stored bytes, cross-restart
+    index absorption, idempotent drain, and a batch-side probe."""
+    for kind in ("audio", "video"):
+        if kind == "audio":
+            a1, a2, a3 = _wav_mk(1), _wav_mk(2), _wav_mk(3)
+            p = {
+                "base": _wav(a1),
+                "near_base": _wav(_wav_near(a1)),
+                "fresh": _wav(a2),
+                "near_fresh": _wav(_wav_near(a2)),
+                "fresh2": _wav(a3),
+            }
+            build_kw = {"kernel": "wav_energy", "max_distance": 6}
+        else:
+            f1 = [_mk(1), _mk(11)]
+            f2 = [_mk(2), _mk(12)]
+            f3 = [_mk(3), _mk(13)]
+            p = {
+                "base": _vid(f1),
+                "near_base": _vid(_vid_near(f1)),
+                "fresh": _vid(f2),
+                "near_fresh": _vid(_vid_near(f2)),
+                "fresh2": _vid(f3),
+            }
+            build_kw = {
+                "kernel": "ppm_ahash",
+                "max_distance": 6,
+                "frame_bytes": len(_ppm(f1[0])),
+            }
+
+        wh = os.path.join(warehouse, kind)
+        os.makedirs(wh)
+        seed = spark.createDataFrame([(100, p["base"])], SCHEMA)
+        index = f"{wh}/md_index"
+        phash_build(seed, index, **build_kw)
+        src = os.path.join(wh, "md_src")
+        os.makedirs(src)
+
+        # batch 1: near-dup of the corpus, a fresh item, and a
+        # within-batch near-dup of the fresh one
+        _drop(
+            src,
+            "b1.json",
+            [(1, p["near_base"]), (2, p["fresh"]), (3, p["near_fresh"])],
+        )
+        curated, stats = _run(spark, wh, src, index)
+        assert {r["doc_id"] for r in curated.read().collect()} == {2}, kind
+        s0 = stats.read().filter(F.col("batch_id") == 0).first()
+        assert (
+            s0["n_input"],
+            s0["n_batch_dups"],
+            s0["n_corpus_dups"],
+            s0["n_kept"],
+        ) == (3, 1, 1, 1), kind
+
+        # batch 2 after a restart: near-dup of batch 1's survivor (the
+        # index absorbed its hash) + a fresh item
+        _drop(src, "b2.json", [(4, p["near_fresh"]), (5, p["fresh2"])])
+        curated, stats = _run(spark, wh, src, index)
+        assert {r["doc_id"] for r in curated.read().collect()} == {2, 5}, kind
+
+        # idempotent drain, then the batch-side probe
+        curated, stats = _run(spark, wh, src, index)
+        assert stats.read().count() == 2, kind
+        probe = spark.createDataFrame([(9, p["fresh2"])], SCHEMA)
+        got = phash_query(spark, index, probe)
+        assert {r["corpus_id"] for r in got.collect()} == {5}, kind
+
+
+def test_media_replay_converges_and_phash_compact_sheds(spark, warehouse):
+    """The one non-idempotent window (index appended, sidecar bump
+    lost): a replay computes the identical survivor set and re-appends
+    only duplicate physical hash rows, which queries collapse and
+    phash_compact physically sheds via a generation-dir swap — the
+    minhash_compact contract for the media index."""
+    import shutil
+
+    from moisturizer_spark.operators.multimodal import phash_compact
+
+    base, fresh, fresh2 = _mk(1), _mk(2), _mk(3)
+    seed = spark.createDataFrame([(100, _ppm(base))], SCHEMA)
+    index = f"{warehouse}/md_index2"
+    phash_build(seed, index, kernel="ppm_ahash", max_distance=6)
+    src = os.path.join(warehouse, "md_src2")
+    os.makedirs(src)
+    _drop(src, "b1.json", [(1, _ppm(fresh)), (2, _ppm(fresh2))])
+    curated, stats = _run(spark, warehouse, src, index)
+    assert {r["doc_id"] for r in curated.read().collect()} == {1, 2}
+
+    def _applied_batch(path):
+        with open(os.path.join(path, "_stream_txn.json")) as fh:
+            return json.load(fh)["applied_batch"]
+
+    assert _applied_batch(index) == 0
+
+    # simulate the lost sidecar bump: drop the watermark and the
+    # checkpoint so the SAME files replay as a fresh batch 0
+    os.remove(os.path.join(index, "_stream_txn.json"))
+    shutil.rmtree(os.path.join(warehouse, "md_ckpt"))
+    curated, stats = _run(spark, warehouse, src, index)
+    assert {r["doc_id"] for r in curated.read().collect()} == {1, 2}
+    assert stats.read().count() == 1
+    assert _applied_batch(index) == 0
+
+    # double-append left duplicate physical rows; queries still behave
+    probe = spark.createDataFrame([(9, _ppm(_near(fresh)))], SCHEMA)
+    assert {r["corpus_id"] for r in phash_query(spark, index, probe).collect()} == {1}
+    raw = spark.read.parquet(os.path.join(index, "data"))
+    assert raw.count() > raw.dropDuplicates().count()
+
+    # compaction sheds them and swaps the generation atomically
+    meta = phash_compact(spark, index)
+    assert meta["data_dir"] == "data_g1" and meta["compaction_gen"] == 1
+    assert not os.path.exists(os.path.join(index, "data"))
+    data = spark.read.parquet(os.path.join(index, meta["data_dir"]))
+    assert data.count() == data.dropDuplicates().count() == 3  # 100, 1, 2
+    assert {r["corpus_id"] for r in phash_query(spark, index, probe).collect()} == {1}
