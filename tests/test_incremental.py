@@ -928,3 +928,168 @@ def test_join_view_random_ops_property(spark, warehouse):
         assert {tuple(r) for r in view.read().collect()} == _join_truth(
             left, right
         ), f"diverged at step {step}"
+
+
+# -- incremental connected components ----------------------------------------
+
+
+def _edges_tbl(spark, warehouse, name="cc_src", retain=20):
+    return ParquetTable(
+        spark, f"{warehouse}/{name}", key="pair", retain_versions=retain
+    )
+
+
+def _edge_rows(spark, pairs):
+    return spark.createDataFrame(
+        [(f"{a}|{b}", a, b) for a, b in pairs],
+        "pair string, id_a long, id_b long",
+    )
+
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def _truth(spark, src):
+    from moisturizer_spark.operators.dedup import connected_components
+
+    edges = src.read().select("id_a", "id_b")
+    nodes = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    return _labels(
+        connected_components(edges, nodes, src_col="id_a", dst_col="id_b")
+    )
+
+
+def test_cc_view_matches_recompute_across_inserts(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalCCView
+
+    src = _edges_tbl(spark, warehouse)
+    src.overwrite(_edge_rows(spark, [(1, 2), (3, 4), (10, 11)]))
+    view = IncrementalCCView(src, f"{warehouse}/cc_view")
+    assert view.refresh() == 1
+    assert _labels(view.read()) == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10}
+
+    # merge two components, chain through a brand-new node, and attach
+    # a disconnected fresh pair — all in one insert-only delta
+    src.upsert(_edge_rows(spark, [(2, 3), (4, 20), (30, 31)]))
+    assert view.refresh() == 2
+    assert _labels(view.read()) == _truth(spark, src)
+    assert _labels(view.read())[20] == 1  # chained into the merged comp
+
+
+def test_cc_view_insert_only_never_rescans_source(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalCCView
+
+    src = _edges_tbl(spark, warehouse)
+    src.overwrite(_edge_rows(spark, [(1, 2), (5, 6)]))
+    view = IncrementalCCView(src, f"{warehouse}/cc_view2")
+    view.refresh()
+
+    def _boom():
+        raise AssertionError("insert-only refresh read the source table")
+
+    src.read = _boom  # booby-trap: the delta path must use the feed only
+    src.upsert(_edge_rows(spark, [(2, 5)]))
+    assert view.refresh() == 2
+    assert _labels(view.read()) == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
+def test_cc_view_new_smaller_id_relabels_whole_component(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalCCView
+
+    src = _edges_tbl(spark, warehouse)
+    src.overwrite(_edge_rows(spark, [(7, 8), (8, 9)]))
+    view = IncrementalCCView(src, f"{warehouse}/cc_view3")
+    view.refresh()
+    assert _labels(view.read()) == {7: 7, 8: 7, 9: 7}
+    src.upsert(_edge_rows(spark, [(0, 9)]))  # 0 < 7: every member moves
+    view.refresh()
+    assert _labels(view.read()) == {0: 0, 7: 0, 8: 0, 9: 0}
+
+
+def test_cc_view_delete_falls_back_to_full_recompute(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalCCView
+
+    src = _edges_tbl(spark, warehouse)
+    src.overwrite(_edge_rows(spark, [(1, 2), (2, 3)]))
+    view = IncrementalCCView(src, f"{warehouse}/cc_view4")
+    view.refresh()
+    assert _labels(view.read()) == {1: 1, 2: 1, 3: 1}
+    src.delete_by_key(["2|3"])  # splits {1,2,3}: 3 loses its only edge
+    view.refresh()
+    # 3 drops from the view entirely — an edgeless node is an implicit
+    # singleton (the batch connected_components convention)
+    assert _labels(view.read()) == {1: 1, 2: 1}
+
+
+def test_cc_view_refresh_is_idempotent_and_cursor_advances(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalCCView
+
+    src = _edges_tbl(spark, warehouse)
+    src.overwrite(_edge_rows(spark, [(1, 2)]))
+    view = IncrementalCCView(src, f"{warehouse}/cc_view5")
+    view.refresh()
+    before = _labels(view.read())
+    assert view.refresh() == 1  # replay: no new version, no-op
+    assert _labels(view.read()) == before
+
+    # an intra-component insert folds to an EMPTY change set: the
+    # cursor must still advance (else every refresh replays the delta)
+    src.upsert(_edge_rows(spark, [(1, 2)]))
+    assert view.refresh() == 2
+    assert view.view.txn_version("ivm_cc") == 2
+    assert _labels(view.read()) == before
+
+
+def test_cc_view_composes_with_near_dup_pair_feed(spark, warehouse):
+    """The intended composition: a near-dup pair producer (the
+    minhash index family) feeds the edge table batch by batch, and the
+    cluster view folds each batch incrementally — the dedup-cluster
+    table maintained without recomputing star contraction per refresh."""
+    from moisturizer_spark.incremental import IncrementalCCView
+    from moisturizer_spark.operators.dedup import (
+        minhash_build,
+        minhash_query,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs_schema = "doc_id long, text string"
+    seed = spark.createDataFrame([(1, base)], docs_schema)
+    index = f"{warehouse}/cc_nd_index"
+    minhash_build(seed, index, threshold=0.6)
+
+    src = _edges_tbl(spark, warehouse, name="cc_pairs")
+    view = IncrementalCCView(src, f"{warehouse}/cc_view6")
+
+    # batch 1: one near-dup of the corpus doc, one unrelated doc
+    b1 = spark.createDataFrame(
+        [
+            (2, base.replace("quick", "swift")),
+            (3, "completely different content about spark physical plans"),
+        ],
+        docs_schema,
+    )
+    pairs = minhash_query(spark, index, b1).select(
+        F.least("batch_id", "corpus_id").alias("id_a"),
+        F.greatest("batch_id", "corpus_id").alias("id_b"),
+    )
+    rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert rows == [(1, 2)]
+    src.overwrite(_edge_rows(spark, rows))
+    view.refresh()
+    assert _labels(view.read()) == {1: 1, 2: 1}
+
+    # batch 2: a near-dup of batch 1's near-dup chains the cluster
+    b2 = spark.createDataFrame(
+        [(4, base.replace("quick", "swift").replace("lazy", "idle"))],
+        docs_schema,
+    )
+    # (4, base') pairs with the stored doc 1; chain it to 2 as a
+    # within-batch pair producer would
+    src.upsert(_edge_rows(spark, [(2, 4)]))
+    view.refresh()
+    assert _labels(view.read()) == {1: 1, 2: 1, 4: 1}
