@@ -489,3 +489,89 @@ def group_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_points: int = 1024,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes ``(y_j − y_i)/(x_j − x_i)`` over the group's points — the
+    rank-based alternative to :func:`group_ols` with a 29.3% breakdown
+    point (up to ~29% of the points can be arbitrary outliers without
+    moving the estimate; one bad month CAN move least squares by any
+    amount).
+
+    Inputs must be one row per (group, x) with integer x and y (the
+    caller aggregates its series first — e.g. months on a calendar
+    index and exact-cent monthly means), which makes the estimate
+    oracle-replayable: each pairwise slope rounds to integer
+    micro-units with half-away-from-zero division written as a
+    sign-split of two NON-NEGATIVE integer ``DIV`` terms (floor and
+    truncation agree on non-negatives, so Spark's ``DIV`` and DuckDB's
+    ``//`` cannot drift), and the median is the LOWER median — the
+    element at rank ``(n+1) DIV 2`` under the (slope, x_i, x_j) total
+    order — not an averaged midpoint, so no float enters at all.
+
+    Scale: pairs build from one equi-join on the group key — the frame
+    is Σ_g n_g²/2 rows, which is why ``max_points`` REFUSES groups
+    whose series exceed it (the quadratic blowup should be a stated
+    modeling bound, not a surprise shuffle: calendar-grain series are
+    bounded by the calendar — 84 months → ≤3.5k pairs — while raw
+    event-grain inputs are not and must be pre-aggregated). The
+    per-group rank windows sort pair-sized partitions; nothing global.
+
+    Returns ``(*group_cols, n_points, n_pairs, slope_micro)`` with
+    slope NULL for groups with a single point (no pair to measure).
+    """
+    gb = [F.col(c) for c in group_cols]
+    pts = df.select(
+        *group_cols,
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    counts = pts.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_points"))
+    over = counts.filter(F.col("n_points") > max_points).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"theil_sen: group {tuple(over[0][c] for c in group_cols)} has "
+            f"{over[0]['n_points']} points (max_points={max_points}): the "
+            "pair frame is quadratic in series length — pre-aggregate the "
+            "series (e.g. to calendar grain) or raise max_points "
+            "deliberately"
+        )
+    a = pts.select(*group_cols, F.col("_x").alias("_xi"), F.col("_y").alias("_yi"))
+    b = pts.select(*group_cols, F.col("_x").alias("_xj"), F.col("_y").alias("_yj"))
+    dy = F.col("_yj") - F.col("_yi")
+    slope = F.when(
+        dy >= 0,
+        F.expr("(2 * (_yj - _yi) * 1000000 + (_xj - _xi)) DIV (2 * (_xj - _xi))"),
+    ).otherwise(
+        -F.expr("(2 * (_yi - _yj) * 1000000 + (_xj - _xi)) DIV (2 * (_xj - _xi))")
+    )
+    pairs = (
+        a.join(b, group_cols)
+        .filter(F.col("_xj") > F.col("_xi"))
+        .select(*group_cols, "_xi", "_xj", slope.alias("slope_micro"))
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(*gb).orderBy("slope_micro", "_xi", "_xj")
+    w_all = Window.partitionBy(*gb)
+    ranked = pairs.select(
+        *group_cols,
+        "slope_micro",
+        F.row_number().over(w_rank).alias("_rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    ).filter(F.col("_rk") == F.expr("(n_pairs + 1) DIV 2"))
+    return (
+        counts.join(
+            ranked.select(*group_cols, "n_pairs", "slope_micro"),
+            group_cols,
+            "left",
+        )
+        .select(*group_cols, "n_points", "n_pairs", "slope_micro")
+    )

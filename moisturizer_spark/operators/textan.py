@@ -8,6 +8,8 @@ ANSI SQL so the DuckDB oracle can verify them bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from moisturizer_spark.operators.common import materialize
@@ -1641,4 +1643,90 @@ def bm25_topk(
         .orderBy(F.col("score_micro").desc(), F.col("_id"))
         .limit(int(k))
         .select(F.col("_id").alias(id_col), "n_terms", "score_micro")
+    )
+
+
+def unigram_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence ``D(P_g ‖ P_corpus)`` of the unigram
+    token distribution, in integer micro-bits per token — the TEXT leg
+    of the drift family (PSI/KS/χ² watch numeric and categorical
+    columns; this watches what a source actually SAYS): a source whose
+    vocabulary usage diverges from the corpus mix scores high, a
+    representative source scores near zero.
+
+    Determinism without magnitude risk: per (group, term) the log
+    ratio ``log2(c_gt·N / (n_g·c_t))`` assembles from four nano-bit
+    ``log2`` terms of EXACT integers (:func:`_nano` — both engines see
+    identical doubles), and the per-term contribution
+    ``c_gt·r_nano/(1000·n_g)`` evaluates in DOUBLE (exact inputs <
+    2⁵³, identical IEEE operations) before half-away rounding to
+    integer micro-bits. The per-group SUM of those micros is bounded
+    by ``max|r|/1000 ≈ 6·10⁷`` — because Σc_gt = n_g, the weights are
+    a probability distribution — so the BIGINT total cannot overflow
+    at ANY corpus size; no decimal widening, no rescale header needed.
+
+    Scale: one tokenize scan → (group, term) exact counts; corpus term
+    counts re-aggregate THAT frame (never the corpus); the join back
+    shuffles on the term key; per-group token totals come from a slim
+    ``size(tokens)`` scan (no explode) and broadcast. N inlines as a
+    plan literal (1-row scalar, the bm25_topk pattern).
+
+    Returns ``(group_col, n_tokens, n_terms, kl_micro)``.
+    """
+    from moisturizer_spark.operators.common import fan_out
+
+    toks = fan_out(df.select(F.col(group_col).alias("_g"), F.col(text_col)))
+    st = (
+        toks.select("_g", F.explode(tokens_col(F.col(text_col))).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ct = st.groupBy("_w").agg(F.sum("_c").alias("_cw"))
+    ng = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.size(tokens_col(F.col(text_col))).alias("_l"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_l").cast("bigint").alias("_n"))
+    )
+    n_total = int(
+        df.select(
+            F.sum(F.size(tokens_col(F.col(text_col)))).cast("bigint").alias("n")
+        ).first()["n"]
+    )
+    # half-away like F.round / DuckDB ROUND — Python round() is
+    # half-EVEN and would diverge on an exact .5 boundary
+    nano_log_n_total = int(math.floor(math.log2(n_total) * 1e9 + 0.5))
+    r_nano = (
+        _nano(F.log2(F.col("_c").cast("double")))
+        + F.lit(nano_log_n_total)
+        - _nano(F.log2(F.col("_n").cast("double")))
+        - _nano(F.log2(F.col("_cw").cast("double")))
+    )
+    m = F.round(
+        F.col("_c").cast("double")
+        * r_nano.cast("double")
+        / (F.lit(1000.0) * F.col("_n").cast("double"))
+    ).cast("bigint")
+    return (
+        st.join(ct, "_w")
+        .join(F.broadcast(ng), "_g")
+        .select("_g", m.alias("_m"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("_m").alias("kl_micro"),
+        )
+        .join(F.broadcast(ng), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").alias("n_tokens"),
+            "n_terms",
+            "kl_micro",
+        )
     )

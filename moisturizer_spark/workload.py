@@ -9612,11 +9612,10 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("hash", "join", "stream", "window")
 
-
-@query(
-    "docs_bm25_search",
-    f"""
-    WITH base AS (
+# The BM25 scoring chain as oracle CTEs, shared by the plain ranked
+# search and the hybrid RRF fusion (one definition so the two cannot
+# drift); ends with bm(doc_id, n_terms, score_micro).
+_BM25_ORACLE_CTES = f"""base AS (
         SELECT doc_id, {_SQL_TOKS} AS w FROM documents
     ),
     dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
@@ -9650,11 +9649,21 @@ _BM25_TERMS = ("hash", "join", "stream", "window")
         JOIN dfreq USING (t)
         JOIN dl USING (doc_id)
         CROSS JOIN consts
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-           CAST(SUM(m) AS BIGINT) AS score_micro
-    FROM scored
-    GROUP BY doc_id
+    ),
+    bm AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(m) AS BIGINT) AS score_micro
+        FROM scored
+        GROUP BY doc_id
+    )"""
+
+
+@query(
+    "docs_bm25_search",
+    f"""
+    WITH {_BM25_ORACLE_CTES}
+    SELECT doc_id, n_terms, score_micro
+    FROM bm
     ORDER BY score_micro DESC, doc_id
     LIMIT 10
     """,
@@ -9677,6 +9686,387 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("documents",))
     return bm25_topk(t["documents"], _BM25_TERMS, k=10)
+
+
+@query(
+    "user_cohort_retention",
+    """
+    WITH um AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS m
+                FROM events),
+    f AS (SELECT user_id, MIN(m) AS cm FROM um GROUP BY user_id),
+    s AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_users
+          FROM f GROUP BY cm),
+    j AS (SELECT f.cm, um.m FROM um JOIN f USING (user_id)),
+    r AS (SELECT cm, m, CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM j GROUP BY cm, m)
+    SELECT r.cm AS cohort_week,
+           CAST(date_diff('day', r.cm, r.m) // 7 AS BIGINT) AS week_offset,
+           r.n_active, s.cohort_users,
+           CAST((2000 * r.n_active + s.cohort_users)
+                // (2 * s.cohort_users) AS BIGINT) AS retention_permille
+    FROM r JOIN s USING (cm)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple beside
+    sessionization and funnels: users cohorted by FIRST-activity week
+    (ISO Monday truncation, identical in both engines), each later
+    week's active share reported as exact permille (half-away integer
+    division — no float ratio ever forms). Weekly grain because the
+    harness corpus spans one calendar month; the operator shape is
+    grain-independent.
+
+    Scale: one distinct to (user, week) grain — everything after runs
+    on that reduced frame, never raw events; the cohort assignment
+    re-aggregates it per user and joins back user-keyed (two shuffles
+    on the same key); cohort sizes are a calendar-bounded frame and
+    BROADCAST onto the (cohort, week) cells. Retention cells are
+    ≤ weeks² rows regardless of corpus size."""
+    t = load_tables(spark, sf_dir, ("events",))
+    um = (
+        t["events"]
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("m"),
+        )
+        .distinct()
+    )
+    first = um.groupBy("user_id").agg(F.min("m").alias("cm"))
+    sizes = first.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    cells = (
+        um.join(first, "user_id")
+        .groupBy("cm", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cm")
+        .select(
+            F.col("cm").alias("cohort_week"),
+            F.expr("datediff(m, cm) DIV 7").cast("bigint").alias(
+                "week_offset"
+            ),
+            "n_active",
+            "cohort_users",
+            F.expr(
+                "(2000 * n_active + cohort_users) DIV (2 * cohort_users)"
+            ).alias("retention_permille"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_FK_RELATIONS = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+@query(
+    "orders_integrity_audit",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           CAST((2000000 * SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS orphan_ppm
+    FROM {child} LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p
+      ON {child}.{ckey} = p.{pkey}
+    """
+        for label, child, ckey, parent, pkey in _FK_RELATIONS
+    )
+    + "\nORDER BY relation",
+)
+def orders_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality expectation the
+    profile/drift family doesn't cover: for each declared FK relation,
+    the child row count, the count of ORPHANS (child keys with no
+    parent row; a NULL FK is an orphan — it references nothing), and
+    the orphan rate in exact ppm. Zero everywhere on healthy TPC-H
+    data; the query is the pipeline gate a 100 TB ingest runs after
+    every load, so the interesting property is its plan, not its rows.
+
+    Scale: each relation is ONE left join of the child's key column
+    (projected before the join — column pruning reaches the scan)
+    against the parent's DISTINCT key, aggregated map-side to a 1-row
+    verdict; dimension-sized parents broadcast, and the lineitem→orders
+    leg shuffles both sides on the key — the unavoidable big-big case,
+    stated. The four verdicts union into a 4-row report."""
+    t = load_tables(
+        spark, sf_dir, ("orders", "customer", "lineitem", "part", "supplier")
+    )
+    small = {"customer", "part", "supplier"}
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_RELATIONS:
+        pk = t[parent].select(pkey).distinct()
+        if parent in small:
+            pk = F.broadcast(pk)
+        j = (
+            t[child]
+            .select(F.col(ckey))
+            .join(pk, t[child][ckey] == F.col(pkey), "left")
+        )
+        parts.append(
+            j.agg(
+                F.lit(label).alias("relation"),
+                F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+                F.count(F.when(F.col(pkey).isNull(), 1))
+                .cast("bigint")
+                .alias("n_orphans"),
+            ).select(
+                "relation",
+                "n_child_rows",
+                "n_orphans",
+                F.expr(
+                    "(2000000 * n_orphans + n_child_rows) "
+                    "DIV (2 * n_child_rows)"
+                ).alias("orphan_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")
+
+
+@query(
+    "brand_price_theilsen",
+    """
+    WITH pts AS (SELECT p_brand,
+            CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) * 12
+                 + EXTRACT(MONTH FROM CAST(l_shipdate AS DATE))
+                 AS BIGINT) AS x,
+            CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+    monthly AS (SELECT p_brand, x,
+            CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+              AS y
+          FROM pts GROUP BY p_brand, x),
+    pairs AS (SELECT a.p_brand, a.x AS xi, b.x AS xj,
+            CASE WHEN b.y >= a.y
+                 THEN (2 * (b.y - a.y) * 1000000 + (b.x - a.x))
+                      // (2 * (b.x - a.x))
+                 ELSE -((2 * (a.y - b.y) * 1000000 + (b.x - a.x))
+                        // (2 * (b.x - a.x)))
+            END AS slope_micro
+          FROM monthly a JOIN monthly b
+            ON a.p_brand = b.p_brand AND b.x > a.x),
+    ranked AS (SELECT p_brand, slope_micro,
+            ROW_NUMBER() OVER (PARTITION BY p_brand
+                               ORDER BY slope_micro, xi, xj) AS rk,
+            COUNT(*) OVER (PARTITION BY p_brand) AS n_pairs
+          FROM pairs),
+    np AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_points
+           FROM monthly GROUP BY p_brand)
+    SELECT np.p_brand, np.n_points,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs, r.slope_micro
+    FROM np LEFT JOIN (SELECT * FROM ranked
+                       WHERE rk = (n_pairs + 1) // 2) r USING (p_brand)
+    ORDER BY p_brand
+    """,
+)
+def brand_price_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ROBUST price trend: the Theil–Sen median of pairwise
+    slopes over the brand's MONTHLY mean price (exact cents, half-away
+    monthly mean) — the outlier-resistant companion to
+    ``brand_price_trend``'s least squares (one promo month can move OLS
+    arbitrarily; the pairwise median shrugs off ~29% contamination).
+
+    Runs through :func:`moisturizer_spark.operators.stats.theil_sen`
+    (see its docstring for the sign-split integer division and
+    lower-median recipes — no float enters). Scale: the series
+    pre-aggregates to calendar-month grain BEFORE pairing, so the
+    quadratic pair frame is bounded by months² per brand (~3.5k pairs
+    for 7 years) and the operator REFUSES unaggregated inputs past its
+    max_points gate; part is a broadcast dim; the monthly aggregation
+    is one shuffle at (brand, month) grain."""
+    from moisturizer_spark.operators.stats import theil_sen
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    pts = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            t["lineitem"]["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            (
+                F.year(F.col("l_shipdate").cast("date")) * 12
+                + F.month(F.col("l_shipdate").cast("date"))
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.col("l_extendedprice").cast("double") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    monthly = (
+        pts.groupBy("p_brand", "x")
+        .agg(F.sum("cents").alias("_s"), F.count(F.lit(1)).alias("_c"))
+        .select(
+            "p_brand", "x", F.expr("(2 * _s + _c) DIV (2 * _c)").alias("y")
+        )
+    )
+    return theil_sen(monthly, ["p_brand"], "x", "y").orderBy("p_brand")
+
+
+@query(
+    "source_unigram_kl",
+    f"""
+    WITH base AS (SELECT source, {_SQL_TOKS} AS w FROM documents),
+    st AS (SELECT source, t AS w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source, unnest(w) AS t FROM base)
+           GROUP BY source, t),
+    ct AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM st GROUP BY w),
+    ng AS (SELECT source, CAST(SUM(len(w)) AS BIGINT) AS n
+           FROM base GROUP BY source),
+    consts AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS nt FROM base),
+    terms AS (SELECT st.source,
+            CAST(ROUND(CAST(c AS DOUBLE) * CAST(
+                CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+              + CAST(ROUND(log2(CAST(nt AS DOUBLE)) * 1e9) AS BIGINT)
+              - CAST(ROUND(log2(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)
+              - CAST(ROUND(log2(CAST(cw AS DOUBLE)) * 1e9) AS BIGINT)
+            AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE))) AS BIGINT) AS m
+          FROM st JOIN ct USING (w) JOIN ng USING (source)
+          CROSS JOIN consts)
+    SELECT source, ng.n AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(m) AS BIGINT) AS kl_micro
+    FROM terms JOIN ng USING (source)
+    GROUP BY source, ng.n
+    ORDER BY source
+    """,
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-distribution drift per source: KL divergence of each
+    source's unigram mix from the corpus mix, in integer micro-bits
+    per token — the TEXT leg of the drift family (PSI/KS/χ² watch
+    numeric and categorical columns; this watches vocabulary usage).
+
+    Runs through :func:`moisturizer_spark.operators.textan.unigram_kl`
+    (see its docstring: four nano-bit ``log2`` terms of exact integers,
+    per-term double product under 2⁵³, half-away micro rounding — and
+    the Σc = n_g identity that bounds the per-group BIGINT total at
+    ~6·10⁷ regardless of corpus size). Scale: one tokenize scan feeds
+    the (source, term) counts; the corpus term frame re-aggregates THAT
+    frame; token totals ride a slim no-explode scan and broadcast."""
+    from moisturizer_spark.operators.textan import unigram_kl
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return unigram_kl(t["documents"], "source", "text").orderBy("source")
+
+
+@query(
+    "docs_hybrid_rrf",
+    f"""
+    WITH {_BM25_ORACLE_CTES},
+    bm_rank AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r
+          FROM bm),
+    bm_top AS (SELECT doc_id, CAST(r AS BIGINT) AS bm25_rank
+               FROM bm_rank WHERE r <= 50),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+    cos AS (SELECT vec_id AS doc_id,
+            ROUND(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])),
+                  6) AS sim
+          FROM embeddings CROSS JOIN qv),
+    cos_rank AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r
+          FROM cos),
+    cos_top AS (SELECT doc_id, CAST(r AS BIGINT) AS cosine_rank
+                FROM cos_rank WHERE r <= 50),
+    fused AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+            b.bm25_rank, c.cosine_rank,
+            COALESCE((2 * 1000000 + (60 + b.bm25_rank))
+                     // (2 * (60 + b.bm25_rank)), 0)
+          + COALESCE((2 * 1000000 + (60 + c.cosine_rank))
+                     // (2 * (60 + c.cosine_rank)), 0) AS rrf_micro
+          FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id)
+    SELECT doc_id, bm25_rank, cosine_rank, CAST(rrf_micro AS BIGINT)
+             AS rrf_micro
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 lexical top-50 for the query bag and the cosine
+    top-50 around the query vector (doc 0's embedding — vec_id aligns
+    with doc_id in the harness corpus) fuse by
+    ``Σ 1/(60+rank)``, computed as exact half-away integer micro so a
+    rank list is worth the same in both engines; a doc on BOTH lists
+    outranks either list's tail — the standard lexical+vector blend a
+    RAG ingestion stack runs.
+
+    Scale: each leg ends in a distributed TakeOrderedAndProject top-50
+    BEFORE any global window — ranks assign on the 50-row frames, the
+    fusion join is 50×50 at most, and the corpus never sorts globally.
+    The BM25 leg inherits bm25_topk's posting-prefilter economics; the
+    cosine leg broadcasts the single query vector over the scan."""
+    from pyspark.sql import Window
+
+    from moisturizer_spark.operators.similarity import cosine_similarity_col
+    from moisturizer_spark.operators.textan import bm25_topk
+
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    bm = bm25_topk(t["documents"], _BM25_TERMS, k=50)
+    wb = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    bm_r = bm.select(
+        "doc_id", F.row_number().over(wb).cast("bigint").alias("bm25_rank")
+    )
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("_qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+    )
+    sim = F.round(cosine_similarity_col(F.col("_qv"), F.col("_cv")), 6)
+    cos_top = (
+        c.crossJoin(F.broadcast(q))
+        .select("doc_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(50)
+    )
+    wc = Window.orderBy(F.col("sim").desc(), "doc_id")
+    cos_r = cos_top.select(
+        "doc_id", F.row_number().over(wc).cast("bigint").alias("cosine_rank")
+    )
+
+    def contrib(col: str):
+        return F.coalesce(
+            F.expr(f"(2 * 1000000 + (60 + {col})) DIV (2 * (60 + {col}))"),
+            F.lit(0).cast("bigint"),
+        )
+
+    return (
+        bm_r.join(cos_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cosine_rank",
+            (contrib("bm25_rank") + contrib("cosine_rank")).alias(
+                "rrf_micro"
+            ),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(10)
+    )
 
 
 QUERIES["embedding_kmeans"] = embedding_kmeans
@@ -9721,6 +10111,12 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "user_cohort_retention",          # NEW: weekly cohort retention matrix
+    "orders_integrity_audit",         # NEW: FK orphan audit report
+    "brand_price_theilsen",           # NEW: robust pairwise-median trend
+    "source_unigram_kl",              # NEW: text-distribution drift (KL)
+    "docs_hybrid_rrf",                # NEW: BM25 ⊕ cosine rank fusion
+    "docs_bm25_search",               # tainted: oracle CTEs factored for RRF
     "trade_pagerank_convergence",     # NEW: per-round rank-movement report
     "copresence_lpa_convergence",     # NEW: per-round label-flip report
     "trade_pagerank_det",             # tainted: auto-rescaled rank grid
@@ -9770,12 +10166,8 @@ _NEEDS_DRIVER_ROW = [
     "events_daily",
     "events_distinct_reach",
     "events_props_flatten",
-    "events_reach_hll_det",
-    "events_running_total",
-    "events_sessionize",
-    "events_unpivot",
-    "events_user_pivot",
-    "lang_sources_csv",
+    # (backfill stops at exactly slot 50 — the remaining age-2 oracles
+    # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]
 
 

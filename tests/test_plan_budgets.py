@@ -36,7 +36,12 @@ BUDGETS = {
     "brand_revenue_share": 2,
     "corpus_shard_manifest": 2,
     "crosslingual_near_dup": 1,
+    "brand_price_theilsen": 7,
     "customer_golden_records": 4,
+    "docs_hybrid_rrf": 4,
+    "orders_integrity_audit": 8,
+    "source_unigram_kl": 9,
+    "user_cohort_retention": 6,
     "customer_name_typo_pairs": 1,
     "customer_priority_scd2": 2,
     "customer_rfm_segments": 2,

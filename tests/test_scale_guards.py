@@ -103,6 +103,13 @@ ALLOWED = {
     ("operators/textan.py", "bm25_topk"):
         "one 1-row scalar aggregate (corpus N, total token count L) "
         "inlined as plan literals",
+    ("operators/textan.py", "unigram_kl"):
+        "one 1-row scalar aggregate (corpus token total N) inlined as "
+        "a plan literal (the bm25_topk pattern)",
+    ("operators/stats.py", "theil_sen"):
+        "limit(1) guard collect: REFUSES any group whose series exceeds "
+        "max_points (the pair frame is quadratic by design, so the "
+        "bound is enforced, not assumed)",
     ("sinks.py", "write_training_shards"): "manifest stats: n_shards rows",
     ("incremental.py", "_merge_pruned"):
         "distinct bucket ids of the delta, <= n_buckets rows (the "

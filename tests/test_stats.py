@@ -272,3 +272,86 @@ def test_group_ols_degenerate_groups_are_null(spark):
     got = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
     for g in ("const_x", "single"):
         assert got[g]["slope"] is None and got[g]["r2"] is None
+
+
+# -- Theil–Sen robust trend ---------------------------------------------------
+
+
+def test_theil_sen_exact_line_and_lower_median(spark):
+    from moisturizer_spark.operators.stats import theil_sen
+
+    # y = 3x + 7 exactly: every pairwise slope is 3.0 → 3_000_000 micro
+    rows = [("g", x, 3 * x + 7) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = theil_sen(df, ["g"], "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_points"], r["n_pairs"], r["slope_micro"]) == (8, 28, 3_000_000)
+
+
+def test_theil_sen_shrugs_off_outlier_where_ols_moves(spark):
+    from moisturizer_spark.operators.stats import group_ols, theil_sen
+
+    rows = [("g", x, 10 * x) for x in range(1, 12)]
+    rows[10] = ("g", 11, 1_000_000)  # one wild month at the series end
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    ts = theil_sen(df, ["g"], "x", "y").first()
+    ols = group_ols(df, ["g"], "x", "y").first()
+    # the pairwise median stays on the clean trend (slope 10)
+    assert ts["slope_micro"] == 10_000_000
+    assert abs(ols["slope"] - 10) > 1000  # least squares is dragged away
+
+
+def test_theil_sen_single_point_group_is_null(spark):
+    from moisturizer_spark.operators.stats import theil_sen
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("b", 1, 2), ("b", 3, 8)], "g string, x long, y long"
+    )
+    got = {r["g"]: r for r in theil_sen(df, ["g"], "x", "y").collect()}
+    assert got["a"]["slope_micro"] is None and got["a"]["n_pairs"] is None
+    assert got["b"]["slope_micro"] == 3_000_000
+
+
+def test_theil_sen_negative_slope_half_away_rounding(spark):
+    from moisturizer_spark.operators.stats import theil_sen
+
+    # two points, dy = -1 over dx = 2: slope -0.5 → half-away = -500000
+    df = spark.createDataFrame(
+        [("g", 0, 1), ("g", 2, 0)], "g string, x long, y long"
+    )
+    assert theil_sen(df, ["g"], "x", "y").first()["slope_micro"] == -500_000
+
+
+def test_theil_sen_refuses_unaggregated_series(spark):
+    import pytest
+
+    from moisturizer_spark.operators.stats import theil_sen
+
+    df = spark.createDataFrame(
+        [("g", i, i) for i in range(20)], "g string, x long, y long"
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        theil_sen(df, ["g"], "x", "y", max_points=10)
+
+
+def test_theil_sen_matches_python_replay(spark):
+    from moisturizer_spark.operators.stats import theil_sen
+
+    rows = [("g", x, (x * 37) % 11 + 2 * x) for x in range(1, 13)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = theil_sen(df, ["g"], "x", "y").first()
+
+    def half_away(num, den):  # num any sign, den > 0
+        if num >= 0:
+            return (2 * num * 1_000_000 + den) // (2 * den)
+        return -((2 * -num * 1_000_000 + den) // (2 * den))
+
+    slopes = sorted(
+        (half_away(y2 - y1, x2 - x1), x1, x2)
+        for i, (_, x1, y1) in enumerate(rows)
+        for (_, x2, y2) in rows[i + 1:]
+    )
+    n = len(slopes)
+    assert got["n_pairs"] == n
+    assert got["slope_micro"] == slopes[(n + 1) // 2 - 1][0]

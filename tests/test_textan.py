@@ -1629,3 +1629,85 @@ def test_fan_out_results_identical_through_an_lm_pipeline(spark):
                 df.repartition(spark.sparkContext.defaultParallelism + 3)
             ).collect()}
     assert one == many
+
+
+# -- unigram KL divergence ----------------------------------------------------
+
+
+def test_unigram_kl_identical_sources_score_zero(spark):
+    from moisturizer_spark.operators.textan import unigram_kl
+
+    text = "alpha beta gamma delta alpha beta"
+    df = spark.createDataFrame(
+        [(1, "a", text), (2, "b", text)], "doc_id long, source string, text string"
+    )
+    got = {r["source"]: r for r in unigram_kl(df, "source", "text").collect()}
+    # both sources ARE the corpus distribution: KL = 0 exactly (every
+    # log-ratio assembles from identical nano terms and cancels)
+    assert got["a"]["kl_micro"] == 0 and got["b"]["kl_micro"] == 0
+    assert got["a"]["n_tokens"] == 6 and got["a"]["n_terms"] == 4
+
+
+def test_unigram_kl_divergent_source_scores_higher(spark):
+    from moisturizer_spark.operators.textan import unigram_kl
+
+    df = spark.createDataFrame(
+        [
+            (1, "prose", "the quick brown fox jumps over the lazy dog"),
+            (2, "prose", "a river bank curves near the old stone bridge"),
+            (3, "spam", "buy buy buy cheap cheap pills pills pills now"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r["kl_micro"] for r in unigram_kl(df).collect()}
+    assert got["spam"] > got["prose"] > 0
+
+
+def test_unigram_kl_matches_python_replay(spark):
+    import math
+
+    from moisturizer_spark.operators.textan import unigram_kl
+
+    rows = [
+        (1, "a", "x x y z z z"),
+        (2, "a", "y y w"),
+        (3, "b", "z z z z w w x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in unigram_kl(df).collect()}
+
+    from collections import Counter
+
+    st = Counter()
+    for _, src, text in rows:
+        for w in text.split():
+            st[(src, w)] += 1
+    ct = Counter()
+    for (src, w), c in st.items():
+        ct[w] += c
+    ng = Counter()
+    for (src, w), c in st.items():
+        ng[src] += c
+    n_total = sum(ng.values())
+
+    def nano(x):
+        return math.floor(x * 1e9 + 0.5) if x >= 0 else -math.floor(-x * 1e9 + 0.5)
+
+    def half_away_round(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    expect = Counter()
+    terms = Counter()
+    for (src, w), c in st.items():
+        r = (
+            nano(math.log2(c))
+            + nano(math.log2(n_total))
+            - nano(math.log2(ng[src]))
+            - nano(math.log2(ct[w]))
+        )
+        expect[src] += half_away_round(float(c) * float(r) / (1000.0 * float(ng[src])))
+        terms[src] += 1
+    for src in ("a", "b"):
+        assert got[src]["kl_micro"] == expect[src], src
+        assert got[src]["n_terms"] == terms[src]
+        assert got[src]["n_tokens"] == ng[src]
