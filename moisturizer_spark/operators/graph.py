@@ -612,3 +612,79 @@ def hits_bipartite(
         F.col("_a").alias("score"),
     )
     return hubs.unionByName(auths)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_center_degree: int = 64,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: for every
+    NON-adjacent pair (u, v) with at least one common neighbor, the
+    score ``Σ_{w ∈ N(u)∩N(v)} 1/log2(deg(w))`` — common neighbors
+    weighted by how selective they are (a mutual contact with 3 edges
+    says far more than one with 3 million). The classic
+    missing-edge/recommendation primitive that completes the graph
+    family's prediction leg (PageRank ranks nodes, LPA groups them,
+    triangles score cohesion; this scores ABSENT edges).
+
+    Determinism: each center's weight is ``round(10⁶/log2(d))`` —
+    one double division of exact integers, half-away to integer micro
+    (both engines see identical IEEE inputs) — and pair scores are
+    exact BIGINT sums of those micros; a common neighbor has d ≥ 2 by
+    construction, so log2(d) ≥ 1 and every weight is ≤ 10⁶, bounding
+    a pair's score at 10⁶·|common| — int64-safe at any graph size.
+
+    Scale: wedge enumeration through a center w fans out as deg(w)² —
+    the basket_pairs hot-cell problem in graph clothing — so centers
+    above ``max_center_degree`` are EXCLUDED, a stated modeling bound
+    the oracle replays: the skipped super-hubs are precisely the
+    lowest-weight evidence (1/log2 d vanishes as d grows), so the cap
+    removes the quadratic blow-up where the signal is weakest. The
+    adjacency frame persists once and feeds both wedge legs; known
+    edges drop via one anti-join on the canonical pair key.
+
+    Returns ``(id_a, id_b, n_common, aa_micro)`` with id_a < id_b.
+    """
+    from moisturizer_spark.operators.common import materialize
+
+    a, b = F.col(src_col), F.col(dst_col)
+    und = materialize(
+        edges.select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    adj = materialize(
+        und.select(F.col("_a").alias("_w"), F.col("_b").alias("_n")).unionAll(
+            und.select(F.col("_b").alias("_w"), F.col("_a").alias("_n"))
+        )
+    )
+    centers = (
+        adj.groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+        .filter(
+            (F.col("_d") >= 2) & (F.col("_d") <= F.lit(max_center_degree))
+        )
+        .select(
+            "_w",
+            F.expr(
+                "CAST(ROUND(1e6 / log2(CAST(_d AS DOUBLE))) AS BIGINT)"
+            ).alias("_wt"),
+        )
+    )
+    wa = adj.join(centers, "_w")
+    wedges = wa.select("_w", F.col("_n").alias("id_a"), "_wt").join(
+        wa.select("_w", F.col("_n").alias("id_b")), "_w"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    pairs = wedges.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("_wt").cast("bigint").alias("aa_micro"),
+    )
+    return pairs.join(
+        und.select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b")),
+        ["id_a", "id_b"],
+        "left_anti",
+    )

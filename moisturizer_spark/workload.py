@@ -9989,7 +9989,8 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_top AS (SELECT doc_id, CAST(r AS BIGINT) AS cosine_rank
                 FROM cos_rank WHERE r <= 50),
     fused AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-            b.bm25_rank, c.cosine_rank,
+            COALESCE(b.bm25_rank, 0) AS bm25_rank,
+            COALESCE(c.cosine_rank, 0) AS cosine_rank,
             COALESCE((2 * 1000000 + (60 + b.bm25_rank))
                      // (2 * (60 + b.bm25_rank)), 0)
           + COALESCE((2 * 1000000 + (60 + c.cosine_rank))
@@ -10058,14 +10059,140 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm_r.join(cos_r, "doc_id", "full_outer")
         .select(
             "doc_id",
-            "bm25_rank",
-            "cosine_rank",
+            # rank 0 = "not on this list's top-50" — a non-NULL sentinel
+            # so the report sorts and hashes identically in both engines
+            F.coalesce(F.col("bm25_rank"), F.lit(0).cast("bigint")).alias(
+                "bm25_rank"
+            ),
+            F.coalesce(F.col("cosine_rank"), F.lit(0).cast("bigint")).alias(
+                "cosine_rank"
+            ),
             (contrib("bm25_rank") + contrib("cosine_rank")).alias(
                 "rrf_micro"
             ),
         )
         .orderBy(F.col("rrf_micro").desc(), "doc_id")
         .limit(10)
+    )
+
+
+@query(
+    "copresence_link_prediction",
+    f"""
+    WITH {_sql_copresence_pairs(6)},
+    und AS (SELECT user_a AS a, user_b AS b FROM cop),
+    adj AS (SELECT a AS w, b AS n FROM und
+            UNION ALL SELECT b AS w, a AS n FROM und),
+    centers AS (SELECT w,
+            CAST(ROUND(1e6 / log2(CAST(d AS DOUBLE))) AS BIGINT) AS wt
+          FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS d
+                FROM adj GROUP BY w)
+          WHERE d >= 2 AND d <= 64),
+    wedges AS (SELECT a1.n AS id_a, a2.n AS id_b, c.wt
+          FROM adj a1 JOIN centers c USING (w) JOIN adj a2 USING (w)
+          WHERE a1.n < a2.n),
+    pairs AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+                     CAST(SUM(wt) AS BIGINT) AS aa_micro
+          FROM wedges GROUP BY id_a, id_b),
+    unknown AS (SELECT p.* FROM pairs p LEFT JOIN und
+                  ON p.id_a = und.a AND p.id_b = und.b
+                WHERE und.a IS NULL)
+    SELECT id_a, id_b, n_common, aa_micro
+    FROM unknown
+    ORDER BY aa_micro DESC, id_a, id_b
+    LIMIT 15
+    """,
+)
+def copresence_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-edge prediction on the user co-presence graph: the
+    top-15 NON-adjacent user pairs by Adamic–Adar score — the
+    recommendation/entity-resolution primitive that completes the
+    graph family's prediction leg (who SHOULD be connected, given who
+    their mutual neighbors are).
+
+    Runs through :func:`moisturizer_spark.operators.graph.adamic_adar`
+    (see its docstring: half-away micro center weights from one double
+    division of exact integers, exact BIGINT pair sums, and the
+    max-center-degree cap that bounds the quadratic wedge fan-out where
+    the 1/log2 d signal is weakest — the oracle replays the cap). The
+    edge list is the shared capped co-presence CTE chain, sparsified at
+    ≥6 shared activity cells so centers stay under the degree cap even
+    at the densest tested scale (the harness events corpus packs ~10×
+    more cells per user at sf0.1; min_cells is the knob that keeps edge
+    semantics meaningful as density grows)."""
+    from moisturizer_spark.operators.graph import adamic_adar
+
+    t = load_tables(spark, sf_dir, ("events",))
+    edges = _copresence_pairs(t, min_cells=6)
+    return (
+        adamic_adar(edges, src_col="item_a", dst_col="item_b")
+        .orderBy(F.col("aa_micro").desc(), "id_a", "id_b")
+        .limit(15)
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (SELECT user_id, event_type,
+            LEAD(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS next_type
+          FROM events),
+    c AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+            FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n, tot.n_from,
+           CAST((2000 * c.n + tot.n_from) // (2 * tot.n_from) AS BIGINT)
+             AS p_permille
+    FROM c JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from, to) event-type pair, the transition
+    count and exact-permille probability — the behavioral-model
+    primitive behind next-action prediction, anomaly scoring (a
+    transition the matrix has never seen), and session simulation.
+
+    Determinism: successor via LEAD under the (ts, event_id) total
+    order per user (the sessionize tiebreak rule); probabilities are
+    half-away integer permille — no float division. Scale: ONE shuffle
+    on user_id serves the sequence window; the (from, to) aggregation
+    is map-side combinable onto a frame bounded by |event_types|² —
+    constant-sized output at any corpus size; row totals derive from
+    re-aggregating THAT frame, never the events."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    c = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = c.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr("(2000 * n + n_from) DIV (2 * n_from)").alias(
+                "p_permille"
+            ),
+        )
+        .orderBy("from_type", "to_type")
     )
 
 
@@ -10111,6 +10238,8 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "copresence_link_prediction",     # NEW: Adamic-Adar missing edges
+    "event_transition_matrix",        # NEW: Markov event transitions
     "user_cohort_retention",          # NEW: weekly cohort retention matrix
     "orders_integrity_audit",         # NEW: FK orphan audit report
     "brand_price_theilsen",           # NEW: robust pairwise-median trend
@@ -10164,8 +10293,6 @@ _NEEDS_DRIVER_ROW = [
     "embedding_top5_cosine",
     "events_7day_moving",
     "events_daily",
-    "events_distinct_reach",
-    "events_props_flatten",
     # (backfill stops at exactly slot 50 — the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

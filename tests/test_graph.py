@@ -472,3 +472,75 @@ def test_hits_bipartite_rejects_zero_rounds(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="rounds"):
         hits_bipartite(df, rounds=0)
+
+
+# -- Adamic-Adar link prediction ----------------------------------------------
+
+
+def test_adamic_adar_known_square(spark):
+    """4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the
+    non-edges, each with two degree-2 common neighbors → score exactly
+    2 * round(1e6/log2(2)) = 2_000_000."""
+    from moisturizer_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["aa_micro"])
+        for r in adamic_adar(edges).collect()
+    }
+    assert got == {(1, 3): (2, 2_000_000), (2, 4): (2, 2_000_000)}
+
+
+def test_adamic_adar_weights_selective_neighbors_higher(spark):
+    """A pair sharing one degree-2 neighbor must outrank a pair
+    sharing one degree-4 neighbor: 1/log2(2) > 1/log2(4)."""
+    from moisturizer_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        # hub 10 (degree 4): connects 1,2,3,4; selective 20 (degree 2):
+        # connects 5,6
+        [(10, 1), (10, 2), (10, 3), (10, 4), (20, 5), (20, 6)],
+        "src long, dst long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["aa_micro"]
+        for r in adamic_adar(edges).collect()
+    }
+    assert got[(5, 6)] == 1_000_000  # 1/log2(2)
+    assert got[(1, 2)] == 500_000  # 1/log2(4)
+    assert got[(5, 6)] > got[(1, 2)]
+
+
+def test_adamic_adar_excludes_known_edges_and_caps_hubs(spark):
+    from moisturizer_spark.operators.graph import adamic_adar
+
+    # triangle 1-2-3 plus pendant 4 on node 1: (2,3) is an EDGE so it
+    # must not be predicted even though 1 is a common neighbor
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in adamic_adar(edges).collect()}
+    assert (2, 3) not in got
+    assert (2, 4) in got and (3, 4) in got
+
+    # a hub above the center cap contributes no wedges at all
+    hub = spark.createDataFrame(
+        [(99, i) for i in range(1, 8)], "src long, dst long"
+    )
+    assert adamic_adar(hub, max_center_degree=5).count() == 0
+
+
+def test_adamic_adar_direction_and_duplicate_insensitive(spark):
+    from moisturizer_spark.operators.graph import adamic_adar
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    e2 = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (2, 3)], "src long, dst long"
+    )
+    r1 = {(r["id_a"], r["id_b"]): r["aa_micro"] for r in adamic_adar(e1).collect()}
+    r2 = {(r["id_a"], r["id_b"]): r["aa_micro"] for r in adamic_adar(e2).collect()}
+    assert r1 == r2 == {(1, 3): 1_000_000}

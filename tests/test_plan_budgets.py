@@ -37,6 +37,8 @@ BUDGETS = {
     "corpus_shard_manifest": 2,
     "crosslingual_near_dup": 1,
     "brand_price_theilsen": 7,
+    "copresence_link_prediction": 11,
+    "event_transition_matrix": 6,
     "customer_golden_records": 4,
     "docs_hybrid_rrf": 4,
     "orders_integrity_audit": 8,
