@@ -10196,6 +10196,189 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "monthly_revenue_decompose",
+    """
+    WITH monthly AS (SELECT CAST(date_trunc('month', CAST(o_orderdate
+                AS DATE)) AS DATE) AS m,
+            CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100)
+                AS BIGINT)) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+    tr AS (SELECT m, y,
+            SUM(y) OVER w AS s, COUNT(*) OVER w AS k
+          FROM monthly
+          WINDOW w AS (ORDER BY m ROWS BETWEEN 6 PRECEDING
+                       AND 6 FOLLOWING)),
+    dt AS (SELECT m, y,
+            CAST((2 * s + 13) // 26 AS BIGINT) AS trend,
+            y - CAST((2 * s + 13) // 26 AS BIGINT) AS d
+          FROM tr WHERE k = 13),
+    seas AS (SELECT EXTRACT(MONTH FROM m) AS moy,
+            CAST(CASE WHEN SUM(d) >= 0
+                 THEN (2 * SUM(d) + COUNT(*)) // (2 * COUNT(*))
+                 ELSE -((2 * -SUM(d) + COUNT(*)) // (2 * COUNT(*)))
+            END AS BIGINT) AS seasonal
+          FROM dt GROUP BY 1)
+    SELECT dt.m AS month, dt.y AS revenue_cents, dt.trend AS trend_cents,
+           seas.seasonal AS seasonal_cents,
+           dt.d - seas.seasonal AS residual_cents
+    FROM dt JOIN seas ON EXTRACT(MONTH FROM dt.m) = seas.moy
+    ORDER BY month
+    """,
+)
+def monthly_revenue_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical time-series decomposition of monthly revenue —
+    trend + seasonal + residual (the STL shape without loess): trend is
+    the CENTERED 13-month moving mean (only months with a full window
+    report — no edge extrapolation to get wrong), the seasonal index is
+    the per-calendar-month mean of the detrended series across years,
+    and the residual is what neither explains — the series a forecast
+    or anomaly monitor actually consumes, one step beyond
+    ``monthly_revenue_forecast_eval``'s seasonal-naive BASELINE.
+
+    Determinism: revenue in exact integer cents (per-row double product
+    rounds half-away, both engines identical IEEE); the trend divides
+    an exact 13-month window sum half-away; the seasonal mean is the
+    sign-split half-away division (detrended values go negative); every
+    downstream value is a BIGINT difference. Scale: ONE shuffle to the
+    month grain — every window and join after that runs on the
+    calendar-bounded frame (≤ 84 rows at any corpus size), the
+    established bounded-frame window argument."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    monthly = (
+        t["orders"]
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            .cast("date")
+            .alias("m")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(-6, 6)
+    tr = monthly.select(
+        "m",
+        "y",
+        F.sum("y").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    dt = tr.filter(F.col("k") == 13).select(
+        "m",
+        "y",
+        F.expr("(2 * s + 13) DIV 26").alias("trend"),
+        (F.col("y") - F.expr("(2 * s + 13) DIV 26")).alias("d"),
+    )
+    seas = dt.groupBy(F.month("m").alias("moy")).agg(
+        F.expr(
+            "CAST(CASE WHEN SUM(d) >= 0 "
+            "THEN (2 * SUM(d) + COUNT(*)) DIV (2 * COUNT(*)) "
+            "ELSE -((2 * -SUM(d) + COUNT(*)) DIV (2 * COUNT(*))) "
+            "END AS BIGINT)"
+        ).alias("seasonal")
+    )
+    return (
+        dt.join(F.broadcast(seas), F.month("m") == F.col("moy"))
+        .select(
+            F.col("m").alias("month"),
+            F.col("y").alias("revenue_cents"),
+            F.col("trend").alias("trend_cents"),
+            F.col("seasonal").alias("seasonal_cents"),
+            (F.col("d") - F.col("seasonal")).alias("residual_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "user_clustering_coefficient",
+    f"""
+    WITH {_sql_copresence_pairs(4)},
+    e AS (SELECT user_a AS a, user_b AS b FROM cop),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM
+            (SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e)
+            GROUP BY u),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    m AS (SELECT x AS u FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+    tc AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY u)
+    SELECT deg.u AS user_id, deg.d AS degree,
+           CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+           CAST((2 * 2000 * COALESCE(tc.t, 0) + deg.d * (deg.d - 1))
+                // (2 * deg.d * (deg.d - 1)) AS BIGINT) AS cc_permille
+    FROM deg LEFT JOIN tc USING (u)
+    WHERE deg.d >= 2
+    ORDER BY cc_permille DESC, degree DESC, user_id
+    LIMIT 15
+    """,
+)
+def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the co-presence graph: for each
+    user with ≥2 neighbors, how many of the possible neighbor pairs are
+    themselves connected — ``2T/(d(d−1))`` in exact permille. The
+    NORMALIZED cohesion signal raw triangle counts miss: a degree-3
+    user in one closed clique outranks a hub touching a thousand open
+    wedges, which is the difference between a tight ring and a broker.
+
+    Determinism: exact triangle counts over the set-valued enumeration
+    (the degree-oriented `triangle_count`), exact integer degrees, and
+    a half-away integer permille — no float ratio; top-15 under the
+    (cc, degree, user_id) total order. Scale: shares the capped
+    co-presence CTE chain and the O(m·√m) orientation bound of
+    ``user_copresence_triangles``; the coefficient join is node-grain
+    (broadcastable) after the motif work."""
+    from moisturizer_spark.operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir, ("events",))
+    edges = _copresence_pairs(t, min_cells=4)
+    deg = (
+        edges.select(F.col("item_a").alias("u"))
+        .unionAll(edges.select(F.col("item_b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_count(
+        edges, src_col="item_a", dst_col="item_b", broadcast_degrees=True
+    )
+    members = (
+        tri.select(F.col("node_a").alias("u"))
+        .unionAll(tri.select(F.col("node_b").alias("u")))
+        .unionAll(tri.select(F.col("node_c").alias("u")))
+    )
+    tc = members.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t")
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tc, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            "degree",
+            F.coalesce(F.col("_t"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "(2 * 2000 * coalesce(_t, 0) + degree * (degree - 1)) "
+                "DIV (2 * degree * (degree - 1))"
+            ).alias("cc_permille"),
+        )
+        .orderBy(
+            F.col("cc_permille").desc(), F.col("degree").desc(), "user_id"
+        )
+        .limit(15)
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -10238,6 +10421,8 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "monthly_revenue_decompose",      # NEW: trend/seasonal/residual split
+    "user_clustering_coefficient",    # NEW: normalized graph cohesion
     "copresence_link_prediction",     # NEW: Adamic-Adar missing edges
     "event_transition_matrix",        # NEW: Markov event transitions
     "user_cohort_retention",          # NEW: weekly cohort retention matrix
@@ -10291,8 +10476,6 @@ _NEEDS_DRIVER_ROW = [
     "embedding_decontamination",
     "embedding_norm_stats",
     "embedding_top5_cosine",
-    "events_7day_moving",
-    "events_daily",
     # (backfill stops at exactly slot 50 — the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

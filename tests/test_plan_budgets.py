@@ -38,12 +38,14 @@ BUDGETS = {
     "crosslingual_near_dup": 1,
     "brand_price_theilsen": 7,
     "copresence_link_prediction": 11,
+    "monthly_revenue_decompose": 4,
     "event_transition_matrix": 6,
     "customer_golden_records": 4,
     "docs_hybrid_rrf": 4,
     "orders_integrity_audit": 8,
     "source_unigram_kl": 9,
     "user_cohort_retention": 6,
+    "user_clustering_coefficient": 21,
     "customer_name_typo_pairs": 1,
     "customer_priority_scd2": 2,
     "customer_rfm_segments": 2,
