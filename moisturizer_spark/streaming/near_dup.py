@@ -71,13 +71,26 @@ def start_near_dup_stream(
     stats: ParquetTable,
     checkpoint_dir: str,
     available_now: bool = True,
+    pairs: ParquetTable | None = None,
 ) -> StreamingQuery:
     """Run the near-dup curation pipeline over a document stream via
     foreachBatch. ``doc_stream`` must carry the index's (id_col,
     text_col) columns; the banding shape, shingle size, and threshold
     all come from the index sidecar so the stream can never drift from
     the corpus it dedups against. ``curated`` is keyed on the id
-    column; ``stats`` on the batch id."""
+    column; ``stats`` on the batch id.
+
+    ``pairs`` (optional) is an EDGE table keyed on the canonical
+    ``pair`` string: every near-dup pair the batch surfaces — within
+    the batch and against the corpus index — upserts as
+    ``(pair, id_a, id_b)`` with id_a < id_b. Feeding it to
+    :class:`~moisturizer_spark.incremental.IncrementalCCView` turns the
+    stream into continuously-maintained dedup CLUSTERS: the stream only
+    ever INSERTS edges, exactly the monotone case the view folds
+    without recomputing star contraction. Upserts are keyed, so replay
+    rewrites the same rows (idempotent without any extra bookkeeping);
+    the write rides the same purity window as curated/stats (before the
+    index absorbs the batch)."""
     with open(os.path.join(index_path, "_minhash.json")) as fh:
         meta = json.load(fh)
     id_col, text_col = meta["id_col"], meta["text_col"]
@@ -123,6 +136,24 @@ def start_near_dup_stream(
             id_col,
             "left_anti",
         )
+        if pairs is not None and _behind(pairs, batch_id):
+            corpus_pairs = dups.select(
+                F.least("batch_id", "corpus_id").alias("id_a"),
+                F.greatest("batch_id", "corpus_id").alias("id_b"),
+            )
+            all_pairs = (
+                pairs_in.select("id_a", "id_b")
+                .unionByName(corpus_pairs)
+                .distinct()
+                .select(
+                    F.concat_ws("|", F.col("id_a"), F.col("id_b")).alias(
+                        pairs.key
+                    ),
+                    "id_a",
+                    "id_b",
+                )
+            )
+            pairs.upsert(all_pairs, txn=(app_id, batch_id))
         if _behind(curated, batch_id):
             curated.upsert(survivors, txn=(app_id, batch_id))
         if _behind(stats, batch_id):

@@ -202,3 +202,57 @@ def test_fresh_checkpoint_reprocesses_instead_of_dropping(spark, warehouse):
     q.awaitTermination(120)
     s = stats3.read().first()
     assert (s["n_corpus_dups"], s["n_kept"]) == (1, 0)
+
+
+def test_stream_pairs_feed_maintains_incremental_clusters(spark, warehouse):
+    """The full stream -> edge table -> incremental-CC composition: the
+    near-dup stream upserts every surfaced pair into a keyed edge
+    table (insert-only from the view's perspective), and the
+    IncrementalCCView folds each drained batch WITHOUT recomputing star
+    contraction — continuously-maintained dedup clusters."""
+    from moisturizer_spark.incremental import IncrementalCCView
+
+    seed = spark.createDataFrame([(100, BASE)], SCHEMA)
+    index = f"{warehouse}/nd_index3"
+    minhash_build(seed, index, threshold=0.6)
+    src = os.path.join(warehouse, "nd_src3")
+    os.makedirs(src)
+    curated = ParquetTable(spark, f"{warehouse}/nd3_curated", key="doc_id")
+    stats = ParquetTable(spark, f"{warehouse}/nd3_stats", key="batch_id")
+    pairs = ParquetTable(spark, f"{warehouse}/nd3_pairs", key="pair")
+    view = IncrementalCCView(
+        pairs, f"{warehouse}/nd3_clusters", src_col="id_a", dst_col="id_b"
+    )
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = start_near_dup_stream(
+            stream, index, curated, stats,
+            os.path.join(warehouse, "nd3_ckpt"), pairs=pairs,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: corpus near-dup (100~1) + within-batch pair (2~3)
+    _drop(
+        src,
+        "b1.json",
+        [(1, NEAR), (2, FRESH), (3, FRESH.replace("painted", "welded"))],
+    )
+    drain()
+    view.refresh()
+    labels = {r["id"]: r["component"] for r in view.read().collect()}
+    assert labels == {1: 1, 100: 1, 2: 2, 3: 2}
+
+    # batch 2: a near-dup of batch 1's survivor chains cluster {2,3}
+    _drop(src, "b2.json", [(4, FRESH.replace("sodium", "argon")), (5, FRESH2)])
+    drain()
+    view.refresh()
+    labels = {r["id"]: r["component"] for r in view.read().collect()}
+    assert labels == {1: 1, 100: 1, 2: 2, 3: 2, 4: 2}
+
+    # idempotent: a drain with no new files leaves clusters unchanged
+    drain()
+    view.refresh()
+    assert {
+        r["id"]: r["component"] for r in view.read().collect()
+    } == labels
