@@ -875,10 +875,6 @@ class IncrementalJoinView:
         recipe, applied at the view's multiset grain — the view is
         keyed on the join key, so a delta key maps to exactly one
         bucket)."""
-        import json
-
-        from pyspark.sql import types as T
-
         from moisturizer_spark.storage import _BUCKET_COL, _strip_internal
 
         man = self.view._load_manifest()
@@ -894,11 +890,7 @@ class IncrementalJoinView:
         if not touched:
             # delta folded to nothing (feeds joined no rows): data is
             # already current — commit just the cursor watermarks
-            carried = {
-                int(b): list(d) for b, d in man["buckets"].items()
-            }
-            schema = T.StructType.fromJson(json.loads(man["schema"]))
-            self.view._commit(carried, schema, man, txn=txn)
+            self.view.commit_txn_only(txn)
             return
         existing = self.view._read_buckets(touched, man).select(
             self.left_on,
@@ -1066,14 +1058,17 @@ class IncrementalCCView:
         of merged components plus first-seen endpoints. Every frame here
         is delta-sized except the one labeled-view probe, which scans
         the view ONCE with the endpoint list broadcast."""
-        eps = (
+        from moisturizer_spark.operators.common import materialize
+
+        eps = materialize(
             new_edges.select(F.col("src").alias("id"))
             .unionByName(new_edges.select(F.col("dst").alias("id")))
             .distinct()
         )
         # current labels for just the delta's endpoints (inner join,
-        # endpoint list broadcast — the view never shuffles)
-        labels = self.view.read().join(F.broadcast(eps), "id")
+        # endpoint list broadcast — the view scans ONCE; the delta-sized
+        # label frame persists because three consumers read it below)
+        labels = materialize(self.view.read().join(F.broadcast(eps), "id"))
         contracted = (
             new_edges.join(
                 F.broadcast(
@@ -1123,27 +1118,17 @@ class IncrementalCCView:
             .select("id", "component")
         )
         # 2) first-seen endpoints label as their mapped component (their
-        #    contracted rep is themselves), defaulting to themselves
+        #    contracted rep is themselves), defaulting to themselves —
+        #    derived from the delta-sized labels frame, NOT a second
+        #    view scan: labels holds exactly the eps ids the view knows
         fresh = (
-            eps.join(self.view.read().select("id"), "id", "left_anti")
+            eps.join(labels.select("id"), "id", "left_anti")
             .join(F.broadcast(mapping), "id", "left")
             .select(
                 "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
             )
         )
         return relabeled.unionByName(fresh)
-
-    def _commit_cursor_only(self, version: int) -> None:
-        """Nothing to write — carry every bucket verbatim and commit
-        just the cursor watermark (the join view's empty-delta path)."""
-        import json
-
-        from pyspark.sql import types as T
-
-        man = self.view._load_manifest()
-        carried = {int(b): list(d) for b, d in man["buckets"].items()}
-        schema = T.StructType.fromJson(json.loads(man["schema"]))
-        self.view._commit(carried, schema, man, txn={_TXN_CC: version})
 
     # -- public surface --------------------------------------------------------
     def refresh(self) -> int:
@@ -1186,9 +1171,14 @@ class IncrementalCCView:
                 F.col("_change_type").isin("insert", "update_postimage")
             )
         ).distinct()
-        changes = self._apply_inserts(new_edges)
+        from moisturizer_spark.operators.common import materialize
+
+        # persisted: three consumers (the emptiness probe, upsert's
+        # touched-bucket distinct, and the data write) would otherwise
+        # each re-run the contraction pipeline — the materialize rule
+        changes = materialize(self._apply_inserts(new_edges))
         if changes.limit(1).count() == 0:
-            self._commit_cursor_only(current)
+            self.view.commit_txn_only((_TXN_CC, current))
             return current
         self.view.upsert(changes, txn=(_TXN_CC, current))
         return current

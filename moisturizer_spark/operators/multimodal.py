@@ -535,6 +535,14 @@ def phash_build(
         os.path.join(path, "data")
     )
     os.makedirs(path, exist_ok=True)
+    # rebuilding over a previously COMPACTED index: the old sidecar
+    # pointed at data_g{n}, which nothing can reach once the sidecar
+    # below says "data" — remove stranded generations, don't leak them
+    import shutil
+
+    for entry in os.listdir(path):
+        if entry.startswith("data_g"):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
     tmp = os.path.join(path, "_phash.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -634,12 +642,17 @@ def _frame_indexed_query(
             F.col("phash_lo").alias("_lo"),
         )
     )
+    # a replayed streaming append leaves exact duplicate frame rows;
+    # the image leg collapses them via the candidate DISTINCT, but the
+    # all-frames count check here would see _n = 2·_nq and silently
+    # DROP a true duplicate — dedup the corpus side first (compaction
+    # sheds the rows physically; this keeps queries correct meanwhile)
     c = idx.select(
         F.col(id_col).alias("corpus_id"),
         F.col("frame_idx").alias("_f"),
         F.col("phash_hi").alias("_hi"),
         F.col("phash_lo").alias("_lo"),
-    )
+    ).dropDuplicates(["corpus_id", "_f", "_hi", "_lo"])
 
     def bands(df, keep):
         return df.select(

@@ -527,11 +527,19 @@ def theil_sen(
     Returns ``(*group_cols, n_points, n_pairs, slope_micro)`` with
     slope NULL for groups with a single point (no pair to measure).
     """
+    from moisturizer_spark.operators.common import materialize
+
     gb = [F.col(c) for c in group_cols]
-    pts = df.select(
-        *group_cols,
-        F.col(x_col).cast("bigint").alias("_x"),
-        F.col(y_col).cast("bigint").alias("_y"),
+    # persisted: four consumers (the guard collect, both self-join
+    # sides, and the result join) would otherwise re-run the caller's
+    # upstream pipeline — e.g. brand_price_theilsen's lineitem⋈part +
+    # monthly aggregation — once each (the materialize rule)
+    pts = materialize(
+        df.select(
+            *group_cols,
+            F.col(x_col).cast("bigint").alias("_x"),
+            F.col(y_col).cast("bigint").alias("_y"),
+        )
     )
     counts = pts.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_points"))
     over = counts.filter(F.col("n_points") > max_points).limit(1).collect()

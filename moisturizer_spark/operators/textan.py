@@ -1694,11 +1694,16 @@ def unigram_kl(
         .groupBy("_g")
         .agg(F.sum("_l").cast("bigint").alias("_n"))
     )
-    n_total = int(
-        df.select(
-            F.sum(F.size(tokens_col(F.col(text_col)))).cast("bigint").alias("n")
-        ).first()["n"]
-    )
+    n_total_row = df.select(
+        F.sum(F.size(tokens_col(F.col(text_col)))).cast("bigint").alias("n")
+    ).first()
+    n_total = n_total_row["n"] if n_total_row is not None else None
+    if not n_total:  # None (no rows) or 0 (all texts tokenize empty)
+        raise ValueError(
+            "unigram_kl: the corpus has no tokens (empty input or every "
+            f"'{text_col}' tokenizes to nothing) — there is no reference "
+            "distribution to diverge from; check the upstream feed"
+        )
     # half-away like F.round / DuckDB ROUND — Python round() is
     # half-EVEN and would diverge on an exact .5 boundary
     nano_log_n_total = int(math.floor(math.log2(n_total) * 1e9 + 0.5))

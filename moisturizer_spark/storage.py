@@ -335,6 +335,21 @@ class ParquetTable:
         v = (man.get("txn") or {}).get(app_id)
         return int(v) if v is not None else None
 
+    def commit_txn_only(self, txn: tuple[str, int] | dict[str, int]) -> None:
+        """Advance writer watermark(s) WITHOUT touching data: every
+        bucket's files carry over verbatim into a new manifest version
+        that differs only in its ``txn`` map. The IVM views' empty-delta
+        path — the cursor must still advance (else every refresh replays
+        the same delta), but nothing was written."""
+        man = self._load_manifest()
+        if man is None:
+            raise ValueError(f"{self.path} has no manifest to advance")
+        carried = {int(b): list(d) for b, d in man["buckets"].items()}
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        if isinstance(txn, tuple):
+            txn = dict([txn])
+        self._commit(carried, schema, man, txn=txn)
+
     def overwrite(
         self,
         df: DataFrame,

@@ -110,6 +110,7 @@ def start_near_dup_stream(
         idx_applied = _index_watermark(index_path, app_id)
         if (
             not (_behind(curated, batch_id) or _behind(stats, batch_id))
+            and not (pairs is not None and _behind(pairs, batch_id))
             and idx_applied is not None
             and idx_applied >= batch_id
         ):

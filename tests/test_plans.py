@@ -63,6 +63,15 @@ BNLJ_ALLOWED = {
     # allowlisted bounded broadcasts (the hit joins it adds are
     # equi-joins)
     "ann_recall_report",
+    # the cosine leg broadcasts the single query VECTOR (a literal
+    # one-row frame) against the embedding scan — the brute-force
+    # baseline shape; the fusion join itself is an equi-join on doc_id
+    "docs_hybrid_rrf",
+    # the ONE-row auto-rescale grid header (bit-length arithmetic over
+    # n_nodes/scale) broadcasts into every rank update — the
+    # importance_resample recipe; all edge/rank joins are equi-joins
+    "trade_pagerank_det",
+    "trade_pagerank_convergence",
 }
 
 

@@ -253,3 +253,56 @@ def test_media_replay_converges_and_phash_compact_sheds(spark, warehouse):
     data = spark.read.parquet(os.path.join(index, meta["data_dir"]))
     assert data.count() == data.dropDuplicates().count() == 3  # 100, 1, 2
     assert {r["corpus_id"] for r in phash_query(spark, index, probe).collect()} == {1}
+
+
+def test_video_query_correct_despite_replay_duplicate_rows(spark, warehouse):
+    """A replayed append leaves exact duplicate FRAME rows in a video
+    index; the all-frames-match count check must not see inflated
+    matched-row counts and silently drop true duplicates."""
+    from moisturizer_spark.operators.multimodal import (
+        phash_append,
+        phash_compact,
+    )
+
+    f1 = [_mk(1), _mk(11)]
+    index = f"{warehouse}/vid_idx"
+    seed = spark.createDataFrame([(1, _vid(f1))], SCHEMA)
+    phash_build(
+        seed, index, kernel="ppm_ahash", max_distance=6,
+        frame_bytes=len(_ppm(f1[0])),
+    )
+    # simulate the replayed append: the same video's rows land twice
+    phash_append(spark, index, seed)
+    raw = spark.read.parquet(os.path.join(index, "data"))
+    assert raw.count() == 4 and raw.dropDuplicates().count() == 2
+
+    probe = spark.createDataFrame([(9, _vid(_vid_near(f1)))], SCHEMA)
+    got = phash_query(spark, index, probe).collect()
+    assert {r["corpus_id"] for r in got} == {1}, got
+
+    # compaction sheds the physical duplicates; the answer is unchanged
+    meta = phash_compact(spark, index)
+    data = spark.read.parquet(os.path.join(index, meta["data_dir"]))
+    assert data.count() == 2
+    got = phash_query(spark, index, probe).collect()
+    assert {r["corpus_id"] for r in got} == {1}
+
+
+def test_phash_rebuild_removes_stranded_generations(spark, warehouse):
+    """phash_build over a previously COMPACTED index must remove the
+    old data_g{n} directory the fresh sidecar can no longer reach."""
+    from moisturizer_spark.operators.multimodal import phash_compact
+
+    base = _mk(1)
+    index = f"{warehouse}/rebuild_idx"
+    seed = spark.createDataFrame([(1, _ppm(base))], SCHEMA)
+    phash_build(seed, index, kernel="ppm_ahash")
+    meta = phash_compact(spark, index)
+    assert os.path.isdir(os.path.join(index, meta["data_dir"]))
+
+    phash_build(seed, index, kernel="ppm_ahash")
+    assert os.path.isdir(os.path.join(index, "data"))
+    stranded = [e for e in os.listdir(index) if e.startswith("data_g")]
+    assert stranded == []
+    probe = spark.createDataFrame([(9, _ppm(_near(base)))], SCHEMA)
+    assert {r["corpus_id"] for r in phash_query(spark, index, probe).collect()} == {1}
