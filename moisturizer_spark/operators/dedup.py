@@ -1019,3 +1019,110 @@ def golden_records(
                 "(supported: max, min, sum, longest)"
             )
     return df.groupBy(cluster_col).agg(*aggs)
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    threshold: float = 0.6,
+    det: bool = False,
+    n: int = 3,
+) -> DataFrame:
+    """Measure the MinHash ESTIMATOR against exact Jaccard on this
+    corpus — the text analog of ``ann_recall_report``'s
+    measure-don't-guess audit: the banding recall math
+    (:func:`_band_shape`) assumes signature agreement tracks true
+    Jaccard; this query reports how well it actually does, per corpus,
+    so the num_hashes/threshold knobs are measured choices rather than
+    folklore.
+
+    For every banded candidate pair: the estimate is the fraction of
+    agreeing signature components, the truth is exact Jaccard over the
+    hashed shingle sets (both already computed by the standard
+    pipeline — the audit adds ONE zip_with over signatures the verify
+    join already carries). Both land as half-away integer micro, so
+    the error distribution is exact BIGINT arithmetic an oracle
+    replays. Returns ONE row: ``(n_candidates, n_exact_pass,
+    n_est_pass, n_disagree, mean_abs_err_micro, max_abs_err_micro)``
+    — ``n_disagree`` counts pairs where the estimator's pass/fail
+    verdict at ``threshold`` differs from the exact verdict, i.e. the
+    pairs a signature-only (estimate-trusting) dedup would get wrong.
+
+    Scale: identical plan shape to :func:`minhash_near_duplicates`
+    (one shingle scan, one signature shuffle, bucket join,
+    candidates-only verify) plus a map-side final aggregate to one
+    row; the audit is runnable on a sample at 100 TB — the estimator's
+    bias is a property of the corpus's shingle-set SIZES, which a
+    sample preserves.
+    """
+    thr_micro = int(round(threshold * 1e6))
+    bands, rows = _band_shape(num_hashes, threshold)
+    per_doc = materialize(
+        _minhash_per_doc(df, id_col, text_col, num_hashes, n=n, det=det)
+    )
+    banded = _minhash_banded(per_doc.select("_id", "sig"), bands, rows, det=det)
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bsig"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    state = per_doc.select(
+        F.col("_id").alias("_sid"),
+        F.col("sig").alias("_sg"),
+        F.col("_grams").alias("_gr"),
+    )
+    paired = candidates.join(
+        state.select(
+            F.col("_sid").alias("id_a"),
+            F.col("_sg").alias("_sa"),
+            F.col("_gr").alias("_ga"),
+        ),
+        "id_a",
+    ).join(
+        state.select(
+            F.col("_sid").alias("id_b"),
+            F.col("_sg").alias("_sb"),
+            F.col("_gr").alias("_gb"),
+        ),
+        "id_b",
+    )
+    scored = paired.select(
+        F.expr(
+            f"(2 * 1000000 * size(filter(zip_with(_sa, _sb, (x, y) -> x = y),"
+            f" v -> v)) + {num_hashes}) DIV {2 * num_hashes}"
+        ).alias("_est"),
+        F.expr(
+            "(2 * 1000000 * size(array_intersect(_ga, _gb))"
+            " + size(array_union(_ga, _gb)))"
+            " DIV (2 * size(array_union(_ga, _gb)))"
+        ).alias("_exact"),
+    ).select(
+        "_est",
+        "_exact",
+        F.abs(F.col("_est") - F.col("_exact")).alias("_err"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.count(F.when(F.col("_exact") >= thr_micro, 1))
+        .cast("bigint")
+        .alias("n_exact_pass"),
+        F.count(F.when(F.col("_est") >= thr_micro, 1))
+        .cast("bigint")
+        .alias("n_est_pass"),
+        F.count(
+            F.when(
+                (F.col("_exact") >= thr_micro) != (F.col("_est") >= thr_micro),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_disagree"),
+        F.expr(
+            "(2 * sum(_err) + count(*)) DIV (2 * count(*))"
+        ).alias("mean_abs_err_micro"),
+        F.max("_err").cast("bigint").alias("max_abs_err_micro"),
+    )

@@ -10379,6 +10379,71 @@ def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_estimate_audit() -> str:
+    nh = _MINHASH_DET_HASHES
+    thr = int(round(_MINHASH_DET_THRESHOLD * 1e6))
+    return f"""
+    WITH {_sql_minhash_det_ctes()},
+    est AS (SELECT c.id_a, c.id_b,
+            CAST(SUM(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) AS BIGINT)
+              AS m
+          FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+                      JOIN mh mb ON mb.doc_id = c.id_b AND mb.k = ma.k
+          GROUP BY c.id_a, c.id_b),
+    ex AS (SELECT c.id_a, c.id_b, COALESCE(cm.common, 0) AS common,
+                  sa.sz AS za, sb.sz AS zb
+          FROM cand c
+          LEFT JOIN cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+          JOIN sizes sa ON sa.doc_id = c.id_a
+          JOIN sizes sb ON sb.doc_id = c.id_b),
+    scores AS (SELECT e.id_a, e.id_b,
+            CAST((2 * 1000000 * e.m + {nh}) // {2 * nh} AS BIGINT) AS est,
+            CAST((2 * 1000000 * x.common + (x.za + x.zb - x.common))
+                 // (2 * (x.za + x.zb - x.common)) AS BIGINT) AS ex
+          FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN ex >= {thr} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_pass,
+           CAST(SUM(CASE WHEN est >= {thr} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_est_pass,
+           CAST(SUM(CASE WHEN (ex >= {thr}) <> (est >= {thr})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+           CAST((2 * SUM(ABS(est - ex)) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS mean_abs_err_micro,
+           CAST(MAX(ABS(est - ex)) AS BIGINT) AS max_abs_err_micro
+    FROM scores
+    """
+
+
+@query("minhash_estimate_audit", _sql_minhash_estimate_audit())
+def minhash_estimate_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the MinHash estimator against exact Jaccard on THIS
+    corpus — the text analog of ``ann_recall_report``: signature
+    agreement vs true set overlap for every banded candidate, as exact
+    integer micro, plus the count of pairs where an estimate-trusting
+    dedup's pass/fail verdict at the threshold would be WRONG. Makes
+    the (num_hashes, threshold) banding knobs measured choices.
+
+    Runs through :func:`moisturizer_spark.operators.dedup.
+    minhash_estimate_audit` with the deterministic md5 family and the
+    same (16, 0.6) parameters as ``docs_minhash_det_near_dup``, so the
+    oracle replays signatures, banding, candidates, both scores, and
+    the error aggregate bit for bit. Scale: the standard near-dup plan
+    plus one map-side zip_with and a 1-row aggregate; at 100 TB the
+    audit runs on a sample (estimator bias is a property of shingle-set
+    sizes, which sampling preserves)."""
+    from moisturizer_spark.operators.dedup import minhash_estimate_audit
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    return minhash_estimate_audit(
+        subset,
+        num_hashes=_MINHASH_DET_HASHES,
+        threshold=_MINHASH_DET_THRESHOLD,
+        det=True,
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -10421,6 +10486,7 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "minhash_estimate_audit",         # NEW: estimator-vs-exact audit
     "monthly_revenue_decompose",      # NEW: trend/seasonal/residual split
     "user_clustering_coefficient",    # NEW: normalized graph cohesion
     "copresence_link_prediction",     # NEW: Adamic-Adar missing edges
@@ -10475,7 +10541,6 @@ _NEEDS_DRIVER_ROW = [
     "embedding_cosine_near_dup",
     "embedding_decontamination",
     "embedding_norm_stats",
-    "embedding_top5_cosine",
     # (backfill stops at exactly slot 50 — the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

@@ -38,6 +38,7 @@ BUDGETS = {
     "crosslingual_near_dup": 1,
     "brand_price_theilsen": 7,
     "copresence_link_prediction": 11,
+    "minhash_estimate_audit": 3,
     "monthly_revenue_decompose": 4,
     "event_transition_matrix": 6,
     "customer_golden_records": 4,
