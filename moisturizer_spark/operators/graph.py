@@ -688,3 +688,64 @@ def adamic_adar(
         ["id_a", "id_b"],
         "left_anti",
     )
+
+
+def shortest_paths_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths (min-plus Bellman–Ford,
+    ``rounds`` relaxations unrolled into the plan): the weighted
+    companion of :func:`bfs_levels` — distance = minimum edge-weight
+    sum over any path of ≤ ``rounds`` hops from the source set.
+    Weights must be non-negative BIGINTs (the suite's integer-grid
+    rule), so every distance is an exact integer min — partitioning
+    and engine cannot move it, and an oracle unrolls the identical
+    rounds as min-plus CTEs.
+
+    The distance frame is SPARSE: only nodes already reached carry a
+    row, so round r's relax join is frontier-sized, never graph-sized
+    — the iteration-bounded argument of the BFS/pagerank family, with
+    the same per-round ``localCheckpoint`` lineage cut. A node's final
+    row is the min over its relaxed candidates; unreached nodes are
+    simply absent (the caller decides whether absence means ∞).
+
+    Overflow: a path distance is ≤ rounds·max(w) — with micro-grid
+    weights (≤10⁶) and any sane round count this sits far inside
+    int64; ANSI mode raises loudly rather than wraps if a caller
+    passes pathological weights.
+
+    Returns ``(node_col, dist)``.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    from moisturizer_spark.operators.common import materialize
+
+    e = materialize(
+        edges.select(
+            F.col(src_col).alias("_s"),
+            F.col(dst_col).alias("_d"),
+            F.col(weight_col).cast("bigint").alias("_w"),
+        )
+    )
+    dist = materialize(
+        sources.select(F.col(node_col).alias("_n")).distinct().select(
+            "_n", F.lit(0).cast("bigint").alias("_dist")
+        )
+    )
+    for _ in range(rounds):
+        relax = dist.join(e, dist["_n"] == e["_s"]).select(
+            F.col("_d").alias("_n"),
+            (F.col("_dist") + F.col("_w")).alias("_dist"),
+        )
+        dist = materialize(
+            dist.unionByName(relax)
+            .groupBy("_n")
+            .agg(F.min("_dist").alias("_dist"))
+        )
+    return dist.select(F.col("_n").alias(node_col), F.col("_dist").alias("dist"))

@@ -10444,6 +10444,70 @@ def minhash_estimate_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_behavioral_distance() -> str:
+    rounds = []
+    prev = "d0"
+    for i in (1, 2, 3):
+        rounds.append(f"""d{i} AS (SELECT n, MIN(dist) AS dist FROM (
+            SELECT n, dist FROM {prev}
+            UNION ALL
+            SELECT we.d AS n, {prev}.dist + we.w AS dist
+            FROM {prev} JOIN we ON we.s = {prev}.n) GROUP BY n)""")
+        prev = f"d{i}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_sql_copresence_pairs(3)},
+    we AS (SELECT user_a AS s, user_b AS d,
+                  CAST(1000000 // n_cells AS BIGINT) AS w FROM cop
+           UNION ALL
+           SELECT user_b, user_a, CAST(1000000 // n_cells AS BIGINT)
+           FROM cop),
+    seed AS (SELECT MIN(s) AS n FROM we),
+    d0 AS (SELECT n, CAST(0 AS BIGINT) AS dist FROM seed),
+    {chain}
+    SELECT n AS user_id, CAST(dist AS BIGINT) AS dist_micro
+    FROM d3 ORDER BY dist_micro, user_id LIMIT 15
+    """
+
+
+@query("user_behavioral_distance", _sql_behavioral_distance())
+def user_behavioral_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths on the co-presence graph:
+    distance from the seed user (minimum id — deterministic) to every
+    user reachable in ≤3 hops, edge weight = ``10⁶ // n_cells`` (more
+    shared activity ⇒ shorter behavioral distance). The weighted
+    companion of ``supplier_reach_bfs``'s hop counting — proximity
+    ranking, influence radius, friend-of-friend scoring.
+
+    Runs through :func:`moisturizer_spark.operators.graph.
+    shortest_paths_bounded` (min-plus Bellman–Ford, rounds unrolled —
+    see its docstring: sparse frontier-sized distance frame, per-round
+    lineage cut, all-integer mins the oracle replays as unrolled
+    min-plus CTEs). Top-15 nearest under the (distance, id) total
+    order; the seed reports distance 0."""
+    from moisturizer_spark.operators.graph import shortest_paths_bounded
+
+    t = load_tables(spark, sf_dir, ("events",))
+    cop = _copresence_pairs(t, min_cells=3)
+    w = F.expr("CAST(1000000 DIV n_both AS BIGINT)")
+    we = cop.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"), w.alias("w")
+    ).unionAll(
+        cop.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("dst"),
+            w.alias("w"),
+        )
+    )
+    seed = we.agg(F.min("src").alias("node"))
+    return (
+        shortest_paths_bounded(we, seed, rounds=3)
+        .select(F.col("node").alias("user_id"), F.col("dist").alias("dist_micro"))
+        .orderBy("dist_micro", "user_id")
+        .limit(15)
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -10486,6 +10550,7 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "user_behavioral_distance",       # NEW: bounded min-plus distances
     "minhash_estimate_audit",         # NEW: estimator-vs-exact audit
     "monthly_revenue_decompose",      # NEW: trend/seasonal/residual split
     "user_clustering_coefficient",    # NEW: normalized graph cohesion
@@ -10540,7 +10605,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_winnowing_det_near_dup",
     "embedding_cosine_near_dup",
     "embedding_decontamination",
-    "embedding_norm_stats",
     # (backfill stops at exactly slot 50 — the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

@@ -544,3 +544,69 @@ def test_adamic_adar_direction_and_duplicate_insensitive(spark):
     r1 = {(r["id_a"], r["id_b"]): r["aa_micro"] for r in adamic_adar(e1).collect()}
     r2 = {(r["id_a"], r["id_b"]): r["aa_micro"] for r in adamic_adar(e2).collect()}
     assert r1 == r2 == {(1, 3): 1_000_000}
+
+
+# -- bounded-hop weighted shortest paths --------------------------------------
+
+
+def test_shortest_paths_bounded_picks_cheaper_two_hop(spark):
+    """Direct edge costs 10; the two-hop detour costs 3+3: the min-plus
+    relaxation must return 6, and a node 4 hops out stays absent at
+    rounds=3."""
+    from moisturizer_spark.operators.graph import shortest_paths_bounded
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10),  # direct but expensive
+            (1, 3, 3), (3, 2, 3),  # cheaper detour
+            (2, 4, 1), (4, 5, 1), (5, 6, 1),  # chain: 6 is 4+ hops from 1
+        ],
+        "src long, dst long, w long",
+    )
+    seed = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_bounded(edges, seed, rounds=3).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == 6  # min(10, 3+3)
+    assert got[3] == 3
+    assert got[4] == 7  # 1->3->2->4 (3 hops) beats 1->2->4 (11)
+    # node 5: the CHEAP route 1->3->2->4->5 needs 4 hops — outside the
+    # budget — so the 3-hop 1->2->4->5 = 12 stands (hops, not cost,
+    # are what `rounds` bounds)
+    assert got[5] == 12
+    assert 6 not in got  # strictly 4+ hops from the seed: absent
+
+
+def test_shortest_paths_bounded_round_budget_is_hops(spark):
+    """rounds bounds HOPS, not cost: with rounds=1 only direct
+    neighbors resolve, and the expensive direct edge wins over the
+    (unreachable in one hop) detour."""
+    from moisturizer_spark.operators.graph import shortest_paths_bounded
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 3), (3, 2, 3)], "src long, dst long, w long"
+    )
+    seed = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_bounded(edges, seed, rounds=1).collect()
+    }
+    assert got == {1: 0, 2: 10, 3: 3}
+    got2 = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_bounded(edges, seed, rounds=2).collect()
+    }
+    assert got2[2] == 6
+
+
+def test_shortest_paths_bounded_rejects_zero_rounds(spark):
+    import pytest
+
+    from moisturizer_spark.operators.graph import shortest_paths_bounded
+
+    edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    seed = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="rounds"):
+        shortest_paths_bounded(edges, seed, rounds=0)

@@ -45,6 +45,7 @@ BUDGETS = {
     "docs_hybrid_rrf": 4,
     "orders_integrity_audit": 8,
     "source_unigram_kl": 9,
+    "user_behavioral_distance": 12,
     "user_cohort_retention": 6,
     "user_clustering_coefficient": 21,
     "customer_name_typo_pairs": 1,
