@@ -420,3 +420,37 @@ def weighted_sample(
         scored.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
         .filter(F.col(rank_col) <= n)
     )
+
+
+def cv_folds(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "cv:",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    ``md5(salt || key) mod k`` — the CV companion of :func:`hash_split`
+    with the same contracts: reproducible cross-engine (pure integer
+    arithmetic on the md5 prefix, no RNG), stable under corpus growth
+    (a row keeps its fold forever, so fold-held-out stays held out
+    across incremental ingestion), and a pure map-side projection
+    (zero shuffles at any scale — the fold column rides along).
+
+    The salt namespaces independent fold structures over one corpus
+    (an eval CV and a hyperparameter CV don't correlate)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.withColumn(
+        out_col,
+        F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(k)),
+    )
+
+
+def sql_cv_fold(key_sql: str, k: int = 5, salt: str = "cv:") -> str:
+    """DuckDB rendering of :func:`cv_folds`' fold expression."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) % {k}"
+    )

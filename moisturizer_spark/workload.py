@@ -10508,6 +10508,62 @@ def user_behavioral_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_cv_folds() -> str:
+    from moisturizer_spark.operators.sampling import sql_cv_fold
+
+    fold = sql_cv_fold("doc_id", k=5, salt="cv:")
+    return f"""
+    WITH f AS (SELECT source, {fold} AS fold FROM documents),
+    c AS (SELECT source, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM f GROUP BY source, fold),
+    tot AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_source
+            FROM c GROUP BY source)
+    SELECT c.source, c.fold, c.n_docs,
+           CAST((2000 * c.n_docs + tot.n_source)
+                // (2 * tot.n_source) AS BIGINT) AS share_permille
+    FROM c JOIN tot USING (source)
+    ORDER BY source, fold
+    """
+
+
+@query("docs_cv_folds", _sql_cv_folds())
+def docs_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with a
+    per-source balance audit: fold = md5 mod k (:func:`moisturizer_
+    spark.operators.sampling.cv_folds` — reproducible cross-engine,
+    stable under corpus growth, zero shuffles for the assignment
+    itself), reported as per-(source, fold) counts and exact-permille
+    shares so a skewed fold is a number on a dashboard, not a surprise
+    in an eval delta.
+
+    Scale: the assignment is a map-side projection; only the
+    (source, fold) stats aggregation shuffles (≤ 5·|sources| rows),
+    and source totals re-aggregate THAT frame."""
+    from moisturizer_spark.operators.sampling import cv_folds
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    c = (
+        cv_folds(t["documents"], "doc_id", k=5, salt="cv:")
+        .groupBy("source", "fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_source")
+    )
+    return (
+        c.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "fold",
+            "n_docs",
+            F.expr(
+                "(2000 * n_docs + n_source) DIV (2 * n_source)"
+            ).alias("share_permille"),
+        )
+        .orderBy("source", "fold")
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -10550,6 +10606,7 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "docs_cv_folds",                  # NEW: deterministic k-fold audit
     "user_behavioral_distance",       # NEW: bounded min-plus distances
     "minhash_estimate_audit",         # NEW: estimator-vs-exact audit
     "monthly_revenue_decompose",      # NEW: trend/seasonal/residual split
@@ -10604,7 +10661,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_simhash_det_near_dup",
     "docs_winnowing_det_near_dup",
     "embedding_cosine_near_dup",
-    "embedding_decontamination",
     # (backfill stops at exactly slot 50 — the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

@@ -42,6 +42,7 @@ BUDGETS = {
     "monthly_revenue_decompose": 4,
     "event_transition_matrix": 6,
     "customer_golden_records": 4,
+    "docs_cv_folds": 4,
     "docs_hybrid_rrf": 4,
     "orders_integrity_audit": 8,
     "source_unigram_kl": 9,

@@ -341,3 +341,32 @@ def test_leakage_free_split_pairs_never_straddle(spark, sf_dir):
         .count()
     )
     assert crossing == 0
+
+
+def test_cv_folds_deterministic_stable_and_partitioned(spark):
+    from moisturizer_spark.operators.sampling import cv_folds
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["fold"] for r in cv_folds(df, "doc_id", k=5).collect()}
+    b = {r["doc_id"]: r["fold"] for r in cv_folds(df, "doc_id", k=5).collect()}
+    assert a == b  # deterministic
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    # growth stability: a subset keeps its folds
+    sub = df.filter("doc_id < 50")
+    c = {r["doc_id"]: r["fold"] for r in cv_folds(sub, "doc_id", k=5).collect()}
+    assert all(a[i] == c[i] for i in c)
+    # a different salt decorrelates
+    d = {r["doc_id"]: r["fold"] for r in cv_folds(df, "doc_id", k=5, salt="x:").collect()}
+    assert d != a
+
+
+def test_cv_folds_rejects_degenerate_k(spark):
+    import pytest
+
+    from moisturizer_spark.operators.sampling import cv_folds
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="k must be"):
+        cv_folds(df, "doc_id", k=1)
