@@ -653,3 +653,50 @@ def chi2_report(
         ),
         F.round(chi2_nano.cast("double") / 1e9, 6).alias("chi2"),
     )
+
+
+def fd_report(
+    df: DataFrame,
+    key_col: str,
+    dep_col: str,
+    relation: str | None = None,
+) -> DataFrame:
+    """Functional-dependency audit: does ``key_col`` determine
+    ``dep_col`` in this table? The schema-inference companion of the
+    referential-integrity audit — candidate keys, denormalization
+    safety ("can I collapse this dimension onto the fact?"), and
+    data-entry drift (one order suddenly carrying two customer ids)
+    all reduce to this one question.
+
+    Returns ONE row: ``(relation, n_keys, n_violating_keys,
+    violation_permille, max_distinct)`` — a key VIOLATES when it maps
+    to more than one distinct non-NULL dependent value; permille is
+    half-away integer division (no float ratio). NULL dependents are
+    ignored (SQL's n/a marker can't contradict a value).
+
+    Scale: one (key, dep) distinct — map-side combinable — then a
+    key-grain count and a 1-row verdict; the widest frame is the
+    distinct pair set, bounded by the table's own cardinality, and
+    nothing ever sorts globally.
+    """
+    label = relation or f"{key_col}->{dep_col}"
+    pairs = (
+        df.filter(F.col(dep_col).isNotNull())
+        .select(F.col(key_col).alias("_k"), F.col(dep_col).alias("_v"))
+        .distinct()
+    )
+    per_key = pairs.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nd")
+    )
+    return per_key.agg(
+        F.lit(label).alias("relation"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.count(F.when(F.col("_nd") > 1, 1)).cast("bigint").alias(
+            "n_violating_keys"
+        ),
+        F.expr(
+            "(2000 * count(CASE WHEN _nd > 1 THEN 1 END) + count(*)) "
+            "DIV (2 * count(*))"
+        ).alias("violation_permille"),
+        F.max("_nd").cast("bigint").alias("max_distinct"),
+    )

@@ -10564,6 +10564,56 @@ def docs_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FD_CHECKS = (
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+)
+
+
+@query(
+    "fd_audit",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST((2000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS violation_permille,
+           CAST(MAX(nd) AS BIGINT) AS max_distinct
+    FROM (SELECT {key}, COUNT(DISTINCT {dep}) AS nd
+          FROM {table} WHERE {dep} IS NOT NULL GROUP BY {key})
+    """
+        for label, table, key, dep in _FD_CHECKS
+    )
+    + "\nORDER BY relation",
+)
+def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit across three declared dependencies:
+    the schema-inference/data-drift question "does this key still
+    determine that column?" answered as exact counts and permille — a
+    primary key passes at 0‰ (orders), behavioral fan-out fails loudly
+    (a user has many event types; an order ships from many suppliers),
+    and the number is what a denormalization or dedup-survivorship
+    decision actually needs.
+
+    Runs through :func:`moisturizer_spark.operators.expectations.
+    fd_report` (one distinct pair frame per check, map-side combinable,
+    1-row verdicts unioned — nothing global)."""
+    from moisturizer_spark.operators.expectations import fd_report
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "events"))
+    parts = [
+        fd_report(t[table], key, dep, relation=label)
+        for label, table, key, dep in _FD_CHECKS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -10606,6 +10656,7 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "fd_audit",                       # NEW: functional-dependency audit
     "docs_cv_folds",                  # NEW: deterministic k-fold audit
     "user_behavioral_distance",       # NEW: bounded min-plus distances
     "minhash_estimate_audit",         # NEW: estimator-vs-exact audit
@@ -10660,7 +10711,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_remove_dup_spans_hashed",
     "docs_simhash_det_near_dup",
     "docs_winnowing_det_near_dup",
-    "embedding_cosine_near_dup",
     # (backfill stops at exactly slot 50 — the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

@@ -320,3 +320,27 @@ def test_chi2_report_missing_cell_mass_counted(spark):
     # chi2 = (10-13.33)^2/13.33 + (10-6.67)^2/6.67 + (10-6.67)^2/6.67
     #        + (0-3.33)^2/3.33 = 0.8333+1.6667+1.6667+3.3333 = 7.5
     assert abs(r["chi2"] - 7.5) < 1e-6
+
+
+def test_fd_report_pass_fail_and_null_handling(spark):
+    from moisturizer_spark.operators.expectations import fd_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a"), (1, "a"),          # key 1: determined
+            (2, "x"), (2, "y"), (2, "z"),  # key 2: 3 distinct values
+            (3, None),                    # NULL dependent: ignored
+        ],
+        "k long, v string",
+    )
+    r = fd_report(df, "k", "v").first()
+    # key 3 vanishes entirely (only a NULL dependent): 2 keys measured
+    assert r["relation"] == "k->v"
+    assert r["n_keys"] == 2
+    assert r["n_violating_keys"] == 1
+    assert r["max_distinct"] == 3
+    assert r["violation_permille"] == 500
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    r2 = fd_report(clean, "k", "v", relation="pk").first()
+    assert (r2["relation"], r2["n_violating_keys"], r2["violation_permille"]) == ("pk", 0, 0)

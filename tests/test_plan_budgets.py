@@ -43,6 +43,7 @@ BUDGETS = {
     "event_transition_matrix": 6,
     "customer_golden_records": 4,
     "docs_cv_folds": 4,
+    "fd_audit": 9,
     "docs_hybrid_rrf": 4,
     "orders_integrity_audit": 8,
     "source_unigram_kl": 9,
