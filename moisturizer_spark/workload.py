@@ -10614,6 +10614,101 @@ def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("relation")
 
 
+@query(
+    "daily_volume_changepoint",
+    """
+    WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                          CAST(COUNT(*) AS BIGINT) AS v
+                   FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS vt,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    cum AS (SELECT d, v,
+                   SUM(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cv,
+                   ROW_NUMBER() OVER (ORDER BY d) AS i
+            FROM daily),
+    s AS (SELECT d, v, i, n, vt, cv,
+                 n * cv - i * vt AS su
+          FROM cum CROSS JOIN tot),
+    m AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(su) DESC, d) AS rk
+          FROM s)
+    SELECT d AS changepoint_day,
+           CAST(i AS BIGINT) AS day_index,
+           CAST(ABS(su) AS BIGINT) AS cusum_peak,
+           CAST((2000 * ABS(su) + n * vt) // (2 * n * vt) AS BIGINT)
+             AS peak_permille,
+           CAST((2 * cv + i) // (2 * i) AS BIGINT) AS mean_before,
+           CAST(CASE WHEN n > i THEN
+                (2 * (vt - cv) + (n - i)) // (2 * (n - i))
+                ELSE 0 END AS BIGINT) AS mean_after
+    FROM m WHERE rk = 1
+    """,
+)
+def daily_volume_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume: the day where
+    the cumulative deviation from the global mean peaks — the classic
+    level-shift locator behind deploy-regression and traffic-shift
+    monitoring, one step beyond the rolling z-score anomaly row (which
+    flags POINTS; this locates the SHIFT).
+
+    Determinism: the CUSUM statistic clears the mean's denominator —
+    ``S_i = n·Σ_{≤i} v − i·V`` — so every value is an exact BIGINT
+    (overflow at n·V < 2⁶³: a 10¹⁵-event corpus over 10³ days sits at
+    10¹⁸ — inside; ANSI raises loudly beyond); the peak is the (|S|,
+    day) total order's first row, and the before/after means are
+    half-away integer divisions. Scale: ONE shuffle to day grain;
+    every window after runs on the calendar-bounded daily frame."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("v").cast("bigint").alias("vt"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cum = daily.select(
+        "d",
+        "v",
+        F.sum("v").over(w).alias("cv"),
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+    ).crossJoin(F.broadcast(tot))
+    s = cum.select(
+        "d", "v", "i", "n", "vt", "cv",
+        (F.col("n") * F.col("cv") - F.col("i") * F.col("vt")).alias("su"),
+    )
+    top = (
+        s.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.abs(F.col("su")).desc(), "d")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return top.select(
+        F.col("d").alias("changepoint_day"),
+        F.col("i").cast("bigint").alias("day_index"),
+        F.abs(F.col("su")).cast("bigint").alias("cusum_peak"),
+        F.expr("(2000 * ABS(su) + n * vt) DIV (2 * n * vt)").alias(
+            "peak_permille"
+        ),
+        F.expr("(2 * cv + i) DIV (2 * i)").alias("mean_before"),
+        F.expr(
+            "CAST(CASE WHEN n > i THEN (2 * (vt - cv) + (n - i)) "
+            "DIV (2 * (n - i)) ELSE 0 END AS BIGINT)"
+        ).alias("mean_after"),
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -10656,6 +10751,7 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "daily_volume_changepoint",       # NEW: CUSUM level-shift locator
     "fd_audit",                       # NEW: functional-dependency audit
     "docs_cv_folds",                  # NEW: deterministic k-fold audit
     "user_behavioral_distance",       # NEW: bounded min-plus distances
@@ -10710,7 +10806,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_remove_dup_spans",
     "docs_remove_dup_spans_hashed",
     "docs_simhash_det_near_dup",
-    "docs_winnowing_det_near_dup",
     # (backfill stops at exactly slot 50 — the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

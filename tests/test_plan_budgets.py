@@ -57,6 +57,7 @@ BUDGETS = {
     "customer_year_set_ops": 7,
     "customers_above_nation_avg": 3,
     "customers_without_orders": 2,
+    "daily_volume_changepoint": 4,
     "daily_volume_revenue_corr": 2,
     "doc_dedup_clusters": 6,
     "doc_dup_span_coverage": 4,
