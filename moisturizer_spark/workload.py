@@ -10709,6 +10709,146 @@ def daily_volume_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_label_silhouette",
+    """
+    WITH ev AS (SELECT vec_id, label,
+            list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS v
+          FROM embeddings),
+    dims AS (SELECT vec_id, label, v[CAST(i AS INT)] AS x, i AS pos
+             FROM ev, unnest(generate_series(1, len(v))) AS t(i)),
+    cd AS (SELECT label, pos, CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM dims GROUP BY label, pos),
+    cent AS (SELECT label,
+            list(CAST(CASE WHEN sx >= 0 THEN (2 * sx + c) // (2 * c)
+                      ELSE -((2 * -sx + c) // (2 * c)) END AS DOUBLE)
+                 ORDER BY pos) AS cv
+          FROM cd GROUP BY label),
+    sims AS (SELECT e.vec_id, e.label AS own, c.label AS cl,
+            CAST(ROUND(list_dot_product(
+                    list_transform(e.v, x -> CAST(x AS DOUBLE)), c.cv)
+                / (sqrt(list_dot_product(
+                       list_transform(e.v, x -> CAST(x AS DOUBLE)),
+                       list_transform(e.v, x -> CAST(x AS DOUBLE))))
+                   * sqrt(list_dot_product(c.cv, c.cv))) * 1e6)
+              AS BIGINT) AS sim
+          FROM ev e CROSS JOIN cent c),
+    per AS (SELECT vec_id, own,
+            MAX(CASE WHEN cl = own THEN sim END) AS intra,
+            MAX(CASE WHEN cl <> own THEN sim END) AS other
+          FROM sims GROUP BY vec_id, own)
+    SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST((2 * SUM(intra) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS intra_micro,
+           CAST((2 * SUM(other) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS nearest_other_micro,
+           CAST((2 * SUM(intra) + COUNT(*)) // (2 * COUNT(*))
+                - (2 * SUM(other) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS separation_micro
+    FROM per GROUP BY own ORDER BY label
+    """,
+)
+def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit for the embedding space — silhouette-lite:
+    per label, the mean cosine of its vectors to their OWN centroid vs
+    to the NEAREST OTHER centroid, and the separation between the two.
+    The eval a team runs before trusting labels for contrastive
+    training or semantic dedup: a label whose separation approaches
+    zero is leaking into a neighbor.
+
+    Determinism without an ounce of float drift: embeddings round once
+    onto the 10⁶ integer grid; centroids are sign-split half-away
+    per-dimension integer means; every dot product folds exact
+    integers whose partial sums stay under 2⁵³ (64 dims × 10¹²-bounded
+    terms ≈ 6·10¹³), so the double arithmetic is EXACT integer
+    arithmetic and both engines compute bit-identical cosines before
+    the single micro rounding. Scale: one (label, dim) aggregation
+    (map-side combinable), 10 centroid rows broadcast over the scan —
+    the per-row work is |labels| cosines; nothing global ever sorts."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    ev = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("v"),
+    )
+    dims = ev.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    )
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(
+            F.sum("x").cast("bigint").alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.expr(
+                "CAST(CASE WHEN sx >= 0 THEN (2 * sx + c) DIV (2 * c) "
+                "ELSE -((2 * -sx + c) DIV (2 * c)) END AS DOUBLE)"
+            ).alias("cd"),
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cd))),"
+                " s -> s.cd)"
+            ).alias("cv")
+        )
+    )
+    sims = ev.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("cl"), "cv"))
+    ).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "cl",
+        F.expr(
+            "CAST(ROUND(aggregate(zip_with(v, cv, (a, b) ->"
+            " CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (s, t) -> s + t)"
+            " / (sqrt(aggregate(v, CAST(0 AS DOUBLE),"
+            "          (s, a) -> s + CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))"
+            "    * sqrt(aggregate(cv, CAST(0 AS DOUBLE),"
+            "           (s, b) -> s + b * b))) * 1e6) AS BIGINT)"
+        ).alias("sim"),
+    )
+    per = sims.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cl") == F.col("own"), F.col("sim"))).alias(
+            "intra"
+        ),
+        F.max(F.when(F.col("cl") != F.col("own"), F.col("sim"))).alias(
+            "other"
+        ),
+    )
+    return (
+        per.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("intra").alias("_si"),
+            F.sum("other").alias("_so"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.expr("(2 * _si + n_vectors) DIV (2 * n_vectors)").alias(
+                "intra_micro"
+            ),
+            F.expr("(2 * _so + n_vectors) DIV (2 * n_vectors)").alias(
+                "nearest_other_micro"
+            ),
+            F.expr(
+                "(2 * _si + n_vectors) DIV (2 * n_vectors)"
+                " - (2 * _so + n_vectors) DIV (2 * n_vectors)"
+            ).alias("separation_micro"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -10751,6 +10891,7 @@ _NEEDS_DRIVER_ROW = [
     # edits (pagerank auto-rescale grid, graph convergence diagnostics,
     # HITS rounds validation, KS NULL exclusion), mechanically confirmed
     # by tests/test_driver_window.py against baseline cfca9f5.
+    "embedding_label_silhouette",     # NEW: label-quality audit
     "daily_volume_changepoint",       # NEW: CUSUM level-shift locator
     "fd_audit",                       # NEW: functional-dependency audit
     "docs_cv_folds",                  # NEW: deterministic k-fold audit
@@ -10805,7 +10946,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_hash_split",
     "docs_remove_dup_spans",
     "docs_remove_dup_spans_hashed",
-    "docs_simhash_det_near_dup",
     # (backfill stops at exactly slot 50 — the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

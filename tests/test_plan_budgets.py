@@ -107,6 +107,7 @@ BUDGETS = {
     "embedding_ivf_det_top5": 2,
     "embedding_ivf_top5": 3,
     "embedding_kmeans": 2,
+    "embedding_label_silhouette": 5,
     "embedding_kmeans_det": 2,
     "embedding_lsh_det_top5": 3,
     "embedding_lsh_top5": 3,

@@ -67,6 +67,10 @@ BNLJ_ALLOWED = {
     # one-row frame) against the embedding scan — the brute-force
     # baseline shape; the fusion join itself is an equi-join on doc_id
     "docs_hybrid_rrf",
+    # the |labels| centroid rows (10 here; label vocabularies are small
+    # by nature) broadcast over the embedding scan — the per-row work
+    # is |labels| cosines, the audit's whole point
+    "embedding_label_silhouette",
     # the ONE-row auto-rescale grid header (bit-length arithmetic over
     # n_nodes/scale) broadcasts into every rank update — the
     # importance_resample recipe; all edge/rank joins are equi-joins
