@@ -50,6 +50,9 @@ BNLJ_ALLOWED = {
     "q11_important_stock",
     "q15_top_supplier",
     "docs_dsir_proportional",
+    # the 1-row (total, n_days) scalar aggregate broadcasts onto the
+    # calendar-bounded daily frame for the CUSUM denominator clearing
+    "daily_volume_changepoint",
     # the pair-algebra rows cross two literal ONE-row sketch frames
     # (view sketch × click sketch × exact pair count)
     "events_kmv_audience",
