@@ -55,7 +55,13 @@ def _old_text(commit: str, relpath: str) -> str | None:
 
 
 def _toplevel_segments(text: str) -> dict[str, str]:
-    """name → exact source segment for every top-level def/class/assign."""
+    """name → exact source segment for every top-level def/class/assign.
+
+    DECORATORS are part of a def's segment: ``ast.get_source_segment``
+    starts at the ``def`` line, which would make an oracle-SQL change
+    inside ``@query(name, sql)`` invisible to the taint diff — exactly
+    the edit the driver window exists to catch (the driver hashes the
+    oracle's output, so a changed oracle NEEDS a fresh row)."""
     tree = ast.parse(text)
     out: dict[str, str] = {}
     for node in tree.body:
@@ -66,9 +72,16 @@ def _toplevel_segments(text: str) -> dict[str, str]:
             names = [t.id for t in node.targets if isinstance(t, ast.Name)]
         elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
             names = [node.target.id]
-        seg = ast.get_source_segment(text, node)
+        seg = ast.get_source_segment(text, node) or ""
+        decs = getattr(node, "decorator_list", None)
+        if decs:
+            seg = (
+                "\n".join(ast.get_source_segment(text, d) or "" for d in decs)
+                + "\n"
+                + seg
+            )
         for n in names:
-            out[n] = seg or ""
+            out[n] = seg
     return out
 
 
@@ -179,3 +192,68 @@ def test_driver_window_slots_are_all_oracle():
 
     dead = [n for n in workload._NEEDS_DRIVER_ROW if n not in workload.ORACLE]
     assert not dead, f"rows-only queries waste driver-window slots: {dead}"
+
+
+def test_window_backfill_is_stalest_first():
+    """Mechanize VERDICT r07's hand audit: the driver window's
+    NON-tainted slots must go to the oracles with the OLDEST green
+    driver rows. The failure this prevents: r7's new-query head
+    displaced the planned rotation set and 17 oracles silently reached
+    age 3 — from now on, leaving an older oracle outside the window
+    while a younger non-tainted one occupies a slot fails the suite.
+
+    Ages come from the committed CORRECTNESS_r*.json artifacts (last
+    round with rows+schema+hash all green); tainted/new queries are
+    exempt from the comparison (their slots are mandatory regardless
+    of age)."""
+    import glob
+    import json
+
+    from moisturizer_spark import workload
+
+    files = sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no correctness artifacts yet")
+    rounds = {}
+    for f in files:
+        rnum = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        rounds[rnum] = json.load(open(f))
+    latest = max(rounds)
+
+    def green(row):
+        return (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+            and not row.get("err")
+        )
+
+    last_green = {}
+    for rnum in sorted(rounds):
+        for q, row in rounds[rnum].items():
+            if green(row):
+                last_green[q] = rnum
+
+    def age(q):  # never-green sorts oldest (None -> +inf)
+        lg = last_green.get(q)
+        return (latest - lg) if lg is not None else 10**9
+
+    tainted, base = _changed_query_names()
+    if base is None:
+        pytest.skip("no round marker commit to diff against")
+    oracle_order = list(workload.ORACLE)
+    window = set(oracle_order[:WINDOW])
+    backfill = [q for q in window if q not in tainted and age(q) < 10**9]
+    outside = [q for q in oracle_order[WINDOW:]]
+    if not backfill or not outside:
+        pytest.skip("degenerate window split")
+    min_inside = min(age(q) for q in backfill)
+    offenders = sorted(
+        (q, age(q)) for q in outside if age(q) > min_inside
+    )
+    assert not offenders, (
+        "stalest-first violated: these oracles sit OUTSIDE the driver "
+        f"window with older green rows (age > {min_inside}) than a "
+        f"non-tainted window occupant: {offenders[:10]} — rotate them "
+        "into _NEEDS_DRIVER_ROW ahead of younger backfill"
+    )
