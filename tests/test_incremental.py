@@ -1093,3 +1093,37 @@ def test_cc_view_composes_with_near_dup_pair_feed(spark, warehouse):
     src.upsert(_edge_rows(spark, [(2, 4)]))
     view.refresh()
     assert _labels(view.read()) == {1: 1, 2: 1, 4: 1}
+
+
+def test_cc_view_random_ops_property(spark, warehouse):
+    """Randomized edge-insert sequence (with occasional deletes to
+    exercise the stated full-recompute fallback); after every refresh
+    the view must equal the star-contraction recompute."""
+    import random
+
+    from moisturizer_spark.incremental import IncrementalCCView
+
+    rng = random.Random(99)
+    src = _edges_tbl(spark, warehouse, name="cc_prop")
+    src.overwrite(_edge_rows(spark, [(1, 2)]))
+    view = IncrementalCCView(src, f"{warehouse}/cc_prop_view")
+    view.refresh()
+    live = {(1, 2)}
+    for step in range(5):
+        for _ in range(rng.randrange(1, 4)):
+            if rng.random() < 0.8 or not live:
+                a = rng.randrange(12)
+                b = rng.randrange(12)
+                if a == b:
+                    continue
+                a, b = min(a, b), max(a, b)
+                live.add((a, b))
+                src.upsert(_edge_rows(spark, [(a, b)]))
+            else:
+                pair = rng.choice(sorted(live))
+                live.discard(pair)
+                src.delete_by_key([f"{pair[0]}|{pair[1]}"])
+        view.refresh()
+        assert _labels(view.read()) == _truth(spark, src), (
+            f"diverged at step {step}"
+        )
