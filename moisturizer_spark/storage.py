@@ -353,6 +353,14 @@ class ParquetTable:
         naturally copy-on-write: each side's new versions land under
         its own path, and each side's vacuum walks only its own tree.
 
+        The clone's manifest starts AT the cloned version number — not
+        at 1 — because the linked data dirs keep their source-side
+        ``data/v{N}`` names: a clone born at version 1 would eventually
+        advance its own counter into a linked dir number and
+        ``_write_version``'s mode("overwrite") would clobber that
+        snapshot dir, destroying every carried bucket in it (clone of a
+        v3 source + two bucket-disjoint upserts = unreadable table).
+
         Refuses a ``dest_path`` that already holds a table."""
         man = (
             self._require_version(version)
@@ -372,23 +380,54 @@ class ParquetTable:
         )
         if dest._load_manifest() is not None:
             raise ValueError(f"clone target {dest_path} already holds a table")
+        # Collect the (src, dst) file pairs serially (cheap metadata
+        # walks), then fan the link() calls across a thread pool:
+        # os.link releases the GIL, and at 100 TB a table holds millions
+        # of files — a serial driver-side loop is minutes of dead time,
+        # while 32 threads of pure inode ops track the filesystem's
+        # metadata throughput (VERDICT r08 hardening item #3).
+        pairs: list[tuple[str, str]] = []
         for rel in sorted(_manifest_dirs(man)):
             src_dir = os.path.join(self.path, rel)
             dst_dir = os.path.join(dest_path, rel)
             os.makedirs(dst_dir, exist_ok=True)
             for fname in os.listdir(src_dir):
                 s = os.path.join(src_dir, fname)
-                t = os.path.join(dst_dir, fname)
-                if not os.path.isfile(s):
-                    continue
-                try:
-                    os.link(s, t)
-                except OSError:
-                    shutil.copy2(s, t)  # cross-device: degrade to copy
+                if os.path.isfile(s):
+                    pairs.append((s, os.path.join(dst_dir, fname)))
+
+        def _link_one(pair: tuple[str, str]) -> None:
+            s, t = pair
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)  # cross-device: degrade to copy
+
+        if len(pairs) <= 8:
+            for pair in pairs:
+                _link_one(pair)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=32) as pool:
+                # list() forces iteration so a failed link raises here,
+                # BEFORE the manifest commit publishes the clone
+                list(pool.map(_link_one, pairs))
+        # Synthetic prev: version counter continues from the source (so
+        # the clone's next write lands in a FRESH data/v dir, never a
+        # linked one), but with no buckets/prior_dirs — the clone's first
+        # vacuum must not treat source history as droppable garbage, and
+        # its manifest must not reference source-side paths.
+        synthetic_prev = {
+            "version": man["version"] - 1,
+            "buckets": {},
+            "txn": {},
+            "retain_versions": dest.retain_versions,
+        }
         dest._commit(
             {int(b): list(d) for b, d in man["buckets"].items()},
             T.StructType.fromJson(json.loads(man["schema"])),
-            None,
+            synthetic_prev if man["version"] > 1 else None,
             txn=dict(man.get("txn") or {}) or None,
         )
         return dest

@@ -10886,67 +10886,85 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 #      ALL oracle queries);
 #   4. rows-only queries last — their checks live in pytest.
 
+# The round this window was built FOR: ages are computed from the
+# CORRECTNESS artifacts of rounds strictly BEFORE this one (the
+# information available at build time). tests/test_driver_window.py
+# uses this to judge the window against build-time data, so a freshly
+# dropped artifact for _WINDOW_ROUND itself never retroactively turns
+# the suite red (VERDICT r08 "What's wrong" #1).
+_WINDOW_ROUND = 9
+
+# Rows-only queries granted a one-time window slot this round so the
+# driver records a non-null spark_rows smoke row for them (VERDICT r08
+# "What's missing" #2: these three have never had ANY driver execution).
+# The driver records err:"no_oracle" for them (r04 probe) -- the slot
+# buys a real end-to-end execution on the driver's environment, nothing
+# more; their recall/merge-law checks live in pytest.
+_ROWS_ONLY_SMOKE = [
+    "embedding_pq_top5",
+    "events_hll_reach",
+    "events_reach_sketch_rollup",
+]
+
 _NEEDS_DRIVER_ROW = [
-    # round 8: new queries first, then queries tainted by the r8 operator
-    # edits (pagerank auto-rescale grid, graph convergence diagnostics,
-    # HITS rounds validation, KS NULL exclusion), mechanically confirmed
-    # by tests/test_driver_window.py against baseline cfca9f5.
-    "embedding_label_silhouette",     # NEW: label-quality audit
-    "daily_volume_changepoint",       # NEW: CUSUM level-shift locator
-    "fd_audit",                       # NEW: functional-dependency audit
-    "docs_cv_folds",                  # NEW: deterministic k-fold audit
-    "user_behavioral_distance",       # NEW: bounded min-plus distances
-    "minhash_estimate_audit",         # NEW: estimator-vs-exact audit
-    "monthly_revenue_decompose",      # NEW: trend/seasonal/residual split
-    "user_clustering_coefficient",    # NEW: normalized graph cohesion
-    "copresence_link_prediction",     # NEW: Adamic-Adar missing edges
-    "event_transition_matrix",        # NEW: Markov event transitions
-    "user_cohort_retention",          # NEW: weekly cohort retention matrix
-    "orders_integrity_audit",         # NEW: FK orphan audit report
-    "brand_price_theilsen",           # NEW: robust pairwise-median trend
-    "source_unigram_kl",              # NEW: text-distribution drift (KL)
-    "docs_hybrid_rrf",                # NEW: BM25 ⊕ cosine rank fusion
-    "docs_bm25_search",               # tainted: oracle CTEs factored for RRF
-    "trade_pagerank_convergence",     # NEW: per-round rank-movement report
-    "copresence_lpa_convergence",     # NEW: per-round label-flip report
-    "trade_pagerank_det",             # tainted: auto-rescaled rank grid
-    "trade_hits_authorities",         # tainted: rounds>=1 validation
-    "user_copresence_communities",    # tainted: LPA prev-label carry
-    "user_copresence_triangles",      # tainted: shared graph helpers
-    "lineitem_discount_ks",           # tainted: NULL exclusion in side()
-    # stalest-first rotation: ALL 17 oracles whose last green driver row
-    # is round 4 (age 3 — the first window-policy violation; recomputed
-    # from CORRECTNESS_r01..r07 exactly as VERDICT r07 did)
-    "top_bigrams",
-    "top_words_per_lang",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
-    "q5_region_nation_revenue",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q20_dominant_suppliers",
-    "q22_idle_customers",
-    "quality_by_source",
-    "source_epoch_plan",
-    "source_mix_temperature",
-    "tfidf_top_terms",
-    "token_stats_by_lang",
-    "top3_customers_per_nation",
-    # age-2 backfill (last green driver row round 5) to fill the window;
-    # trimmed from the tail as round-8 queries land at the head
-    "bpe_token_stats",
-    "brand_revenue_share",
-    "customer_spend_ntile",
-    "customer_year_set_ops",
-    "customers_above_nation_avg",
-    "customers_without_orders",
-    "docs_fingerprint_dedup",
-    "docs_hash_split",
-    "docs_remove_dup_spans",
-    "docs_remove_dup_spans_hashed",
-    # (backfill stops at exactly slot 50 — the remaining age-2 oracles
+    # round 9: new/tainted queries land here at the head as the round
+    # progresses (mechanically enforced by tests/test_driver_window.py
+    # against the round-8 marker commit), then the mandatory
+    # stalest-first rotation: ALL 34 oracles whose last green driver row
+    # is round 5 (age 3 at build time, recomputed from
+    # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "docs_simhash_det_near_dup",
+    "docs_winnowing_det_near_dup",
+    "embedding_cosine_near_dup",
+    "embedding_decontamination",
+    "embedding_norm_stats",
+    "embedding_top5_cosine",
+    "events_7day_moving",
+    "events_daily",
+    "events_distinct_reach",
+    "events_props_flatten",
+    "events_reach_hll_det",
+    "events_running_total",
+    "events_sessionize",
+    "events_unpivot",
+    "events_user_pivot",
+    "lang_sources_csv",
+    "late_shipment_priority",
+    "latest_event_per_user",
+    "min_cost_supplier_per_part",
+    "nation_wealth_full_outer",
+    "order_price_quantile_sketch",
+    "order_price_quantiles",
+    "orders_monthly_growth",
+    "orders_with_returns_exists",
+    "purchase_asof_view",
+    "purchase_followon_events",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "revenue_cube",
+    "revenue_rollup",
+    "source_epoch_mixture",
+    "source_quota_sample",
+    "urgent_customers_semi",
+    # one-time rows-only smoke slots (see _ROWS_ONLY_SMOKE above)
+    *_ROWS_ONLY_SMOKE,
+    # age-2 backfill (last green driver row round 6) to fill the window;
+    # trimmed from the tail as round-9 queries land at the head
+    "bpe_fertility_by_lang",
+    "bpe_merge_table",
+    "corpus_shard_manifest",
+    "crosslingual_near_dup",
+    "customer_name_typo_pairs",
+    "customer_rfm_segments",
+    "doc_dedup_clusters",
+    "doc_dup_span_coverage",
+    "doc_median_tokens",
+    "doc_repetition_by_source",
+    "doc_term_counts_udtf",
+    "docs_benchmark_containment",
+    "docs_chunk_dedup",
+    # (backfill stops at exactly slot 50 -- the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]
 

@@ -185,13 +185,34 @@ def test_needs_driver_row_names_are_real():
 
 
 def test_driver_window_slots_are_all_oracle():
-    """Every window slot must be an oracle query (driver-provable); a
-    rows-only query in the window is a dead slot — the driver records
-    ``no_oracle`` and checks nothing (established by the r04 probe)."""
+    """Every window slot must be an oracle query (driver-provable) —
+    EXCEPT the explicitly declared ``_ROWS_ONLY_SMOKE`` set: VERDICT r08
+    requires a one-time driver execution (non-null ``spark_rows``) for
+    rows-only queries that have never appeared in any CORRECTNESS
+    artifact. Any OTHER rows-only query in the window is a dead slot —
+    the driver records ``no_oracle`` and checks nothing (r04 probe)."""
     from moisturizer_spark import workload
 
-    dead = [n for n in workload._NEEDS_DRIVER_ROW if n not in workload.ORACLE]
+    smoke = set(getattr(workload, "_ROWS_ONLY_SMOKE", []))
+    dead = [
+        n
+        for n in workload._NEEDS_DRIVER_ROW
+        if n not in workload.ORACLE and n not in smoke
+    ]
     assert not dead, f"rows-only queries waste driver-window slots: {dead}"
+    # a smoke slot is only justified while the query has NEVER had a
+    # driver row; once an artifact records one, the slot must be freed
+    import glob
+    import json
+
+    executed = set()
+    for f in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        executed.update(json.load(open(f)))
+    stale_smoke = sorted(smoke & executed)
+    assert not stale_smoke, (
+        "rows-only smoke slots already have a driver row on record — "
+        f"free the slots: {stale_smoke}"
+    )
 
 
 def test_window_backfill_is_stalest_first():
@@ -205,7 +226,16 @@ def test_window_backfill_is_stalest_first():
     Ages come from the committed CORRECTNESS_r*.json artifacts (last
     round with rows+schema+hash all green); tainted/new queries are
     exempt from the comparison (their slots are mandatory regardless
-    of age)."""
+    of age).
+
+    TIMING SEMANTICS (VERDICT r08 "What's wrong" #1): the window is
+    judged against the information available WHEN IT WAS BUILT —
+    artifacts from rounds strictly before ``workload._WINDOW_ROUND``.
+    Without this, the driver dropping CORRECTNESS_r{N}.json at round
+    close would retroactively turn the committed round-N window red
+    until the round-N+1 rotation lands; with it, the test goes red only
+    if a NEW window is committed (bumping _WINDOW_ROUND) without
+    honoring stalest-first over the artifacts it could see."""
     import glob
     import json
 
@@ -214,11 +244,22 @@ def test_window_backfill_is_stalest_first():
     files = sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json")))
     if not files:
         pytest.skip("no correctness artifacts yet")
+    window_round = getattr(workload, "_WINDOW_ROUND", None)
     rounds = {}
     for f in files:
         rnum = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if window_round is not None and rnum >= window_round:
+            continue  # not available when the window was built
         rounds[rnum] = json.load(open(f))
+    if not rounds:
+        pytest.skip("no artifacts predate the committed window round")
     latest = max(rounds)
+    if window_round is not None:
+        assert latest == window_round - 1, (
+            f"_WINDOW_ROUND={window_round} but the newest prior artifact "
+            f"is r{latest} — the window claims to be built on artifacts "
+            "that don't exist (or skipped a round): rebuild the rotation"
+        )
 
     def green(row):
         return (
@@ -241,10 +282,14 @@ def test_window_backfill_is_stalest_first():
     tainted, base = _changed_query_names()
     if base is None:
         pytest.skip("no round marker commit to diff against")
-    oracle_order = list(workload.ORACLE)
-    window = set(oracle_order[:WINDOW])
+    # the driver snapshots the first-50 of QUERIES; with rows-only smoke
+    # slots present, the oracle window is the ORACLE queries among those
+    # 50 (NOT oracle_order[:50], which would reach 3 deeper and judge
+    # oracles the driver won't actually run)
+    all_order = list(workload.QUERIES)
+    window = {q for q in all_order[:WINDOW] if q in workload.ORACLE}
     backfill = [q for q in window if q not in tainted and age(q) < 10**9]
-    outside = [q for q in oracle_order[WINDOW:]]
+    outside = [q for q in workload.ORACLE if q not in window]
     if not backfill or not outside:
         pytest.skip("degenerate window split")
     min_inside = min(age(q) for q in backfill)

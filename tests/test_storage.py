@@ -84,3 +84,73 @@ def test_clone_preserves_txn_watermarks(spark, warehouse):
     src.overwrite(_rows(spark, [("a", 1)]), txn=("app", 7))
     clone = src.clone_to(f"{warehouse}/cl_dst5")
     assert clone.txn_version("app") == 7
+
+def test_clone_version_counter_continues_from_source(spark, warehouse):
+    """ADVICE r08 (high): a clone born at version 1 while hard-linking
+    the source's data/vNNNNNN dirs verbatim eventually advances its own
+    counter INTO a linked dir number, and _write_version's
+    mode("overwrite") clobbers that snapshot dir — destroying every
+    carried bucket in it. Source at v3 + two bucket-disjoint upserts on
+    the clone reproduced PATH_NOT_FOUND before the fix. The clone's
+    manifest must start AT the cloned version so its future writes land
+    in fresh dirs."""
+    from moisturizer_spark.storage import ParquetTable
+
+    src = ParquetTable(spark, f"{warehouse}/cl_src6", key="id", n_buckets=4)
+    src.overwrite(_rows(spark, [("k1", 1)]))
+    src.upsert(_rows(spark, [("k2", 2)]))
+    src.upsert(_rows(spark, [("k3", 3)]))
+    assert src._load_manifest()["version"] == 3
+    clone = src.clone_to(f"{warehouse}/cl_dst6")
+    assert clone._load_manifest()["version"] == 3
+
+    # two upserts whose keys land in buckets DISJOINT from every carried
+    # bucket — before the fix the second write overwrote data/v000003,
+    # dropping a carried bucket the manifest still references
+    carried = {src.bucket_of(k) for k in ("k1", "k2", "k3")}
+    fresh = [f"n{i}" for i in range(200) if src.bucket_of(f"n{i}") not in carried]
+    assert len(fresh) >= 2, "need keys outside the carried buckets"
+    clone.upsert(_rows(spark, [(fresh[0], 10)]))
+    clone.upsert(_rows(spark, [(fresh[1], 11)]))
+    got = {(r["id"], r["v"]) for r in clone.read().collect()}
+    assert got == {("k1", 1), ("k2", 2), ("k3", 3), (fresh[0], 10), (fresh[1], 11)}
+    # and the source is untouched
+    assert {(r["id"], r["v"]) for r in src.read().collect()} == {
+        ("k1", 1), ("k2", 2), ("k3", 3)
+    }
+
+def test_clone_many_files_parallel_links(spark, warehouse):
+    """The link fan-out (threaded past 8 files) must preserve exact
+    inode identity for EVERY file and complete a many-file clone
+    quickly — the serial-loop hazard was minutes of single-threaded
+    driver work at millions of files."""
+    import os
+    import time
+
+    from moisturizer_spark.storage import ParquetTable
+
+    src = ParquetTable(spark, f"{warehouse}/cl_src7", key="id", n_buckets=16)
+    # several versions x 16 buckets -> well past the threaded threshold
+    src.overwrite(_rows(spark, [(f"k{i}", i) for i in range(64)]))
+    src.upsert(_rows(spark, [(f"k{i}", i + 100) for i in range(64)]))
+    t0 = time.monotonic()
+    clone = src.clone_to(f"{warehouse}/cl_dst7")
+    elapsed = time.monotonic() - t0
+    assert elapsed < 30  # pure metadata ops; generous CI bound
+
+    def inodes(root):
+        out = {}
+        for r, _d, files in os.walk(os.path.join(root, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    src_ino = inodes(f"{warehouse}/cl_src7")
+    dst_ino = inodes(f"{warehouse}/cl_dst7")
+    # every manifest-referenced file linked: same relpath -> same inode
+    shared = {k: v for k, v in dst_ino.items() if k in src_ino}
+    assert len(shared) > 8
+    assert all(src_ino[k] == v for k, v in shared.items())
+    assert clone.read().count() == 64
