@@ -706,7 +706,15 @@ def shortest_paths_bounded(
     Weights must be non-negative BIGINTs (the suite's integer-grid
     rule), so every distance is an exact integer min — partitioning
     and engine cannot move it, and an oracle unrolls the identical
-    rounds as min-plus CTEs.
+    rounds as min-plus CTEs. Non-negativity is VALIDATED (one cheap
+    min() agg over the already-materialized edge frame): a negative
+    weight silently yields wrong bounded-hop minima — valid bigint
+    sums, so no ANSI error would ever fire (ADVICE r08).
+
+    DIRECTED-edge contract: each edge row relaxes ``src → dst`` only.
+    A caller holding an undirected edge list must symmetrize before
+    calling (union the swapped projection), exactly like
+    :func:`bfs_levels`' callers — otherwise distances are one-way.
 
     The distance frame is SPARSE: only nodes already reached carry a
     row, so round r's relax join is frontier-sized, never graph-sized
@@ -733,6 +741,14 @@ def shortest_paths_bounded(
             F.col(weight_col).cast("bigint").alias("_w"),
         )
     )
+    # scale-guard allowlist: 1-row scalar over the persisted edge frame
+    wmin = e.agg(F.min("_w").alias("m")).first()["m"]
+    if wmin is not None and wmin < 0:
+        raise ValueError(
+            f"shortest_paths_bounded requires non-negative weights "
+            f"(min {weight_col} = {wmin}): negative weights make the "
+            "bounded-hop min-plus result silently wrong, not an error"
+        )
     dist = materialize(
         sources.select(F.col(node_col).alias("_n")).distinct().select(
             "_n", F.lit(0).cast("bigint").alias("_dist")

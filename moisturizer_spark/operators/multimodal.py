@@ -535,18 +535,23 @@ def phash_build(
         os.path.join(path, "data")
     )
     os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_phash.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_phash.json"))
     # rebuilding over a previously COMPACTED index: the old sidecar
     # pointed at data_g{n}, which nothing can reach once the sidecar
-    # below says "data" — remove stranded generations, don't leak them
+    # above says "data" — remove stranded generations, don't leak them.
+    # Cleanup strictly AFTER the atomic swap (ADVICE r08 medium): with
+    # the old order, a crash in the delete window — or a concurrent
+    # reader holding the old sidecar — left _phash.json pointing at a
+    # deleted directory, a bricked index. phash_compact already does
+    # swap-then-delete; this mirrors it.
     import shutil
 
     for entry in os.listdir(path):
         if entry.startswith("data_g"):
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
-    tmp = os.path.join(path, "_phash.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(path, "_phash.json"))
     return meta
 
 
@@ -675,7 +680,16 @@ def _frame_indexed_query(
         .distinct()
     )
     nq = q.groupBy("batch_id").agg(F.count(F.lit(1)).alias("_nq"))
-    nc = c.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("_nc"))
+    # DISTINCT FRAME count, not frame×hash row count: an id re-appended
+    # with DIFFERENT content keeps both hash generations (compaction
+    # intentionally preserves them), and a row count would inflate past
+    # any possible match size — every true duplicate of that id then
+    # goes silently unreported (ADVICE r08). Per-frame the MIN distance
+    # across generations below makes such ids match probes near EITHER
+    # stored generation instead.
+    nc = c.groupBy("corpus_id").agg(
+        F.count_distinct("_f").alias("_nc")
+    )
     a = q.select(
         "batch_id", "_f",
         F.col("_hi").alias("_hi_a"), F.col("_lo").alias("_lo_a"),
@@ -691,11 +705,15 @@ def _frame_indexed_query(
     pf = (
         cand.join(a, "batch_id")
         .join(b, ["corpus_id", "_f"])
-        .select("batch_id", "corpus_id", dist.alias("_d"))
+        .select("batch_id", "corpus_id", "_f", dist.alias("_d"))
+        # best generation per frame first, then the all-frames max:
+        # hamming = max over frames of (min over stored generations)
+        .groupBy("batch_id", "corpus_id", "_f")
+        .agg(F.min("_d").alias("_fd"))
         .groupBy("batch_id", "corpus_id")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.max("_d").alias("hamming"),
+            F.max("_fd").alias("hamming"),
         )
     )
     return (

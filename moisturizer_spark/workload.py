@@ -10913,6 +10913,8 @@ _NEEDS_DRIVER_ROW = [
     # stalest-first rotation: ALL 34 oracles whose last green driver row
     # is round 5 (age 3 at build time, recomputed from
     # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "user_behavioral_distance",       # tainted: negative-weight gate in
+                                      # shortest_paths_bounded (ADVICE)
     "docs_simhash_det_near_dup",
     "docs_winnowing_det_near_dup",
     "embedding_cosine_near_dup",
@@ -10963,7 +10965,6 @@ _NEEDS_DRIVER_ROW = [
     "doc_repetition_by_source",
     "doc_term_counts_udtf",
     "docs_benchmark_containment",
-    "docs_chunk_dedup",
     # (backfill stops at exactly slot 50 -- the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

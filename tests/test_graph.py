@@ -610,3 +610,46 @@ def test_shortest_paths_bounded_rejects_zero_rounds(spark):
     seed = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError, match="rounds"):
         shortest_paths_bounded(edges, seed, rounds=0)
+
+
+def test_shortest_paths_bounded_rejects_negative_weights(spark):
+    """ADVICE r08: negative weights yield silently-wrong bounded-hop
+    minima (valid bigint sums -- no ANSI error ever fires), so the
+    operator must refuse them up front."""
+    import pytest
+
+    from moisturizer_spark.operators.graph import shortest_paths_bounded
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, -1)], "src long, dst long, w long"
+    )
+    seed = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths_bounded(edges, seed, rounds=2)
+
+
+def test_shortest_paths_bounded_is_directed(spark):
+    """The documented contract: each edge relaxes src->dst only. An
+    undirected caller must symmetrize -- and the symmetrized run
+    resolves the reverse direction the directed run leaves absent."""
+    from pyspark.sql import functions as F
+
+    from moisturizer_spark.operators.graph import shortest_paths_bounded
+
+    edges = spark.createDataFrame([(2, 1, 4)], "src long, dst long, w long")
+    seed = spark.createDataFrame([(1,)], "node long")
+    one_way = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_bounded(edges, seed, rounds=2).collect()
+    }
+    assert one_way == {1: 0}  # 2->1 never relaxes 1->2
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    both = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_bounded(sym, seed, rounds=2).collect()
+    }
+    assert both == {1: 0, 2: 4}

@@ -1127,3 +1127,25 @@ def test_cc_view_random_ops_property(spark, warehouse):
         assert _labels(view.read()) == _truth(spark, src), (
             f"diverged at step {step}"
         )
+
+
+def test_cc_view_over_gate_shuffle_fallback_matches(spark, warehouse):
+    """Planted over-gate test (VERDICT r08 #2): with broadcast_threshold
+    forced below any real delta, every insert-fold join runs as a
+    shuffle join — and must produce labels IDENTICAL to the broadcast
+    path and to the star-contraction recompute. This is the bulk-
+    backfill guard: a 10^8-edge delta must degrade loudly-never-wrongly,
+    not blow the executor broadcast limit."""
+    from moisturizer_spark.incremental import IncrementalCCView
+
+    src = _edges_tbl(spark, warehouse, name="cc_gate")
+    src.overwrite(_edge_rows(spark, [(1, 2), (3, 4), (10, 11)]))
+    gated = IncrementalCCView(
+        src, f"{warehouse}/cc_gate_view", broadcast_threshold=1
+    )
+    gated.refresh()
+    # same merge/chain/fresh-pair delta as the broadcast-path test
+    src.upsert(_edge_rows(spark, [(2, 3), (4, 20), (30, 31)]))
+    assert gated.refresh() == 2
+    assert _labels(gated.read()) == _truth(spark, src)
+    assert _labels(gated.read())[20] == 1

@@ -90,6 +90,9 @@ ALLOWED = {
     ("operators/graph.py", "_pagerank_step"):
         "crossJoin is the ONE-row auto-rescale grid header broadcast "
         "(base term of the rank update)",
+    ("operators/graph.py", "shortest_paths_bounded"):
+        "first() is the ONE-row min-weight scalar over the persisted "
+        "edge frame: negative-weight refusal gate (ADVICE r08)",
     ("operators/textan.py", "importance_resample"):
         "both crossJoins are ONE-row scalar broadcasts: the bit-length "
         "rescale header and the sum-of-shifted-weights",

@@ -306,3 +306,83 @@ def test_phash_rebuild_removes_stranded_generations(spark, warehouse):
     assert stranded == []
     probe = spark.createDataFrame([(9, _ppm(_near(base)))], SCHEMA)
     assert {r["corpus_id"] for r in phash_query(spark, index, probe).collect()} == {1}
+
+
+def test_phash_rebuild_swap_precedes_cleanup(spark, warehouse):
+    """ADVICE r08 (medium): the stranded-generation cleanup must run
+    strictly AFTER the atomic sidecar swap. Simulate a crash inside the
+    cleanup window (rmtree raises): the index must already be readable
+    — with the old order a crash there left _phash.json pointing at a
+    deleted data_g{n}, a bricked index."""
+    import shutil
+
+    import pytest
+
+    from moisturizer_spark.operators.multimodal import phash_compact
+
+    base = _mk(4)
+    index = f"{warehouse}/rebuild_crash_idx"
+    seed = spark.createDataFrame([(1, _ppm(base))], SCHEMA)
+    phash_build(seed, index, kernel="ppm_ahash")
+    meta = phash_compact(spark, index)
+    assert meta["data_dir"].startswith("data_g")
+
+    real_rmtree = shutil.rmtree
+
+    def _crash(path, *a, **kw):
+        if os.path.basename(path).startswith("data_g"):
+            raise OSError("simulated crash mid-cleanup")
+        return real_rmtree(path, *a, **kw)
+
+    shutil.rmtree = _crash
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            phash_build(seed, index, kernel="ppm_ahash")
+    finally:
+        shutil.rmtree = real_rmtree
+
+    # the swap already happened: the index reads fine despite the crash;
+    # the stranded generation is a leak, not a brick
+    with open(os.path.join(index, "_phash.json")) as fh:
+        assert json.load(fh)["data_dir"] == "data"
+    probe = spark.createDataFrame([(9, _ppm(_near(base)))], SCHEMA)
+    assert {r["corpus_id"] for r in phash_query(spark, index, probe).collect()} == {1}
+    # a later clean rebuild sheds the leaked generation
+    phash_build(seed, index, kernel="ppm_ahash")
+    assert [e for e in os.listdir(index) if e.startswith("data_g")] == []
+
+
+def test_video_reappended_changed_content_still_matches(spark, warehouse):
+    """ADVICE r08: an id re-appended with DIFFERENT content keeps both
+    hash generations (compaction preserves them). Before the fix the
+    all-frames count saw frame-count x generations and every true
+    duplicate of that id went silently unreported. Contract now: the
+    corpus frame count is DISTINCT frames, per-frame distance is the
+    MIN across stored generations — probes near EITHER generation
+    match, and the all-frames rule still rejects partial matches."""
+    from moisturizer_spark.operators.multimodal import phash_append
+
+    gen_a = [_mk(21), _mk(22)]
+    gen_b = [_mk(31), _mk(32)]  # same id, totally different frames
+    index = f"{warehouse}/vid_regen_idx"
+    seed = spark.createDataFrame([(1, _vid(gen_a))], SCHEMA)
+    phash_build(
+        seed, index, kernel="ppm_ahash", max_distance=6,
+        frame_bytes=len(_ppm(gen_a[0])),
+    )
+    phash_append(
+        spark, index, spark.createDataFrame([(1, _vid(gen_b))], SCHEMA)
+    )
+
+    # probes near each generation both report id 1
+    for probe_frames in (_vid_near(gen_a), _vid_near(gen_b)):
+        probe = spark.createDataFrame([(9, _vid(probe_frames))], SCHEMA)
+        got = phash_query(spark, index, probe).collect()
+        assert {r["corpus_id"] for r in got} == {1}, got
+
+    # all-frames contract intact: frame 0 from gen A + frame 1 from an
+    # unrelated video must NOT match (frame 1 is far from both gens)
+    chimera = spark.createDataFrame(
+        [(9, _vid([gen_a[0], _mk(77)]))], SCHEMA
+    )
+    assert phash_query(spark, index, chimera).collect() == []
