@@ -394,6 +394,13 @@ def minhash_build(
     per.select("_id", "_grams").write.mode("overwrite").parquet(
         os.path.join(path, "grams")
     )
+    # build-time verify-set baseline: the health report measures drift
+    # of the CURRENT index population against the distribution the band
+    # shape was chosen for (one 1-row aggregate over the materialized
+    # per-doc frame — bounded)
+    base = per.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(F.size("_grams")).alias("_g")
+    ).first()
     meta = {
         "num_hashes": num_hashes,
         "bands": bands,
@@ -403,6 +410,8 @@ def minhash_build(
         "id_col": id_col,
         "id_type": corpus.schema[id_col].dataType.simpleString(),
         "text_col": text_col,
+        "built_n_docs": int(base["_n"]),
+        "built_sum_grams": int(base["_g"] or 0),
     }
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_minhash.json"), "w") as fh:
@@ -582,6 +591,223 @@ def minhash_compact(spark, path: str) -> dict:
     shutil.rmtree(os.path.join(path, old_bands), ignore_errors=True)
     shutil.rmtree(os.path.join(path, old_grams), ignore_errors=True)
     return meta
+
+
+def minhash_band_stats(bands: DataFrame, grams: DataFrame) -> DataFrame:
+    """Exact-integer health statistics over a MinHash band/gram pair —
+    the shared kernel of :func:`minhash_health_report` (persisted
+    index) and the oracle-checked ``minhash_index_health`` workload
+    query (transient det frames): one bucket-sized aggregation over
+    (band, bsig) group counts plus one 1-row gram aggregate, every
+    output a BIGINT (ratios on the permille grid via integer DIV), so
+    the report is engine-reproducible bit for bit.
+
+    Columns: ``n_docs, n_band_rows, n_buckets, max_bucket,
+    candidate_pairs_bound`` (Σ n·(n−1)/2 over buckets — the
+    self-join candidate-pair ceiling, the quantity that actually
+    bounds query cost), ``skew_permille`` (1000·max/mean bucket),
+    ``mean_grams_permille`` (verify-set size)."""
+    buckets = bands.groupBy("band", "bsig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nb")
+    )
+    b = buckets.agg(
+        F.sum("_nb").cast("bigint").alias("n_band_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("_nb").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("_nb * (_nb - 1) DIV 2"))
+        .cast("bigint")
+        .alias("candidate_pairs_bound"),
+    )
+    g = grams.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("_grams")).cast("bigint").alias("_sum_grams"),
+    )
+    return b.crossJoin(g).select(
+        "n_docs",
+        "n_band_rows",
+        "n_buckets",
+        "max_bucket",
+        "candidate_pairs_bound",
+        F.expr("1000 * max_bucket * n_buckets DIV n_band_rows")
+        .cast("bigint")
+        .alias("skew_permille"),
+        F.expr("1000 * _sum_grams DIV n_docs")
+        .cast("bigint")
+        .alias("mean_grams_permille"),
+    )
+
+
+def minhash_health_report(spark, path: str) -> dict:
+    """Index-health report for a persisted MinHash index — the text-
+    index sibling of ``similarity.ivf_drift_report`` (VERDICT r08 #5):
+    band-bucket skew is the quantity that degrades QUERY cost (a hot
+    bucket makes the candidate join quadratic in its size), and
+    verify-set size drift signals that appended content no longer
+    matches the distribution the band shape was tuned for.
+
+    Reports the :func:`minhash_band_stats` integers, plus:
+
+    - ``n_band_files`` — physical file count (the compact trigger)
+    - ``gram_drift_permille`` — |current − build-time| mean verify-set
+      size as a permille of the build-time mean (None for pre-baseline
+      indexes)
+    - ``compact_recommended`` (files > 256) and
+      ``rebucket_recommended`` (skew > 20x mean or drift > 50%) with
+      the thresholds stated so dashboards can apply their own
+
+    Cost: one bucket-sized aggregation + one gram count — safe on a
+    cadence at any index size."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_minhash.json")) as fh:
+        meta = json.load(fh)
+    bands = spark.read.parquet(
+        os.path.join(path, meta.get("bands_dir", "bands"))
+    )
+    grams = spark.read.parquet(
+        os.path.join(path, meta.get("grams_dir", "grams"))
+    )
+    row = minhash_band_stats(bands, grams).first()  # 1-row stats frame
+    n_files = sum(
+        1
+        for f in os.listdir(
+            os.path.join(path, meta.get("bands_dir", "bands"))
+        )
+        if f.endswith(".parquet")
+    )
+    out = {k: int(row[k]) for k in row.asDict()}
+    drift = None
+    if meta.get("built_n_docs"):
+        built_mean = 1000 * meta["built_sum_grams"] // meta["built_n_docs"]
+        if built_mean:
+            drift = abs(out["mean_grams_permille"] - built_mean) * 1000 // built_mean
+    out.update(
+        {
+            "n_band_files": n_files,
+            "gram_drift_permille": drift,
+            "compact_recommended": n_files > 256,
+            "rebucket_recommended": out["skew_permille"] > 20_000
+            or (drift is not None and drift > 500),
+            "thresholds": {
+                "skew_permille": 20_000,
+                "gram_drift_permille": 500,
+                "n_band_files": 256,
+            },
+        }
+    )
+    return out
+
+
+def minhash_rebucket(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    num_hashes: int | None = None,
+    threshold: float | None = None,
+    shingle_n: int | None = None,
+) -> dict:
+    """Re-shingle/re-band REBUILD of a persisted MinHash index under
+    the same atomic generation-swap discipline as
+    :func:`minhash_compact` — the operational response when
+    :func:`minhash_health_report` flags bucket skew or verify-set
+    drift: recompute signatures from the CURRENT corpus text (band
+    rows are hashes of signature slices, so a band-shape change cannot
+    be derived from stored state — re-banding is honestly a corpus
+    scan, the same cost floor as ``similarity.retrain_if_drifted``),
+    write fresh ``bands_g<n>``/``grams_g<n>`` generations, swap the
+    sidecar via write-temp + ``os.replace``, and remove the old
+    generation. Readers holding the old sidecar finish against the old
+    files; single-writer discipline as append/compact. The build-time
+    gram baseline resets to the new corpus (drift is measured against
+    the shape now chosen for it)."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(path, "_minhash.json")) as fh:
+        meta = json.load(fh)
+    nh = num_hashes or meta["num_hashes"]
+    th = threshold if threshold is not None else meta["threshold"]
+    n = shingle_n or meta["shingle_n"]
+    bands_shape, rows = _band_shape(nh, th)
+    per = materialize(
+        _minhash_per_doc(corpus, meta["id_col"], meta["text_col"], nh, n)
+    )
+    gen = meta.get("compaction_gen", 0) + 1
+    new_bands, new_grams = f"bands_g{gen}", f"grams_g{gen}"
+    _minhash_banded(per.select("_id", "sig"), bands_shape, rows).repartition(
+        "bsig"
+    ).write.mode("overwrite").parquet(os.path.join(path, new_bands))
+    per.select("_id", "_grams").write.mode("overwrite").parquet(
+        os.path.join(path, new_grams)
+    )
+    base = per.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(F.size("_grams")).alias("_g")
+    ).first()  # 1-row baseline scalar
+    old_bands = meta.get("bands_dir", "bands")
+    old_grams = meta.get("grams_dir", "grams")
+    meta.update(
+        {
+            "num_hashes": nh,
+            "bands": bands_shape,
+            "rows": rows,
+            "shingle_n": n,
+            "threshold": th,
+            "bands_dir": new_bands,
+            "grams_dir": new_grams,
+            "compaction_gen": gen,
+            "built_n_docs": int(base["_n"]),
+            "built_sum_grams": int(base["_g"] or 0),
+        }
+    )
+    tmp = os.path.join(path, "_minhash.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_minhash.json"))
+    shutil.rmtree(os.path.join(path, old_bands), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, old_grams), ignore_errors=True)
+    return meta
+
+
+def minhash_rebucket_if_unhealthy(
+    spark, path: str, corpus: DataFrame, report: dict | None = None
+) -> dict:
+    """:func:`minhash_health_report` wired to action, mirroring
+    ``similarity.retrain_if_drifted``: when the report recommends a
+    rebucket, rebuild from ``corpus`` under the sidecar's current
+    parameters; when it only recommends compaction, run
+    :func:`minhash_compact` (no corpus scan). Returns
+    ``{"rebucketed": bool, "compacted": bool, "report": ...,
+    "meta": ...}``."""
+    report = report or minhash_health_report(spark, path)
+    if report["rebucket_recommended"]:
+        meta = minhash_rebucket(spark, path, corpus)
+        return {
+            "rebucketed": True,
+            "compacted": False,
+            "report": report,
+            "meta": meta,
+        }
+    if report["compact_recommended"]:
+        meta = minhash_compact(spark, path)
+        return {
+            "rebucketed": False,
+            "compacted": True,
+            "report": report,
+            "meta": meta,
+        }
+    import json
+    import os
+
+    with open(os.path.join(path, "_minhash.json")) as fh:
+        meta = json.load(fh)
+    return {
+        "rebucketed": False,
+        "compacted": False,
+        "report": report,
+        "meta": meta,
+    }
 
 
 def simhash(

@@ -1371,6 +1371,70 @@ def docs_minhash_det_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _sql_minhash_health() -> str:
+    return f"""
+    WITH {_sql_minhash_det_ctes()},
+    buckets AS (SELECT b, bkey, CAST(COUNT(*) AS BIGINT) AS nb
+                FROM band GROUP BY b, bkey),
+    bstats AS (SELECT CAST(SUM(nb) AS BIGINT) AS n_band_rows,
+                      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                      CAST(MAX(nb) AS BIGINT) AS max_bucket,
+                      CAST(SUM(nb * (nb - 1) // 2) AS BIGINT)
+                        AS candidate_pairs_bound
+               FROM buckets),
+    gstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(sz) AS BIGINT) AS sum_grams
+               FROM sizes)
+    SELECT n_docs, n_band_rows, n_buckets, max_bucket,
+           candidate_pairs_bound,
+           CAST(1000 * max_bucket * n_buckets // n_band_rows AS BIGINT)
+             AS skew_permille,
+           CAST(1000 * sum_grams // n_docs AS BIGINT)
+             AS mean_grams_permille
+    FROM bstats, gstats
+    """
+
+
+@query("minhash_index_health", _sql_minhash_health())
+def minhash_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash index-health statistics (VERDICT r08 #5) — the
+    text-index sibling of ``ivf_drift_report``, as an oracle-checked
+    report: band-bucket counts (max, total, the Σ n·(n−1)/2
+    candidate-pair ceiling that actually bounds query cost) and
+    verify-set sizes over the det-minhash banding of the same document
+    subset the det near-dup query uses, every column a BIGINT on the
+    permille grid. The DuckDB oracle replays the md5 signature chain
+    (shared :func:`_sql_minhash_det_ctes` — the report and the
+    near-dup replay cannot drift) and re-derives the identical bucket
+    stats. The persisted-index path (sidecar baseline, drift
+    thresholds, compact/rebucket triggers, generation-swap rebuild) is
+    :func:`~moisturizer_spark.operators.dedup.minhash_health_report` /
+    ``minhash_rebucket``, pinned by the drifted-append e2e in
+    ``tests/test_dedup_index.py``.
+
+    Scale: one bucket-sized aggregation + two 1-row aggregate frames
+    joined by a 1-row crossJoin — report cost is independent of corpus
+    size given the banded frame."""
+    from moisturizer_spark.operators.dedup import (
+        _band_shape,
+        _minhash_banded,
+        _minhash_per_doc,
+        minhash_band_stats,
+    )
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    subset = t["documents"].filter(F.col("doc_id") < 100)
+    bands, rows = _band_shape(_MINHASH_DET_HASHES, _MINHASH_DET_THRESHOLD)
+    per = _mat(
+        _minhash_per_doc(
+            subset, "doc_id", "text", _MINHASH_DET_HASHES, 3, det=True
+        )
+    )
+    banded = _minhash_banded(per.select("_id", "sig"), bands, rows)
+    return minhash_band_stats(banded, per.select("_id", "_grams"))
+
+
 def _sql_simhash_det() -> str:
     from moisturizer_spark.operators.dedup import (
         simhash_band_layout,
@@ -6181,6 +6245,254 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+_UNI_EM_ROUNDS = 2
+_UNI_MAX_WORD = 10
+_UNI_MAX_PIECE = 4
+_UNI_SEED_MULTI = 80
+_UNI_VOCAB_MULTI = 48
+
+
+def _unigram_ctes() -> list[str]:
+    """The unigram-LM trainer (hard-EM / Viterbi-EM, see
+    :mod:`moisturizer_spark.operators.tokenizer`) UNROLLED into a CTE
+    chain — the ``_bpe_ctes`` recipe applied to EM: each round is one
+    cost table (add-1-smoothed nano-bit ``round(1e9·log2((T+V)/(c+1)))``
+    over the round's fixed membership), a Viterbi pass unrolled over
+    word POSITIONS 1..{maxlen} (``d_i`` = the per-word best
+    (cost, n_pieces, path) triple at position i, minimum over the ≤
+    {maxpiece} back-candidates via ``row_number() OVER (PARTITION BY
+    word ORDER BY c, k, pth)`` — exactly :func:`viterbi_expr`'s tie
+    order; the 0x1f path separator sorts below every alphanumeric so
+    boundaries can't alias), and the M-step recount carried over the
+    membership (LEFT JOIN, COALESCE 0). Training words cap at
+    {maxlen} chars — the stated modeling bound that also bounds this
+    chain's depth. ``AS MATERIALIZED`` throughout: every stage feeds
+    two successors (the BPE-chain lesson)."""
+    R, L, P = _UNI_EM_ROUNDS, _UNI_MAX_WORD, _UNI_MAX_PIECE
+    ctes = [
+        f"""u_w AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+      WHERE length(word) <= {L} GROUP BY word)""",
+        f"""u_seed AS (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(flatten(list_transform(
+            range(1, length(word) + 1),
+            s -> list_transform(
+              range(1, least({P}, length(word) - s + 1) + 1),
+              k -> substr(word, CAST(s AS INT), CAST(k AS INT))))))
+          AS piece
+        FROM u_w) GROUP BY piece)""",
+        f"""u_v0 AS MATERIALIZED (
+      SELECT piece, cnt FROM u_seed WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM u_seed WHERE length(piece) >= 2) WHERE rn <= {_UNI_SEED_MULTI})""",
+    ]
+
+    def cost_cte(tag: str, member: str) -> str:
+        return f"""u_c{tag} AS MATERIALIZED (
+      SELECT piece, CAST(round(1e9 * log2(
+          CAST(t.total + t.v AS DOUBLE) / CAST(cnt + 1 AS DOUBLE)))
+        AS BIGINT) AS cost
+      FROM {member}, (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                             CAST(COUNT(*) AS BIGINT) AS v
+                      FROM {member}) t)"""
+
+    def viterbi_ctes(tag: str) -> list[str]:
+        out = [
+            f"""u_d{tag}_0 AS (
+      SELECT word, freq, CAST(0 AS BIGINT) AS c, 0 AS k, '' AS pth
+      FROM u_w)"""
+        ]
+        for i in range(1, L + 1):
+            cands = []
+            for kk in range(1, min(P, i) + 1):
+                cands.append(
+                    f"""SELECT d.word, d.freq, d.c + v.cost AS c,
+               d.k + 1 AS k,
+               CASE WHEN d.pth = '' THEN v.piece
+                    ELSE d.pth || chr(31) || v.piece END AS pth
+        FROM u_d{tag}_{i - kk} d JOIN u_c{tag} v
+          ON v.piece = substr(d.word, {i - kk + 1}, {kk})
+        WHERE length(d.word) >= {i}"""
+                )
+            out.append(
+                f"""u_d{tag}_{i} AS MATERIALIZED (
+      SELECT word, freq, c, k, pth FROM (
+        SELECT word, freq, c, k, pth,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY c, k, pth) AS rn
+        FROM ({' UNION ALL '.join(cands)})) WHERE rn = 1)"""
+            )
+        finals = " UNION ALL ".join(
+            f"SELECT word, freq, k, pth FROM u_d{tag}_{i} "
+            f"WHERE length(word) = {i}"
+            for i in range(1, L + 1)
+        )
+        out.append(f"u_s{tag} AS MATERIALIZED ({finals})")
+        return out
+
+    def mstep_cte(next_member: str, member: str, seg: str) -> str:
+        return f"""{next_member} AS MATERIALIZED (
+      SELECT m.piece, CAST(COALESCE(u.used, 0) AS BIGINT) AS cnt
+      FROM {member} m LEFT JOIN (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS used FROM (
+          SELECT unnest(string_split(pth, chr(31))) AS piece, freq
+          FROM {seg}) GROUP BY piece) u ON u.piece = m.piece)"""
+
+    for r in range(R):
+        ctes.append(cost_cte(str(r), f"u_v{r}"))
+        ctes.extend(viterbi_ctes(str(r)))
+        ctes.append(mstep_cte(f"u_v{r + 1}", f"u_v{r}", f"u_s{r}"))
+    ctes.append(
+        f"""u_vf AS MATERIALIZED (
+      SELECT piece, cnt FROM u_v{R} WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM u_v{R} WHERE length(piece) >= 2)
+      WHERE rn <= {_UNI_VOCAB_MULTI})"""
+    )
+    ctes.append(cost_cte("f", "u_vf"))
+    ctes.extend(viterbi_ctes("f"))
+    ctes.append(mstep_cte("u_cntf", "u_vf", "u_sf"))
+    return ctes
+
+
+def _sql_unigram_vocab() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_unigram_ctes())
+        + """
+    SELECT n.piece, CAST(length(n.piece) AS INT) AS piece_len,
+           n.cnt, c.cost AS cost_nano
+    FROM u_cntf n JOIN u_cf c ON c.piece = n.piece
+    ORDER BY n.piece"""
+    )
+
+
+def _sql_unigram_fertility_vs_bpe() -> str:
+    bpe_ctes, _ = _bpe_ctes(_BPE_MERGES)
+    return (
+        "WITH "
+        + ",\n".join(bpe_ctes + _unigram_ctes())
+        + f""",
+    w AS (SELECT lang, word FROM (
+        SELECT lang, unnest({_SQL_TOKS}) AS word FROM documents)
+      WHERE length(word) <= {_UNI_MAX_WORD}),
+    j AS (SELECT w.lang, length(w.word) AS n_chars,
+                 len(b.syms) AS n_sub, u.k AS n_pieces
+          FROM w JOIN v{_BPE_MERGES} b ON b.word = w.word
+                 JOIN u_sf u ON u.word = w.word)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_sub) AS BIGINT) AS bpe_sum_subwords,
+           CAST(SUM(n_pieces) AS BIGINT) AS uni_sum_pieces,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE)
+             AS bpe_fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_pieces) AS DOUBLE)
+             AS uni_fertility
+    FROM j GROUP BY lang ORDER BY lang"""
+    )
+
+
+@query("unigram_vocab_table", _sql_unigram_vocab())
+def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned UNIGRAM-LM tokenizer vocabulary (SentencePiece-style,
+    Kudo 2018 in its deterministic hard-EM form — see
+    :mod:`moisturizer_spark.operators.tokenizer`): all single
+    characters plus the top multi-char pieces by Viterbi count after
+    2 EM rounds, with final-pass counts and the nano-bit costs the
+    final parse used. The second tokenizer algorithm beside BPE —
+    training pipelines routinely compare both (VERDICT r08 #4).
+
+    Scale: one corpus-sized word-frequency aggregation; every EM
+    round is a map-side Viterbi fold (one-row broadcast cost map, no
+    shuffle) plus one vocabulary-sized combinable count. Oracle: the
+    EM loop AND the per-word Viterbi DP unrolled into a CTE chain
+    (:func:`_unigram_ctes`) — fixed rounds × fixed position depth is
+    just syntax, the ``bpe_merge_table`` lesson squared."""
+    from moisturizer_spark.operators.tokenizer import unigram_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    pieces, _seg = unigram_train(
+        t["documents"],
+        vocab_multi=_UNI_VOCAB_MULTI,
+        em_rounds=_UNI_EM_ROUNDS,
+        max_piece_len=_UNI_MAX_PIECE,
+        max_word_len=_UNI_MAX_WORD,
+        seed_multi=_UNI_SEED_MULTI,
+    )
+    return pieces.orderBy("piece")
+
+
+@query("unigram_fertility_vs_bpe", _sql_unigram_fertility_vs_bpe())
+def unigram_fertility_vs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head tokenizer FERTILITY comparison by language: the
+    same corpus words (≤ {maxlen} chars — the unigram training bound,
+    applied to BOTH sides so the denominators match) segmented under
+    the 10-merge BPE vocabulary and the unigram-LM vocabulary, per-lang
+    chars-per-subword vs chars-per-piece from exact integer sums — the
+    multilingual-equity metric that picks the production tokenizer.
+
+    Scale: both trainings as their standalone queries; the comparison
+    join is corpus-words × two vocabulary-bounded broadcast frames;
+    one combinable per-lang aggregation."""
+    from moisturizer_spark.operators.common import materialize as _mat
+    from moisturizer_spark.operators.tokenizer import bpe_train, unigram_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    _merges, bvocab = bpe_train(docs, n_merges=_BPE_MERGES)
+    pieces, seg = unigram_train(
+        docs,
+        vocab_multi=_UNI_VOCAB_MULTI,
+        em_rounds=_UNI_EM_ROUNDS,
+        max_piece_len=_UNI_MAX_PIECE,
+        max_word_len=_UNI_MAX_WORD,
+        seed_multi=_UNI_SEED_MULTI,
+    )
+    bpe_per_word = _mat(
+        bvocab.filter(F.length("word") <= _UNI_MAX_WORD).select(
+            "word", F.size("syms").alias("n_sub")
+        )
+    )
+    bpe_per_word.count()  # force before releasing bpe_train's cache
+    bvocab.unpersist()
+    uni_per_word = _mat(seg.select("word", "n_pieces"))
+    uni_per_word.count()  # vocabulary-sized
+    words = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("word")
+    ).filter(F.length("word") <= _UNI_MAX_WORD)
+    joined = words.join(F.broadcast(bpe_per_word), "word").join(
+        F.broadcast(uni_per_word), "word"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("sum_chars"),
+            F.sum("n_sub").cast("bigint").alias("bpe_sum_subwords"),
+            F.sum("n_pieces").cast("bigint").alias("uni_sum_pieces"),
+        )
+        .withColumn(
+            "bpe_fertility",
+            F.col("sum_chars").cast("double")
+            / F.col("bpe_sum_subwords").cast("double"),
+        )
+        .withColumn(
+            "uni_fertility",
+            F.col("sum_chars").cast("double")
+            / F.col("uni_sum_pieces").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
 _KMEANS_DET_K, _KMEANS_DET_ITERS = 8, 3
 
 
@@ -10913,6 +11225,9 @@ _NEEDS_DRIVER_ROW = [
     # stalest-first rotation: ALL 34 oracles whose last green driver row
     # is round 5 (age 3 at build time, recomputed from
     # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "minhash_index_health",           # NEW: text-index health report
+    "unigram_vocab_table",            # NEW: unigram-LM tokenizer vocab
+    "unigram_fertility_vs_bpe",       # NEW: per-lang fertility head2head
     "user_behavioral_distance",       # tainted: negative-weight gate in
                                       # shortest_paths_bounded (ADVICE)
     "docs_simhash_det_near_dup",
@@ -10962,9 +11277,6 @@ _NEEDS_DRIVER_ROW = [
     "doc_dedup_clusters",
     "doc_dup_span_coverage",
     "doc_median_tokens",
-    "doc_repetition_by_source",
-    "doc_term_counts_udtf",
-    "docs_benchmark_containment",
     # (backfill stops at exactly slot 50 -- the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

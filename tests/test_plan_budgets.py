@@ -32,6 +32,9 @@ BUDGETS = {
     "audio_near_dup_det": 2,
     "bpe_fertility_by_lang": 2,
     "bpe_merge_table": 1,
+    "unigram_vocab_table": 1,
+    "minhash_index_health": 4,
+    "unigram_fertility_vs_bpe": 2,
     "bpe_token_stats": 2,
     "brand_revenue_share": 2,
     "corpus_shard_manifest": 2,

@@ -93,6 +93,27 @@ ALLOWED = {
     ("operators/graph.py", "shortest_paths_bounded"):
         "first() is the ONE-row min-weight scalar over the persisted "
         "edge frame: negative-weight refusal gate (ADVICE r08)",
+    ("operators/tokenizer.py", "_uni_costs"):
+        "crossJoin is the ONE-row (total, V) scalar broadcast over the "
+        "vocabulary-bounded piece frame",
+    ("operators/tokenizer.py", "_uni_segment_frame"):
+        "crossJoin is the ONE-row broadcast piece-cost map "
+        "(vocabulary-bounded, the bpe merge-table size class)",
+    ("operators/tokenizer.py", "unigram_train"):
+        "collect() is the size-gated local EM solve (same gate and "
+        "bound as bpe_train: vocab <= local_vocab_threshold rows)",
+    ("operators/tokenizer.py", "unigram_segment"):
+        "crossJoin is the ONE-row broadcast piece-cost map",
+    ("operators/dedup.py", "minhash_build"):
+        "first() is the ONE-row build-time gram baseline over the "
+        "already-materialized per-doc frame",
+    ("operators/dedup.py", "minhash_band_stats"):
+        "crossJoin joins two ONE-row aggregate frames",
+    ("operators/dedup.py", "minhash_health_report"):
+        "first() reads the ONE-row stats frame",
+    ("operators/dedup.py", "minhash_rebucket"):
+        "first() is the ONE-row rebased gram baseline over the "
+        "already-materialized per-doc frame",
     ("operators/textan.py", "importance_resample"):
         "both crossJoins are ONE-row scalar broadcasts: the bit-length "
         "rescale header and the sum-of-shifted-weights",

@@ -1711,3 +1711,144 @@ def test_unigram_kl_matches_python_replay(spark):
         assert got[src]["kl_micro"] == expect[src], src
         assert got[src]["n_terms"] == terms[src]
         assert got[src]["n_tokens"] == ng[src]
+
+
+def test_minhash_health_report_and_rebucket_e2e(spark, warehouse):
+    """VERDICT r08 #5 wiring, mirroring the IVF retrain e2e: drifted
+    appends (verify-set sizes 3x the build baseline) -> report flags
+    rebucket -> generation-swap rebuild resets the baseline -> report
+    healthy again and queries stay correct against the new generation.
+    A healthy index is a no-op."""
+    import os
+
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_append,
+        minhash_build,
+        minhash_health_report,
+        minhash_query,
+        minhash_rebucket_if_unhealthy,
+    )
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text)
+
+    short = [
+        doc(i, f"short note {i} about topic {i * 3} and item {i * 7}")
+        for i in range(20)
+    ]
+    cdf = spark.createDataFrame(short)
+    path = os.path.join(warehouse, "mh_health_idx")
+    meta = minhash_build(cdf, path, num_hashes=16, threshold=0.6)
+    assert meta["built_n_docs"] == 20 and meta["built_sum_grams"] > 0
+
+    rep = minhash_health_report(spark, path)
+    assert rep["n_docs"] == 20
+    assert rep["gram_drift_permille"] == 0
+    assert not rep["rebucket_recommended"]
+    out = minhash_rebucket_if_unhealthy(spark, path, cdf)
+    assert not out["rebucketed"] and not out["compacted"]
+    assert out["meta"].get("bands_dir", "bands") == "bands"
+
+    # drift: 30 appended docs ~4x the gram size of the build corpus
+    long_tail = " ".join(f"filler term {j}" for j in range(30))
+    longs = [
+        doc(100 + i, f"extended report {i} covering {long_tail} case {i}")
+        for i in range(30)
+    ]
+    ldf = spark.createDataFrame(longs)
+    minhash_append(spark, path, ldf)
+    rep2 = minhash_health_report(spark, path)
+    assert rep2["n_docs"] == 50
+    assert rep2["gram_drift_permille"] > 500, rep2
+    assert rep2["rebucket_recommended"]
+
+    full = cdf.union(ldf)
+    out2 = minhash_rebucket_if_unhealthy(spark, path, full)
+    assert out2["rebucketed"] and out2["report"] == rep2
+    assert out2["meta"]["bands_dir"] == "bands_g1"
+    assert not os.path.isdir(os.path.join(path, "bands"))
+    # baseline reset to the current mix: drift cleared, report healthy
+    rep3 = minhash_health_report(spark, path)
+    assert rep3["gram_drift_permille"] == 0
+    assert not rep3["rebucket_recommended"], rep3
+
+    # queries stay correct against the rebucketed generation, on both
+    # the original and the appended population
+    probe = spark.createDataFrame([
+        doc(900, "short note 3 about topic 9 and item 22"),
+        doc(901, f"extended report 5 covering {long_tail} case 99"),
+    ])
+    got = {(r["corpus_id"], r["batch_id"])
+           for r in minhash_query(spark, path, probe).collect()}
+    assert (3, 900) in got and (105, 901) in got
+
+
+def test_minhash_health_detects_hot_buckets(spark, warehouse):
+    """Duplicate-heavy appends produce identical signatures in every
+    band — the hot-bucket query hazard the skew stat exists to flag
+    (and that no band shape can fix: detection, not repair)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_append,
+        minhash_build,
+        minhash_health_report,
+    )
+
+    # many mutually-distinct docs: the skew stat is max/MEAN bucket, so
+    # the duplicate cluster must dwarf the typical bucket, not the
+    # corpus (with B distinct docs skew caps near B+1)
+    docs = [
+        Row(
+            doc_id=i,
+            text=f"varied document {i} about subject {i * 13} with "
+            f"unique trail {i * 31} {i * 97} {i * 7} end {i}",
+        )
+        for i in range(100)
+    ]
+    path = os.path.join(warehouse, "mh_hot_idx")
+    minhash_build(spark.createDataFrame(docs), path, num_hashes=16,
+                  threshold=0.6)
+    dupes = [
+        Row(doc_id=500 + i,
+            text="the exact same mirrored crawl page body every time")
+        for i in range(400)
+    ]
+    minhash_append(spark, path, spark.createDataFrame(dupes))
+    rep = minhash_health_report(spark, path)
+    assert rep["skew_permille"] > 20_000, rep
+    assert rep["rebucket_recommended"]
+    assert rep["candidate_pairs_bound"] >= 400 * 399 // 2
+
+
+def test_minhash_rebucket_compact_path(spark, warehouse):
+    """A report recommending only compaction routes to
+    minhash_compact (no corpus scan, no parameter change)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_build,
+        minhash_query,
+        minhash_rebucket_if_unhealthy,
+    )
+
+    docs = [Row(doc_id=i, text=f"compact case doc {i} topic {i * 5}")
+            for i in range(10)]
+    cdf = spark.createDataFrame(docs)
+    path = os.path.join(warehouse, "mh_compact_idx")
+    minhash_build(cdf, path, num_hashes=16, threshold=0.6)
+    fake = {"rebucket_recommended": False, "compact_recommended": True}
+    out = minhash_rebucket_if_unhealthy(spark, path, cdf, report=fake)
+    assert out["compacted"] and not out["rebucketed"]
+    assert out["meta"]["bands_dir"] == "bands_g1"
+    probe = spark.createDataFrame(
+        [Row(doc_id=900, text="compact case doc 4 topic 20 extra")]
+    )
+    got = {r["corpus_id"] for r in minhash_query(spark, path, probe).collect()}
+    assert 4 in got
