@@ -2698,6 +2698,203 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- URL/domain-aware dedup (VERDICT r08 #6) ----------------------------------
+#
+# The documents table carries no URL column, so both engines DERIVE the
+# same messy crawl URL per document from (doc_id, source, lang) — mixed-
+# case schemes and hosts, www./WWW. mirror prefixes, explicit default
+# ports, trailing-slash runs, tracking parameters in varying order, and
+# fragments — then canonicalize with their respective renderings of the
+# SAME rule chain (operators/urls.py). Documents sharing
+# (source, lang, doc_id % 50) collapse to one canonical URL by
+# construction, so the dedup groups are exactly verifiable.
+
+_SQL_MESSY_URL = """
+    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END
+     || '://'
+     || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+             WHEN doc_id % 3 = 2 THEN 'WWW.' ELSE '' END
+     || source || '.example.com'
+     || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+     || '/docs/' || lang || '/' || CAST(doc_id % 50 AS VARCHAR)
+     || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+     || CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+             ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                  || '&utm_campaign=mail' END
+     || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+"""
+
+# the domain-split host variant (source-<doc_id%7>.example.com)
+_SQL_MESSY_URL_SPLIT = _SQL_MESSY_URL.replace(
+    "|| source || '.example.com'",
+    "|| source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'",
+)
+
+
+def _messy_url_col(domain_split: bool = False) -> "Column":
+    """Spark twin of ``_SQL_MESSY_URL``; ``domain_split=True`` renders
+    the ``source-<doc_id%7>.example.com`` host variant (28 domains)
+    used by the per-domain rebalancing query."""
+    gid = (F.col("doc_id") % 50).cast("string")
+    host_tail = (
+        F.concat(
+            F.lit("-"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        )
+        if domain_split
+        else F.lit(".example.com")
+    )
+    return F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("HTTPS")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 2, F.lit("WWW."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        host_tail,
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        gid,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), gid),
+        ).otherwise(
+            F.concat(F.lit("?id="), gid, F.lit("&utm_campaign=mail"))
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def _sql_url_canonical_dedup() -> str:
+    from moisturizer_spark.operators.urls import sql_canonicalize_url
+
+    canon = sql_canonicalize_url("url")
+    return f"""
+    WITH u AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
+    c AS (SELECT doc_id, {canon} AS canonical_url FROM u)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM c GROUP BY canonical_url HAVING COUNT(*) >= 2
+    ORDER BY canonical_url
+    """
+
+
+@query("url_canonical_dedup", _sql_url_canonical_dedup())
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup — the crawl-curation step that removes
+    the mirror/tracking-parameter duplicate class BEFORE any text-level
+    dedup runs (operators/urls.py: RFC 3986 normalization + the
+    conventional crawl extensions — lowercase scheme/host, fragment and
+    default-port and www. stripping, trailing-slash collapse, tracking
+    params removed, surviving params sorted). Groups with ≥2 URL
+    spellings report their canonical form, variant count, and the
+    min-id keeper.
+
+    Scale: the canonicalization is a map-side regex/array expression
+    chain (no UDF, no shuffle); the dedup is ONE hash groupBy on the
+    canonical string — at 100 TB this is the cheapest dedup leg in the
+    pipeline and runs first for exactly that reason."""
+    from moisturizer_spark.operators.urls import canonicalize_url
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    c = t["documents"].select(
+        "doc_id", canonicalize_url(_messy_url_col()).alias("canonical_url")
+    )
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy("canonical_url")
+    )
+
+
+def _sql_url_domain_weights() -> str:
+    from moisturizer_spark.operators.urls import (
+        sql_canonicalize_url,
+        sql_url_domain,
+    )
+
+    canon = sql_canonicalize_url("url")
+    return f"""
+    WITH u AS (SELECT doc_id, {_SQL_MESSY_URL_SPLIT} AS url
+               FROM documents),
+    c AS (SELECT doc_id, {sql_url_domain(canon)} AS domain FROM u),
+    ranked AS (SELECT domain, doc_id,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY domain
+                        ORDER BY md5('domcap:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS rk
+               FROM c),
+    stats AS (SELECT domain,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN rk <= 25 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_kept,
+                     CAST(MIN(CASE WHEN rk <= 25 THEN doc_id END)
+                       AS BIGINT) AS kept_min_doc
+              FROM ranked GROUP BY domain)
+    SELECT domain, n_docs, n_kept, kept_min_doc,
+           ROUND(pow(CAST(n_docs AS DOUBLE), 0.5)
+                 / SUM(pow(CAST(n_docs AS DOUBLE), 0.5)) OVER (), 6)
+             AS mix_weight
+    FROM stats ORDER BY domain
+    """
+
+
+@query("url_domain_cap_temperature", _sql_url_domain_weights())
+def url_domain_cap_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus rebalancing composed from the URL leg and the
+    existing sampling operators: canonical-URL domains → hash-rank cap
+    at 25 docs/domain (``sampling.quota_sample`` — deterministic, stable
+    under corpus growth) → temperature mixture weights over domain
+    sizes (``sampling.temperature_weights``, α=0.5 — the multilingual
+    up-weighting rule applied to crawl domains). The standard "no
+    single domain dominates the epoch" curation step.
+
+    Scale: domain extraction is map-side; the cap is one shuffle on the
+    domain key carrying ids only; the weight normalization runs over
+    the domain-count frame (domains, not documents)."""
+    from moisturizer_spark.operators.common import materialize as _mat
+    from moisturizer_spark.operators.sampling import (
+        quota_sample,
+        temperature_weights,
+    )
+    from moisturizer_spark.operators.urls import canonicalize_url, url_domain
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    c = _mat(
+        t["documents"].select(
+            "doc_id",
+            url_domain(
+                canonicalize_url(_messy_url_col(domain_split=True))
+            ).alias("domain"),
+        )
+    )
+    kept = quota_sample(c, "domain", "doc_id", k=25, salt="domcap:")
+    kept_stats = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("kept_min_doc"),
+    )
+    sizes = c.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    weighted = temperature_weights(sizes, "n_docs", alpha=0.5)
+    return (
+        weighted.join(kept_stats, "domain")
+        .select("domain", "n_docs", "n_kept", "kept_min_doc", "mix_weight")
+        .orderBy("domain")
+    )
+
+
 @query(
     "docs_decontaminated",
     f"""
@@ -11225,6 +11422,8 @@ _NEEDS_DRIVER_ROW = [
     # stalest-first rotation: ALL 34 oracles whose last green driver row
     # is round 5 (age 3 at build time, recomputed from
     # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "url_canonical_dedup",            # NEW: canonical-URL exact dedup
+    "url_domain_cap_temperature",     # NEW: per-domain cap + mix weights
     "minhash_index_health",           # NEW: text-index health report
     "unigram_vocab_table",            # NEW: unigram-LM tokenizer vocab
     "unigram_fertility_vs_bpe",       # NEW: per-lang fertility head2head
@@ -11275,8 +11474,6 @@ _NEEDS_DRIVER_ROW = [
     "customer_name_typo_pairs",
     "customer_rfm_segments",
     "doc_dedup_clusters",
-    "doc_dup_span_coverage",
-    "doc_median_tokens",
     # (backfill stops at exactly slot 50 -- the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

@@ -34,6 +34,8 @@ BUDGETS = {
     "bpe_merge_table": 1,
     "unigram_vocab_table": 1,
     "minhash_index_health": 4,
+    "url_canonical_dedup": 2,
+    "url_domain_cap_temperature": 4,
     "unigram_fertility_vs_bpe": 2,
     "bpe_token_stats": 2,
     "brand_revenue_share": 2,
