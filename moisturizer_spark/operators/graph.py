@@ -765,3 +765,124 @@ def shortest_paths_bounded(
             .agg(F.min("_dist").alias("_dist"))
         )
     return dist.select(F.col("_n").alias(node_col), F.col("_dist").alias("dist"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-CORE peeling — the degeneracy member of the
+    graph family (Seidman 1983; the standard spam/periphery filter
+    before community or centrality work): iteratively remove every
+    node of degree < ``k``, ``rounds`` times, with the iteration
+    UNROLLED into the plan like pagerank/LPA (no driver loop over
+    data; one degree aggregation + two semi-joins per round, each
+    round's edge frame materialized so round ``r`` never re-derives
+    rounds ``1..r-1``).
+
+    Returns the surviving ``(node, degree)`` — degree measured in the
+    FINAL surviving subgraph. A fixed round budget is a stated bound,
+    exactly like the BFS/pagerank family: peeling converges when no
+    node drops below ``k``; if the budget was too small, surviving
+    degrees < ``k`` remain and :func:`k_core_convergence`'s last round
+    shows removals still happening (the planted slow-peel test pins
+    this diagnostic catching an insufficient budget).
+
+    Edges are treated as UNDIRECTED: canonicalized (least, greatest),
+    deduplicated, self-loops dropped — so callers may pass either
+    orientation. Exact integer degrees; engine- and partitioning-
+    independent.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1 (got k={k}, rounds={rounds})")
+    a, b = F.col(src_col), F.col(dst_col)
+    # Per-round localCheckpoint, NOT the lazy materialize(): each round
+    # references the previous edge frame ~4x (two adjacency legs + two
+    # semi-join probes), so an un-truncated plan grows 4^rounds and the
+    # ANALYZER itself OOMs by round 8 (observed: Java heap exhaustion in
+    # the randomized-replay test). localCheckpoint computes the round
+    # eagerly and replaces its lineage with the stored blocks — plan
+    # depth stays O(1) per round, the pagerank-family "per-round
+    # lineage cut" applied where the reference multiplier is highest.
+    e = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        adj = e.select(F.col("_a").alias("_n")).unionAll(
+            e.select(F.col("_b").alias("_n"))
+        )
+        alive = (
+            adj.groupBy("_n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("_n")
+        )
+        e = (
+            e.join(alive.withColumnRenamed("_n", "_a"), "_a", "left_semi")
+            .join(alive.withColumnRenamed("_n", "_b"), "_b", "left_semi")
+            .localCheckpoint()
+        )
+    adj = e.select(F.col("_a").alias("node")).unionAll(
+        e.select(F.col("_b").alias("node"))
+    )
+    return adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+def k_core_convergence(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-round peeling diagnostics for :func:`k_core` — the
+    convergence-report companion (pagerank_convergence's role):
+    ``(round, n_alive, n_removed)`` where ``n_alive`` counts nodes with
+    degree ≥ k entering the next round and ``n_removed`` the nodes
+    peeled this round. ``n_removed = 0`` in the last row certifies the
+    round budget sufficed; a positive value is the loud under-budget
+    signal."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1 (got k={k}, rounds={rounds})")
+    a, b = F.col(src_col), F.col(dst_col)
+    # same per-round localCheckpoint lineage cut as k_core (4x reference
+    # multiplier per round — see the comment there)
+    e = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    rows = []
+    prev_nodes = None
+    for r in range(1, rounds + 1):
+        adj = e.select(F.col("_a").alias("_n")).unionAll(
+            e.select(F.col("_b").alias("_n"))
+        )
+        degs = adj.groupBy("_n").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_d")
+        ).localCheckpoint()
+        n_total = degs.count()  # node-set cardinality: bounded aggregate
+        alive = degs.filter(F.col("_d") >= k).select("_n")
+        n_alive = alive.count()
+        if prev_nodes is None:
+            prev_nodes = n_total
+        rows.append((r, n_alive, prev_nodes - n_alive))
+        prev_nodes = n_alive
+        e = (
+            e.join(alive.withColumnRenamed("_n", "_a"), "_a", "left_semi")
+            .join(alive.withColumnRenamed("_n", "_b"), "_b", "left_semi")
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        rows, "round int, n_alive bigint, n_removed bigint"
+    )

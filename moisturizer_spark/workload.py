@@ -8434,6 +8434,85 @@ def _sql_copresence_pairs(min_cells: int) -> str:
             HAVING COUNT(*) >= {min_cells})"""
 
 
+_KCORE_K, _KCORE_ROUNDS = 2, 4
+
+
+def _sql_kcore_ctes(k: int, rounds: int) -> str:
+    """Bounded k-core peeling unrolled position-by-position, the graph
+    family's CTE recipe: round r = degree count over e{r-1}, the
+    >= k survivor set, and the edge restriction to surviving
+    endpoints."""
+    ctes = ["e0 AS MATERIALIZED (SELECT user_a AS a, user_b AS b FROM cop)"]
+    for r in range(1, rounds + 1):
+        prev, cur = f"e{r - 1}", f"e{r}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev})
+      GROUP BY n)"""
+        )
+        ctes.append(f"a{r} AS (SELECT n FROM d{r} WHERE d >= {k})")
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+      SELECT a, b FROM {prev}
+      WHERE a IN (SELECT n FROM a{r}) AND b IN (SELECT n FROM a{r}))"""
+        )
+    ctes.append(
+        f"""dfin AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+      GROUP BY n)"""
+    )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "user_copresence_kcore",
+    f"""
+    WITH {{cop}},
+    {{kcore}}
+    SELECT n AS user_id, d AS core_degree
+    FROM dfin ORDER BY core_degree DESC, user_id LIMIT 20
+    """.format(cop=_sql_copresence_pairs(3), kcore=_sql_kcore_ctes(_KCORE_K, _KCORE_ROUNDS)),
+)
+def user_copresence_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE of the user co-presence graph (k=2, 4 peel rounds) — the
+    degeneracy member of the graph family (:func:`moisturizer_spark.
+    operators.graph.k_core`, Seidman 1983): iteratively strip users
+    whose behavioral degree falls below k, keeping the mutually-dense
+    core that community/centrality work should run on (the standard
+    periphery/spam filter). Top-20 core members by surviving degree,
+    user_id tiebreak.
+
+    The bounded round budget is a stated modeling bound exactly like
+    pagerank's iteration count; :func:`k_core_convergence` is the
+    companion diagnostic (pytest-pinned: a planted slow-peel chain
+    shows an under-budget run flagged by removals in the last round).
+    Scale: per round one combinable degree aggregation + two semi-joins
+    on the shrinking edge frame, each round materialized; the shared
+    capped co-presence CTE chain bounds the input like every other
+    graph query."""
+    from moisturizer_spark.operators.graph import k_core
+
+    t = load_tables(spark, sf_dir, ("events",))
+    pairs = _copresence_pairs(t, 3)
+    core = k_core(
+        pairs.select(
+            F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+        ),
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+    )
+    return (
+        core.select(
+            F.col("node").alias("user_id"),
+            F.col("degree").alias("core_degree"),
+        )
+        .orderBy(F.col("core_degree").desc(), "user_id")
+        .limit(20)
+    )
+
+
 @query(
     "user_copresence_triangles",
     f"""
@@ -11422,6 +11501,7 @@ _NEEDS_DRIVER_ROW = [
     # stalest-first rotation: ALL 34 oracles whose last green driver row
     # is round 5 (age 3 at build time, recomputed from
     # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "user_copresence_kcore",          # NEW: k-core degeneracy filter
     "url_canonical_dedup",            # NEW: canonical-URL exact dedup
     "url_domain_cap_temperature",     # NEW: per-domain cap + mix weights
     "minhash_index_health",           # NEW: text-index health report
@@ -11473,7 +11553,6 @@ _NEEDS_DRIVER_ROW = [
     "crosslingual_near_dup",
     "customer_name_typo_pairs",
     "customer_rfm_segments",
-    "doc_dedup_clusters",
     # (backfill stops at exactly slot 50 -- the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

@@ -34,6 +34,7 @@ BUDGETS = {
     "bpe_merge_table": 1,
     "unigram_vocab_table": 1,
     "minhash_index_health": 4,
+    "user_copresence_kcore": 1,
     "url_canonical_dedup": 2,
     "url_domain_cap_temperature": 4,
     "unigram_fertility_vs_bpe": 2,
@@ -259,6 +260,13 @@ _RX = re.compile(r"^\(\d+\) (ReusedExchange|Exchange)", re.M)
 
 
 def _n_exchanges(spark, sf_dir, name: str) -> int:
+    # Cold-cache measurement: queries materialize() shared subtrees, and
+    # a subtree persisted by an ALPHABETICALLY-EARLIER query substitutes
+    # an InMemoryRelation into this query's plan, shifting its Exchange
+    # count with suite ORDER (adding url_* queries in round 9 flipped
+    # user_clustering_coefficient's count in full-suite runs only).
+    # Budgets are properties of the query, not of what ran before it.
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
