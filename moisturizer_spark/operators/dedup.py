@@ -810,6 +810,110 @@ def minhash_rebucket_if_unhealthy(
     }
 
 
+def fs_match_scores(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fields: dict,
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969) —
+    the probabilistic step between candidate generation
+    (:func:`levenshtein_pairs` + blocking) and survivorship
+    (:func:`golden_records`): each candidate pair gets a log-likelihood-
+    ratio match score from per-field agreement patterns.
+
+    ``fields`` maps field name → ``(m_num, m_den)``, the m-probability
+    P(field agrees | records match) as an exact rational prior (e.g.
+    ``(9, 10)``). The u-probabilities P(agree | non-match) are
+    ESTIMATED FROM THE DATA exactly: the probability two uniformly
+    random records agree on the field, ``u = Σ_v c_v(c_v−1) / N(N−1)``
+    over the field's value counts (NULL never agrees), add-1-smoothed
+    (``(Σ+1)/(N(N−1)+2)``) so a never-agreeing field cannot produce an
+    infinite weight. Per field the pair contributes
+    ``w_agree = round(1e9·log2(m/u))`` nano-bits when the values agree
+    and ``w_disagree = round(1e9·log2((1−m)/(1−u)))`` when they don't
+    — the classic agreement/disagreement weights on the repo's integer
+    log grid, summed exactly (BIGINT) into ``score_nano``.
+
+    Returns ``pairs`` + one ``gamma_<field>`` 0/1 column per field +
+    ``score_nano``. Determinism: counts are exact integers, each weight
+    is ONE log2 rounded once, and the sum is integer — engine- and
+    partitioning-independent; an oracle replays value counts, weights,
+    and the same sum.
+
+    Scale: one value-count aggregate per field (combinable, value-
+    cardinality-sized) collapsing to a ONE-row weight header that
+    cross-joins (broadcast) onto the pair frame; record attributes join
+    in via two broadcast projections keyed on ``id_col``. Pair volume
+    is whatever the caller's blocking produced — this operator adds no
+    quadratic work of its own."""
+    spark = records.sparkSession
+    n_row = records.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    hdr = None
+    for f, (mn, md) in fields.items():
+        if not (0 < mn < md):
+            raise ValueError(f"m for {f!r} must satisfy 0 < m < 1 (got {mn}/{md})")
+        agree = (
+            records.filter(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+            .agg(F.sum(F.expr("_c * (_c - 1)")).cast("bigint").alias(f"_un_{f}"))
+        )
+        hdr = agree if hdr is None else hdr.crossJoin(F.broadcast(agree))
+    hdr = hdr.crossJoin(F.broadcast(n_row))
+    # one-row weight header: per field the agree/disagree nano weights
+    weight_cols = []
+    for f, (mn, md) in fields.items():
+        un = f"(coalesce(_un_{f}, CAST(0 AS BIGINT)) + 1)"
+        ud = "(_n * (_n - 1) + 2)"
+        m = f"(CAST({mn} AS DOUBLE) / CAST({md} AS DOUBLE))"
+        u = f"(CAST({un} AS DOUBLE) / CAST({ud} AS DOUBLE))"
+        weight_cols.append(
+            F.expr(
+                f"CAST(round(1e9 * log2({m} / {u})) AS BIGINT)"
+            ).alias(f"_wa_{f}")
+        )
+        weight_cols.append(
+            F.expr(
+                f"CAST(round(1e9 * log2((1.0 - {m}) / (1.0 - {u}))) AS BIGINT)"
+            ).alias(f"_wd_{f}")
+        )
+    hdr = hdr.select(*weight_cols)
+
+    a_proj = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).alias(f"_a_{f}") for f in fields],
+    )
+    b_proj = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).alias(f"_b_{f}") for f in fields],
+    )
+    scored = (
+        pairs.join(F.broadcast(a_proj), "id_a")
+        .join(F.broadcast(b_proj), "id_b")
+        .crossJoin(F.broadcast(hdr))
+    )
+    gammas = []
+    contribs = []
+    for f in fields:
+        g = (
+            F.col(f"_a_{f}").isNotNull()
+            & F.col(f"_b_{f}").isNotNull()
+            & (F.col(f"_a_{f}") == F.col(f"_b_{f}"))
+        )
+        gammas.append(g.cast("int").alias(f"gamma_{f}"))
+        contribs.append(
+            F.when(g, F.col(f"_wa_{f}")).otherwise(F.col(f"_wd_{f}"))
+        )
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return scored.select(
+        *pairs.columns, *gammas, total.cast("bigint").alias("score_nano")
+    )
+
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64,
     det: bool = False,

@@ -8785,6 +8785,145 @@ def lineitem_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_fs_scores() -> str:
+    # the m-priors and the fuzzy-name weights must be the SAME
+    # parenthesized expressions as the Spark side (one log2, one round)
+    def w(m_num, m_den, un, ud, agree):
+        m = f"(CAST({m_num} AS DOUBLE) / CAST({m_den} AS DOUBLE))"
+        u = f"(CAST({un} AS DOUBLE) / CAST({ud} AS DOUBLE))"
+        if agree:
+            return f"CAST(round(1e9 * log2({m} / {u})) AS BIGINT)"
+        return (
+            f"CAST(round(1e9 * log2((1.0 - {m}) / (1.0 - {u}))) AS BIGINT)"
+        )
+
+    ud = "(nn * (nn - 1) + 2)"
+    fields = [
+        ("nat", "c_nationkey", 19, 20),
+        ("seg", "c_mktsegment", 9, 10),
+        ("band", "bal_band", 4, 5),
+    ]
+    u_ctes = ",\n    ".join(
+        f"""u_{tag} AS (SELECT CAST(SUM(cc * (cc - 1)) AS BIGINT) AS un
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cc FROM c
+            WHERE {col} IS NOT NULL GROUP BY {col}))"""
+        for tag, col, _, _ in fields
+    )
+    w_cols = ",\n           ".join(
+        f"{w(mn, md, f'(coalesce(u_{tag}.un, 0) + 1)', ud, True)} AS wa_{tag},\n           "
+        f"{w(mn, md, f'(coalesce(u_{tag}.un, 0) + 1)', ud, False)} AS wd_{tag}"
+        for tag, _, mn, md in fields
+    )
+    wa_nm = w(19, 20, 1, 1000, True)
+    wd_nm = w(19, 20, 1, 1000, False)
+    return f"""
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+               FROM customer WHERE c_custkey <= 200),
+    nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM c),
+    {u_ctes},
+    w AS (SELECT {w_cols},
+           {wa_nm} AS wa_nm, {wd_nm} AS wd_nm
+          FROM u_nat, u_seg, u_band, nrow),
+    p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+                 CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                      THEN 1 ELSE 0 END AS gamma_name,
+                 CASE WHEN a.c_nationkey = b.c_nationkey
+                      THEN 1 ELSE 0 END AS gamma_nation,
+                 CASE WHEN a.c_mktsegment = b.c_mktsegment
+                      THEN 1 ELSE 0 END AS gamma_segment,
+                 CASE WHEN a.bal_band = b.bal_band
+                      THEN 1 ELSE 0 END AS gamma_balband
+          FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+          WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+            AND levenshtein(a.c_name, b.c_name) <= 2)
+    SELECT id_a, id_b, dist, gamma_name, gamma_nation, gamma_segment,
+           gamma_balband,
+           CAST((CASE WHEN gamma_nation = 1 THEN wa_nat ELSE wd_nat END)
+              + (CASE WHEN gamma_segment = 1 THEN wa_seg ELSE wd_seg END)
+              + (CASE WHEN gamma_balband = 1 THEN wa_band ELSE wd_band END)
+              + (CASE WHEN gamma_name = 1 THEN wa_nm ELSE wd_nm END)
+             AS BIGINT) AS score_nano
+    FROM p, w
+    ORDER BY score_nano DESC, id_a, id_b
+    """
+
+
+@query("customer_match_scores", _sql_fs_scores())
+def customer_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage SCORES (Fellegi & Sunter 1969) —
+    the probabilistic layer between candidate generation and
+    survivorship: every length-banded lev≤2 name-candidate pair gets a
+    log-likelihood-ratio score in exact nano-bits from four agreement
+    patterns — nation / market segment / account-balance band (exact
+    agreement, u-probabilities ESTIMATED FROM DATA as the exact random-
+    pair agreement rate Σc(c−1)/N(N−1), add-1-smoothed) and a fuzzy
+    name gamma (lev ≤ 1, fixed stated priors m=19/20, u=1/1000). High
+    scores = likely same entity even when the name edit alone is
+    ambiguous; `customer_golden_records` is the downstream merge.
+
+    Scale: three value-cardinality-sized combinable aggregates collapse
+    to a ONE-row weight header broadcast onto the pair frame; record
+    attributes join via broadcast projections; nothing quadratic beyond
+    the caller-chosen blocking (:func:`moisturizer_spark.operators.
+    dedup.fs_match_scores`)."""
+    from moisturizer_spark.operators.dedup import (
+        fs_match_scores,
+        levenshtein_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    subset = t["customer"].filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+    )
+    pairs = levenshtein_pairs(
+        subset, id_col="c_custkey", str_col="c_name", max_dist=2
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "dist",
+    )
+    scored = fs_match_scores(
+        subset,
+        pairs,
+        "c_custkey",
+        {"c_nationkey": (19, 20), "c_mktsegment": (9, 10), "bal_band": (4, 5)},
+    )
+    wa_nm = (
+        "CAST(round(1e9 * log2((CAST(19 AS DOUBLE) / CAST(20 AS DOUBLE)) "
+        "/ (CAST(1 AS DOUBLE) / CAST(1000 AS DOUBLE)))) AS BIGINT)"
+    )
+    wd_nm = (
+        "CAST(round(1e9 * log2((1.0 - (CAST(19 AS DOUBLE) / CAST(20 AS "
+        "DOUBLE))) / (1.0 - (CAST(1 AS DOUBLE) / CAST(1000 AS DOUBLE))))) "
+        "AS BIGINT)"
+    )
+    return (
+        scored.withColumn("gamma_name", (F.col("dist") <= 1).cast("int"))
+        .select(
+            "id_a",
+            "id_b",
+            "dist",
+            "gamma_name",
+            F.col("gamma_c_nationkey").alias("gamma_nation"),
+            F.col("gamma_c_mktsegment").alias("gamma_segment"),
+            F.col("gamma_bal_band").alias("gamma_balband"),
+            (
+                F.col("score_nano")
+                + F.when(F.col("dist") <= 1, F.expr(wa_nm)).otherwise(
+                    F.expr(wd_nm)
+                )
+            ).cast("bigint").alias("score_nano"),
+        )
+        .orderBy(F.col("score_nano").desc(), "id_a", "id_b")
+    )
+
+
 @query(
     "customer_golden_records",
     """
@@ -11501,6 +11640,7 @@ _NEEDS_DRIVER_ROW = [
     # stalest-first rotation: ALL 34 oracles whose last green driver row
     # is round 5 (age 3 at build time, recomputed from
     # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "customer_match_scores",          # NEW: Fellegi-Sunter link scores
     "user_copresence_kcore",          # NEW: k-core degeneracy filter
     "url_canonical_dedup",            # NEW: canonical-URL exact dedup
     "url_domain_cap_temperature",     # NEW: per-domain cap + mix weights
@@ -11552,7 +11692,6 @@ _NEEDS_DRIVER_ROW = [
     "corpus_shard_manifest",
     "crosslingual_near_dup",
     "customer_name_typo_pairs",
-    "customer_rfm_segments",
     # (backfill stops at exactly slot 50 -- the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

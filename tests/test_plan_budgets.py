@@ -35,6 +35,7 @@ BUDGETS = {
     "unigram_vocab_table": 1,
     "minhash_index_health": 4,
     "user_copresence_kcore": 1,
+    "customer_match_scores": 8,
     "url_canonical_dedup": 2,
     "url_domain_cap_temperature": 4,
     "unigram_fertility_vs_bpe": 2,

@@ -111,6 +111,9 @@ ALLOWED = {
         "crossJoin joins two ONE-row aggregate frames",
     ("operators/dedup.py", "minhash_health_report"):
         "first() reads the ONE-row stats frame",
+    ("operators/dedup.py", "fs_match_scores"):
+        "crossJoins chain value-cardinality 1-row aggregates into the "
+        "ONE-row weight header broadcast onto the pair frame",
     ("operators/dedup.py", "minhash_rebucket"):
         "first() is the ONE-row rebased gram baseline over the "
         "already-materialized per-doc frame",

@@ -1852,3 +1852,75 @@ def test_minhash_rebucket_compact_path(spark, warehouse):
     )
     got = {r["corpus_id"] for r in minhash_query(spark, path, probe).collect()}
     assert 4 in got
+
+
+def test_fs_match_scores_semantics(spark):
+    """Fellegi–Sunter basics on a hand corpus: agreement on a RARE
+    field outweighs agreement on a common one (u drives the weight),
+    disagreement subtracts, NULLs never agree, and bad m-priors are
+    refused."""
+    import math
+
+    import pytest
+
+    from moisturizer_spark.operators.dedup import fs_match_scores
+
+    records = spark.createDataFrame(
+        [
+            # city: 4 distinct values (rare agreement); seg: one value
+            # (agreeing is nearly meaningless)
+            (1, "amsterdam", "retail"),
+            (2, "amsterdam", "retail"),
+            (3, "berlin", "retail"),
+            (4, "lisbon", "retail"),
+            (5, None, "retail"),
+            (6, "oslo", None),
+        ],
+        "id long, city string, seg string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 5), (1, 6)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fs_match_scores(
+            records, pairs, "id", {"city": (9, 10), "seg": (9, 10)}
+        ).collect()
+    }
+    # (1,2): both fields agree; (1,3): city disagrees; (1,5): NULL city
+    assert out[(1, 2)]["gamma_city"] == 1 and out[(1, 2)]["gamma_seg"] == 1
+    assert out[(1, 3)]["gamma_city"] == 0
+    assert out[(1, 5)]["gamma_city"] == 0  # NULL never agrees
+    assert out[(1, 6)]["gamma_seg"] == 0
+    assert out[(1, 2)]["score_nano"] > out[(1, 3)]["score_nano"]
+
+    # weight replay: u_city = (sum c(c-1) + 1) / (N(N-1) + 2) with
+    # counts {amsterdam:2, berlin:1, lisbon:1, oslo:1} -> (2+1)/(30+2)
+    n = 6
+    u_city = (2 + 1) / (n * (n - 1) + 2)
+    u_seg = (5 * 4 + 1) / (n * (n - 1) + 2)
+    m = 9 / 10
+    wa_city = round(1e9 * math.log2(m / u_city))
+    wa_seg = round(1e9 * math.log2(m / u_seg))
+    wd_seg = round(1e9 * math.log2((1 - m) / (1 - u_seg)))
+    wd_city = round(1e9 * math.log2((1 - m) / (1 - u_city)))
+    assert wa_city > wa_seg  # rare agreement is worth more
+    assert out[(1, 2)]["score_nano"] == wa_city + wa_seg
+    assert out[(1, 3)]["score_nano"] == wd_city + wa_seg
+
+    with pytest.raises(ValueError, match="0 < m < 1"):
+        fs_match_scores(records, pairs, "id", {"city": (10, 10)})
+
+
+def test_fs_never_agreeing_field_is_finite(spark):
+    """A field where no two records share a value has raw u = 0; the
+    add-1 smoothing must keep the agreement weight finite (and large)."""
+    from moisturizer_spark.operators.dedup import fs_match_scores
+
+    records = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, tag string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = fs_match_scores(records, pairs, "id", {"tag": (9, 10)}).first()
+    assert row["gamma_tag"] == 0
+    assert abs(row["score_nano"]) < 10**12  # finite, on the nano grid
