@@ -410,6 +410,7 @@ def _uni_segment_frame(
         .select(
             "word",
             "freq",
+            F.col("_v.c").alias("c"),
             F.col("_v.k").alias("k"),
             F.col("_v.p").alias("pth"),
         )
@@ -448,8 +449,10 @@ def unigram_train(
       vocabulary (all single chars + top ``vocab_multi`` multi-char
       pieces by last-EM count), its FINAL-pass Viterbi counts, and the
       nano-bit costs the final pass used;
-    - ``seg``: (word, freq, n_pieces) — the final segmentation of the
-      training words (fertility numerators).
+    - ``seg``: (word, freq, n_pieces, cost_nano) — the final
+      segmentation of the training words (fertility numerators) with
+      each word's total Viterbi cost in nano-bits (the unigram-LM
+      information content — the quality-scoring hook).
 
     Size-gated execution exactly like :func:`bpe_train`: a word table
     under ``local_vocab_threshold`` rows collects once and the whole
@@ -483,7 +486,8 @@ def unigram_train(
                 "piece string, piece_len int, cnt bigint, cost_nano bigint",
             ),
             spark.createDataFrame(
-                seg, "word string, freq bigint, n_pieces int"
+                seg,
+                "word string, freq bigint, n_pieces int, cost_nano bigint",
             ),
         )
 
@@ -520,7 +524,10 @@ def unigram_train(
         )
     )
     seg_out = final_seg.select(
-        "word", "freq", F.col("k").cast("int").alias("n_pieces")
+        "word",
+        "freq",
+        F.col("k").cast("int").alias("n_pieces"),
+        F.col("c").cast("bigint").alias("cost_nano"),
     )
     return pieces, seg_out
 
@@ -623,7 +630,7 @@ def _unigram_train_local(
         used: dict[str, int] = {}
         for w, f in word_freqs:
             c, k, pth = _viterbi_local(w, cost, max_piece_len)
-            seg[w] = (f, k)
+            seg[w] = (f, k, c)
             for p in pth.split(_UNI_SEP):
                 used[p] = used.get(p, 0) + f
         return {p: used.get(p, 0) for p in cnts}, seg
@@ -641,5 +648,5 @@ def _unigram_train_local(
     pieces_rows = [
         (p, len(p), final_counts[p], final_cost[p]) for p in sorted(pruned)
     ]
-    seg_rows = [(w, f, k) for w, (f, k) in sorted(seg.items())]
+    seg_rows = [(w, f, k, c) for w, (f, k, c) in sorted(seg.items())]
     return pieces_rows, seg_rows

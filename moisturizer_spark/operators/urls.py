@@ -140,3 +140,87 @@ def url_domain(canon: Column) -> Column:
 
 def sql_url_domain(canon_sql: str) -> str:
     return f"regexp_extract({canon_sql}, '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1)"
+
+
+# -- URL filter rules (crawl-frontier hygiene) ---------------------------------
+#
+# The standard pre-fetch/pre-ingest URL filters every text crawl runs
+# (public heuristics: asset extensions, crawler traps, oversized URLs).
+# Spark predicates and their DuckDB renderings generate from the SAME
+# rule table so an oracle replay can never drift. Rules evaluate on the
+# CANONICAL form (lowercased host, sorted params) — run
+# :func:`canonicalize_url` first.
+
+BLOCKED_EXTENSIONS = (
+    "jpg", "jpeg", "png", "gif", "ico", "svg", "webp",
+    "css", "js", "woff", "woff2", "ttf",
+    "mp3", "mp4", "avi", "mov",
+    "zip", "gz", "tar", "exe",
+)
+MAX_URL_LEN = 512
+MAX_PATH_DEPTH = 8
+MAX_QUERY_PARAMS = 8
+REPEAT_SEGMENT_LIMIT = 3  # same path segment this many times = a trap
+
+_EXT_RE = r"\.(" + "|".join(BLOCKED_EXTENSIONS) + r")$"
+
+
+def default_url_filter_rules(canon: Column) -> list:
+    """``[(rule_name, passes_predicate)]`` over a canonical URL column.
+    A URL is KEPT iff every predicate is true; reports group rejects by
+    the FIRST failing rule in this order."""
+    path = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    query = F.regexp_extract(canon, r"\?(.*)$", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    max_seg_repeat = F.array_max(
+        F.transform(
+            F.array_distinct(segs),
+            lambda s: F.size(F.filter(segs, lambda x: x == s)),
+        )
+    )
+    return [
+        ("asset_extension", ~path.rlike(_EXT_RE)),
+        ("too_long", F.length(canon) <= MAX_URL_LEN),
+        ("path_too_deep", F.size(segs) <= MAX_PATH_DEPTH),
+        (
+            "too_many_params",
+            F.when(query == "", F.lit(0)).otherwise(
+                F.size(F.split(query, "&"))
+            )
+            <= MAX_QUERY_PARAMS,
+        ),
+        (
+            "repeated_segment",
+            F.coalesce(max_seg_repeat, F.lit(0)) < REPEAT_SEGMENT_LIMIT,
+        ),
+    ]
+
+
+def sql_default_url_filter_rules(canon_sql: str) -> list:
+    """The identical rule cascade rendered as DuckDB predicates —
+    generated from the same constants as :func:`default_url_filter_rules`."""
+    path = (
+        f"regexp_extract({canon_sql}, "
+        "'^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1)"
+    )
+    query = f"regexp_extract({canon_sql}, '\\?(.*)$', 1)"
+    segs = f"list_filter(string_split({path}, '/'), s -> s <> '')"
+    max_seg_repeat = (
+        f"list_max(list_transform(list_distinct({segs}), "
+        f"s -> len(list_filter({segs}, x -> x = s))))"
+    )
+    ext = _EXT_RE.replace("\\.", "\\.")
+    return [
+        ("asset_extension", f"NOT regexp_matches({path}, '{ext}')"),
+        ("too_long", f"length({canon_sql}) <= {MAX_URL_LEN}"),
+        ("path_too_deep", f"len({segs}) <= {MAX_PATH_DEPTH}"),
+        (
+            "too_many_params",
+            f"(CASE WHEN {query} = '' THEN 0 "
+            f"ELSE len(string_split({query}, '&')) END) <= {MAX_QUERY_PARAMS}",
+        ),
+        (
+            "repeated_segment",
+            f"coalesce({max_seg_repeat}, 0) < {REPEAT_SEGMENT_LIMIT}",
+        ),
+    ]

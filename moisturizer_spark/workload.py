@@ -2818,6 +2818,104 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_TRAP_URL = """
+    ('https://' || source || '.example.com'
+     || CASE WHEN doc_id % 11 = 0
+             THEN '/assets/img' || CAST(doc_id % 50 AS VARCHAR) || '.jpg'
+             WHEN doc_id % 13 = 0
+             THEN '/a/b/c/d/e/f/g/h/i/' || CAST(doc_id % 50 AS VARCHAR)
+             WHEN doc_id % 17 = 0
+             THEN '/cal/cal/cal/p' || CAST(doc_id % 50 AS VARCHAR)
+             ELSE '/docs/' || lang || '/' || CAST(doc_id % 50 AS VARCHAR)
+        END
+     || CASE WHEN doc_id % 19 = 0
+             THEN '?a1=1&a2=2&a3=3&a4=4&a5=5&a6=6&a7=7&a8=8&a9=9'
+             ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) END)
+"""
+
+
+def _trap_url_col() -> "Column":
+    gid = (F.col("doc_id") % 50).cast("string")
+    path = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("/assets/img"), gid, F.lit(".jpg")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("/a/b/c/d/e/f/g/h/i/"), gid),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.lit("/cal/cal/cal/p"), gid),
+        )
+        .otherwise(
+            F.concat(F.lit("/docs/"), F.col("lang"), F.lit("/"), gid)
+        )
+    )
+    q = F.when(
+        F.col("doc_id") % 19 == 0,
+        F.lit("?a1=1&a2=2&a3=3&a4=4&a5=5&a6=6&a7=7&a8=8&a9=9"),
+    ).otherwise(F.concat(F.lit("?id="), gid))
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com"), path, q
+    )
+
+
+def _sql_url_filter_report() -> str:
+    from moisturizer_spark.operators.urls import (
+        sql_canonicalize_url,
+        sql_default_url_filter_rules,
+    )
+
+    canon = sql_canonicalize_url("url")
+    rules = sql_default_url_filter_rules("c")
+    case = "CASE " + " ".join(
+        f"WHEN NOT ({cond}) THEN '{name}'" for name, cond in rules
+    ) + " ELSE 'kept' END"
+    return f"""
+    WITH u AS (SELECT doc_id, {_SQL_TRAP_URL} AS url FROM documents),
+    cc AS (SELECT doc_id, {canon} AS c FROM u),
+    d AS (SELECT {case} AS disposition FROM cc)
+    SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM d GROUP BY disposition ORDER BY disposition
+    """
+
+
+@query("url_filter_report", _sql_url_filter_report())
+def url_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL FILTER report: the standard pre-ingest URL
+    hygiene cascade (asset extensions, oversized URLs, crawler-trap
+    path depth, parameter spam, repeated path segments —
+    ``operators/urls.default_url_filter_rules``) over a deterministic
+    planted-trap URL population, counting URLs by their FIRST failing
+    rule (or 'kept'). The Spark predicates and the DuckDB oracle
+    predicates generate from the SAME rule table, so the replay cannot
+    drift — the ``default_quality_rules`` design applied to URLs.
+
+    Scale: canonicalization + rule evaluation is one map-side
+    regex/array projection; the report is one combinable groupBy over
+    a handful of disposition values."""
+    from moisturizer_spark.operators.urls import (
+        canonicalize_url,
+        default_url_filter_rules,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    canon = canonicalize_url(_trap_url_col())
+    rules = default_url_filter_rules(canon)
+    disp = F.lit("kept")
+    for name, cond in reversed(rules):
+        disp = F.when(~cond, F.lit(name)).otherwise(disp)
+    return (
+        t["documents"]
+        .select(disp.alias("disposition"))
+        .groupBy("disposition")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+        .orderBy("disposition")
+    )
+
+
 def _sql_url_domain_weights() -> str:
     from moisturizer_spark.operators.urls import (
         sql_canonicalize_url,
@@ -6525,7 +6623,7 @@ def _unigram_ctes() -> list[str]:
         FROM ({' UNION ALL '.join(cands)})) WHERE rn = 1)"""
             )
         finals = " UNION ALL ".join(
-            f"SELECT word, freq, k, pth FROM u_d{tag}_{i} "
+            f"SELECT word, freq, c, k, pth FROM u_d{tag}_{i} "
             f"WHERE length(word) = {i}"
             for i in range(1, L + 1)
         )
@@ -6687,6 +6785,71 @@ def unigram_fertility_vs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("uni_sum_pieces").cast("double"),
         )
         .orderBy("lang")
+    )
+
+
+def _sql_unigram_bits() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_unigram_ctes())
+        + f""",
+    w2 AS (SELECT source, word FROM (
+        SELECT source, unnest({_SQL_TOKS}) AS word FROM documents)
+      WHERE length(word) <= {_UNI_MAX_WORD}),
+    j AS (SELECT w2.source, u.c FROM w2 JOIN u_sf u ON u.word = w2.word)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(c) AS BIGINT) AS sum_cost_nano,
+           CAST(SUM(c) // (1000 * COUNT(*)) AS BIGINT)
+             AS micro_bits_per_word
+    FROM j GROUP BY source ORDER BY source"""
+    )
+
+
+@query("docs_unigram_bits", _sql_unigram_bits())
+def docs_unigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source INFORMATION CONTENT under the trained unigram LM —
+    the tokenizer-composed quality signal beside the bigram CCNet
+    perplexity row: each corpus word carries its final-pass Viterbi
+    cost (exact nano-bits, the negative log-likelihood of its best
+    parse), summed per source and reported as integer micro-bits per
+    word. A source whose text is unusually expensive under the corpus'
+    own unigram model is distributionally atypical — boilerplate,
+    encoding damage, or off-domain content. Words above the training
+    length cap are excluded on BOTH sides (the stated unigram bound).
+
+    Scale: training as in ``unigram_vocab_table``; the scoring join is
+    corpus-words × the vocabulary-bounded broadcast segmentation frame;
+    one combinable per-source aggregation of exact integers."""
+    from moisturizer_spark.operators.common import materialize as _mat
+    from moisturizer_spark.operators.tokenizer import unigram_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    _pieces, seg = unigram_train(
+        docs,
+        vocab_multi=_UNI_VOCAB_MULTI,
+        em_rounds=_UNI_EM_ROUNDS,
+        max_piece_len=_UNI_MAX_PIECE,
+        max_word_len=_UNI_MAX_WORD,
+        seed_multi=_UNI_SEED_MULTI,
+    )
+    per_word = _mat(seg.select("word", "cost_nano"))
+    per_word.count()  # vocabulary-sized
+    words = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("word")
+    ).filter(F.length("word") <= _UNI_MAX_WORD)
+    return (
+        words.join(F.broadcast(per_word), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("cost_nano").cast("bigint").alias("sum_cost_nano"),
+        )
+        .withColumn(
+            "micro_bits_per_word",
+            F.expr("sum_cost_nano DIV (1000 * n_words)").cast("bigint"),
+        )
+        .orderBy("source")
     )
 
 
@@ -11640,6 +11803,8 @@ _NEEDS_DRIVER_ROW = [
     # stalest-first rotation: ALL 34 oracles whose last green driver row
     # is round 5 (age 3 at build time, recomputed from
     # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "docs_unigram_bits",              # NEW: unigram-LM info content
+    "url_filter_report",              # NEW: crawl URL hygiene cascade
     "customer_match_scores",          # NEW: Fellegi-Sunter link scores
     "user_copresence_kcore",          # NEW: k-core degeneracy filter
     "url_canonical_dedup",            # NEW: canonical-URL exact dedup
@@ -11690,8 +11855,6 @@ _NEEDS_DRIVER_ROW = [
     "bpe_fertility_by_lang",
     "bpe_merge_table",
     "corpus_shard_manifest",
-    "crosslingual_near_dup",
-    "customer_name_typo_pairs",
     # (backfill stops at exactly slot 50 -- the remaining age-2 oracles
     # rotate next round and stay mirror-verified at 3 scales meanwhile)
 ]

@@ -36,6 +36,8 @@ BUDGETS = {
     "minhash_index_health": 4,
     "user_copresence_kcore": 1,
     "customer_match_scores": 8,
+    "docs_unigram_bits": 2,
+    "url_filter_report": 2,
     "url_canonical_dedup": 2,
     "url_domain_cap_temperature": 4,
     "unigram_fertility_vs_bpe": 2,

@@ -142,3 +142,47 @@ def test_mirror_hosts_group_in_dedup(spark):
     by_c = {r["c"]: (r["n"], r["keep"]) for r in groups}
     assert by_c["https://site.com/page?id=1"] == (4, 1)
     assert by_c["https://site.com/page?id=2"] == (1, 5)
+
+
+def test_url_filter_rules_planted_cases(spark):
+    """One planted URL per rule (including too_long, which the workload
+    population cannot reach) + a clean keeper; Spark and DuckDB rule
+    renderings agree case by case."""
+    from moisturizer_spark.operators.urls import (
+        default_url_filter_rules,
+        sql_default_url_filter_rules,
+    )
+
+    cases = {
+        "https://a.com/img/photo.jpg": "asset_extension",
+        "https://a.com/" + "x" * 600: "too_long",
+        "https://a.com/a/b/c/d/e/f/g/h/i": "path_too_deep",
+        "https://a.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9": "too_many_params",
+        "https://a.com/cal/cal/cal/x": "repeated_segment",
+        "https://a.com/docs/en/7?id=7": "kept",
+        # extension matching is end-anchored: .jpg mid-path is fine
+        "https://a.com/img.jpg/page": "kept",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    rules = default_url_filter_rules(F.col("url"))
+    disp = F.lit("kept")
+    for name, cond in reversed(rules):
+        disp = F.when(~cond, F.lit(name)).otherwise(disp)
+    got = {
+        r["url"]: r["d"]
+        for r in df.select("url", disp.alias("d")).collect()
+    }
+    assert got == cases
+
+    sql_rules = sql_default_url_filter_rules("url")
+    case = "CASE " + " ".join(
+        f"WHEN NOT ({cond}) THEN '{name}'" for name, cond in sql_rules
+    ) + " ELSE 'kept' END"
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"SELECT url, {case} FROM (SELECT unnest(?) AS url)",
+            [list(cases)],
+        ).fetchall()
+    )
+    assert duck == cases
