@@ -676,7 +676,10 @@ def minhash_health_report(spark, path: str) -> dict:
         )
         if f.endswith(".parquet")
     )
-    out = {k: int(row[k]) for k in row.asDict()}
+    # an EMPTY index (zero docs) aggregates to NULLs — report zeros
+    # instead of crashing the monitoring hook on the degenerate index
+    # it should flag (review r9 finding)
+    out = {k: int(row[k]) if row[k] is not None else 0 for k in row.asDict()}
     drift = None
     if meta.get("built_n_docs"):
         built_mean = 1000 * meta["built_sum_grams"] // meta["built_n_docs"]
@@ -727,6 +730,10 @@ def minhash_rebucket(
 
     with open(os.path.join(path, "_minhash.json")) as fh:
         meta = json.load(fh)
+    # same guard as query/append: a corpus with a differently-typed id
+    # (or missing columns) must fail HERE, not by silently rebuilding an
+    # index whose sidecar id_type no longer matches its rows
+    _check_minhash_batch(corpus, meta)
     nh = num_hashes or meta["num_hashes"]
     th = threshold if threshold is not None else meta["threshold"]
     n = shingle_n or meta["shingle_n"]
@@ -844,7 +851,9 @@ def fs_match_scores(
     Scale: one value-count aggregate per field (combinable, value-
     cardinality-sized) collapsing to a ONE-row weight header that
     cross-joins (broadcast) onto the pair frame; record attributes join
-    in via two broadcast projections keyed on ``id_col``. Pair volume
+    in via two plain equi-joins keyed on ``id_col`` (no broadcast hint —
+    records can be arbitrarily large; AQE broadcasts when small). Pair
+    volume
     is whatever the caller's blocking produced — this operator adds no
     quadratic work of its own."""
     spark = records.sparkSession
@@ -888,9 +897,13 @@ def fs_match_scores(
         F.col(id_col).alias("id_b"),
         *[F.col(f).alias(f"_b_{f}") for f in fields],
     )
+    # record projections join WITHOUT a broadcast hint: records can be
+    # arbitrarily large (the same unguarded-broadcast hazard gated in
+    # IncrementalCCView) — AQE picks broadcast when the side is small;
+    # only the ONE-row weight header is hinted
     scored = (
-        pairs.join(F.broadcast(a_proj), "id_a")
-        .join(F.broadcast(b_proj), "id_b")
+        pairs.join(a_proj, "id_a")
+        .join(b_proj, "id_b")
         .crossJoin(F.broadcast(hdr))
     )
     gammas = []

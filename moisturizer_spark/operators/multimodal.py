@@ -639,13 +639,18 @@ def _frame_indexed_query(
     from moisturizer_spark.operators.common import materialize
 
     id_col = meta["id_col"]
+    # query side dedups too: an at-least-once upstream can deliver the
+    # same probe rows twice in one micro-batch, and a raw _nq row count
+    # would be 2x the frame count — every true duplicate of that probe
+    # then silently fails the all-frames check (the same failure class
+    # as the corpus-side fix below, on the other side of the join)
     q = materialize(
         qh.select(
             F.col(id_col).alias("batch_id"),
             F.col("frame_idx").alias("_f"),
             F.col("phash_hi").alias("_hi"),
             F.col("phash_lo").alias("_lo"),
-        )
+        ).dropDuplicates(["batch_id", "_f", "_hi", "_lo"])
     )
     # a replayed streaming append leaves exact duplicate frame rows;
     # the image leg collapses them via the candidate DISTINCT, but the
@@ -679,7 +684,7 @@ def _frame_indexed_query(
         .select("batch_id", "corpus_id")
         .distinct()
     )
-    nq = q.groupBy("batch_id").agg(F.count(F.lit(1)).alias("_nq"))
+    nq = q.groupBy("batch_id").agg(F.count_distinct("_f").alias("_nq"))
     # DISTINCT FRAME count, not frame×hash row count: an id re-appended
     # with DIFFERENT content keeps both hash generations (compaction
     # intentionally preserves them), and a row count would inflate past

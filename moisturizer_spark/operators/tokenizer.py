@@ -542,9 +542,10 @@ def unigram_segment(
     """Apply a learned unigram vocabulary to new text: per word, the
     same Viterbi fold under the stored costs. Map-side at any corpus
     size (one-row broadcast cost map). Words containing characters the
-    vocabulary lacks parse greedily around them and carry the 2^62
-    cost sentinel — exposed as ``<out_col>_cost`` so callers can
-    filter unparseable tokens."""
+    vocabulary lacks have NO parse: they return an EMPTY piece array
+    and carry a cost ≥ the 2^62 sentinel in ``<out_col>_cost`` —
+    filter on the cost (or on ``size(out_col) == 0``) before consuming
+    the pieces."""
     cmap = pieces.select("piece", F.col("cost_nano").alias("cost")).agg(
         F.map_from_entries(
             F.collect_list(F.struct("piece", "cost"))
@@ -558,7 +559,15 @@ def unigram_segment(
         .select(
             *df.columns,
             F.col("_w").alias("word"),
-            F.split(F.col("_v.p"), _UNI_SEP).alias(out_col),
+            # an unparseable word's path is the sentinel's empty string;
+            # split('') would yield [''] — a phantom piece — so emit a
+            # truly EMPTY array instead
+            F.when(
+                F.col("_v.c") < F.lit(2**62),
+                F.split(F.col("_v.p"), _UNI_SEP),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias(out_col),
             F.col("_v.c").alias(f"{out_col}_cost"),
         )
     )

@@ -209,9 +209,8 @@ def sql_default_url_filter_rules(canon_sql: str) -> list:
         f"list_max(list_transform(list_distinct({segs}), "
         f"s -> len(list_filter({segs}, x -> x = s))))"
     )
-    ext = _EXT_RE.replace("\\.", "\\.")
     return [
-        ("asset_extension", f"NOT regexp_matches({path}, '{ext}')"),
+        ("asset_extension", f"NOT regexp_matches({path}, '{_EXT_RE}')"),
         ("too_long", f"length({canon_sql}) <= {MAX_URL_LEN}"),
         ("path_too_deep", f"len({segs}) <= {MAX_PATH_DEPTH}"),
         (

@@ -53,17 +53,29 @@ def incremental_url_dedup(
     store is bucketed on the canonical URL and its row is two small
     strings per unique page; text never shuffles.
 
+    NULL / empty / whitespace-only URLs are NOT a dedup key: such rows
+    PASS THROUGH unjudged (kept, never stored) with a NULL
+    ``canonical_url`` — otherwise every URL-less document in a batch
+    would collapse to one survivor (and empty strings would collapse
+    corpus-wide through the store), silently discarding distinct
+    documents that merely lack a URL.
+
     ``record=False`` skips the store write for callers sequencing the
     table writes under per-table txn watermarks (the streaming stage
     below)."""
     canon = new_docs.withColumn(
-        "canonical_url", canonicalize_url(F.col(url_col))
+        "canonical_url",
+        F.when(
+            F.trim(F.coalesce(F.col(url_col), F.lit(""))) == "", F.lit(None)
+        ).otherwise(canonicalize_url(F.col(url_col))),
     )
+    unjudged = canon.filter(F.col("canonical_url").isNull())
+    judged = canon.filter(F.col("canonical_url").isNotNull())
     from pyspark.sql import Window
 
     w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
     batch = (
-        canon.withColumn("_rn", F.row_number().over(w))
+        judged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
@@ -80,7 +92,7 @@ def incremental_url_dedup(
                 F.col(id_col).cast("string").alias("first_doc_id"),
             )
         )
-    return batch
+    return batch.unionByName(unjudged)
 
 
 def start_url_dedup_stream(
@@ -132,8 +144,10 @@ def start_url_dedup_stream(
                 txn=(app_id, batch_id),
             )
         if _behind(store, batch_id):
+            # unjudged pass-through rows carry a NULL canonical_url and
+            # must never become store keys
             store.upsert(
-                kept.select(
+                kept.filter(F.col("canonical_url").isNotNull()).select(
                     F.col("canonical_url").alias(store.key),
                     F.col(id_col).cast("string").alias("first_doc_id"),
                 ),

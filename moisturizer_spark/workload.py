@@ -1406,18 +1406,18 @@ def minhash_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     permille grid. The DuckDB oracle replays the md5 signature chain
     (shared :func:`_sql_minhash_det_ctes` — the report and the
     near-dup replay cannot drift) and re-derives the identical bucket
-    stats. The persisted-index path (sidecar baseline, drift
+    stats; bucket keys here are the RAW signature slices (the oracle's
+    own bkey), so not even a band-hash collision can split the parity. The persisted-index path (sidecar baseline, drift
     thresholds, compact/rebucket triggers, generation-swap rebuild) is
     :func:`~moisturizer_spark.operators.dedup.minhash_health_report` /
     ``minhash_rebucket``, pinned by the drifted-append e2e in
-    ``tests/test_dedup_index.py``.
+    ``tests/test_textan.py``.
 
     Scale: one bucket-sized aggregation + two 1-row aggregate frames
     joined by a 1-row crossJoin — report cost is independent of corpus
     size given the banded frame."""
     from moisturizer_spark.operators.dedup import (
         _band_shape,
-        _minhash_banded,
         _minhash_per_doc,
         minhash_band_stats,
     )
@@ -1431,7 +1431,26 @@ def minhash_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             subset, "doc_id", "text", _MINHASH_DET_HASHES, 3, det=True
         )
     )
-    banded = _minhash_banded(per.select("_id", "sig"), bands, rows)
+    # bucket keys are the RAW comma-joined signature slices — exactly
+    # the oracle's bkey — NOT _minhash_banded's hashed bsig: a bsig hash
+    # collision would merge two buckets Spark-side only and shift every
+    # count this report exists to pin (review r9 finding)
+    bkeys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows + F.lit(1), F.lit(rows)),
+                    lambda v: v.cast("string"),
+                ),
+            ).alias("bsig"),
+        ),
+    )
+    banded = per.select(F.explode(bkeys).alias("_bk")).select(
+        F.col("_bk.band").alias("band"), F.col("_bk.bsig").alias("bsig")
+    )
     return minhash_band_stats(banded, per.select("_id", "_grams"))
 
 

@@ -79,6 +79,13 @@ BNLJ_ALLOWED = {
     # importance_resample recipe; all edge/rank joins are equi-joins
     "trade_pagerank_det",
     "trade_pagerank_convergence",
+    # two literal ONE-row aggregate frames (band-bucket stats × gram
+    # stats) cross into the single report row
+    "minhash_index_health",
+    # the ONE-row Fellegi–Sunter weight header (chained 1-row
+    # value-cardinality aggregates) broadcasts onto the pair frame;
+    # the record-attribute joins are equi-joins on the ids
+    "customer_match_scores",
 }
 
 

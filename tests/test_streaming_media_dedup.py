@@ -386,3 +386,22 @@ def test_video_reappended_changed_content_still_matches(spark, warehouse):
         [(9, _vid([gen_a[0], _mk(77)]))], SCHEMA
     )
     assert phash_query(spark, index, chimera).collect() == []
+
+
+def test_video_query_dedups_probe_side_duplicates(spark, warehouse):
+    """Review r9 finding: the all-frames count must also dedup the
+    PROBE side — a probe batch carrying exact-duplicate rows for one
+    video (at-least-once upstream) previously inflated _nq to 2x the
+    frame count and its true duplicates went silently unreported."""
+    f1 = [_mk(41), _mk(42)]
+    index = f"{warehouse}/vid_probe_dup_idx"
+    seed = spark.createDataFrame([(1, _vid(f1))], SCHEMA)
+    phash_build(
+        seed, index, kernel="ppm_ahash", max_distance=6,
+        frame_bytes=len(_ppm(f1[0])),
+    )
+    probe = spark.createDataFrame(
+        [(9, _vid(_vid_near(f1))), (9, _vid(_vid_near(f1)))], SCHEMA
+    )
+    got = phash_query(spark, index, probe).collect()
+    assert {(r["batch_id"], r["corpus_id"]) for r in got} == {(9, 1)}, got

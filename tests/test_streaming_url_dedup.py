@@ -144,3 +144,47 @@ def test_canonical_store_survives_and_serves_spark_side(spark, warehouse):
     incremental_url_dedup(df, store)
     canon = df.select(canonicalize_url(F.col("url")).alias("c")).first()["c"]
     assert store.lookup(canon).count() == 1
+
+
+def test_urlless_documents_pass_through_unjudged(spark, warehouse):
+    """Review r9 finding: NULL/empty/whitespace URLs must NOT become a
+    dedup key — distinct URL-less documents all survive, nothing lands
+    in the store for them, and judged rows still dedup normally."""
+    store = ParquetTable(spark, f"{warehouse}/ud_null_store", key="canonical_url")
+    b1 = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "https://n.com/p"),
+            (5, "https://www.n.com/p?utm_source=x"),
+        ],
+        SCHEMA,
+    )
+    kept = incremental_url_dedup(b1, store)
+    got = {r["doc_id"]: r["canonical_url"] for r in kept.collect()}
+    # all three URL-less docs survive with NULL canonical; 4 beats 5
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] == "https://n.com/p"
+    # the store holds ONLY the judged canonical key
+    rows = store.read().collect()
+    assert len(rows) == 1 and rows[0]["canonical_url"] == "https://n.com/p"
+
+    # streaming stage: same semantics end-to-end
+    src = os.path.join(warehouse, "udnul_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        fh.write(json.dumps({"doc_id": 10, "url": None}) + "\n")
+        fh.write(json.dumps({"doc_id": 11, "url": ""}) + "\n")
+        fh.write(json.dumps({"doc_id": 12, "url": "https://m.com/x"}) + "\n")
+    curated = ParquetTable(spark, f"{warehouse}/udnul_curated", key="doc_id")
+    store2 = ParquetTable(spark, f"{warehouse}/udnul_store", key="canonical_url")
+    stats = ParquetTable(spark, f"{warehouse}/udnul_stats", key="batch_id")
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = start_url_dedup_stream(
+        stream, curated, store2, stats, os.path.join(warehouse, "udnul_ck")
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in curated.read().collect()} == {10, 11, 12}
+    assert store2.read().count() == 1  # no NULL keys recorded

@@ -1924,3 +1924,51 @@ def test_fs_never_agreeing_field_is_finite(spark):
     row = fs_match_scores(records, pairs, "id", {"tag": (9, 10)}).first()
     assert row["gamma_tag"] == 0
     assert abs(row["score_nano"]) < 10**12  # finite, on the nano grid
+
+
+def test_minhash_health_report_on_empty_index(spark, warehouse):
+    """Review r9 finding: a zero-doc index must report zeros, not crash
+    the monitoring hook with a NULL->int TypeError."""
+    import os
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_build,
+        minhash_health_report,
+    )
+
+    path = os.path.join(warehouse, "mh_empty_idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    minhash_build(empty, path, num_hashes=16, threshold=0.6)
+    rep = minhash_health_report(spark, path)
+    assert rep["n_docs"] == 0 and rep["n_band_rows"] == 0
+    assert not rep["rebucket_recommended"]
+
+
+def test_minhash_rebucket_validates_corpus_schema(spark, warehouse):
+    """Review r9 finding: rebuilding from a corpus whose id type differs
+    from the sidecar must fail at the guard, not silently leave a
+    sidecar id_type that no longer matches the stored rows."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from moisturizer_spark.operators.dedup import (
+        minhash_build,
+        minhash_rebucket,
+    )
+
+    docs = [Row(doc_id=i, text=f"guard doc {i} topic {i * 3}")
+            for i in range(5)]
+    path = os.path.join(warehouse, "mh_guard_idx")
+    minhash_build(spark.createDataFrame(docs), path, num_hashes=16,
+                  threshold=0.6)
+    bad = spark.createDataFrame(
+        [(str(i), f"guard doc {i}") for i in range(5)],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="id column"):
+        minhash_rebucket(spark, path, bad)
+    missing = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="missing"):
+        minhash_rebucket(spark, path, missing)

@@ -231,8 +231,12 @@ def test_unigram_segment_flags_unseen_chars(spark):
     rows = {r["word"]: r for r in seg.collect()}
     assert rows["the"]["uni_pieces_cost"] < 2**62
     assert rows["runs"]["uni_pieces_cost"] < 2**62
-    # 'zebra9': '9' and 'z'/'b' never occur in the training corpus
+    # 'zebra9': '9' and 'z'/'b' never occur in the training corpus —
+    # no parse exists: EMPTY piece array (never a phantom [''] piece),
+    # sentinel cost
     assert rows["zebra9"]["uni_pieces_cost"] >= 2**62
+    assert rows["zebra9"]["uni_pieces"] == []
+    assert rows["the"]["uni_pieces"] != []
 
 
 def test_unigram_em_improves_or_holds_likelihood_proxy(spark):
