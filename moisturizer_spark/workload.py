@@ -11758,6 +11758,598 @@ def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_classifier_lift",
+    f"""
+    WITH {_nb_score_ctes("doc_id % 2 = 0")},
+    ev AS (SELECT doc_id, micro,
+                  CASE WHEN source IN {_NB_POS!r} THEN 1 ELSE 0 END AS y
+           FROM nbmicro
+           WHERE doc_id % 2 = 1
+             AND (source IN {_NB_POS!r} OR source IN {_NB_NEG!r})),
+    d AS (SELECT micro, y,
+                 NTILE(10) OVER (ORDER BY micro DESC, doc_id) AS decile
+          FROM ev),
+    per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS np,
+                   CAST(SUM(micro) AS BIGINT) AS sm
+            FROM d GROUP BY decile),
+    ltot AS (SELECT CAST(SUM(np) AS BIGINT) AS tp FROM per)
+    SELECT CAST(decile AS BIGINT) AS decile, n, np AS n_pos,
+           CAST((2000000 * np + n) // (2 * n) AS BIGINT) AS pos_rate_micro,
+           CAST((2000000 * SUM(np) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + tp) // (2 * tp) AS BIGINT) AS cum_capture_micro,
+           CAST(CASE WHEN sm >= 0 THEN (2 * sm + n) // (2 * n)
+                ELSE -((2 * -sm + n) // (2 * n)) END AS BIGINT)
+             AS avg_score_micro
+    FROM per CROSS JOIN ltot ORDER BY decile
+    """,
+)
+def quality_classifier_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/calibration table for the quality classifier — the
+    reliability diagram behind the AUC number: rank the HELD-OUT seed
+    documents by their Naive-Bayes margin (same even-train/odd-eval
+    split as :func:`quality_classifier_auc`), cut into score deciles,
+    and report each decile's positive rate, cumulative capture of all
+    positives, and mean score. A well-ranked classifier shows
+    monotonically falling ``pos_rate_micro`` and a steep
+    ``cum_capture_micro`` head — THE artifact a curation team reads to
+    pick the keep-threshold (e.g. "decile 3 still runs 80% curated:
+    keep 30%"). AUC says the ranking is good overall; this says where
+    to cut it.
+
+    Determinism: scores are the integer-micro NB margins (shared
+    ``_nb_score_ctes`` — drift impossible); the decile cut is NTILE
+    over the total order (micro DESC, doc_id), so membership is exact;
+    rates are half-away integer divisions. Scale: the NB chain is the
+    classifier's plan; the eval slice is the bounded seed-source half,
+    and the one global NTILE sorts only that slice (at 100 TB, swap
+    NTILE for the score-grid cumulative-rank cut the AUC query uses —
+    same ordering, no row-level sort)."""
+    from pyspark.sql import Window
+
+    from moisturizer_spark.operators.textan import nb_log_odds
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    labeled = t["documents"].select(
+        "doc_id",
+        "source",
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.when(F.col("source").isin(*_NB_POS), 1).when(
+                F.col("source").isin(*_NB_NEG), 0
+            ),
+        ).alias("lbl"),
+    )
+    scored = nb_log_odds(labeled, label_col="lbl", keep_cols=("source",))
+    ev = scored.filter(
+        (F.col("doc_id") % 2 == 1)
+        & F.col("source").isin(*(_NB_POS + _NB_NEG))
+    ).select(
+        "doc_id",
+        F.round(F.col("log_odds_per_token") * 1e6)
+        .cast("bigint")
+        .alias("micro"),
+        F.when(F.col("source").isin(*_NB_POS), 1).otherwise(0).alias("y"),
+    )
+    d = ev.select(
+        "micro",
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("micro").desc(), "doc_id"))
+        .alias("decile"),
+    )
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    per = _mat(
+        d.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("np"),
+            F.sum("micro").cast("bigint").alias("sm"),
+        )
+    )
+    tot = per.agg(F.sum("np").cast("bigint").alias("tp"))
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cnp", F.sum("np").over(cum))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n",
+            F.col("np").alias("n_pos"),
+            F.expr("(2000000 * np + n) DIV (2 * n)").alias(
+                "pos_rate_micro"
+            ),
+            F.expr("(2000000 * cnp + tp) DIV (2 * tp)").alias(
+                "cum_capture_micro"
+            ),
+            F.expr(
+                "CAST(CASE WHEN sm >= 0 THEN (2 * sm + n) DIV (2 * n) "
+                "ELSE -((2 * -sm + n) DIV (2 * n)) END AS BIGINT)"
+            ).alias("avg_score_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "daily_volume_acf",
+    """
+    WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                          CAST(COUNT(*) AS BIGINT) AS v
+                   FROM events GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s FROM daily),
+    cum AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS i,
+                   n * v - s AS c, n
+            FROM daily CROSS JOIN tot),
+    den AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sden FROM cum),
+    lags AS (SELECT UNNEST(generate_series(1, 7)) AS k),
+    pairs AS (SELECT l.k, a.c AS ca, b.c AS cb, a.n
+              FROM cum a CROSS JOIN lags l
+              JOIN cum b ON b.i = a.i + l.k),
+    acf AS (SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(ca * cb) AS BIGINT) AS num
+            FROM pairs GROUP BY k),
+    r AS (SELECT k, n, n_pairs,
+                 CAST(CASE WHEN num >= 0
+                      THEN (2000000 * num + sden) // (2 * sden)
+                      ELSE -((2000000 * -num + sden) // (2 * sden))
+                      END AS BIGINT) AS acf_micro
+          FROM acf CROSS JOIN den)
+    SELECT CAST(k AS BIGINT) AS lag, n_pairs, acf_micro,
+           CAST(SUM((n * (n + 2)) * ((acf_micro * acf_micro) // (n - k))
+                    // 1000000000)
+                OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+                      CURRENT ROW) AS BIGINT) AS lb_q_milli
+    FROM r ORDER BY lag
+    """,
+)
+def daily_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event volume at lags 1–7, with
+    the cumulative Ljung–Box Q statistic — the seasonality/memory
+    diagnostic that tells a pipeline whether "daily volume" is i.i.d.
+    (forecast with a constant), weekly-periodic (the lag-7 spike the
+    seasonal-naive forecast assumes), or trending (slowly decaying
+    ACF). Complements :func:`monthly_revenue_decompose` (which ASSUMES
+    a period) by MEASURING which period is real.
+
+    Determinism: centered values clear the mean's denominator —
+    ``c_t = n·v_t − Σv`` — so lag products and their sums are exact
+    BIGINTs; each ACF value is one sign-aware half-away division onto
+    the micro grid, and the Ljung–Box fold runs on those
+    already-rounded integers (overflow bound: 10⁶·Σc² < 2⁶³ holds
+    through ~10⁸ events/day over ~10³ days; beyond, pre-scale v to a
+    coarser unit). Scale: ONE shuffle to day grain; the self-join,
+    windows, and 7-row lag table all run on the calendar-bounded
+    daily frame."""
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = _mat(
+        t["events"]
+        .groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    cum = _mat(
+        daily.crossJoin(F.broadcast(tot)).select(
+            "d",
+            F.row_number().over(Window.orderBy("d")).alias("i"),
+            (F.col("n") * F.col("v") - F.col("s")).alias("c"),
+            "n",
+        )
+    )
+    den = cum.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sden"))
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
+    a = cum.select(F.col("i").alias("ia"), F.col("c").alias("ca"), "n")
+    b = cum.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("ib") == F.col("ia") + F.col("k")
+    )
+    acf = pairs.groupBy("k").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("num"),
+    )
+    r = acf.crossJoin(F.broadcast(den)).select(
+        "k",
+        "n",
+        "n_pairs",
+        F.expr(
+            "CAST(CASE WHEN num >= 0 THEN (2000000 * num + sden) "
+            "DIV (2 * sden) ELSE -((2000000 * -num + sden) "
+            "DIV (2 * sden)) END AS BIGINT)"
+        ).alias("acf_micro"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return r.select(
+        F.col("k").cast("bigint").alias("lag"),
+        "n_pairs",
+        "acf_micro",
+        F.sum(
+            F.expr(
+                "(n * (n + 2)) * ((acf_micro * acf_micro) DIV (n - k)) "
+                "DIV 1000000000"
+            )
+        )
+        .over(w)
+        .cast("bigint")
+        .alias("lb_q_milli"),
+    ).orderBy("lag")
+
+
+@query(
+    "order_price_mad_outliers",
+    """
+    WITH u AS (SELECT o_orderpriority AS pr, o_orderkey,
+                      CAST(CAST(o_totalprice AS DECIMAL(15,4)) * 10000
+                           AS BIGINT) AS p
+               FROM orders),
+    r1 AS (SELECT pr, o_orderkey, p,
+                  ROW_NUMBER() OVER (PARTITION BY pr
+                                     ORDER BY p, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY pr) AS n
+           FROM u),
+    med AS (SELECT pr, CAST(n AS BIGINT) AS n, p AS med
+            FROM r1 WHERE rn = (n + 1) // 2),
+    dev AS (SELECT u.pr, u.o_orderkey, u.p, ABS(u.p - m.med) AS dv,
+                   m.med, m.n
+            FROM u JOIN med m ON u.pr = m.pr),
+    r2 AS (SELECT pr, dv,
+                  ROW_NUMBER() OVER (PARTITION BY pr
+                                     ORDER BY dv, o_orderkey) AS rn
+           FROM dev),
+    mad AS (SELECT r2.pr, r2.dv AS mad
+            FROM r2 JOIN med m ON r2.pr = m.pr
+            WHERE r2.rn = (m.n + 1) // 2)
+    SELECT d.pr AS o_orderpriority, MAX(d.n) AS n,
+           CAST(MAX(d.med) AS DOUBLE) / 10000.0 AS median_price,
+           CAST(MAX(md.mad) AS DOUBLE) / 10000.0 AS mad_price,
+           CAST(COUNT(*) FILTER (WHERE 10000 * d.dv > 44478 * md.mad)
+                AS BIGINT) AS n_outliers,
+           CAST((2000 * COUNT(*) FILTER (WHERE 10000 * d.dv
+                                         > 44478 * md.mad)
+                 + MAX(d.n)) // (2 * MAX(d.n)) AS BIGINT)
+             AS outlier_permille
+    FROM dev d JOIN mad md ON d.pr = md.pr
+    GROUP BY d.pr ORDER BY d.pr
+    """,
+)
+def order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per order priority: exact lower median of
+    the order price, exact MAD (median absolute deviation), and the
+    count beyond the 3σ-equivalent robust fence ``|x − med| >
+    3·1.4826·MAD`` — the outlier detector that, unlike the z-score
+    family (:func:`events_volume_anomalies`), a single fat-fingered
+    10⁹ price cannot corrupt (median and MAD both have a 50% breakdown
+    point; mean/σ have 0%). The pre-ingest price-sanity gate.
+
+    Determinism: prices land on the exact 10⁻⁴ integer grid via the
+    decimal cast; medians are values AT A RANK (``(n+1)//2`` over the
+    total order (value, orderkey)) — no interpolation, no float; the
+    fence is the integer cross-multiplication ``10⁴·dev > 44478·MAD``
+    (44478/10⁴ = 3·1.4826). Scale: two ranking windows partitioned by
+    the 5-value priority key — the honest cost of EXACT medians (the
+    approx path at 100 TB is the DDSketch family); the final join is
+    per-group scalars broadcast over the deviation frame."""
+    u = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderpriority").alias("pr"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast(_PRICE) * 10000)
+        .cast("bigint")
+        .alias("p"),
+    )
+    wp = Window.partitionBy("pr")
+    r1 = u.select(
+        "pr",
+        "p",
+        F.row_number().over(wp.orderBy("p", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med = r1.filter(F.expr("rn = (n + 1) DIV 2")).select(
+        "pr", F.col("n").cast("bigint").alias("n"), F.col("p").alias("med")
+    )
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    dev = _mat(
+        u.join(F.broadcast(med), "pr").select(
+            "pr",
+            "o_orderkey",
+            F.abs(F.col("p") - F.col("med")).alias("dv"),
+            "med",
+            "n",
+        )
+    )
+    r2 = dev.select(
+        "pr",
+        "dv",
+        F.row_number().over(wp.orderBy("dv", "o_orderkey")).alias("rn"),
+        "n",
+    )
+    mad = r2.filter(F.expr("rn = (n + 1) DIV 2")).select(
+        "pr", F.col("dv").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "pr")
+        .groupBy("pr")
+        .agg(
+            F.max("n").alias("n"),
+            (F.max("med").cast("double") / 10000.0).alias("median_price"),
+            (F.max("mad").cast("double") / 10000.0).alias("mad_price"),
+            F.sum(
+                F.when(
+                    F.lit(10000) * F.col("dv") > F.lit(44478) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("pr").alias("o_orderpriority"),
+            "n",
+            "median_price",
+            "mad_price",
+            "n_outliers",
+            F.expr("(2000 * n_outliers + n) DIV (2 * n)").alias(
+                "outlier_permille"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "trade_degree_assortativity",
+    """
+    WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                 's' || CAST(s AS VARCHAR) AS dst FROM cs
+          UNION ALL
+          SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR)
+          FROM cs),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                  CAST(MAX(d) AS BIGINT) AS max_degree FROM deg),
+    ex AS (SELECT da.d AS x, db.d AS y
+           FROM e JOIN deg da ON e.src = da.node
+                  JOIN deg db ON e.dst = db.node),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM ex)
+    SELECT n_nodes, m AS n_directed_edges, max_degree,
+           CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) * 1e6)
+                AS BIGINT) AS assortativity_micro
+    FROM m CROSS JOIN nd
+    """,
+)
+def trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the customer↔supplier
+    trade graph: the Pearson correlation of endpoint degrees across
+    the symmetrized edge list — negative means hubs trade with leaves
+    (the hub-and-spoke shape LSH banding and skew salting must brace
+    for), positive means hubs cluster with hubs. The one-number
+    summary that tells the graph family's consumers (PageRank hub
+    caps, triangle `broadcast_degrees`, k-core depth) what topology
+    they are walking into, plus node count and max degree.
+
+    Determinism: degree moments are exact BIGINT sums (bound:
+    m·Σxy < 2⁶³ holds to ~10⁹ edges at 10³ max degree; ANSI raises
+    loudly beyond); the single correlation is IEEE arithmetic on
+    exact integers rounded once onto the micro grid. Scale: one
+    distinct over the fact join (persisted — both union branches and
+    the degree pass read it once), a degree aggregation keyed on node,
+    then the node-grain degree frame (~√|edges| rows, the same size
+    argument as ``triangle_count``'s ``broadcast_degrees``) broadcasts
+    over the edge scan to decorate endpoints — no edge-grain shuffle —
+    feeding a 1-row map-side-combinable moment fold."""
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    cs = _mat(
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e = cs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).unionAll(
+        cs.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    deg = _mat(
+        e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
+    )
+    nd = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+    ex = (
+        e.join(
+            F.broadcast(
+                deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+            ),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.crossJoin(F.broadcast(nd)).select(
+        "n_nodes",
+        F.col("m").alias("n_directed_edges"),
+        "max_degree",
+        F.expr(
+            "CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) * 1e6)"
+            " AS BIGINT)"
+        ).alias("assortativity_micro"),
+    )
+
+
+# Benford expected first-digit shares, micro grid: round(log10(1+1/d)·1e6).
+# Hardcoded identically in the Spark plan and the oracle — the shared
+# constant IS the determinism contract (no engine evaluates log10).
+_BENFORD_MICRO = (
+    (1, 301030),
+    (2, 176091),
+    (3, 124939),
+    (4, 96910),
+    (5, 79181),
+    (6, 66947),
+    (7, 57992),
+    (8, 51153),
+    (9, 45757),
+)
+
+
+@query(
+    "lineitem_benford_audit",
+    f"""
+    WITH u AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(15,4)) * 10000
+                           AS BIGINT) AS u
+               FROM lineitem WHERE l_extendedprice > 0),
+    dig AS (SELECT CAST(SUBSTR(CAST(u AS VARCHAR), 1, 1) AS BIGINT)
+              AS digit FROM u),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+            FROM dig GROUP BY digit),
+    exp AS (SELECT * FROM (VALUES
+            {", ".join(f"({d}, {m})" for d, m in _BENFORD_MICRO)})
+            AS t(digit, exp_micro)),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs)
+    SELECT CAST(e.digit AS BIGINT) AS digit,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+           CAST((2000000 * COALESCE(o.n, 0) + nt) // (2 * nt) AS BIGINT)
+             AS obs_micro,
+           CAST(e.exp_micro AS BIGINT) AS exp_micro,
+           CAST((2000000 * COALESCE(o.n, 0) + nt) // (2 * nt)
+                - e.exp_micro AS BIGINT) AS dev_micro,
+           CAST(ROUND(CAST(1000000 * COALESCE(o.n, 0) - nt * e.exp_micro
+                           AS DOUBLE)
+                      * CAST(1000000 * COALESCE(o.n, 0) - nt * e.exp_micro
+                             AS DOUBLE)
+                      / CAST(nt AS DOUBLE) / CAST(nt * e.exp_micro
+                                                  AS DOUBLE))
+                AS BIGINT) AS chi2_micro
+    FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of line-item prices: observed vs
+    expected leading-digit shares with per-digit chi-squared
+    contributions — the classic fabricated-or-corrupted-numbers
+    screen (Benford 1938; the forensic-accounting standard) applied
+    as a data-quality gate. Organic multiplicative quantities follow
+    ``P(d) = log10(1+1/d)``; synthetic, truncated, or unit-mangled
+    feeds don't, and the digit whose ``chi2_micro`` dominates names
+    the corruption. (TPC-H prices are uniform-ish by construction —
+    the audit will SAY so; the point is the driver-proven report.)
+
+    Determinism: the leading digit comes from integer-to-string of
+    the exact 10⁻⁴-grid price (no log10 at runtime — both engines
+    share the hardcoded micro-grid Benford table); shares are
+    half-away integer divisions, and the chi-squared contribution is
+    IEEE arithmetic on exact sub-2⁵³ integers rounded once. Scale:
+    one 9-group aggregation off the scan (map-side combinable), the
+    9-row expected table broadcasts; per-digit linear terms stay
+    under 2⁵³ through ~10¹² rows."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    dig = li.filter(F.col("l_extendedprice") > 0).select(
+        F.substring(
+            (F.col("l_extendedprice").cast(_PRICE) * 10000)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    obs = _mat(
+        dig.groupBy("digit").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    )
+    exp = spark.createDataFrame(
+        list(_BENFORD_MICRO), "digit bigint, exp_micro bigint"
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("nt"))
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            "exp_micro",
+            "nt",
+        )
+        .select(
+            "digit",
+            "n",
+            F.expr("(2000000 * n + nt) DIV (2 * nt)").alias("obs_micro"),
+            "exp_micro",
+            F.expr(
+                "(2000000 * n + nt) DIV (2 * nt) - exp_micro"
+            ).alias("dev_micro"),
+            F.expr(
+                "CAST(ROUND(CAST(1000000 * n - nt * exp_micro AS DOUBLE)"
+                " * CAST(1000000 * n - nt * exp_micro AS DOUBLE)"
+                " / CAST(nt AS DOUBLE) / CAST(nt * exp_micro AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("chi2_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -11822,6 +12414,11 @@ _NEEDS_DRIVER_ROW = [
     # stalest-first rotation: ALL 34 oracles whose last green driver row
     # is round 5 (age 3 at build time, recomputed from
     # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "quality_classifier_lift",        # NEW: decile lift/calibration
+    "daily_volume_acf",               # NEW: ACF + Ljung-Box memory scan
+    "order_price_mad_outliers",       # NEW: exact median/MAD fences
+    "trade_degree_assortativity",     # NEW: graph topology summary
+    "lineitem_benford_audit",         # NEW: first-digit forensic audit
     "docs_unigram_bits",              # NEW: unigram-LM info content
     "url_filter_report",              # NEW: crawl URL hygiene cascade
     "customer_match_scores",          # NEW: Fellegi-Sunter link scores
@@ -11865,17 +12462,13 @@ _NEEDS_DRIVER_ROW = [
     "revenue_cube",
     "revenue_rollup",
     "source_epoch_mixture",
-    "source_quota_sample",
-    "urgent_customers_semi",
     # one-time rows-only smoke slots (see _ROWS_ONLY_SMOKE above)
     *_ROWS_ONLY_SMOKE,
-    # age-2 backfill (last green driver row round 6) to fill the window;
-    # trimmed from the tail as round-9 queries land at the head
-    "bpe_fertility_by_lang",
-    "bpe_merge_table",
-    "corpus_shard_manifest",
-    # (backfill stops at exactly slot 50 -- the remaining age-2 oracles
-    # rotate next round and stay mirror-verified at 3 scales meanwhile)
+    # (the age-2 backfill and, as the round-9 head kept growing, the two
+    # alphabetical-tail age-3 rows source_quota_sample /
+    # urgent_customers_semi were trimmed to hold the window at exactly
+    # 50 -- displaced age-3 rows lead the mandatory r10 rotation and
+    # stay mirror-verified at 3 scales meanwhile)
 ]
 
 

@@ -36,6 +36,19 @@ BUDGETS = {
     "minhash_index_health": 4,
     "user_copresence_kcore": 1,
     "customer_match_scores": 8,
+    # NB chain (5, as the AUC query) + the bounded eval-slice NTILE window
+    "quality_classifier_lift": 6,
+    # one day-grain fold; everything after runs on the persisted
+    # calendar-bounded daily frame (lag self-join + two scalar aggs)
+    "daily_volume_acf": 6,
+    # two priority-partitioned ranking windows (exact medians) + the
+    # final group fold; the deviation frame persists between them
+    "order_price_mad_outliers": 4,
+    # fact join + distinct (persisted) + node-grain degree agg; endpoint
+    # decoration broadcasts the degree frame — no edge-grain shuffle
+    "trade_degree_assortativity": 4,
+    # one 9-group digit fold (persisted for the total + the report join)
+    "lineitem_benford_audit": 3,
     "docs_unigram_bits": 2,
     "url_filter_report": 2,
     "url_canonical_dedup": 2,

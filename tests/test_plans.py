@@ -86,6 +86,19 @@ BNLJ_ALLOWED = {
     # value-cardinality aggregates) broadcasts onto the pair frame;
     # the record-attribute joins are equi-joins on the ids
     "customer_match_scores",
+    # the 1-row total-positives aggregate broadcasts onto the 10-row
+    # decile frame for the cumulative-capture denominator
+    "quality_classifier_lift",
+    # three bounded broadcasts onto the calendar-bounded daily frame:
+    # the 1-row (n, Σv) totals, the 1-row Σc² denominator, and the
+    # 7-row lag table; the lag pairing itself is an equi-join on i+k
+    "daily_volume_acf",
+    # the 1-row (n_nodes, max_degree) summary crosses into the 1-row
+    # moment fold; degree decoration is an equi-join on the node id
+    "trade_degree_assortativity",
+    # the 1-row grand-total aggregate broadcasts onto the 9-row digit
+    # report for the share denominators
+    "lineitem_benford_audit",
 }
 
 
