@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from moisturizer_spark.operators.common import materialize
 from moisturizer_spark.storage import ParquetTable
 
 _TXN_APP = "ivm"
@@ -112,6 +113,224 @@ class IncrementalAggView:
 
     def read(self) -> DataFrame:
         return self.view.read()
+
+
+_TXN_MM = "ivm_minmax"
+
+
+class IncrementalMinMaxView:
+    """Maintains ``group_col → (n_rows, min_<v>, max_<v>)`` under the
+    CDC feed — the NON-INVERTIBLE-aggregate member of the view family,
+    sitting between the distributive :class:`IncrementalAggView`
+    (counts/sums fold under both inserts and deletes) and the monotone
+    sketches (:class:`IncrementalDetHLLView`, which must full-recompute
+    on ANY delete).
+
+    MIN/MAX fold exactly under inserts (``least``/``greatest``), and a
+    delete folds too — UNLESS it removes a value AT the group's stored
+    extremum: the replacement extremum lives only in the source (the
+    classic MIN/MAX non-invertibility result of the IVM literature; the
+    view stores no multiplicities, so a delete merely EQUAL to the
+    extremum must be treated as threatening). ``refresh()`` classifies
+    each touched group:
+
+    * insert-only groups, and delete groups whose removed values land
+      strictly INSIDE the stored ``(min, max)`` envelope, fold in place
+      from the delta alone — the source is provably never read;
+    * groups folding to exactly zero rows drop without a rescan (the
+      vanished extremum needs no replacement);
+    * groups whose delete batch touches an extremum (or whose folded
+      count would go negative — a feed/view drift the source must
+      arbitrate) are recomputed from the SOURCE, but only those groups:
+      when ``group_col`` is the source's bucket key and the group set
+      is small (``<= local_threshold``), the rescan reads just those
+      groups' storage buckets with an ``isin`` pushdown (the point-GET
+      pruning recipe); otherwise it degrades to one semi-join-filtered
+      scan — never a full-view rebuild, and never an unconditional one
+      the way the sketch views fall back.
+
+    Scale: the delta aggregates map-side to one row per touched group;
+    rescan cost is proportional to the THREATENED groups' data, not the
+    table — for the common append-mostly history the source is never
+    touched at all. Cursor/crash semantics as
+    :class:`IncrementalAggView` (the applied-version txn watermark
+    commits atomically with the view data, so replays are idempotent).
+    """
+
+    def __init__(
+        self,
+        source: ParquetTable,
+        view_path: str,
+        group_col: str,
+        value_col: str,
+        local_threshold: int = 10_000,
+    ):
+        self.source = source
+        self.group_col = group_col
+        self.value_col = value_col
+        self.local_threshold = int(local_threshold)
+        #: how the last refresh ran: "init" | "noop" | "full" |
+        #: "fold" (delta only) | "rescan:<n_groups>" — observability
+        #: for tests and operators (the KMV view's convention).
+        self.last_refresh_mode: str | None = None
+        self.view = ParquetTable(
+            source.spark, view_path, key=group_col, n_buckets=source.n_buckets
+        )
+
+    # -- aggregation pieces ---------------------------------------------------
+    @property
+    def _min_col(self) -> str:
+        return f"min_{self.value_col}"
+
+    @property
+    def _max_col(self) -> str:
+        return f"max_{self.value_col}"
+
+    def _agg(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(self.value_col).alias(self._min_col),
+            F.max(self.value_col).alias(self._max_col),
+        )
+
+    def _full(self) -> DataFrame:
+        return self._agg(self.source.read())
+
+    def _rescan(self, groups: DataFrame, n_groups: int) -> DataFrame:
+        """Re-aggregate ONLY ``groups`` from the source: bucket-pruned
+        ``isin`` when the group is the storage key and the set is small;
+        a null-safe semi join otherwise."""
+        g = self.group_col
+        man = self.source._load_manifest()
+        if (
+            g == self.source.key
+            and man is not None
+            and n_groups <= self.local_threshold
+        ):
+            # size-gated driver materialization of the THREATENED group
+            # keys (delta-bounded by construction, capped by the gate):
+            # buys parquet bucket pruning + an isin pushdown at the scan.
+            keys = [r[0] for r in groups.select(g).collect()]
+            if not keys:
+                return self._agg(self.source.read().limit(0))
+            non_null = [k for k in keys if k is not None]
+            cond = F.col(g).isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(keys):
+                cond = cond | F.col(g).isNull()
+            sub = self.source._read_buckets(
+                {self.source.bucket_of(k) for k in keys}, man
+            ).filter(cond)
+            return self._agg(sub)
+        probe = groups.select(F.col(g).alias("_mm_g"))
+        src = self.source.read()
+        return self._agg(
+            src.join(probe, src[g].eqNullSafe(probe["_mm_g"]), "semi")
+        )
+
+    # -- public surface --------------------------------------------------------
+    def refresh(self) -> int:
+        """Bring the view up to the source's current version; returns
+        that version. First call materializes the full aggregate; later
+        calls fold the CDC delta, rescanning only extremum-threatened
+        groups (see class docstring)."""
+        man = self.source._load_manifest()
+        if man is None:
+            raise ValueError(f"source {self.source.path} has no manifest")
+        current = man["version"]
+        applied = self.view.txn_version(_TXN_MM)
+        if applied is None:
+            self.view.overwrite(self._full(), txn=(_TXN_MM, current))
+            self.last_refresh_mode = "init"
+            return current
+        if applied >= current:
+            self.last_refresh_mode = "noop"
+            return current  # idempotent replay lands here
+        from moisturizer_spark.storage import VersionNotRetained
+
+        try:
+            feed = self.source.table_changes(applied, current)
+        except VersionNotRetained:
+            self.view.overwrite(self._full(), txn=(_TXN_MM, current))
+            self.last_refresh_mode = "full"
+            return current
+        g, v = self.group_col, self.value_col
+        ins = F.col("_change_type").isin("insert", "update_postimage")
+        delta = materialize(
+            feed.groupBy(g).agg(
+                F.sum(F.when(ins, 1).otherwise(0))
+                .cast("bigint")
+                .alias("_n_ins"),
+                F.min(F.when(ins, F.col(v))).alias("_mn_i"),
+                F.max(F.when(ins, F.col(v))).alias("_mx_i"),
+                F.sum(F.when(~ins, 1).otherwise(0))
+                .cast("bigint")
+                .alias("_n_del"),
+                F.min(F.when(~ins, F.col(v))).alias("_mn_d"),
+                F.max(F.when(~ins, F.col(v))).alias("_mx_d"),
+            )
+        )
+        cur = self.view.read().select(
+            g, "n_rows", self._min_col, self._max_col
+        )
+        dg = delta.select(F.col(g).alias("_mm_g"), *[
+            c for c in delta.columns if c != g
+        ])
+        j = dg.join(cur, cur[g].eqNullSafe(dg["_mm_g"]), "left").select(
+            F.col("_mm_g").alias(g),
+            "_n_ins", "_mn_i", "_mx_i", "_n_del", "_mn_d", "_mx_d",
+            F.col("n_rows").alias("_cur_n"),
+            F.col(self._min_col).alias("_cur_mn"),
+            F.col(self._max_col).alias("_cur_mx"),
+        )
+        new_n = F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_n_ins") - F.col("_n_del")
+        # a delete threatens the extremum when it touches (>=/<=) the
+        # stored min or max, or when the view has no row for the group
+        # (drift: the source arbitrates); all-null delete values never
+        # threaten (min/max ignore nulls).
+        threatened = (F.col("_n_del") > 0) & (
+            F.col("_cur_n").isNull()
+            | (F.col("_mn_d").isNotNull() & (F.col("_mn_d") <= F.col("_cur_mn")))
+            | (F.col("_mx_d").isNotNull() & (F.col("_mx_d") >= F.col("_cur_mx")))
+        )
+        needs_rescan = (threatened | (new_n < 0)) & (new_n != 0)
+        j = materialize(j.withColumn("_new_n", new_n).withColumn(
+            "_rescan", needs_rescan
+        ))
+        try:
+            folded = (
+                j.filter((~F.col("_rescan")) & (F.col("_new_n") > 0))
+                .select(
+                    g,
+                    F.col("_new_n").alias("n_rows"),
+                    F.least("_cur_mn", "_mn_i").alias(self._min_col),
+                    F.greatest("_cur_mx", "_mx_i").alias(self._max_col),
+                )
+            )
+            rescan_groups = j.filter(F.col("_rescan")).select(g)
+            n_rescan = rescan_groups.count()
+            rescanned = (
+                self._rescan(rescan_groups, n_rescan)
+                if n_rescan
+                else folded.limit(0)
+            )
+            probe = j.select(F.col(g).alias("_mm_g"))
+            untouched = cur.join(
+                probe, cur[g].eqNullSafe(probe["_mm_g"]), "left_anti"
+            )
+            merged = untouched.unionByName(folded).unionByName(rescanned)
+            self.view.overwrite(merged, txn=(_TXN_MM, current))
+            self.last_refresh_mode = (
+                f"rescan:{n_rescan}" if n_rescan else "fold"
+            )
+            return current
+        finally:
+            j.unpersist()
+            delta.unpersist()
+
+    def read(self) -> DataFrame:
+        return self.view.read().select(
+            self.group_col, "n_rows", self._min_col, self._max_col
+        )
 
 
 _TXN_DD = "ivm_ddsketch"

@@ -1149,3 +1149,266 @@ def test_cc_view_over_gate_shuffle_fallback_matches(spark, warehouse):
     assert gated.refresh() == 2
     assert _labels(gated.read()) == _truth(spark, src)
     assert _labels(gated.read())[20] == 1
+
+
+# -- incremental MIN/MAX view --------------------------------------------------
+
+
+def _mm_truth(src):
+    return {
+        r["grp"]: (r["n"], r["mn"], r["mx"])
+        for r in src.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def _mm_read(view):
+    return {
+        r["grp"]: (r["n_rows"], r["min_v"], r["max_v"])
+        for r in view.read().collect()
+    }
+
+
+def _no_rescans(src, view):
+    """Booby-trap the rescan machinery: inside the `with`, a source
+    full-scan read OR any _rescan invocation raises. (The CDC feed
+    itself legitimately reads changed buckets via _read_buckets, so
+    that path is policed at the _rescan level, not globally.)"""
+    import contextlib
+
+    @contextlib.contextmanager
+    def guard():
+        orig_read, orig_rescan = src.read, view._rescan
+
+        def boom(*a, **k):
+            raise AssertionError("fold path must not rescan the source")
+
+        src.read = boom
+        view._rescan = boom
+        try:
+            yield
+        finally:
+            src.read, view._rescan = orig_read, orig_rescan
+
+    return guard()
+
+
+def test_minmax_view_matches_recompute_and_drops_groups(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalMinMaxView
+
+    src = _tbl(spark, warehouse, "mmsrc")
+    src.overwrite(
+        _rows(spark, [("a", "x", 1), ("b", "x", 9), ("c", "y", 5)])
+    )
+    view = IncrementalMinMaxView(src, f"{warehouse}/mmview", "grp", "v")
+    assert view.refresh() == 1
+    assert view.last_refresh_mode == "init"
+    assert _mm_read(view) == _mm_truth(src)
+
+    # update a at the MIN (1 -> 4: preimage deletes the extremum),
+    # insert d (new group), delete c (group folds to zero rows)
+    src.upsert(_rows(spark, [("a", "x", 4), ("d", "z", 7)]))
+    src.delete_by_key(["c"])
+    assert view.refresh() == 3
+    got = _mm_read(view)
+    assert got == _mm_truth(src)
+    assert "y" not in got
+    assert got["x"] == (2, 4, 9)
+    # replay is a no-op
+    view.refresh()
+    assert view.last_refresh_mode == "noop"
+    assert _mm_read(view) == _mm_truth(src)
+
+
+def test_minmax_view_inside_envelope_ops_never_rescan(spark, warehouse):
+    """The headline property: inserts, null-value churn, and deletes
+    strictly INSIDE the stored (min, max) envelope fold from the delta
+    alone — both source read paths are booby-trapped to prove it."""
+    from moisturizer_spark.incremental import IncrementalMinMaxView
+
+    src = _tbl(spark, warehouse, "mmsrc_fold")
+    src.overwrite(
+        _rows(
+            spark,
+            [("a", "x", 1), ("b", "x", 5), ("c", "x", 9), ("n", "x", None)],
+        )
+    )
+    view = IncrementalMinMaxView(src, f"{warehouse}/mmview_fold", "grp", "v")
+    view.refresh()
+
+    # widen min (insert 0), delete strictly-inside b=5, delete the
+    # null-value row (count-only), add a fresh group
+    src.upsert(_rows(spark, [("e", "x", 0), ("f", "w", 3)]))
+    src.delete_by_key(["b", "n"])
+    with _no_rescans(src, view):
+        view.refresh()
+    assert view.last_refresh_mode == "fold"
+    assert _mm_read(view) == _mm_truth(src)
+    assert _mm_read(view)["x"] == (3, 0, 9)
+
+
+def test_minmax_view_extremum_delete_rescans_only_threatened(spark, warehouse):
+    """Deleting a group's stored max forces a source rescan — but ONLY
+    for that group: the rescan probe is captured and must contain
+    exactly the threatened group, while the untouched group's folded
+    row survives byte-for-byte."""
+    from moisturizer_spark.incremental import IncrementalMinMaxView
+
+    src = _tbl(spark, warehouse, "mmsrc_resc")
+    src.overwrite(
+        _rows(
+            spark,
+            [("a", "x", 1), ("b", "x", 9), ("c", "y", 5), ("d", "y", 6),
+             ("e", "x", 4)],
+        )
+    )
+    view = IncrementalMinMaxView(src, f"{warehouse}/mmview_resc", "grp", "v")
+    view.refresh()
+
+    probes = []
+    orig = view._rescan
+
+    def spy(groups, n_groups):
+        probes.append(sorted(r[0] for r in groups.collect()))
+        return orig(groups, n_groups)
+
+    view._rescan = spy
+    # delete x's max (b=9) AND insert into y (fold-only for y)
+    src.upsert(_rows(spark, [("f", "y", 2)]))
+    src.delete_by_key(["b"])
+    view.refresh()
+    view._rescan = orig
+    assert view.last_refresh_mode == "rescan:1"
+    assert probes == [["x"]]
+    assert _mm_read(view) == _mm_truth(src)
+    assert _mm_read(view)["x"] == (2, 1, 4)
+    assert _mm_read(view)["y"] == (3, 2, 6)
+
+
+def test_minmax_view_bucket_pruned_rescan_when_group_is_key(spark, warehouse):
+    """When the view's group IS the source's bucket key, an extremum
+    rescan reads ONLY the threatened keys' storage buckets (the
+    point-GET pruning recipe) — recorded bucket ids prove it; and with
+    the gate forced to 0 the same refresh runs the semi-join path,
+    never touching _read_buckets, with identical results."""
+    from moisturizer_spark.incremental import IncrementalMinMaxView
+
+    src = ParquetTable(spark, f"{warehouse}/mmkey", key="grp", n_buckets=8)
+    rows = [(f"g{i}", f"g{i}", 10 * i) for i in range(6)]
+    src.overwrite(_rows(spark, rows))
+    view = IncrementalMinMaxView(src, f"{warehouse}/mmkey_view", "grp", "v")
+    view.refresh()
+
+    seen = []
+    orig_rb = src._read_buckets
+    orig_rescan = view._rescan
+
+    def rescan_spy(groups, n_groups):
+        # record _read_buckets calls DURING the rescan only — the CDC
+        # feed legitimately reads changed buckets on its own
+        def rb_spy(bucket_ids, man):
+            seen.append(sorted(set(bucket_ids)))
+            return orig_rb(bucket_ids, man)
+
+        src._read_buckets = rb_spy
+        try:
+            return orig_rescan(groups, n_groups)
+        finally:
+            src._read_buckets = orig_rb
+
+    # an update moves g3's value: pre-image deletes the old extremum
+    # (min == max for a single-row group) -> pruned rescan of g3 only
+    src.upsert(_rows(spark, [("g3", "g3", 77)]))
+    view._rescan = rescan_spy
+    try:
+        view.refresh()
+    finally:
+        view._rescan = orig_rescan
+    assert view.last_refresh_mode == "rescan:1"
+    assert seen == [[src.bucket_of("g3")]]
+    assert _mm_read(view) == _mm_truth(src)
+    assert _mm_read(view)["g3"] == (1, 77, 77)
+
+    # over-gate: threshold 0 forces the semi-join path (no bucket read)
+    gated = IncrementalMinMaxView(
+        src, f"{warehouse}/mmkey_gated", "grp", "v", local_threshold=0
+    )
+    gated.refresh()
+    src.upsert(_rows(spark, [("g4", "g4", -5)]))
+    orig_gated_rescan = gated._rescan
+
+    def gated_spy(groups, n_groups):
+        def rb_boom(*a, **k):
+            raise AssertionError("over-gate rescan must use the semi join")
+
+        src._read_buckets = rb_boom
+        try:
+            return orig_gated_rescan(groups, n_groups)
+        finally:
+            src._read_buckets = orig_rb
+
+    gated._rescan = gated_spy
+    try:
+        gated.refresh()
+    finally:
+        gated._rescan = orig_gated_rescan
+    assert gated.last_refresh_mode == "rescan:1"
+    assert _mm_read(gated) == _mm_truth(src)
+
+
+def test_minmax_view_idempotent_and_vacuum_fallback(spark, warehouse):
+    from moisturizer_spark.incremental import IncrementalMinMaxView
+
+    src = _tbl(spark, warehouse, "mmsrc_vac", retain=1)
+    src.overwrite(_rows(spark, [("a", "x", 1), ("b", "x", 2)]))
+    view = IncrementalMinMaxView(src, f"{warehouse}/mmview_vac", "grp", "v")
+    view.refresh()
+    before = _mm_read(view)
+    view.refresh()
+    assert view.last_refresh_mode == "noop"
+    assert _mm_read(view) == before
+
+    # burn retention: the CDC range is vacuumed -> full fallback
+    src.overwrite(_rows(spark, [("a", "x", 1), ("r1", "x", 5)]))
+    src.overwrite(_rows(spark, [("a", "x", 1), ("r2", "y", 6)]))
+    view.refresh()
+    assert view.last_refresh_mode == "full"
+    assert _mm_read(view) == _mm_truth(src)
+
+
+def test_minmax_view_random_ops_property(spark, warehouse):
+    """Randomized insert/update/delete sequence; after every refresh the
+    view must equal the full recompute (rescans allowed — correctness,
+    not pruning, is the property here)."""
+    import random
+
+    from moisturizer_spark.incremental import IncrementalMinMaxView
+
+    rng = random.Random(4242)
+    src = _tbl(spark, warehouse, "mmsrc_rand")
+    src.overwrite(_rows(spark, [("a", "x", 3)]))
+    view = IncrementalMinMaxView(src, f"{warehouse}/mmview_rand", "grp", "v")
+    view.refresh()
+    live = {"a"}
+    for step in range(4):
+        for _ in range(rng.randrange(1, 4)):
+            roll = rng.random()
+            if roll < 0.55:
+                rid = f"r{rng.randrange(10)}"
+                live.add(rid)
+                val = rng.choice([None, rng.randrange(-50, 50)])
+                src.upsert(
+                    _rows(spark, [(rid, f"g{rng.randrange(3)}", val)])
+                )
+            elif live:
+                rid = rng.choice(sorted(live))
+                live.discard(rid)
+                src.delete_by_key([rid])
+        view.refresh()
+        assert _mm_read(view) == _mm_truth(src), f"diverged at step {step}"

@@ -141,6 +141,10 @@ ALLOWED = {
     ("incremental.py", "_merge_pruned"):
         "distinct bucket ids of the delta, <= n_buckets rows (the "
         "storage.upsert pruning recipe at the view grain)",
+    ("incremental.py", "_rescan"):
+        "collect() is the size-gated (<= local_threshold) threatened-"
+        "group key list that buys bucket pruning + an isin pushdown; "
+        "past the gate the same rescan runs as a semi join, no collect",
 }
 
 
