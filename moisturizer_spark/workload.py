@@ -12350,6 +12350,460 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_next_hit_rate",
+    """
+    WITH seq AS (SELECT user_id, event_type AS from_type,
+            LEAD(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+    pairs AS (SELECT from_type, to_type,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_train,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_eval
+          FROM seq WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type),
+    pred AS (SELECT from_type, to_type AS predicted_next FROM
+             (SELECT from_type, to_type,
+                     ROW_NUMBER() OVER (PARTITION BY from_type
+                         ORDER BY n_train DESC, to_type) AS rk
+              FROM pairs WHERE n_train > 0) WHERE rk = 1),
+    bp AS (SELECT to_type AS base_next FROM
+           (SELECT to_type, SUM(n_train) AS n FROM pairs
+            GROUP BY to_type ORDER BY n DESC, to_type LIMIT 1))
+    SELECT p.from_type, MAX(pr.predicted_next) AS predicted_next,
+           CAST(SUM(p.n_eval) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN p.to_type = pr.predicted_next
+                    THEN p.n_eval ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST((2000 * SUM(CASE WHEN p.to_type = pr.predicted_next
+                            THEN p.n_eval ELSE 0 END)
+                 + SUM(p.n_eval)) // (2 * SUM(p.n_eval)) AS BIGINT)
+             AS hit_permille,
+           CAST((2000 * SUM(CASE WHEN p.to_type = bp.base_next
+                            THEN p.n_eval ELSE 0 END)
+                 + SUM(p.n_eval)) // (2 * SUM(p.n_eval)) AS BIGINT)
+             AS base_hit_permille
+    FROM pairs p LEFT JOIN pred pr ON p.from_type = pr.from_type
+    CROSS JOIN bp
+    GROUP BY p.from_type HAVING SUM(p.n_eval) > 0
+    ORDER BY p.from_type
+    """,
+)
+def event_next_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT evaluation of the Markov next-event model — the
+    measurement leg :func:`event_transition_matrix` lacked (the
+    ``quality_classifier_auc`` move applied to the behavioral family):
+    train argmax-transition predictions on EVEN user_ids, score hit@1
+    on the ODD users' transitions, per from-type, against the
+    marginal most-frequent-next baseline. A model that can't beat the
+    marginal baseline has no sequential signal worth shipping.
+
+    Determinism: successors via LEAD under the (ts, event_id) total
+    order; the argmax breaks count ties by to_type; rates are
+    half-away integer permille. Scale: ONE user-key shuffle serves the
+    sequence window; train and eval counts fold in the SAME
+    |types|²-bounded aggregation (no second pass over events), and
+    every later step — prediction ranking, the 1-row baseline, the
+    hit join — runs on that constant-sized pair frame."""
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = _mat(
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eval"),
+        )
+    )
+    pred = (
+        pairs.filter(F.col("n_train") > 0)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("from_type").orderBy(
+                    F.col("n_train").desc(), "to_type"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted_next"))
+    )
+    bp = (
+        pairs.groupBy("to_type")
+        .agg(F.sum("n_train").alias("n"))
+        .orderBy(F.col("n").desc(), "to_type")
+        .limit(1)
+        .select(F.col("to_type").alias("base_next"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "from_type", "left")
+        .crossJoin(F.broadcast(bp))
+        .groupBy("from_type")
+        .agg(
+            F.max("predicted_next").alias("predicted_next"),
+            F.sum("n_eval").cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.col("to_type") == F.col("predicted_next"),
+                    F.col("n_eval"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hit"),
+            F.sum(
+                F.when(
+                    F.col("to_type") == F.col("base_next"), F.col("n_eval")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_bhit"),
+        )
+        .filter(F.col("n_eval") > 0)
+        .select(
+            "from_type",
+            "predicted_next",
+            "n_eval",
+            "n_hit",
+            F.expr("(2000 * n_hit + n_eval) DIV (2 * n_eval)").alias(
+                "hit_permille"
+            ),
+            F.expr("(2000 * _bhit + n_eval) DIV (2 * n_eval)").alias(
+                "base_hit_permille"
+            ),
+        )
+        .orderBy("from_type")
+    )
+
+
+@query(
+    "orders_neyman_allocation",
+    """
+    WITH u AS (SELECT o_orderpriority AS pr,
+                      CAST(CAST(o_totalprice AS DECIMAL(15,4)) * 10000
+                           AS DECIMAL(19,0)) AS p
+               FROM orders),
+    mo AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(p) AS DECIMAL(19,0)) AS sx,
+                  CAST(SUM(p * p) AS DECIMAL(28,0)) AS sxx
+           FROM u GROUP BY pr),
+    -- every product keeps p1+p2 <= 38 (DECIMAL(10)*DECIMAL(28),
+    -- DECIMAL(19)*DECIMAL(19)) so both engines run int128 exactly
+    vr AS (SELECT pr, n,
+                  CAST(n AS DECIMAL(10,0)) * sxx - sx * sx AS v FROM mo),
+    -- exact integer sqrt: double sqrt, then a +/-1 fixup in EXACT
+    -- decimal comparisons (the double is within 1 of truth here)
+    s0 AS (SELECT pr, n, v,
+                  CAST(floor(sqrt(CAST(v AS DOUBLE))) AS DECIMAL(19,0))
+                    AS s
+           FROM vr),
+    isq AS (SELECT pr, n,
+                   CAST(CASE WHEN CAST(s + 1 AS DECIMAL(19,0))
+                                  * CAST(s + 1 AS DECIMAL(19,0)) <= v
+                        THEN s + 1
+                        WHEN s * s > v THEN s - 1 ELSE s END
+                        AS BIGINT) AS w
+            FROM s0),
+    tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM isq),
+    base AS (SELECT pr, n, w,
+                    CAST((1000 * w) // tot AS BIGINT) AS floor_n,
+                    CAST((1000 * w) % tot AS BIGINT) AS rem,
+                    CAST(1000 - SUM((1000 * w) // tot) OVER ()
+                         AS BIGINT) AS left_over
+             FROM isq CROSS JOIN tw),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, pr) AS r
+           FROM base),
+    prop AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM isq)
+    SELECT pr AS o_orderpriority, n AS n_rows, w AS neyman_weight,
+           CAST((2000 * n + nt) // (2 * nt) AS BIGINT)
+             AS proportional_alloc,
+           CAST(floor_n + CASE WHEN r <= left_over THEN 1 ELSE 0 END
+                AS BIGINT) AS neyman_alloc
+    FROM rk CROSS JOIN prop ORDER BY pr
+    """,
+)
+def orders_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-based sampling plan: Neyman-optimal allocation (Neyman
+    1934) of a 1000-row eval sample across order-priority strata —
+    sample ∝ N_h·σ_h, so high-variance strata get the budget that
+    minimizes the estimator's variance at fixed cost. The
+    survey-statistics step the sampling family lacked: quota and
+    temperature sampling decide WHO gets capped; this decides how a
+    measurement budget is SPENT, and the proportional column shows
+    exactly where variance-optimal diverges from headcount-fair.
+
+    Determinism: N_h·σ_h = isqrt(n·Σx² − (Σx)²) — moments are exact
+    DECIMAL(38) sums on the 10⁻⁴ price grid (no 2⁶³ ceiling), and the
+    integer square root is a double seed corrected by ±1 in EXACT
+    decimal comparisons, so both engines land on the identical
+    integer; seats are apportioned by largest remainder (Hamilton)
+    with (remainder, stratum) tie order — integers end to end. Scale:
+    one map-side-combinable moment aggregation; everything after runs
+    on the |strata|-row frame."""
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    u = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderpriority").alias("pr"),
+        (F.col("o_totalprice").cast(_PRICE) * 10000)
+        .cast("decimal(19,0)")
+        .alias("p"),
+    )
+    mo = u.groupBy("pr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p").cast("decimal(19,0)").alias("sx"),
+        F.sum(F.col("p") * F.col("p")).cast("decimal(28,0)").alias("sxx"),
+    )
+    isq = _mat(
+        mo.select(
+            "pr",
+            "n",
+            (
+                F.col("n").cast("decimal(10,0)") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).alias("v"),
+        )
+        .withColumn(
+            "s",
+            F.expr(
+                "CAST(floor(sqrt(CAST(v AS DOUBLE))) AS DECIMAL(19,0))"
+            ),
+        )
+        .select(
+            "pr",
+            "n",
+            F.expr(
+                "CAST(CASE WHEN CAST(s + 1 AS DECIMAL(19,0))"
+                " * CAST(s + 1 AS DECIMAL(19,0)) <= v THEN s + 1 "
+                "WHEN s * s > v THEN s - 1 ELSE s END AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    tw = isq.agg(F.sum("w").cast("bigint").alias("tot"))
+    prop = isq.agg(F.sum("n").cast("bigint").alias("nt"))
+    base = isq.crossJoin(F.broadcast(tw)).select(
+        "pr",
+        "n",
+        "w",
+        F.expr("(1000 * w) DIV tot").alias("floor_n"),
+        F.expr("(1000 * w) % tot").alias("rem"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = base.select(
+        "pr",
+        "n",
+        "w",
+        "floor_n",
+        "rem",
+        (F.lit(1000) - F.sum("floor_n").over(wall)).alias("left_over"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "pr"))
+        .alias("r"),
+    )
+    return rk.crossJoin(F.broadcast(prop)).select(
+        F.col("pr").alias("o_orderpriority"),
+        F.col("n").alias("n_rows"),
+        F.col("w").alias("neyman_weight"),
+        F.expr("(2000 * n + nt) DIV (2 * nt)").alias("proportional_alloc"),
+        F.expr(
+            "CAST(floor_n + CASE WHEN r <= left_over THEN 1 ELSE 0 END "
+            "AS BIGINT)"
+        ).alias("neyman_alloc"),
+    ).orderBy("o_orderpriority")
+
+
+# RAKE phrase delimiters: the union of all language stopword lists —
+# language-agnostic boundaries so one pass serves the mixed corpus.
+_RAKE_STOPS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+
+@query(
+    "docs_rake_keyphrases",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, toks[CAST(i AS INT)] AS w, i AS pos
+            FROM tk, unnest(generate_series(1, len(toks))) AS t(i)),
+    nk AS (SELECT doc_id, w, pos,
+                  pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS grp
+           FROM tok WHERE NOT list_contains({list(_RAKE_STOPS)!r}, w)),
+    ph AS (SELECT doc_id, grp,
+                  string_agg(w, ' ' ORDER BY pos) AS phrase,
+                  CAST(COUNT(*) AS BIGINT) AS len
+           FROM nk GROUP BY doc_id, grp HAVING COUNT(*) <= 4),
+    wl AS (SELECT nk.w, ph.len
+           FROM nk JOIN ph ON nk.doc_id = ph.doc_id AND nk.grp = ph.grp),
+    ws AS (SELECT w, CAST((2000 * SUM(len) + COUNT(*)) // (2 * COUNT(*))
+                          AS BIGINT) AS score_milli
+           FROM wl GROUP BY w),
+    occ AS (SELECT ph.doc_id, ph.grp, ph.phrase, ph.len,
+                   CAST(SUM(ws.score_milli) AS BIGINT) AS sc
+            FROM ph JOIN nk ON nk.doc_id = ph.doc_id AND nk.grp = ph.grp
+                    JOIN ws ON ws.w = nk.w
+            GROUP BY ph.doc_id, ph.grp, ph.phrase, ph.len),
+    agg AS (SELECT phrase, CAST(MAX(len) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MAX(sc) AS BIGINT) AS score_milli
+            FROM occ GROUP BY phrase)
+    SELECT phrase, n_words, n_occurrences, score_milli
+    FROM agg ORDER BY score_milli DESC, phrase LIMIT 20
+    """,
+)
+def docs_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs (capped at
+    4 words, the standard RAKE cap), each word scores degree/frequency
+    — degree = Σ length of the candidate phrases containing it, so
+    words that live in long phrases outrank equally-frequent loners —
+    and a phrase scores the sum of its members. Top-20 corpus
+    keyphrases: the unsupervised what-is-this-corpus-about summary
+    beside the supervised TF-IDF row (which needs a grouping key) and
+    the bigram row (which fixes n=2).
+
+    Determinism: phrase boundaries from the shared tokenizer + the
+    union-of-stopword-lists delimiter set (hardcoded identically in
+    both engines); gaps-and-islands run ids from ROW_NUMBER under the
+    per-doc position total order; word scores are half-away integer
+    milli (degree, frequency exact BIGINTs); the top-20 breaks score
+    ties by phrase text. Scale: one explode + a doc-partitioned window
+    (each doc's tokens sort locally), one word-grain aggregation, one
+    phrase-grain aggregation, and a distributed top-k — no global
+    row-level sort beyond the 20-row take."""
+    from moisturizer_spark.operators.common import materialize as _mat
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = t["documents"].select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos0", "w")
+    )
+    stops = F.array([F.lit(s) for s in _RAKE_STOPS])
+    nk = _mat(
+        tok.filter(~F.array_contains(stops, F.col("w")))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("pos0") + 1).alias("pos"),
+        )
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    ph = _mat(
+        nk.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, w))),"
+                       " s -> s.w)"),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+        )
+        .filter(F.col("len") <= 4)
+    )
+    wl = nk.join(ph, ["doc_id", "grp"]).select("w", "len")
+    ws = wl.groupBy("w").agg(
+        F.expr(
+            "CAST((2000 * SUM(len) + COUNT(*)) DIV (2 * COUNT(*)) "
+            "AS BIGINT)"
+        ).alias("score_milli")
+    )
+    occ = (
+        ph.join(nk, ["doc_id", "grp"])
+        .join(ws, "w")
+        .groupBy("doc_id", "grp", "phrase", "len")
+        .agg(F.sum("score_milli").cast("bigint").alias("sc"))
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.max("len").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("sc").cast("bigint").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), "phrase")
+        .limit(20)
+    )
+
+
+def _sql_soundex_vocab() -> str:
+    from moisturizer_spark.operators.phonetic import soundex_sql
+
+    return f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+    voc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM tok WHERE regexp_full_match(w, '[a-z]+') AND LENGTH(w) >= 2
+            GROUP BY w),
+    coded AS (SELECT w, n_occ, {soundex_sql("w")} AS soundex_code FROM voc)
+    SELECT soundex_code, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+           string_agg(w, ',' ORDER BY w) AS words_csv
+    FROM coded GROUP BY soundex_code HAVING COUNT(*) >= 2
+    ORDER BY soundex_code
+    """
+
+
+@query("vocab_phonetic_blocks", _sql_soundex_vocab())
+def vocab_phonetic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking over the corpus vocabulary: American Soundex
+    (:mod:`moisturizer_spark.operators.phonetic` — the National
+    Archives rules as a pure string-expression chain, NO UDF and no
+    engine builtin, generated from one rule table for both engines)
+    keys every alphabetic vocabulary word, and blocks holding ≥2
+    distinct words are the candidate sets a fuzzy matcher (edit
+    distance, Fellegi–Sunter) should compare — the sound-alike
+    blocking leg of the record-linkage family, O(Σ block²) instead of
+    O(|vocab|²).
+
+    Determinism: the code is translate + literal-regex replaces (exact
+    NARA vectors pinned in tests: robert→R163, ashcraft→A261,
+    pfister→P236, tymczak→T522); block membership lists are
+    comma-joined in lexical order. Scale: one explode + a vocab-grain
+    aggregation (map-side combinable), then per-word O(1) string work
+    and a |codes|-grain fold — the cheapest blocking key there is."""
+    from moisturizer_spark.operators.phonetic import soundex_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    voc = (
+        t["documents"]
+        .select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(
+            F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    coded = voc.select(
+        "w", "n_occ", soundex_col("w").alias("soundex_code")
+    )
+    return (
+        coded.groupBy("soundex_code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("w"))
+            ).alias("words_csv"),
+        )
+        .filter(F.col("n_words") >= 2)
+        .orderBy("soundex_code")
+    )
+
+
 QUERIES["embedding_kmeans"] = embedding_kmeans
 QUERIES["events_hll_reach"] = events_hll_reach
 QUERIES["minhash_near_dup"] = minhash_near_dup
@@ -12414,6 +12868,10 @@ _NEEDS_DRIVER_ROW = [
     # stalest-first rotation: ALL 34 oracles whose last green driver row
     # is round 5 (age 3 at build time, recomputed from
     # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
+    "event_next_hit_rate",            # NEW: Markov held-out eval
+    "orders_neyman_allocation",       # NEW: variance-optimal sampling
+    "docs_rake_keyphrases",           # NEW: RAKE corpus keyphrases
+    "vocab_phonetic_blocks",          # NEW: soundex blocking keys
     "quality_classifier_lift",        # NEW: decile lift/calibration
     "daily_volume_acf",               # NEW: ACF + Ljung-Box memory scan
     "order_price_mad_outliers",       # NEW: exact median/MAD fences
@@ -12458,17 +12916,14 @@ _NEEDS_DRIVER_ROW = [
     "purchase_followon_events",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "revenue_cube",
-    "revenue_rollup",
-    "source_epoch_mixture",
     # one-time rows-only smoke slots (see _ROWS_ONLY_SMOKE above)
     *_ROWS_ONLY_SMOKE,
-    # (the age-2 backfill and, as the round-9 head kept growing, the two
+    # (the age-2 backfill and, as the round-9 head kept growing, the
     # alphabetical-tail age-3 rows source_quota_sample /
-    # urgent_customers_semi were trimmed to hold the window at exactly
-    # 50 -- displaced age-3 rows lead the mandatory r10 rotation and
-    # stay mirror-verified at 3 scales meanwhile)
+    # urgent_customers_semi / q21_waiting_suppliers / revenue_cube /
+    # revenue_rollup / source_epoch_mixture were trimmed to hold the
+    # window at exactly 50 -- displaced age-3 rows lead the mandatory
+    # r10 rotation and stay mirror-verified at 3 scales meanwhile)
 ]
 
 

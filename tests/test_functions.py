@@ -73,3 +73,35 @@ def test_term_counts_udtf_lateral_expansion(spark):
         (1, "blue", 1),
         (1, "red", 2),
     ]  # empty/null docs expand to zero rows; punctuation stripped
+
+
+# -- American Soundex (operators/phonetic.py) ---------------------------------
+
+
+def test_soundex_nara_vectors_both_engines(spark):
+    """The National Archives' published test vectors — including the
+    h/w-transparency cases (ashcraft), the first-letter-run drop
+    (pfister), and the vowel-separator rule (tymczak) — must hold in
+    BOTH renderings generated from the shared rule table."""
+    import duckdb
+
+    from moisturizer_spark.operators.phonetic import (
+        soundex_col,
+        soundex_sql,
+    )
+
+    vectors = {
+        "robert": "R163", "rupert": "R163", "ashcraft": "A261",
+        "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+        "honeyman": "H555", "jackson": "J250", "washington": "W252",
+        "lee": "L000", "gutierrez": "G362", "vandeusen": "V532",
+    }
+    df = spark.createDataFrame([(w,) for w in vectors], "w string")
+    got_spark = dict(
+        df.select("w", soundex_col("w").alias("c")).collect()
+    )
+    assert got_spark == vectors
+    con = duckdb.connect()
+    for w, want in vectors.items():
+        got = con.execute(f"SELECT {soundex_sql(repr(w))}").fetchone()[0]
+        assert got == want, (w, got, want)

@@ -49,6 +49,16 @@ BUDGETS = {
     "trade_degree_assortativity": 4,
     # one 9-group digit fold (persisted for the total + the report join)
     "lineitem_benford_audit": 3,
+    # one user-key window shuffle + the |types|^2 pair fold (persisted);
+    # prediction rank, 1-row baseline, and the hit join run on that frame
+    "event_next_hit_rate": 6,
+    # one stratum moment fold; isqrt/apportionment on the 5-row frame
+    "orders_neyman_allocation": 4,
+    # explode + doc-partitioned islands window + word- and phrase-grain
+    # folds + the distributed top-20 take
+    "docs_rake_keyphrases": 6,
+    # vocab-grain fold + the |codes|-grain block fold + final sort
+    "vocab_phonetic_blocks": 3,
     "docs_unigram_bits": 2,
     "url_filter_report": 2,
     "url_canonical_dedup": 2,

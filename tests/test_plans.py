@@ -99,6 +99,12 @@ BNLJ_ALLOWED = {
     # the 1-row grand-total aggregate broadcasts onto the 9-row digit
     # report for the share denominators
     "lineitem_benford_audit",
+    # the 1-row marginal-baseline prediction crosses onto the
+    # |types|^2-bounded pair frame for the baseline hit count
+    "event_next_hit_rate",
+    # two 1-row scalar frames (total Neyman weight, total row count)
+    # cross onto the |strata|-row allocation frame
+    "orders_neyman_allocation",
 }
 
 
