@@ -59,6 +59,11 @@ BUDGETS = {
     "docs_rake_keyphrases": 6,
     # vocab-grain fold + the |codes|-grain block fold + final sort
     "vocab_phonetic_blocks": 3,
+    # explode (persisted) + doc-partitioned LEAD window + bigram- and
+    # unigram-grain folds; totals are 1-row broadcasts
+    "docs_collocations_pmi": 5,
+    # (word, doc) fold + word-grain fold + the distributed top-25 take
+    "vocab_term_burstiness": 3,
     "docs_unigram_bits": 2,
     "url_filter_report": 2,
     "url_canonical_dedup": 2,

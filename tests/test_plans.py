@@ -105,6 +105,12 @@ BNLJ_ALLOWED = {
     # two 1-row scalar frames (total Neyman weight, total row count)
     # cross onto the |strata|-row allocation frame
     "orders_neyman_allocation",
+    # two 1-row totals (corpus tokens N, bigram events B) cross onto
+    # the supported-pair frame for the PMI normalizer
+    "docs_collocations_pmi",
+    # the 1-row document count crosses onto the word-grain frame for
+    # the zero-inclusive VMR denominator
+    "vocab_term_burstiness",
 }
 
 
