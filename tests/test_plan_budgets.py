@@ -64,6 +64,15 @@ BUDGETS = {
     "docs_collocations_pmi": 5,
     # (word, doc) fold + word-grain fold + the distributed top-25 take
     "vocab_term_burstiness": 3,
+    # two value-grain folds + per-source windows over the broadcast-
+    # densified |sources|x|grid| frame + the final source fold
+    "source_length_wasserstein": 6,
+    # composes BOTH det near-dup pipelines end-to-end (each persisted
+    # to run once) + the flagged-doc set algebra on 1-row counts
+    "dedup_method_kappa": 17,
+    # nests the full clustering chain (pairs + unrolled components) +
+    # the persisted cluster-grain fold + the size histogram
+    "dedup_cluster_size_histogram": 9,
     "docs_unigram_bits": 2,
     "url_filter_report": 2,
     "url_canonical_dedup": 2,

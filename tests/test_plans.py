@@ -111,6 +111,15 @@ BNLJ_ALLOWED = {
     # the 1-row document count crosses onto the word-grain frame for
     # the zero-inclusive VMR denominator
     "vocab_term_burstiness",
+    # the value grid broadcasts onto the |sources| frame (bounded
+    # densification) and the 1-row corpus total onto the grid frame
+    "source_length_wasserstein",
+    # chained 1-row count frames (na, nb, n11, D) cross into the
+    # single kappa row
+    "dedup_method_kappa",
+    # the 1-row (n_clusters, n_docs) totals cross onto the
+    # cluster-grain frame for the share denominators
+    "dedup_cluster_size_histogram",
 }
 
 
