@@ -196,12 +196,24 @@ class IncrementalMinMaxView:
     def _full(self) -> DataFrame:
         return self._agg(self.source.read())
 
-    def _rescan(self, groups: DataFrame, n_groups: int) -> DataFrame:
+    def _rescan(
+        self,
+        groups: DataFrame,
+        n_groups: int,
+        man: dict | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
         """Re-aggregate ONLY ``groups`` from the source: bucket-pruned
         ``isin`` when the group is the storage key and the set is small;
-        a null-safe semi join otherwise."""
+        a null-safe semi join otherwise. ``man``/``version`` PIN the
+        read to the manifest captured at refresh() start — without the
+        pin, a concurrent source commit mid-refresh would leave the
+        rescanned groups at a newer version than the folded ones while
+        the txn watermark records the older, double-applying the gap on
+        the next refresh."""
         g = self.group_col
-        man = self.source._load_manifest()
+        if man is None:
+            man = self.source._load_manifest()
         if (
             g == self.source.key
             and man is not None
@@ -212,7 +224,7 @@ class IncrementalMinMaxView:
             # buys parquet bucket pruning + an isin pushdown at the scan.
             keys = [r[0] for r in groups.select(g).collect()]
             if not keys:
-                return self._agg(self.source.read().limit(0))
+                return self._agg(self.source.read(version).limit(0))
             non_null = [k for k in keys if k is not None]
             cond = F.col(g).isin(non_null) if non_null else F.lit(False)
             if len(non_null) < len(keys):
@@ -222,7 +234,7 @@ class IncrementalMinMaxView:
             ).filter(cond)
             return self._agg(sub)
         probe = groups.select(F.col(g).alias("_mm_g"))
-        src = self.source.read()
+        src = self.source.read(version)
         return self._agg(
             src.join(probe, src[g].eqNullSafe(probe["_mm_g"]), "semi")
         )
@@ -292,7 +304,15 @@ class IncrementalMinMaxView:
             | (F.col("_mn_d").isNotNull() & (F.col("_mn_d") <= F.col("_cur_mn")))
             | (F.col("_mx_d").isNotNull() & (F.col("_mx_d") >= F.col("_cur_mx")))
         )
-        needs_rescan = (threatened | (new_n < 0)) & (new_n != 0)
+        # THREE-VALUED-LOGIC GUARD: when the stored extremes are NULL
+        # (an all-null-value group) and a non-null value was deleted,
+        # the comparisons above yield SQL NULL — which would silently
+        # drop the group from every branch below. NULL means "cannot
+        # prove the fold safe": rescan (the source arbitrates there,
+        # and the fold would be wrong anyway — least(NULL, x) = x).
+        needs_rescan = (
+            F.coalesce(threatened, F.lit(True)) | (new_n < 0)
+        ) & (new_n != 0)
         j = materialize(j.withColumn("_new_n", new_n).withColumn(
             "_rescan", needs_rescan
         ))
@@ -309,7 +329,7 @@ class IncrementalMinMaxView:
             rescan_groups = j.filter(F.col("_rescan")).select(g)
             n_rescan = rescan_groups.count()
             rescanned = (
-                self._rescan(rescan_groups, n_rescan)
+                self._rescan(rescan_groups, n_rescan, man, current)
                 if n_rescan
                 else folded.limit(0)
             )

@@ -1274,9 +1274,9 @@ def test_minmax_view_extremum_delete_rescans_only_threatened(spark, warehouse):
     probes = []
     orig = view._rescan
 
-    def spy(groups, n_groups):
+    def spy(groups, n_groups, *pin):
         probes.append(sorted(r[0] for r in groups.collect()))
-        return orig(groups, n_groups)
+        return orig(groups, n_groups, *pin)
 
     view._rescan = spy
     # delete x's max (b=9) AND insert into y (fold-only for y)
@@ -1309,7 +1309,7 @@ def test_minmax_view_bucket_pruned_rescan_when_group_is_key(spark, warehouse):
     orig_rb = src._read_buckets
     orig_rescan = view._rescan
 
-    def rescan_spy(groups, n_groups):
+    def rescan_spy(groups, n_groups, *pin):
         # record _read_buckets calls DURING the rescan only — the CDC
         # feed legitimately reads changed buckets on its own
         def rb_spy(bucket_ids, man):
@@ -1318,7 +1318,7 @@ def test_minmax_view_bucket_pruned_rescan_when_group_is_key(spark, warehouse):
 
         src._read_buckets = rb_spy
         try:
-            return orig_rescan(groups, n_groups)
+            return orig_rescan(groups, n_groups, *pin)
         finally:
             src._read_buckets = orig_rb
 
@@ -1343,13 +1343,13 @@ def test_minmax_view_bucket_pruned_rescan_when_group_is_key(spark, warehouse):
     src.upsert(_rows(spark, [("g4", "g4", -5)]))
     orig_gated_rescan = gated._rescan
 
-    def gated_spy(groups, n_groups):
+    def gated_spy(groups, n_groups, *pin):
         def rb_boom(*a, **k):
             raise AssertionError("over-gate rescan must use the semi join")
 
         src._read_buckets = rb_boom
         try:
-            return orig_gated_rescan(groups, n_groups)
+            return orig_gated_rescan(groups, n_groups, *pin)
         finally:
             src._read_buckets = orig_rb
 
@@ -1412,3 +1412,31 @@ def test_minmax_view_random_ops_property(spark, warehouse):
                 src.delete_by_key([rid])
         view.refresh()
         assert _mm_read(view) == _mm_truth(src), f"diverged at step {step}"
+
+
+def test_minmax_view_all_null_group_insert_delete_churn(spark, warehouse):
+    """Three-valued-logic regression (round-9 review): a group whose
+    stored extremes are NULL (all-null values) that sees a non-null
+    value inserted AND deleted within one unapplied range used to make
+    `threatened` evaluate to SQL NULL — dropping the group from every
+    refresh branch while the anti-join still removed it from the
+    untouched set: silent, persistent data loss. NULL now means
+    "cannot prove the fold safe" and routes to the rescan."""
+    from moisturizer_spark.incremental import IncrementalMinMaxView
+
+    src = _tbl(spark, warehouse, "mmsrc_null3v")
+    src.overwrite(
+        _rows(spark, [("n1", "x", None), ("n2", "x", None), ("a", "y", 1)])
+    )
+    view = IncrementalMinMaxView(src, f"{warehouse}/mmview_null3v", "grp", "v")
+    view.refresh()
+    assert _mm_read(view)["x"] == (2, None, None)
+
+    # insert a non-null into x, then delete it — ONE unapplied range
+    src.upsert(_rows(spark, [("k3", "x", 5)]))
+    src.delete_by_key(["k3"])
+    view.refresh()
+    got = _mm_read(view)
+    assert "x" in got, "all-null group silently dropped (3VL regression)"
+    assert got == _mm_truth(src)
+    assert got["x"] == (2, None, None)
