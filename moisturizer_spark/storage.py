@@ -342,7 +342,8 @@ class ParquetTable:
         experiment without copying a byte: every data file HARD-LINKS
         into the clone's own directory tree (same inodes, no bytes
         moved; falls back to a copy across filesystems), and the clone
-        gets a fresh manifest at version 1 with the source's schema,
+        gets its own manifest — version counter starting AT the cloned
+        source version (see below) — with the source's schema,
         bucketing, and writer watermarks.
 
         Hard links — not path references — are what make the clone
