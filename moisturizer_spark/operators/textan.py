@@ -409,8 +409,13 @@ def default_quality_rules(
     """The calibrated C4/Gopher-style rule cascade shared by the quality
     funnel and the curation pipeline (kept in ONE place so their driver
     checks can never drift): min length → min words → mean token length
-    → repetitiveness. All thresholds are integer-exact (ratio tests
-    multiplied through) so any engine buckets identically."""
+    → repetitiveness → badwords (the C4 "bad words" stage, density
+    semantics — see :mod:`moisturizer_spark.operators.blocklist`; last
+    in the cascade so the cheap structural gates attribute first). All
+    thresholds are integer-exact (ratio tests multiplied through) so
+    any engine buckets identically."""
+    from moisturizer_spark.operators.blocklist import badwords_rule
+
     text = F.col(text_col)
     toks = tokens_col(text)
     n_words = F.size(toks)
@@ -421,6 +426,7 @@ def default_quality_rules(
         ("min_words", n_words >= 20),
         ("mean_word_len", alnum <= 5 * n_words),
         ("repetition", 5 * n_uniq >= 2 * n_words),
+        badwords_rule(toks),
     ]
 
 

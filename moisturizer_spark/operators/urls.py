@@ -168,7 +168,12 @@ _EXT_RE = r"\.(" + "|".join(BLOCKED_EXTENSIONS) + r")$"
 def default_url_filter_rules(canon: Column) -> list:
     """``[(rule_name, passes_predicate)]`` over a canonical URL column.
     A URL is KEPT iff every predicate is true; reports group rejects by
-    the FIRST failing rule in this order."""
+    the FIRST failing rule in this order. The domain blocklist runs
+    FIRST — a crawl frontier checks its blocklist before parsing
+    anything else (see :mod:`moisturizer_spark.operators.blocklist`;
+    deferred import: blocklist imports this module's domain helpers)."""
+    from moisturizer_spark.operators.blocklist import domain_blocklist_rule
+
     path = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)", 1)
     query = F.regexp_extract(canon, r"\?(.*)$", 1)
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
@@ -179,6 +184,7 @@ def default_url_filter_rules(canon: Column) -> list:
         )
     )
     return [
+        domain_blocklist_rule(canon),
         ("asset_extension", ~path.rlike(_EXT_RE)),
         ("too_long", F.length(canon) <= MAX_URL_LEN),
         ("path_too_deep", F.size(segs) <= MAX_PATH_DEPTH),
@@ -199,6 +205,10 @@ def default_url_filter_rules(canon: Column) -> list:
 def sql_default_url_filter_rules(canon_sql: str) -> list:
     """The identical rule cascade rendered as DuckDB predicates —
     generated from the same constants as :func:`default_url_filter_rules`."""
+    from moisturizer_spark.operators.blocklist import (
+        sql_domain_blocklist_predicate,
+    )
+
     path = (
         f"regexp_extract({canon_sql}, "
         "'^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1)"
@@ -210,6 +220,7 @@ def sql_default_url_filter_rules(canon_sql: str) -> list:
         f"s -> len(list_filter({segs}, x -> x = s))))"
     )
     return [
+        ("blocked_domain", sql_domain_blocklist_predicate(canon_sql)),
         ("asset_extension", f"NOT regexp_matches({path}, '{_EXT_RE}')"),
         ("too_long", f"length({canon_sql}) <= {MAX_URL_LEN}"),
         ("path_too_deep", f"len({segs}) <= {MAX_PATH_DEPTH}"),

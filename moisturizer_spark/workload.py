@@ -2914,9 +2914,10 @@ def _sql_url_filter_report() -> str:
 @query("url_filter_report", _sql_url_filter_report())
 def url_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier URL FILTER report: the standard pre-ingest URL
-    hygiene cascade (asset extensions, oversized URLs, crawler-trap
-    path depth, parameter spam, repeated path segments —
-    ``operators/urls.default_url_filter_rules``) over a deterministic
+    hygiene cascade (domain blocklist first — the RefinedWeb/UT1-style
+    leg, ``operators/blocklist.py`` — then asset extensions, oversized
+    URLs, crawler-trap path depth, parameter spam, repeated path
+    segments; ``operators/urls.default_url_filter_rules``) over a deterministic
     planted-trap URL population, counting URLs by their FIRST failing
     rule (or 'kept'). The Spark predicates and the DuckDB oracle
     predicates generate from the SAME rule table, so the replay cannot
@@ -5508,13 +5509,21 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_funnel_sql() -> str:
+    from moisturizer_spark.operators.blocklist import (
+        BADWORDS_MAX_PERMILLE,
+        sql_badword_hits,
+    )
+
     n_words = f"len({_SQL_TOKS})"
     n_uniq = f"len(list_distinct({_SQL_TOKS}))"
     alnum = "length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+    bw = (
+        f"1000 * bw_hits <= {BADWORDS_MAX_PERMILLE} * n_words"
+    )
     return f"""
     WITH m AS (
         SELECT source, n_chars, {n_words} AS n_words, {n_uniq} AS n_uniq,
-               {alnum} AS alnum
+               {alnum} AS alnum, {sql_badword_hits(_SQL_TOKS)} AS bw_hits
         FROM documents
     ),
     staged AS (
@@ -5523,12 +5532,14 @@ def _quality_funnel_sql() -> str:
                     WHEN NOT (n_words >= 20)           THEN 'min_words'
                     WHEN NOT (alnum <= 5 * n_words)    THEN 'mean_word_len'
                     WHEN NOT (5 * n_uniq >= 2 * n_words) THEN 'repetition'
+                    WHEN NOT ({bw})                    THEN 'badwords'
                     ELSE 'kept' END AS stage,
                CASE WHEN NOT (n_chars >= 100)          THEN 0
                     WHEN NOT (n_words >= 20)           THEN 1
                     WHEN NOT (alnum <= 5 * n_words)    THEN 2
                     WHEN NOT (5 * n_uniq >= 2 * n_words) THEN 3
-                    ELSE 4 END AS stage_idx
+                    WHEN NOT ({bw})                    THEN 4
+                    ELSE 5 END AS stage_idx
         FROM m
     )
     SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -5542,10 +5553,12 @@ def _quality_funnel_sql() -> str:
 @query("docs_quality_funnel", _quality_funnel_sql())
 def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style quality-filter funnel: an ordered rule cascade
-    (min length → min words → mean word length → repetitiveness) where
-    every document is attributed to the FIRST rule it fails — per
-    source, the drop counts a pipeline owner reads before committing the
-    filters to a full 100 TB run.
+    (min length → min words → mean word length → repetitiveness →
+    badwords — the C4 "bad words" stage in density form, see
+    :mod:`~moisturizer_spark.operators.blocklist`) where every document
+    is attributed to the FIRST rule it fails — per source, the drop
+    counts a pipeline owner reads before committing the filters to a
+    full 100 TB run.
 
     All thresholds are integer-exact (ratio tests are multiplied
     through: ``alnum ≤ 5·words`` is "mean token length ≤ 5") so both
@@ -5565,6 +5578,87 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cascade_filter_stats(docs, rules, group_cols=["source"])
         .select("source", "stage", F.col("n_docs").cast("bigint").alias("n_docs"), "stage_idx")
         .orderBy("source", "stage_idx")
+    )
+
+
+def _sql_badwords_report() -> str:
+    from moisturizer_spark.operators.blocklist import (
+        BADWORDS_MAX_PERMILLE,
+        sql_badword_hits,
+    )
+
+    hits = sql_badword_hits(_SQL_TOKS)
+    return f"""
+    WITH m AS (SELECT source, {hits} AS hits, len({_SQL_TOKS}) AS n_words
+               FROM documents),
+    f AS (SELECT source, hits,
+                 (1000 * hits > {BADWORDS_MAX_PERMILLE} * n_words)
+                   AS flagged
+          FROM m)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(COUNT(*) FILTER (WHERE flagged) AS BIGINT) AS n_flagged,
+           CAST((2000 * COUNT(*) FILTER (WHERE flagged) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS flag_rate_milli
+    FROM f GROUP BY source ORDER BY source
+    """
+
+
+@query("docs_badwords_report", _sql_badwords_report())
+def docs_badwords_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Badwords/blocklist audit per source — the standalone view of the
+    C4 "bad words" crawl-hygiene stage
+    (:mod:`~moisturizer_spark.operators.blocklist`): per source, the
+    document count, total blocklisted-token hits, documents over the
+    density threshold (the ones the quality cascade's ``badwords`` rule
+    drops), and the flag rate in milli. The report a curation owner
+    reads to decide whether a source is salvageable (a few dense
+    offenders) or poisoned (uniform hit mass) before the funnel runs.
+
+    The hit expression and density threshold generate from the SAME
+    constants as the Spark rule (``badwords_rule`` /
+    ``sql_badword_hits``), so this report, the quality funnel's
+    ``badwords`` stage, and the curation pipeline can never disagree.
+    The shipped list is the deterministic demo placeholder; LDNOOBW or
+    any curated list drops into the same parameter.
+
+    Determinism: token-exact membership counts and one half-away milli
+    division — no floats. Scale: the hit count is a higher-order filter
+    over the token array fused into the scan (zero shuffles, no UDF);
+    the report is one map-combinable groupBy on ``source``."""
+    from moisturizer_spark.operators.blocklist import (
+        BADWORDS_MAX_PERMILLE,
+        badword_hits,
+    )
+    from moisturizer_spark.operators.textan import tokens_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = tokens_col(F.col("text"))
+    m = t["documents"].select(
+        "source",
+        badword_hits(toks).alias("hits"),
+        F.size(toks).alias("n_words"),
+    )
+    f = m.select(
+        "source",
+        "hits",
+        (1000 * F.col("hits")
+         > BADWORDS_MAX_PERMILLE * F.col("n_words")).alias("flagged"),
+    )
+    flagged = F.sum(F.when(F.col("flagged"), 1).otherwise(0)).cast("bigint")
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+            flagged.alias("n_flagged"),
+            F.expr(
+                "CAST((2000 * SUM(CASE WHEN flagged THEN 1 ELSE 0 END) "
+                "+ COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("flag_rate_milli"),
+        )
+        .orderBy("source")
     )
 
 
@@ -6145,12 +6239,15 @@ def events_kmv_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_report_sql() -> str:
+    from moisturizer_spark.operators.blocklist import sql_badwords_predicate
+
     n_words = f"len({_SQL_TOKS})"
     n_uniq = f"len(list_distinct({_SQL_TOKS}))"
     alnum = "length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
     q = (
         f"(n_chars >= 100 AND {n_words} >= 20 AND {alnum} <= 5 * {n_words} "
-        f"AND 5 * {n_uniq} >= 2 * {n_words})"
+        f"AND 5 * {n_uniq} >= 2 * {n_words} "
+        f"AND {sql_badwords_predicate(_SQL_TOKS)})"
     )
     return f"""
     WITH fp AS (

@@ -136,6 +136,8 @@ BUDGETS = {
     "docs_pii_scan": 2,
     "docs_quality_classifier": 4,
     "docs_quality_funnel": 2,
+    # hit counting is fused into the scan; one source-grain fold + sort
+    "docs_badwords_report": 2,
     "docs_remove_dup_spans": 3,
     "docs_remove_dup_spans_hashed": 3,
     "docs_simhash_det_near_dup": 2,
