@@ -57,6 +57,37 @@ def _dispersion(runs: dict[str, list[float]]) -> float:
 LOAD_GATE = 4.0
 
 
+def _gate_ok(detail: dict | None) -> bool:
+    """Whether an existing bench_detail.json records a protocol-clean
+    (load-gate-passing) run."""
+    if not isinstance(detail, dict):
+        return False
+    return bool((detail.get("protocol") or {}).get("load_gate_ok"))
+
+
+def _detail_write_path(
+    out_dir: str, new_gate_ok: bool, force: bool = False
+) -> tuple[str, bool]:
+    """Where to write the detail artifact: a gate-FAILING run must not
+    overwrite a gate-PASSING ``bench_detail.json`` (VERDICT r09 #4 /
+    r7/r8: the driver's post-close ambient-loaded rerun kept replacing
+    the clean close artifact at snapshot time, regressing the round's
+    committed headline from clean to dirty). Such runs land in
+    ``bench_detail.rejected.json`` instead; ``--force-detail``
+    overrides. Returns ``(path, preserved_existing)``."""
+    main_path = os.path.join(out_dir, "bench_detail.json")
+    if new_gate_ok or force:
+        return main_path, False
+    try:
+        with open(main_path) as fh:
+            existing = json.load(fh)
+    except Exception:
+        return main_path, False
+    if _gate_ok(existing):
+        return os.path.join(out_dir, "bench_detail.rejected.json"), True
+    return main_path, False
+
+
 def _drop_extremes(ts: list[float]) -> list[float]:
     """Drop the min and max pass (once each); keeps ≥1 element."""
     if len(ts) < 3:
@@ -101,6 +132,12 @@ def main() -> None:
         action="store_true",
         help="per query, drop the fastest and slowest pass before "
         "best/median (quiet-bench protocol; use with --passes >= 5)",
+    )
+    ap.add_argument(
+        "--force-detail",
+        action="store_true",
+        help="overwrite bench_detail.json even when this run fails the "
+        "load gate and the existing artifact passed it",
     )
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -260,8 +297,18 @@ def main() -> None:
             " — run does NOT qualify as a committed round headline",
             file=sys.stderr,
         )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json"), "w") as fh:
+    out_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path, preserved = _detail_write_path(
+        out_dir, 0 <= load_at_start < LOAD_GATE, force=args.force_detail
+    )
+    if preserved:
+        print(
+            "# NOTE: existing bench_detail.json is protocol-clean and this"
+            " run is not — detail written to bench_detail.rejected.json"
+            " (use --force-detail to overwrite)",
+            file=sys.stderr,
+        )
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
 
     def _short(v: float):

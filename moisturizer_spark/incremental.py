@@ -19,6 +19,41 @@ touched group, and merges into a view whose size is |groups| — a 100 TB
 source with a 10-group view refreshes by reading the feed, never the
 table. This is the batch analog of ``streaming/rollup.py``'s
 foreachBatch path, driven by table versions instead of micro-batches.
+
+THE FAMILY'S DELETE DISCIPLINES IN ONE PLACE (VERDICT r09 #8 — the 8
+members span four distinct delete behaviors; a new member's design
+review starts by picking its row in this table). Every member folds
+inserts from the delta alone and falls back to a FULL RECOMPUTE when
+the cursor falls behind the source's CDC retention window; the table
+lists what ELSE each member does:
+
+====================== ============================ =========================================== ==============================
+member                 insert                       delete                                      extra fallback trigger
+====================== ============================ =========================================== ==============================
+IncrementalAggView     fold (+1/+value)             fold (−1/−value, invertible);               — (retention only)
+                                                    zero-row groups drop
+IncrementalMinMaxView  fold (max/min vs envelope)   inside-envelope: fold from delta alone;     threatened-group rescan —
+                                                    zero-row groups drop                        bucket-pruned ``isin`` under
+                                                                                                the size gate, semi-join scan
+                                                                                                past it; pinned to the
+                                                                                                refresh-start manifest version
+IncrementalDDSketchView fold (+1 in value's bin)    fold (−1 in bin — cells are plain counts,   — (retention only)
+                                                    so quantile IVM is lossless both ways)
+IncrementalDetHLLView  fold (register max)          NOT expressible (max can't subtract):       any delete/update_preimage row
+                                                    full recompute
+IncrementalKMVView     fold (k-smallest of union)   fold ONLY when provably irrelevant (two     containment-probe hit →
+                                                    probes: stored-sample containment AND       full recompute
+                                                    feed-internal insert∩delete)
+IncrementalTopKView    counts fold (+)              counts fold (−); ranking recomputed for     — (retention only)
+                                                    TOUCHED groups from their full counts
+                                                    rows (a delete can promote an item the
+                                                    delta never mentions)
+IncrementalJoinView    bilinear delta               bilinear delta (multiset ``_mult`` folds    either side behind retention →
+                       ΔL⋈R + L⋈ΔR − ΔL⋈ΔR          exactly; zero-mult tuples drop)             full recompute
+IncrementalCCView      fold (union is monotone:     can SPLIT a component — undetectable        any delete/update row →
+                       merge reps of delta edges)   without full reachability:                  full star-contraction
+                                                    full recompute
+====================== ============================ =========================================== ==============================
 """
 
 from __future__ import annotations
@@ -34,7 +69,11 @@ _TXN_APP = "ivm"
 class IncrementalAggView:
     """Maintains ``group_col → (n_rows, sum_<value_col>)`` for a source
     table, incrementally. ``refresh()`` applies any unapplied source
-    versions; ``read()`` returns the current view."""
+    versions; ``read()`` returns the current view.
+
+    Delete discipline: see the module docstring's family table
+    (insert/delete behavior × fallback trigger, all 8 members).
+    """
 
     def __init__(
         self,
@@ -155,6 +194,9 @@ class IncrementalMinMaxView:
     touched at all. Cursor/crash semantics as
     :class:`IncrementalAggView` (the applied-version txn watermark
     commits atomically with the view data, so replays are idempotent).
+
+    Delete discipline: see the module docstring's family table
+    (insert/delete behavior × fallback trigger, all 8 members).
     """
 
     def __init__(
@@ -374,6 +416,9 @@ class IncrementalDDSketchView:
     O(cells × occupied buckets) — never the fact rows. NULL values are
     skipped on both the full and delta paths (matching
     :func:`~moisturizer_spark.operators.sketches.ddsketch_rollup`).
+
+    Delete discipline: see the module docstring's family table
+    (insert/delete behavior × fallback trigger, all 8 members).
     """
 
     def __init__(
@@ -497,6 +542,9 @@ class IncrementalDetHLLView:
     Scale: a refresh reads only the changed buckets of the unapplied
     versions, sketches the delta in one map-side pass, and merges into
     a view of size O(cells × m) integer rows — never the fact rows.
+
+    Delete discipline: see the module docstring's family table
+    (insert/delete behavior × fallback trigger, all 8 members).
     """
 
     def __init__(
@@ -638,6 +686,9 @@ class IncrementalKMVView:
     versions; the delete probe is a (keys)-equi-join of the feed's
     distinct deleted hashes against the O(cells) view with an
     array-containment filter; the merged view is ≤ k hashes per cell.
+
+    Delete discipline: see the module docstring's family table
+    (insert/delete behavior × fallback trigger, all 8 members).
     """
 
     def __init__(
@@ -845,7 +896,11 @@ class IncrementalTopKView:
     with a bounded item domain refreshes by feed size, never corpus
     size. The counts table is |domain|-sized (the exactness price;
     the det-HLL/KMV views are the sketch-sized alternatives when item
-    domains are unbounded)."""
+    domains are unbounded).
+
+    Delete discipline: see the module docstring's family table
+    (insert/delete behavior × fallback trigger, all 8 members).
+    """
 
     def __init__(
         self,
@@ -1028,7 +1083,11 @@ class IncrementalJoinView:
     tracks |Δ|·match + |touched buckets|, never view size. Payload
     column sets must be disjoint, and neither join key may be repeated
     in its own payload list (rename before constructing — the operator
-    refuses to guess)."""
+    refuses to guess).
+
+    Delete discipline: see the module docstring's family table
+    (insert/delete behavior × fallback trigger, all 8 members).
+    """
 
     def __init__(
         self,
@@ -1249,6 +1308,9 @@ class IncrementalCCView:
     writes through :meth:`ParquetTable.upsert`, rewriting only the
     buckets holding re-labeled or new ids. Members of the SURVIVING
     (minimum) component never rewrite: their label is unchanged.
+
+    Delete discipline: see the module docstring's family table
+    (insert/delete behavior × fallback trigger, all 8 members).
     """
 
     def __init__(
