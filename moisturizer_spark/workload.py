@@ -13434,87 +13434,74 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 # uses this to judge the window against build-time data, so a freshly
 # dropped artifact for _WINDOW_ROUND itself never retroactively turns
 # the suite red (VERDICT r08 "What's wrong" #1).
-_WINDOW_ROUND = 9
+_WINDOW_ROUND = 10
 
-# Rows-only queries granted a one-time window slot this round so the
-# driver records a non-null spark_rows smoke row for them (VERDICT r08
-# "What's missing" #2: these three have never had ANY driver execution).
-# The driver records err:"no_oracle" for them (r04 probe) -- the slot
-# buys a real end-to-end execution on the driver's environment, nothing
-# more; their recall/merge-law checks live in pytest.
-_ROWS_ONLY_SMOKE = [
-    "embedding_pq_top5",
-    "events_hll_reach",
-    "events_reach_sketch_rollup",
-]
+# Rows-only smoke slots: EMPTY this round. The three one-time slots the
+# r8 verdict demanded (embedding_pq_top5, events_hll_reach,
+# events_reach_sketch_rollup) got their driver executions on record in
+# CORRECTNESS_r09 (non-null spark_rows, err:"no_oracle" as designed),
+# so the r10 rotation frees them — a smoke slot outliving its first
+# recorded row fails the suite (tests/test_driver_window.py).
+_ROWS_ONLY_SMOKE: list[str] = []
 
 _NEEDS_DRIVER_ROW = [
-    # round 9: new/tainted queries land here at the head as the round
-    # progresses (mechanically enforced by tests/test_driver_window.py
-    # against the round-8 marker commit), then the mandatory
-    # stalest-first rotation: ALL 34 oracles whose last green driver row
-    # is round 5 (age 3 at build time, recomputed from
-    # CORRECTNESS_r01..r08 exactly as VERDICT r08 did).
-    "quality_classifier_auc",         # tainted: shared _nb_eval_slice
-                                      # helper factored out of auc+lift
-    "source_length_wasserstein",      # NEW: W1 length drift
-    "dedup_method_kappa",             # NEW: chance-corrected agreement
-    "dedup_cluster_size_histogram",   # NEW: cluster-size spectrum
-    "docs_collocations_pmi",          # NEW: PMI collocations
-    "vocab_term_burstiness",          # NEW: Church-Gale VMR report
-    "event_next_hit_rate",            # NEW: Markov held-out eval
-    "orders_neyman_allocation",       # NEW: variance-optimal sampling
-    "docs_rake_keyphrases",           # NEW: RAKE corpus keyphrases
-    "vocab_phonetic_blocks",          # NEW: soundex blocking keys
-    "quality_classifier_lift",        # NEW: decile lift/calibration
-    "daily_volume_acf",               # NEW: ACF + Ljung-Box memory scan
-    "order_price_mad_outliers",       # NEW: exact median/MAD fences
-    "trade_degree_assortativity",     # NEW: graph topology summary
-    "lineitem_benford_audit",         # NEW: first-digit forensic audit
-    "docs_unigram_bits",              # NEW: unigram-LM info content
-    "url_filter_report",              # NEW: crawl URL hygiene cascade
-    "customer_match_scores",          # NEW: Fellegi-Sunter link scores
-    "user_copresence_kcore",          # NEW: k-core degeneracy filter
-    "url_canonical_dedup",            # NEW: canonical-URL exact dedup
-    "url_domain_cap_temperature",     # NEW: per-domain cap + mix weights
-    "minhash_index_health",           # NEW: text-index health report
-    "unigram_vocab_table",            # NEW: unigram-LM tokenizer vocab
-    "unigram_fertility_vs_bpe",       # NEW: per-lang fertility head2head
-    "user_behavioral_distance",       # tainted: negative-weight gate in
-                                      # shortest_paths_bounded (ADVICE)
-    "docs_simhash_det_near_dup",
-    "docs_winnowing_det_near_dup",
-    "embedding_cosine_near_dup",
-    "embedding_decontamination",
-    "embedding_norm_stats",
-    "embedding_top5_cosine",
-    "events_7day_moving",
-    "events_daily",
-    "events_distinct_reach",
-    "events_props_flatten",
-    "events_reach_hll_det",
-    "events_running_total",
-    "events_sessionize",
-    "events_unpivot",
-    "events_user_pivot",
-    "lang_sources_csv",
-    "late_shipment_priority",
-    "latest_event_per_user",
-    "min_cost_supplier_per_part",
-    "nation_wealth_full_outer",
-    "order_price_quantile_sketch",
-    "order_price_quantiles",
-    # one-time rows-only smoke slots (see _ROWS_ONLY_SMOKE above)
-    *_ROWS_ONLY_SMOKE,
-    # (the age-2 backfill and, as the round-9 head kept growing, the
-    # alphabetical-tail age-3 rows source_quota_sample /
-    # urgent_customers_semi / q21_waiting_suppliers / revenue_cube /
-    # revenue_rollup / source_epoch_mixture / q14_promo_revenue /
-    # q19_disjunctive_revenue / orders_with_returns_exists /
-    # purchase_asof_view / purchase_followon_events /
-    # orders_monthly_growth were trimmed to hold the
-    # window at exactly 50 -- displaced age-3 rows lead the mandatory
-    # r10 rotation and stay mirror-verified at 3 scales meanwhile)
+    # round 10: tainted/new queries first (mechanically enforced by
+    # tests/test_driver_window.py against the round-9 close marker),
+    # then the mandatory stalest-first rotation: the 12 age-4 oracles
+    # the r9 verdict listed, then age-3 backfill (alphabetical within
+    # an age class) to exactly 50. The 3 rows-only smoke slots are
+    # freed (driver rows recorded in CORRECTNESS_r09).
+    "daily_volume_acf",               # tainted: k<n + sden=0 guards (ADVICE)
+    "dedup_method_kappa",             # tainted: shared det-subset constant (ADVICE)
+    "docs_badwords_report",           # NEW: C4 badwords/blocklist report
+    "docs_curation_report",           # tainted: badwords joined the cascade
+    "docs_dedup_method_agreement",    # tainted: nests the det pipelines
+    "docs_minhash_det_near_dup",      # tainted: det-subset constant hoist
+    "docs_near_dup_quality_winner",   # tainted: nests det-minhash CTEs
+    "docs_quality_funnel",            # tainted: badwords is now rule 5
+    "docs_simhash_det_near_dup",      # tainted: det-subset constant hoist
+    "minhash_estimate_audit",         # tainted: nests det-minhash CTEs
+    "minhash_index_health",           # tainted: nests det-minhash CTEs
+    "url_filter_report",              # tainted: blocked_domain is now rule 1
+    "vocab_phonetic_blocks",          # tainted: block-size histogram reshape
+    # stalest-first backfill: 12 age-4, then age-3 to fill 50
+    "orders_monthly_growth",          # age 4
+    "orders_with_returns_exists",     # age 4
+    "purchase_asof_view",             # age 4
+    "purchase_followon_events",       # age 4
+    "q14_promo_revenue",              # age 4
+    "q19_disjunctive_revenue",        # age 4
+    "q21_waiting_suppliers",          # age 4
+    "revenue_cube",                   # age 4
+    "revenue_rollup",                 # age 4
+    "source_epoch_mixture",           # age 4
+    "source_quota_sample",            # age 4
+    "urgent_customers_semi",          # age 4
+    "bpe_fertility_by_lang",          # age 3
+    "bpe_merge_table",                # age 3
+    "corpus_shard_manifest",          # age 3
+    "crosslingual_near_dup",          # age 3
+    "customer_name_typo_pairs",       # age 3
+    "customer_rfm_segments",          # age 3
+    "doc_dedup_clusters",             # age 3
+    "doc_dup_span_coverage",          # age 3
+    "doc_median_tokens",              # age 3
+    "doc_repetition_by_source",       # age 3
+    "doc_term_counts_udtf",           # age 3
+    "docs_benchmark_containment",     # age 3
+    "docs_chunk_dedup",               # age 3
+    "docs_chunk_sliding",             # age 3
+    "docs_leakage_free_split",        # age 3
+    "docs_line_dedup",                # age 3
+    "docs_ngram_novelty",             # age 3
+    "docs_pack_ffd",                  # age 3
+    "docs_pii_scan",                  # age 3
+    "docs_weighted_sample",           # age 3
+    "embedding_dim_correlation",      # age 3
+    "embedding_diversity_sample_det", # age 3
+    "embedding_ivf_det_top5",         # age 3
+    "embedding_kmeans_det",           # age 3
+    "embedding_lsh_det_top5",         # age 3
 ]
 
 

@@ -41,8 +41,30 @@ def _git(*args: str) -> str:
 
 
 def _baseline_commit() -> str | None:
-    """The previous round's end commit: the newest commit whose message
-    carries the driver's ``round N:`` marker."""
+    """The commit the taint diff runs against: the newest commit whose
+    message carries the driver's marker for round ``_WINDOW_ROUND − 1``
+    (the round the committed window closed on).
+
+    TIMING SEMANTICS (VERDICT r09 "What's wrong" #1b): diffing against
+    the newest ``round N:`` marker of ANY round made the base MOVE when
+    the driver dropped the end-of-round snapshot commit — round N's
+    edit-tainted window occupants retroactively lost their tainted
+    status and the stalest-first check reddened a window that was legal
+    when committed. Pinning the base to the marker that closed round
+    ``_WINDOW_ROUND − 1`` judges the window against the information
+    available when it was built, exactly like the artifact horizon.
+    Falls back to the newest marker when that round has none (fresh
+    repos / missing history)."""
+    from moisturizer_spark import workload
+
+    window_round = getattr(workload, "_WINDOW_ROUND", None)
+    if window_round is not None:
+        out = _git(
+            "log", "--grep", f"^round {window_round - 1}:",
+            "-n", "1", "--format=%H",
+        )
+        if out.strip():
+            return out.strip()
     out = _git("log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H")
     return out.strip() or None
 
@@ -202,11 +224,20 @@ def test_driver_window_slots_are_all_oracle():
     assert not dead, f"rows-only queries waste driver-window slots: {dead}"
     # a smoke slot is only justified while the query has NEVER had a
     # driver row; once an artifact records one, the slot must be freed
+    # AT THE NEXT ROTATION — judged, like the stalest-first check,
+    # against artifacts from rounds strictly before _WINDOW_ROUND (the
+    # information available when the window was built), so the driver
+    # dropping the current round's artifact cannot retroactively redden
+    # a committed window (VERDICT r09 "What's wrong" #1a)
     import glob
     import json
 
+    window_round = getattr(workload, "_WINDOW_ROUND", None)
     executed = set()
     for f in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        rnum = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if window_round is not None and rnum >= window_round:
+            continue
         executed.update(json.load(open(f)))
     stale_smoke = sorted(smoke & executed)
     assert not stale_smoke, (
