@@ -346,6 +346,7 @@ def phash_near_duplicates(
     hi_col: str = "phash_hi",
     lo_col: str = "phash_lo",
     max_distance: int = 6,
+    max_band_members: int | None = None,
 ) -> DataFrame:
     """Hamming-banded near-dup pairs over perceptual hashes: the 64
     bits split into four 16-bit bands; candidate pairs share at least
@@ -360,12 +361,20 @@ def phash_near_duplicates(
 
     Scale: shuffles are (band_value, id, hash) projections keyed per
     band; hot bands (e.g. all-black thumbnails) behave like SimHash's
-    hot buckets — cap or salt upstream if a degenerate corpus makes
-    one band value dominate. The hash frame is persisted before the
-    self-join (both sides consume it; without the boundary the whole
-    upstream decode+hash pipeline executes twice — the
-    ngram_jaccard_pairs materialize rule). Output: (id_a, id_b,
-    hamming), id_a < id_b, each pair once."""
+    hot buckets, and candidate pairs grow Σn(n−1)/2 over band-bucket
+    sizes — quadratic in the hottest bucket. ``max_band_members`` is
+    the mechanical valve (round-10 scale probe: a self-similar 50k-doc
+    corpus pushed the video variant >100× past linear growth): buckets
+    with more members are EXCLUDED from candidate generation, which
+    narrows the recall guarantee to pairs sharing at least one
+    non-hot band — the standard LSH over-full-bucket skip; a bucket
+    that hot means the band carries no discriminating information
+    for those members anyway. ``None`` (default) keeps the exact
+    uncapped semantics the oracle queries replay. The hash frame is
+    persisted before the self-join (both sides consume it; without
+    the boundary the whole upstream decode+hash pipeline executes
+    twice — the ngram_jaccard_pairs materialize rule). Output:
+    (id_a, id_b, hamming), id_a < id_b, each pair once."""
     from moisturizer_spark.operators.common import materialize
 
     df = materialize(df.select(id_col, hi_col, lo_col))
@@ -386,6 +395,17 @@ def phash_near_duplicates(
             F.array(F.col("_b0"), F.col("_b1"), F.col("_b2"), F.col("_b3"))
         ).alias("_band", "_val"),
     )
+    if max_band_members is not None:
+        # one combinable count per bucket, window-free: the hot-bucket
+        # filter joins bucket sizes back (bucket-count-sized frame)
+        sizes = melted.groupBy("_band", "_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        melted = (
+            melted.join(sizes, ["_band", "_val"])
+            .filter(F.col("_bn") <= F.lit(max_band_members))
+            .drop("_bn")
+        )
     left = melted.select(
         F.col("_id").alias("id_a"),
         F.col("_hi").alias("_hi_a"),
@@ -913,6 +933,7 @@ def video_near_duplicates(
     frame_hashes: DataFrame,
     id_col: str = "doc_id",
     max_distance: int = 6,
+    max_band_members: int | None = None,
 ) -> DataFrame:
     """Video near-dup pairs: two videos are near-duplicates iff they
     have the SAME frame count and EVERY corresponding frame pair is
@@ -937,9 +958,14 @@ def video_near_duplicates(
     4·n_frames rows per video, never pixels; the exact check joins the
     persisted hash frame twice, keyed on id — pair-count sized. Hot
     band values (e.g. the all-ones hash of blank frames) behave like
-    SimHash hot buckets: cap or pre-filter degenerate frames upstream
-    if a corpus is blank-heavy. Output: (id_a, id_b, n_frames,
-    max_hamming), id_a < id_b, each pair once."""
+    SimHash hot buckets and candidate pairs grow Σn(n−1)/2 over
+    (frame, band, val) bucket sizes — the round-10 sf1 scale probe
+    measured a self-similar 50k-video corpus at >100× linear growth
+    here. ``max_band_members`` is the valve: over-full buckets are
+    skipped (recall narrows to pairs sharing a non-hot frame-band —
+    the standard LSH over-full-bucket skip); ``None`` keeps the exact
+    uncapped semantics the oracle replays. Output: (id_a, id_b,
+    n_frames, max_hamming), id_a < id_b, each pair once."""
     from moisturizer_spark.operators.common import materialize
 
     h = materialize(
@@ -963,6 +989,15 @@ def video_near_duplicates(
             )
         ).alias("_band", "_val"),
     )
+    if max_band_members is not None:
+        sizes = melted.groupBy("_f", "_band", "_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        melted = (
+            melted.join(sizes, ["_f", "_band", "_val"])
+            .filter(F.col("_bn") <= F.lit(max_band_members))
+            .drop("_bn")
+        )
     cand = (
         melted.select(F.col("_id").alias("id_a"), "_f", "_band", "_val")
         .join(

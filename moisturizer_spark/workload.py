@@ -8017,6 +8017,17 @@ def lineitem_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construct∘decode is the identity on the raster payload by the PPM
 # round-trip tests.
 _PHASH_MAX_DIST = 6
+# Hot-band candidate cap for the three media det queries (round-10 sf1
+# scale probe): band buckets generate Σn(n−1)/2 candidate pairs, and a
+# self-similar corpus concentrates hashes — the probe measured the
+# video banding at 4.8M→469M candidate pairs (98×) across a 10× corpus
+# growth, pure quadratic in the hottest bucket (1,004→10,130 members).
+# Buckets over this cap are skipped on BOTH engines (the standard LSH
+# over-full-bucket rule; recall narrows to pairs sharing a non-hot
+# band). 256 leaves every driver-correctness scale untouched (measured
+# maxima: 119 at sf0.001/sf0.01) while bounding per-bucket work to
+# C(256,2) ≈ 33k pairs at any corpus size.
+_PHASH_MAX_BAND_MEMBERS = 256
 
 
 def _sql_images_near_dup() -> str:
@@ -8058,9 +8069,13 @@ def _sql_images_near_dup() -> str:
         SELECT doc_id, hi, lo, 2 AS band, hi % 65536 AS val FROM h
         UNION ALL
         SELECT doc_id, hi, lo, 3 AS band, hi // 65536 AS val FROM h),
+    bsz AS (SELECT band, val, COUNT(*) AS bn FROM bands
+            GROUP BY band, val),
+    bf AS (SELECT bands.* FROM bands JOIN bsz USING (band, val)
+           WHERE bn <= {_PHASH_MAX_BAND_MEMBERS}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                     a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
-             FROM bands a JOIN bands b
+             FROM bf a JOIN bf b
                ON a.band = b.band AND a.val = b.val
               AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
@@ -8135,7 +8150,9 @@ def images_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = image_phash(payload).drop("content")
     return phash_near_duplicates(
-        hashed, max_distance=_PHASH_MAX_DIST
+        hashed,
+        max_distance=_PHASH_MAX_DIST,
+        max_band_members=_PHASH_MAX_BAND_MEMBERS,
     ).orderBy("id_a", "id_b")
 
 
@@ -8194,9 +8211,13 @@ def _sql_audio_near_dup() -> str:
         SELECT doc_id, hi, lo, 2 AS band, hi % 65536 AS val FROM h
         UNION ALL
         SELECT doc_id, hi, lo, 3 AS band, hi // 65536 AS val FROM h),
+    bsz AS (SELECT band, val, COUNT(*) AS bn FROM bands
+            GROUP BY band, val),
+    bf AS (SELECT bands.* FROM bands JOIN bsz USING (band, val)
+           WHERE bn <= {_PHASH_MAX_BAND_MEMBERS}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                     a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
-             FROM bands a JOIN bands b
+             FROM bf a JOIN bf b
                ON a.band = b.band AND a.val = b.val
               AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
@@ -8283,7 +8304,9 @@ def audio_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload, decoder=decode_wav, kernel=wav_energy_hash, grid=64
     ).drop("content")
     return phash_near_duplicates(
-        hashed, max_distance=_PHASH_MAX_DIST
+        hashed,
+        max_distance=_PHASH_MAX_DIST,
+        max_band_members=_PHASH_MAX_BAND_MEMBERS,
     ).orderBy("id_a", "id_b")
 
 
@@ -10445,8 +10468,12 @@ def _sql_videos_near_dup() -> str:
         SELECT doc_id, f, hi, lo, 2 AS band, hi % 65536 AS val FROM hl
         UNION ALL
         SELECT doc_id, f, hi, lo, 3 AS band, hi // 65536 AS val FROM hl),
+    bsz AS (SELECT f, band, val, COUNT(*) AS bn FROM bands
+            GROUP BY f, band, val),
+    bf AS (SELECT bands.* FROM bands JOIN bsz USING (f, band, val)
+           WHERE bn <= {_PHASH_MAX_BAND_MEMBERS}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
+             FROM bf a JOIN bf b
                ON a.f = b.f AND a.band = b.band AND a.val = b.val
               AND a.doc_id < b.doc_id),
     pf AS (SELECT c.id_a, c.id_b,
@@ -10557,7 +10584,9 @@ def videos_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = pixarr.select("doc_id", F.concat(*pieces).alias("content"))
     hashes = video_phash(payload, frame_bytes=203)
     return video_near_duplicates(
-        hashes, max_distance=_PHASH_MAX_DIST
+        hashes,
+        max_distance=_PHASH_MAX_DIST,
+        max_band_members=_PHASH_MAX_BAND_MEMBERS,
     ).orderBy("id_a", "id_b")
 
 
@@ -12242,10 +12271,13 @@ def order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(SUM(y * y) AS BIGINT) AS syy
            FROM ex)
     SELECT n_nodes, m AS n_directed_edges, max_degree,
-           CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
-                / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
-                   * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) * 1e6)
-                AS BIGINT) AS assortativity_micro
+           CAST(ROUND(CAST(CAST(m AS DECIMAL(38,0)) * sxy
+                           - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                / (sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx
+                             - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+                   * sqrt(CAST(CAST(m AS DECIMAL(38,0)) * syy
+                               - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)))
+                * 1e6) AS BIGINT) AS assortativity_micro
     FROM m CROSS JOIN nd
     """,
 )
@@ -12259,9 +12291,12 @@ def trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps, triangle `broadcast_degrees`, k-core depth) what topology
     they are walking into, plus node count and max degree.
 
-    Determinism: degree moments are exact BIGINT sums (bound:
-    m·Σxy < 2⁶³ holds to ~10⁹ edges at 10³ max degree; ANSI raises
-    loudly beyond); the single correlation is IEEE arithmetic on
+    Determinism: degree moments are exact BIGINT sums; the CROSS
+    moments (m·Σxx − (Σx)², etc.) compute in DECIMAL(38,0) — the
+    round-10 sf1 scale probe caught (Σx)² overflowing 2⁶³ at ~11M
+    directed edges with hub degrees in the hundreds (ANSI raised
+    loudly, exactly as designed); int128-safe through ~10⁹ edges at
+    10⁶ max degree. The single correlation is IEEE arithmetic on
     exact integers rounded once onto the micro grid. Scale: one
     distinct over the fact join (persisted — both union branches and
     the degree pass read it once), a degree aggregation keyed on node,
@@ -12331,10 +12366,13 @@ def trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_directed_edges"),
         "max_degree",
         F.expr(
-            "CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE)"
-            " / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))"
-            "    * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) * 1e6)"
-            " AS BIGINT)"
+            "CAST(ROUND(CAST(CAST(m AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / (sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx"
+            "         - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))"
+            "    * sqrt(CAST(CAST(m AS DECIMAL(38,0)) * syy"
+            "           - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)))"
+            " * 1e6) AS BIGINT)"
         ).alias("assortativity_micro"),
     )
 
@@ -13450,7 +13488,12 @@ _NEEDS_DRIVER_ROW = [
     # then the mandatory stalest-first rotation: the 12 age-4 oracles
     # the r9 verdict listed, then age-3 backfill (alphabetical within
     # an age class) to exactly 50. The 3 rows-only smoke slots are
-    # freed (driver rows recorded in CORRECTNESS_r09).
+    # freed (driver rows recorded in CORRECTNESS_r09). The sf1 scale
+    # probe's fixes (hot-band cap, DECIMAL(38) moments) taint the
+    # three media det queries + assortativity, displacing the 4
+    # youngest age-3 backfill rows (embedding_* det family) -- those
+    # stay mirror-verified and lead the r11 rotation.
+    "audio_near_dup_det",             # tainted: hot-band cap (sf1 probe)
     "daily_volume_acf",               # tainted: k<n + sden=0 guards (ADVICE)
     "dedup_method_kappa",             # tainted: shared det-subset constant (ADVICE)
     "docs_badwords_report",           # NEW: C4 badwords/blocklist report
@@ -13460,9 +13503,12 @@ _NEEDS_DRIVER_ROW = [
     "docs_near_dup_quality_winner",   # tainted: nests det-minhash CTEs
     "docs_quality_funnel",            # tainted: badwords is now rule 5
     "docs_simhash_det_near_dup",      # tainted: det-subset constant hoist
+    "images_near_dup_det",            # tainted: hot-band cap (sf1 probe)
     "minhash_estimate_audit",         # tainted: nests det-minhash CTEs
     "minhash_index_health",           # tainted: nests det-minhash CTEs
+    "trade_degree_assortativity",     # tainted: DECIMAL(38) moments (sf1 probe)
     "url_filter_report",              # tainted: blocked_domain is now rule 1
+    "videos_near_dup_det",            # tainted: hot-band cap (sf1 probe)
     "vocab_phonetic_blocks",          # tainted: block-size histogram reshape
     # stalest-first backfill: 12 age-4, then age-3 to fill 50
     "orders_monthly_growth",          # age 4
@@ -13498,10 +13544,6 @@ _NEEDS_DRIVER_ROW = [
     "docs_pii_scan",                  # age 3
     "docs_weighted_sample",           # age 3
     "embedding_dim_correlation",      # age 3
-    "embedding_diversity_sample_det", # age 3
-    "embedding_ivf_det_top5",         # age 3
-    "embedding_kmeans_det",           # age 3
-    "embedding_lsh_det_top5",         # age 3
 ]
 
 

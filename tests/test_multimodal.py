@@ -478,3 +478,62 @@ def test_video_phash_equals_per_frame_image_phash(spark):
         for r in image_phash(singles).collect()
     }
     assert via_video == via_image
+
+
+def test_phash_hot_band_cap(spark):
+    """max_band_members (round-10 scale probe): a hot band bucket is
+    skipped from candidate generation, while a pair sharing a NON-hot
+    band still surfaces; cap=None keeps the exact uncapped semantics."""
+    from moisturizer_spark.operators.multimodal import (
+        phash_near_duplicates,
+    )
+
+    # ids 0..9: identical hashes -> every band bucket holds all 10
+    # (45 pairs at hamming 0). ids 100, 101: share only band 3
+    # (hi high half = 7) with each other, differ from the hot group,
+    # and are 2 bits apart (bits inside bands 0 and 2 of each other).
+    hot = [(i, 1 * 65536 + 2, 3 * 65536 + 4) for i in range(10)]
+    pair = [
+        (100, 7 * 65536 + 9, 5 * 65536 + 8),
+        (101, 7 * 65536 + (9 ^ 1), 5 * 65536 + (8 ^ 1)),
+    ]
+    df = spark.createDataFrame(
+        hot + pair, "doc_id long, phash_hi long, phash_lo long"
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in phash_near_duplicates(df).collect()
+    }
+    assert (100, 101) in uncapped and len(uncapped) == 45 + 1
+    capped = {
+        (r.id_a, r.id_b)
+        for r in phash_near_duplicates(df, max_band_members=5).collect()
+    }
+    assert capped == {(100, 101)}
+
+
+def test_video_hot_band_cap(spark):
+    """The video variant's cap keys on (frame, band, value)."""
+    from moisturizer_spark.operators.multimodal import (
+        video_near_duplicates,
+    )
+
+    # 10 identical 1-frame videos (hot) + one distinct near-dup pair
+    rows = [(i, 0, 1 * 65536 + 2, 3 * 65536 + 4) for i in range(10)]
+    rows += [
+        (100, 0, 7 * 65536 + 9, 5 * 65536 + 8),
+        (101, 0, 7 * 65536 + (9 ^ 1), 5 * 65536 + (8 ^ 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, phash_hi long, phash_lo long"
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in video_near_duplicates(df).collect()
+    }
+    assert (100, 101) in uncapped and len(uncapped) == 45 + 1
+    capped = {
+        (r.id_a, r.id_b)
+        for r in video_near_duplicates(df, max_band_members=5).collect()
+    }
+    assert capped == {(100, 101)}

@@ -29,7 +29,8 @@ import pytest
 from moisturizer_spark.workload import QUERIES
 
 BUDGETS = {
-    "audio_near_dup_det": 2,
+    # +2 r10: the hot-band cap's bucket-size count + size join
+    "audio_near_dup_det": 4,
     "bpe_fertility_by_lang": 2,
     "bpe_merge_table": 1,
     "unigram_vocab_table": 1,
@@ -188,7 +189,8 @@ BUDGETS = {
     "events_zorder_histogram": 2,
     # +1: fan_out repartition before the shingle explode (small-file
     # parallelism guard; measured 3.4x at sf0.1)
-    "images_near_dup_det": 5,
+    # +2 r10: the hot-band cap's bucket-size count + size join
+    "images_near_dup_det": 7,
     "lang_sources_csv": 3,
     "langid_confusion": 2,
     "late_shipment_priority": 2,
@@ -295,7 +297,7 @@ BUDGETS = {
     # 7th exchange is the (doc, cell) pre-aggregation that replaced 256
     # per-trigram-row SUM(CASE) expressions (measured 3x at sf0.1); 8th is
     # the fan_out repartition before the shingle explode (2.6x more)
-    "videos_near_dup_det": 8,
+    "videos_near_dup_det": 10,
 }
 
 _RX = re.compile(r"^\(\d+\) (ReusedExchange|Exchange)", re.M)

@@ -50,19 +50,30 @@ def main() -> None:
         results[name] = {}
         for d in dirs:
             ts = []
+            err = None
             for _ in range(args.passes):
                 spark.catalog.clearCache()
                 t0 = time.monotonic()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
+                try:
+                    fn(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as e:  # record, keep probing
+                    err = f"{type(e).__name__}: {str(e)[:200]}"
+                    break
                 ts.append(round(time.monotonic() - t0, 3))
-            results[name][d] = ts
-            print(f"{name} @ {d}: {ts}", file=sys.stderr, flush=True)
+            results[name][d] = {"times": ts, "err": err} if err else ts
+            print(f"{name} @ {d}: {ts} {err or ''}",
+                  file=sys.stderr, flush=True)
     load1 = os.getloadavg()[0]
     out = {"passes": args.passes, "dirs": dirs, "results": results,
            "load_avg_end": round(load1, 2)}
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     for name, per in results.items():
+        if any(isinstance(per[d], dict) for d in dirs):
+            print(json.dumps({"query": name, "err": per}, default=str))
+            continue
         best = [min(per[d]) for d in dirs]
         ratio = round(best[1] / best[0], 2) if best[0] > 0 else None
         print(json.dumps({"query": name, "best": best, "ratio": ratio}))
