@@ -58,8 +58,10 @@ BUDGETS = {
     # explode + doc-partitioned islands window + word- and phrase-grain
     # folds + the distributed top-20 take
     "docs_rake_keyphrases": 6,
-    # vocab-grain fold + the |codes|-grain block fold + final sort
-    "vocab_phonetic_blocks": 3,
+    # vocab-grain fold + |codes|-grain block fold + |block sizes|-grain
+    # histogram fold + final sort (+1 r10: the histogram reshape that
+    # fixed the vacuous sf0.01 driver row -- VERDICT r09 #2)
+    "vocab_phonetic_blocks": 4,
     # explode (persisted) + doc-partitioned LEAD window + bigram- and
     # unigram-grain folds; totals are 1-row broadcasts
     "docs_collocations_pmi": 5,
