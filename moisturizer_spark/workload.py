@@ -2932,14 +2932,21 @@ def url_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, ("documents",))
-    canon = canonicalize_url(_trap_url_col())
-    rules = default_url_filter_rules(canon)
+    # PROJECT the canonical form once, then build the rules over the
+    # projected column: every rule predicate references the canonical
+    # expression several times, and inlining re-evaluated the whole
+    # regex chain per reference — measured 7x slower at sf0.1 (3.9s vs
+    # 0.57s). Same story at 100 TB: canonicalization is the per-row
+    # CPU, pay it once. (The DuckDB oracle's `cc` CTE already does.)
+    proj = t["documents"].select(
+        canonicalize_url(_trap_url_col()).alias("_c")
+    )
+    rules = default_url_filter_rules(F.col("_c"))
     disp = F.lit("kept")
     for name, cond in reversed(rules):
         disp = F.when(~cond, F.lit(name)).otherwise(disp)
     return (
-        t["documents"]
-        .select(disp.alias("disposition"))
+        proj.select(disp.alias("disposition"))
         .groupBy("disposition")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
         .orderBy("disposition")
