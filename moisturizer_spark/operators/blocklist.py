@@ -72,7 +72,10 @@ BADWORDS_MAX_PERMILLE = 50
 
 def badword_hits(toks: Column, words: tuple[str, ...] = DEMO_BADWORDS) -> Column:
     """Count of tokens in ``toks`` (an already-tokenized array column)
-    that appear on the blocklist — token-exact, occurrence-counted."""
+    that appear on the blocklist — token-exact, occurrence-counted.
+    An empty blocklist counts nothing (mirrors the domain rule)."""
+    if not words:
+        return F.lit(0).cast("bigint")
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
 
 
@@ -81,6 +84,8 @@ def sql_badword_hits(
 ) -> str:
     """DuckDB rendering of :func:`badword_hits` over a SQL expression
     producing the same token list."""
+    if not words:
+        return "CAST(0 AS BIGINT)"
     lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
     return (
         f"CAST(len(list_filter({toks_sql}, "

@@ -165,3 +165,14 @@ def test_density_threshold_constant_is_shared():
     """The funnel SQL, the report SQL, and the Spark rule all read
     BADWORDS_MAX_PERMILLE — a change shows up in every rendering."""
     assert str(BADWORDS_MAX_PERMILLE) in sql_badwords_predicate("toks")
+
+
+def test_empty_badwords_list_counts_nothing(spark):
+    df = spark.createDataFrame([("bomb ass",)], "text string")
+    toks = tokens_col(F.col("text"))
+    got = df.select(
+        badword_hits(toks, ()).alias("h"),
+        badwords_rule(toks, (), mode="any")[1].alias("ka"),
+    ).collect()[0]
+    assert (got["h"], got["ka"]) == (0, True)
+    assert sql_badword_hits("toks", ()) == "CAST(0 AS BIGINT)"
