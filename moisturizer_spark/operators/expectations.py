@@ -192,7 +192,14 @@ def profile_numeric(
             ]
         )
     ).alias("s")
-    long = df.select(stack).select("s.column", "s.value", "s.present")
+    from moisturizer_spark.operators.common import fan_out
+
+    # small-file guard before the unpivot: the explode + distinct
+    # expansion otherwise runs at the scan's file-split parallelism
+    # (see profile_numeric_approx; no-op on a many-partition read)
+    long = fan_out(df.select(*cols)).select(stack).select(
+        "s.column", "s.value", "s.present"
+    )
     agg = long.groupBy("column").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("present").cast("bigint")).alias("_n_raw"),
@@ -306,30 +313,44 @@ def profile_numeric_approx(
 
     # the 64-hash arithmetic below is the job's CPU; without the
     # small-file guard it runs at the input's FILE parallelism (one
-    # core for a single-file local table — measured ~10x end-to-end)
-    long = fan_out(df.select(stack).select("s.column", "s.value", "s.present"))
-    h = F.md5(F.col("value").cast("string"))
-    for i in range(4):
-        long = long.withColumn(
-            f"_h{i + 1}",
-            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint"),
-        )
-    Q = F.lit(_NDV_Q)
+    # core for a single-file local table — measured ~10x end-to-end).
+    # fan_out the PROJECTED SOURCE rows, not the unpivoted frame: the
+    # explode then runs on every core instead of the scan's file-split
+    # count, and the repartition shuffle carries len(cols)x fewer rows
+    # (guide §2.3 "project before the exchange"; optimization round —
+    # the 3-task scan+explode+shuffle stage was 3.1s of this query's
+    # 5.2s exec at sf0.1)
+    long = fan_out(df.select(*cols)).select(stack).select(
+        "s.column", "s.value", "s.present"
+    )
+    # the 4 hash words and the 64 MIN aggregates are rendered as SQL
+    # strings parsed once in the JVM — the former Column-by-Column
+    # construction cost ~1,600 py4j round trips (multiple driver
+    # seconds) to build the identical expression tree (optimization
+    # round; plan-build analog of guide §4's boundary-crossing rule)
+    long = long.selectExpr(
+        "*",
+        *[
+            f"CAST(conv(substring(md5(CAST(value AS STRING)), "
+            f"{1 + 8 * i}, 8), 16, 10) AS BIGINT) AS _h{i + 1}"
+            for i in range(4)
+        ],
+    )
+    Q = _NDV_Q
+    denom = repr(float(_NDV_Q) * float(_NDV_Q))
 
     def _g(a, b, c, hx, hy):
-        return (
-            (F.lit(a) * hx) % Q + (F.lit(b) * hy) % Q + F.lit(c)
-        ) % Q
+        return f"((({a} * {hx}) % {Q} + ({b} * {hy}) % {Q} + {c}) % {Q})"
 
     mins = []
     for j, (a1, b1, c1, a2, b2, c2) in enumerate(consts):
-        g1 = _g(a1, b1, c1, F.col("_h1"), F.col("_h2"))
-        g2 = _g(a2, b2, c2, F.col("_h3"), F.col("_h4"))
+        g1 = _g(a1, b1, c1, "_h1", "_h2")
+        g2 = _g(a2, b2, c2, "_h3", "_h4")
         mins.append(
-            F.min(
-                (g1 * Q + g2 + F.lit(1)).cast("double")
-                / F.lit(float(_NDV_Q) * float(_NDV_Q))
-            ).alias(f"_m{j}")
+            F.expr(
+                f"MIN(CAST(({g1} * {Q} + {g2} + 1) AS DOUBLE) / {denom})"
+                f" AS _m{j}"
+            )
         )
     agg = long.groupBy("column").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -340,9 +361,7 @@ def profile_numeric_approx(
         F.sum("value").cast("double").alias("sum_value"),
         *mins,
     )
-    total = F.col("_m0")
-    for j in range(1, k):
-        total = total + F.col(f"_m{j}")
+    total = F.expr(" + ".join(f"_m{j}" for j in range(k)))
     ndv_est = F.when(F.col("_n_cast") == 0, F.lit(0.0)).otherwise(
         F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
     )

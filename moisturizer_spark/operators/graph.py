@@ -66,18 +66,32 @@ def _pagerank_setup(
     scale: int,
     damping_num: int,
     bound_bits: int,
+    assume_distinct: bool = False,
+    broadcast_deg: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared preamble: persisted (edge, out-degree) frame, static node
-    list, and the 1-row auto-rescale grid header."""
+    list, and the 1-row auto-rescale grid header.
+
+    ``assume_distinct=True`` skips the edge dedup — a full shuffle of
+    the edge list — when the caller proves its input already simple
+    (guide §2.4: a ``distinct`` on already-unique data is a pure
+    shuffle tax; the workload's trade edges union two directions of an
+    already-distinct pair set). ``broadcast_deg`` broadcasts the
+    node-grain degree frame into the edge join under the same contract
+    as ``broadcast_ranks`` (node dimension fits a broadcast), removing
+    the two exchanges the degree equi-join otherwise costs."""
     from moisturizer_spark.operators.common import materialize
 
     e0 = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct()
+    )
+    if not assume_distinct:
+        e0 = e0.distinct()
     deg = e0.groupBy("_src").agg(
         F.count(F.lit(1)).cast("bigint").alias("_deg")
     )
-    e = materialize(e0.join(deg, "_src"))
+    d_side = F.broadcast(deg) if broadcast_deg else deg
+    e = materialize(e0.join(d_side, "_src"))
     nodes = materialize(deg.select(F.col("_src").alias("_node")))
     hdr = _grid_header(nodes, scale, damping_num, bound_bits)
     return e, nodes, hdr
@@ -143,6 +157,7 @@ def pagerank_int(
     scale: int = 10**12,
     broadcast_ranks: bool = False,
     bound_bits: int = 62,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """ALL-INTEGER PageRank — the det-kmeans determinism recipe applied
     to the iterative-graph family: ranks live on a fixed integer grid
@@ -182,9 +197,14 @@ def pagerank_int(
     re-shuffles — right whenever the node dimension fits a broadcast
     (up to ~10^7 nodes). The default shuffles ranks instead —
     unbounded node counts, two shuffles per round; pre-partition edges
-    by ``src`` on a cluster so the rank join co-locates."""
+    by ``src`` on a cluster so the rank join co-locates.
+
+    ``assume_distinct=True``: caller guarantees the (src, dst) rows are
+    already duplicate-free, skipping the setup dedup shuffle (identical
+    results by construction; guide §2.4)."""
     e, nodes, hdr = _pagerank_setup(
-        edges, src_col, dst_col, scale, damping_num, bound_bits
+        edges, src_col, dst_col, scale, damping_num, bound_bits,
+        assume_distinct=assume_distinct, broadcast_deg=broadcast_ranks,
     )
     ranks = nodes.crossJoin(F.broadcast(hdr)).select(
         "_node", F.col("_scale_eff").alias("_r")
@@ -208,6 +228,7 @@ def pagerank_convergence(
     scale: int = 10**12,
     broadcast_ranks: bool = False,
     bound_bits: int = 62,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Per-round convergence diagnostic for :func:`pagerank_int` — the
     measurement that turns the fixed iteration count from an article of
@@ -231,7 +252,8 @@ def pagerank_convergence(
     map-combinable 1-row aggregate over the materialized rank frame
     the pagerank rounds compute anyway."""
     e, nodes, hdr = _pagerank_setup(
-        edges, src_col, dst_col, scale, damping_num, bound_bits
+        edges, src_col, dst_col, scale, damping_num, bound_bits,
+        assume_distinct=assume_distinct, broadcast_deg=broadcast_ranks,
     )
     ranks = nodes.crossJoin(F.broadcast(hdr)).select(
         "_node", F.col("_scale_eff").alias("_r")
@@ -269,6 +291,7 @@ def triangle_count(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_degrees: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact triangle enumeration over an undirected graph — the motif
     primitive behind clustering coefficients, cohesion scoring, and
@@ -298,11 +321,15 @@ def triangle_count(
 
     a = F.least(F.col(src_col), F.col(dst_col))
     b = F.greatest(F.col(src_col), F.col(dst_col))
-    und = materialize(
-        edges.select(a.alias("_a"), b.alias("_b"))
-        .filter(F.col("_a") != F.col("_b"))
-        .distinct()
+    # assume_distinct: caller proves the input is already canonical
+    # (src < dst) and duplicate-free — the dedup is then a pure
+    # shuffle tax (guide §2.4); results identical by construction
+    und = edges.select(a.alias("_a"), b.alias("_b")).filter(
+        F.col("_a") != F.col("_b")
     )
+    if not assume_distinct:
+        und = und.distinct()
+    und = materialize(und)
     deg = (
         und.select(F.col("_a").alias("_n"))
         .unionAll(und.select(F.col("_b").alias("_n")))
@@ -347,6 +374,7 @@ def lpa_communities(
     dst_col: str = "dst",
     iterations: int = 3,
     broadcast_labels: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Deterministic SYNCHRONOUS label propagation (Raghavan et al.
     2007) — community detection as bounded unrolled iteration, the
@@ -373,8 +401,11 @@ def lpa_communities(
     lesson. ``broadcast_labels=True`` broadcasts the node-grain label
     frame into each round's edge join (the ``pagerank_int
     broadcast_ranks`` contract — one shuffle saved per round while the
-    node dimension fits a broadcast, up to ~10^7 nodes)."""
-    e, labels = _lpa_setup(edges, src_col, dst_col)
+    node dimension fits a broadcast, up to ~10^7 nodes).
+    ``assume_distinct=True``: caller proves the input canonical
+    (src < dst, no duplicates), so the symmetrized union is already
+    simple and the setup dedup shuffle is skipped (guide §2.4)."""
+    e, labels = _lpa_setup(edges, src_col, dst_col, assume_distinct)
     for _ in range(iterations):
         labels = _lpa_step(e, labels, broadcast_labels)
     return labels.select(
@@ -383,10 +414,14 @@ def lpa_communities(
 
 
 def _lpa_setup(
-    edges: DataFrame, src_col: str, dst_col: str
+    edges: DataFrame, src_col: str, dst_col: str,
+    assume_distinct: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared preamble: persisted symmetrized simple edge list + the
-    self-labeled initial node frame."""
+    self-labeled initial node frame. ``assume_distinct``: the input is
+    canonical (src < dst, duplicate-free), so the symmetrized union
+    cannot contain duplicates or self-loops and the dedup shuffle is
+    skipped (guide §2.4) — results identical by construction."""
     from moisturizer_spark.operators.common import materialize
 
     sym = edges.select(
@@ -396,7 +431,10 @@ def _lpa_setup(
             F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")
         )
     )
-    e = materialize(sym.filter(F.col("_src") != F.col("_dst")).distinct())
+    sym = sym.filter(F.col("_src") != F.col("_dst"))
+    if not assume_distinct:
+        sym = sym.distinct()
+    e = materialize(sym)
     labels = materialize(
         e.select(F.col("_src").alias("_node"))
         .distinct()
@@ -446,6 +484,7 @@ def lpa_convergence(
     dst_col: str = "dst",
     iterations: int = 3,
     broadcast_labels: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Per-round convergence diagnostic for :func:`lpa_communities` —
     label-flip counts, the measurement that makes the fixed iteration
@@ -464,7 +503,7 @@ def lpa_convergence(
 
     Scale: one extra node-grain equi-join + 1-row aggregate per round
     on top of the LPA rounds themselves."""
-    e, labels = _lpa_setup(edges, src_col, dst_col)
+    e, labels = _lpa_setup(edges, src_col, dst_col, assume_distinct)
     reports = []
     for i in range(1, iterations + 1):
         nxt = _lpa_step(e, labels, broadcast_labels)
@@ -497,6 +536,7 @@ def bfs_levels(
     dst_col: str = "dst",
     seed_col: str = "node",
     max_hops: int = 3,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """K-hop breadth-first reach: for every node reachable from the
     seed set within ``max_hops`` directed edges, the MINIMUM hop count
@@ -515,11 +555,14 @@ def bfs_levels(
     anyway (fraud rings, supply reach, contamination spread)."""
     from moisturizer_spark.operators.common import materialize
 
-    e = materialize(
-        edges.select(
-            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-        ).distinct()
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
+    if not assume_distinct:
+        # assume_distinct: caller proves the edge rows duplicate-free —
+        # the dedup is then a pure shuffle tax (guide §2.4)
+        e = e.distinct()
+    e = materialize(e)
     visited = materialize(
         seeds.select(F.col(seed_col).alias("_node"))
         .distinct()
@@ -549,6 +592,7 @@ def hits_bipartite(
     src_col: str = "src",
     dst_col: str = "dst",
     rounds: int = 2,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
     list, in the all-integer discipline of :func:`pagerank_int` — the
@@ -581,11 +625,12 @@ def hits_bipartite(
             "the authority side undefined"
         )
     d38 = "decimal(38,0)"
-    e = materialize(
-        edges.select(
-            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-        ).distinct()
-    )
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    if not assume_distinct:
+        # assume_distinct: caller proves the edge rows duplicate-free —
+        # the dedup is then a pure shuffle tax (guide §2.4)
+        e = e.distinct()
+    e = materialize(e)
     h = materialize(
         e.select("_s").distinct().withColumn("_h", F.lit(1).cast(d38))
     )
@@ -619,6 +664,7 @@ def adamic_adar(
     src_col: str = "src",
     dst_col: str = "dst",
     max_center_degree: int = 64,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected graph: for every
     NON-adjacent pair (u, v) with at least one common neighbor, the
@@ -650,13 +696,14 @@ def adamic_adar(
     from moisturizer_spark.operators.common import materialize
 
     a, b = F.col(src_col), F.col(dst_col)
-    und = materialize(
-        edges.select(
-            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
-        )
-        .filter(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
+    und = edges.select(
+        F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    if not assume_distinct:
+        # assume_distinct: caller proves the input canonical (src < dst,
+        # duplicate-free) — the dedup is a pure shuffle tax (guide §2.4)
+        und = und.distinct()
+    und = materialize(und)
     adj = materialize(
         und.select(F.col("_a").alias("_w"), F.col("_b").alias("_n")).unionAll(
             und.select(F.col("_b").alias("_w"), F.col("_a").alias("_n"))
@@ -698,6 +745,7 @@ def shortest_paths_bounded(
     weight_col: str = "w",
     node_col: str = "node",
     rounds: int = 3,
+    broadcast_dist: bool = False,
 ) -> DataFrame:
     """Bounded-hop WEIGHTED shortest paths (min-plus Bellman–Ford,
     ``rounds`` relaxations unrolled into the plan): the weighted
@@ -755,7 +803,11 @@ def shortest_paths_bounded(
         )
     )
     for _ in range(rounds):
-        relax = dist.join(e, dist["_n"] == e["_s"]).select(
+        # broadcast_dist: the reached-node frame is node-grain — under
+        # the pagerank broadcast_ranks contract it broadcasts into the
+        # relax join so the edge frame never re-shuffles per round
+        d_side = F.broadcast(dist) if broadcast_dist else dist
+        relax = d_side.join(e, d_side["_n"] == e["_s"]).select(
             F.col("_d").alias("_n"),
             (F.col("_dist") + F.col("_w")).alias("_dist"),
         )
@@ -773,6 +825,8 @@ def k_core(
     rounds: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_distinct: bool = False,
+    broadcast_alive: bool = False,
 ) -> DataFrame:
     """Bounded-round k-CORE peeling — the degeneracy member of the
     graph family (Seidman 1983; the standard spam/periphery filter
@@ -807,12 +861,14 @@ def k_core(
     # eagerly and replaces its lineage with the stored blocks — plan
     # depth stays O(1) per round, the pagerank-family "per-round
     # lineage cut" applied where the reference multiplier is highest.
-    e = (
-        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
-        .filter(F.col("_a") != F.col("_b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    e = edges.select(
+        F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    if not assume_distinct:
+        # assume_distinct: caller proves the input canonical (src < dst,
+        # duplicate-free) — the dedup is a pure shuffle tax (guide §2.4)
+        e = e.distinct()
+    e = e.localCheckpoint()
     for _ in range(rounds):
         adj = e.select(F.col("_a").alias("_n")).unionAll(
             e.select(F.col("_b").alias("_n"))
@@ -823,9 +879,17 @@ def k_core(
             .filter(F.col("_d") >= k)
             .select("_n")
         )
+        # broadcast_alive: node-grain survivor set into both semi-joins
+        # — the pagerank broadcast_ranks contract (right while the node
+        # dimension fits a broadcast): the edge frame is then never
+        # shuffled inside a round, only the degree count is
+        side_a = alive.withColumnRenamed("_n", "_a")
+        side_b = alive.withColumnRenamed("_n", "_b")
+        if broadcast_alive:
+            side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
         e = (
-            e.join(alive.withColumnRenamed("_n", "_a"), "_a", "left_semi")
-            .join(alive.withColumnRenamed("_n", "_b"), "_b", "left_semi")
+            e.join(side_a, "_a", "left_semi")
+            .join(side_b, "_b", "left_semi")
             .localCheckpoint()
         )
     adj = e.select(F.col("_a").alias("node")).unionAll(

@@ -47,16 +47,23 @@ def _bs_consts(b: int) -> tuple[int, int, int]:
     return a, c, d
 
 
-def _weight_expr(h1: Column, h2: Column, b: int) -> Column:
+def _weight_expr_sql(h1: str, h2: str, b: int) -> str:
+    """Spark-SQL rendering of the replicate-``b`` Poisson weight.
+
+    Semantically identical to the former Column-by-Column construction
+    (same ``((a*h1) % Q + (c*h2) % Q + d) % Q`` hash and the same
+    monotone CASE ladder); built as ONE string so plan construction is
+    a single JVM parse instead of ~30 py4j round trips per replicate —
+    at B=64 the old path spent multiple driver seconds just building
+    the projection (optimization round; guide §4's "control how much
+    crosses the Python boundary" applied to plan-build time)."""
     a, c, d = _bs_consts(b)
-    g = (
-        (F.lit(a) * h1) % F.lit(_Q) + (F.lit(c) * h2) % F.lit(_Q) + F.lit(d)
-    ) % F.lit(_Q)
+    g = f"((({a} * {h1}) % {_Q} + ({c} * {h2}) % {_Q} + {d}) % {_Q})"
     # monotone ladder: the first cutoff g falls under gives the weight
-    ladder = F.when(g < F.lit(_POIS_CUTOFFS[0]), F.lit(0))
-    for k in range(1, len(_POIS_CUTOFFS)):
-        ladder = ladder.when(g < F.lit(_POIS_CUTOFFS[k]), F.lit(k))
-    return ladder.otherwise(F.lit(len(_POIS_CUTOFFS))).cast("bigint")
+    arms = " ".join(
+        f"WHEN {g} < {cut} THEN {k}" for k, cut in enumerate(_POIS_CUTOFFS)
+    )
+    return f"CAST(CASE {arms} ELSE {len(_POIS_CUTOFFS)} END AS BIGINT)"
 
 
 def sql_weight_expr(h1: str, h2: str, b: int) -> str:
@@ -127,46 +134,38 @@ def poisson_bootstrap_ci(
     # CollapseProject from re-inlining the hash into all B ladders.
     from moisturizer_spark.operators.common import materialize
 
+    gq = [f"`{c}`" for c in group_cols]
     rows = materialize(
-        rows.select(
-            *group_cols,
+        rows.selectExpr(
+            *gq,
             "_v",
             *[
-                _weight_expr(F.col("_h1"), F.col("_h2"), b).alias(f"_w{b}")
+                f"{_weight_expr_sql('_h1', '_h2', b)} AS _w{b}"
                 for b in range(n_replicates)
             ],
         )
     )
     aggs = [
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum("_v").alias("_s"),
+        F.expr("CAST(COUNT(1) AS BIGINT) AS _n"),
+        F.expr("SUM(_v) AS _s"),
     ]
     for b in range(n_replicates):
-        aggs.append(
-            F.sum(F.col(f"_w{b}") * F.col("_v")).alias(f"_ws{b}")
-        )
-        aggs.append(F.sum(F.col(f"_w{b}")).alias(f"_wn{b}"))
+        aggs.append(F.expr(f"SUM(_w{b} * _v) AS _ws{b}"))
+        aggs.append(F.expr(f"SUM(_w{b}) AS _wn{b}"))
     agg = (
         rows.groupBy(*group_cols).agg(*aggs)
         if group_cols
         else rows.groupBy().agg(*aggs)
     )
-    reps = agg.select(
-        *group_cols,
+    rep_structs = ", ".join(
+        f"struct({b} AS b, _ws{b} AS ws, _wn{b} AS wn)"
+        for b in range(n_replicates)
+    )
+    reps = agg.selectExpr(
+        *gq,
         "_n",
         "_s",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.col(f"_ws{b}").alias("ws"),
-                        F.col(f"_wn{b}").alias("wn"),
-                    )
-                    for b in range(n_replicates)
-                ]
-            )
-        ).alias("_r"),
+        f"explode(array({rep_structs})) AS _r",
     ).select(
         *group_cols,
         "_n",

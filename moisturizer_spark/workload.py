@@ -7865,54 +7865,47 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinably; the 28 correlations are a projection of the
     single moment row. At 1000 executors this is a scan + one 1-row
     reduce — nothing else."""
+    # expressions rendered as SQL strings parsed once in the JVM: the
+    # former Column-by-Column construction of the 45 moments + 28
+    # correlation structs cost ~2,000 py4j round trips of pure driver
+    # time per bench pass (optimization round) — the trees are
+    # identical, as pinned by the oracle mirror
     t = load_tables(spark, sf_dir, ("embeddings",))
-    g = t["embeddings"].select(
+    g = t["embeddings"].selectExpr(
         *[
-            F.round(F.col("embedding")[i].cast("double") * F.lit(1e6))
-            .cast("decimal(38,0)")
-            .alias(f"x{i}")
+            f"CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * 1.0E6, 0) "
+            f"AS DECIMAL(38,0)) AS x{i}"
             for i in range(_CORR_DIMS)
         ]
     )
-    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    aggs = [F.expr("CAST(COUNT(1) AS DECIMAL(38,0)) AS n")]
     for i in range(_CORR_DIMS):
-        aggs.append(F.sum(F.col(f"x{i}")).alias(f"s{i}"))
+        aggs.append(F.expr(f"SUM(x{i}) AS s{i}"))
         aggs.append(
-            F.sum((F.col(f"x{i}") * F.col(f"x{i}")).cast("decimal(38,0)"))
-            .alias(f"ss{i}")
+            F.expr(f"SUM(CAST(x{i} * x{i} AS DECIMAL(38,0))) AS ss{i}")
         )
     for i in range(_CORR_DIMS):
         for j in range(i + 1, _CORR_DIMS):
             aggs.append(
-                F.sum(
-                    (F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(38,0)")
-                ).alias(f"sp{i}_{j}")
+                F.expr(f"SUM(CAST(x{i} * x{j} AS DECIMAL(38,0))) AS sp{i}_{j}")
             )
     a = g.agg(*aggs)
+
+    def _dd(e: str) -> str:
+        return f"CAST(CAST({e} AS DECIMAL(38,0)) AS DOUBLE)"
+
     pairs = []
     for i in range(_CORR_DIMS):
         for j in range(i + 1, _CORR_DIMS):
-            num = _d(
-                (F.col("n") * F.col(f"sp{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
-                .cast("decimal(38,0)")
-            )
-            d1 = _d(
-                (F.col("n") * F.col(f"ss{i}") - F.col(f"s{i}") * F.col(f"s{i}"))
-                .cast("decimal(38,0)")
-            )
-            d2 = _d(
-                (F.col("n") * F.col(f"ss{j}") - F.col(f"s{j}") * F.col(f"s{j}"))
-                .cast("decimal(38,0)")
-            )
+            num = _dd(f"n * sp{i}_{j} - s{i} * s{j}")
+            d1 = _dd(f"n * ss{i} - s{i} * s{i}")
+            d2 = _dd(f"n * ss{j} - s{j} * s{j}")
             pairs.append(
-                F.struct(
-                    F.lit(i).alias("dim_i"),
-                    F.lit(j).alias("dim_j"),
-                    F.round(num / F.sqrt(d1 * d2), 6).alias("corr"),
-                )
+                f"struct({i} AS dim_i, {j} AS dim_j, "
+                f"ROUND({num} / SQRT({d1} * {d2}), 6) AS corr)"
             )
     return (
-        a.select(F.explode(F.array(*pairs)).alias("p"))
+        a.selectExpr(f"explode(array({', '.join(pairs)})) AS p")
         .select("p.dim_i", "p.dim_j", "p.corr")
         .orderBy("dim_i", "dim_j")
     )
@@ -8137,23 +8130,27 @@ def images_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("int")
         % F.lit(64)
     )
+    # the 64 pixel aggregates + 64 hex pieces render as SQL strings
+    # parsed once in the JVM — the former Column-by-Column construction
+    # cost ~1.2s of driver time per bench pass (optimization round;
+    # identical expression trees, oracle-mirror pinned)
     pix = grams.withColumn("bk", bucket).groupBy("doc_id").agg(
         *[
-            F.least(
-                F.lit(255),
-                F.sum(F.when(F.col("bk") == k, 1).otherwise(0)),
-            ).alias(f"p{k}")
+            F.expr(
+                f"LEAST(255, SUM(CASE WHEN bk = {k} THEN 1 ELSE 0 END))"
+                f" AS p{k}"
+            )
             for k in range(64)
         ]
     )
-    hexparts = [
-        F.repeat(F.lpad(F.hex(F.col(f"p{k}")), 2, "0"), 3) for k in range(64)
-    ]
-    payload = pix.select(
+    hexparts = ", ".join(
+        f"repeat(lpad(hex(p{k}), 2, '0'), 3)" for k in range(64)
+    )
+    payload = pix.selectExpr(
         "doc_id",
-        F.concat(F.lit(b"P6\n8 8\n255\n"), F.unhex(F.concat(*hexparts))).alias(
-            "content"
-        ),
+        # X'…' == b"P6\n8 8\n255\n" (the PPM P6 8x8 header)
+        f"concat(X'50360A3820380A3235350A', unhex(concat({hexparts})))"
+        " AS content",
     )
     hashed = image_phash(payload).drop("content")
     return phash_near_duplicates(
@@ -8407,7 +8404,10 @@ def trade_pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = pagerank_int(
-        e, iterations=3, scale=10**10, broadcast_ranks=True
+        e, iterations=3, scale=10**10, broadcast_ranks=True,
+        # e unions both directions of the already-distinct (c*, s*)
+        # pair set — duplicate-free by construction (guide §2.4)
+        assume_distinct=True,
     )
     return ranks.orderBy(
         F.col("rank_scaled").desc(), "node"
@@ -8475,7 +8475,8 @@ def trade_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank_convergence(
-        e, iterations=3, scale=10**10, broadcast_ranks=True
+        e, iterations=3, scale=10**10, broadcast_ranks=True,
+        assume_distinct=True,
     ).orderBy("round")
 
 
@@ -8536,7 +8537,7 @@ def trade_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
-    scores = hits_bipartite(edges, rounds=2).select(
+    scores = hits_bipartite(edges, rounds=2, assume_distinct=True).select(
         "role", "node", F.col("score").cast("bigint").alias("score")
     )
     rn = F.row_number().over(
@@ -8699,7 +8700,7 @@ def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    levels = bfs_levels(e, seeds, max_hops=3)
+    levels = bfs_levels(e, seeds, max_hops=3, assume_distinct=True)
     return (
         levels.groupBy(F.col("hops").cast("int").alias("hops"))
         .agg(
@@ -8836,6 +8837,12 @@ def user_copresence_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=_KCORE_K,
         rounds=_KCORE_ROUNDS,
+        # basket_pairs emits canonical (item_a < item_b) distinct pairs
+        assume_distinct=True,
+        # survivor set is user-grain — broadcastable far past any
+        # plausible co-present-user population (the triangle
+        # broadcast_degrees argument)
+        broadcast_alive=True,
     )
     return (
         core.select(
@@ -8888,7 +8895,9 @@ def user_copresence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree frame is user-grain — broadcastable far past any plausible
     # co-present-user population (the pagerank broadcast_ranks bound)
     tri = triangle_count(
-        edges, src_col="item_a", dst_col="item_b", broadcast_degrees=True
+        edges, src_col="item_a", dst_col="item_b", broadcast_degrees=True,
+        # basket_pairs emits canonical (item_a < item_b) distinct pairs
+        assume_distinct=True,
     )
     members = tri.select(F.col("node_a").alias("u")).unionAll(
         tri.select(F.col("node_b").alias("u"))
@@ -8972,6 +8981,7 @@ def user_copresence_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst_col="item_b",
         iterations=3,
         broadcast_labels=True,
+        assume_distinct=True,
     )
     return (
         labels.groupBy(F.col("community"))
@@ -9023,6 +9033,7 @@ def copresence_lpa_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst_col="item_b",
         iterations=3,
         broadcast_labels=True,
+        assume_distinct=True,
     ).orderBy("round")
 
 
@@ -10557,38 +10568,45 @@ def videos_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    pixarr = (
-        cnts.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        F.col("cell"),
-                        F.least(F.lit(255), F.col("n")).cast("int"),
-                    )
-                )
-            ).alias("m")
-        )
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(255)),
-                lambda c: F.coalesce(F.element_at(F.col("m"), c), F.lit(0)),
-            ).alias("px"),
-        )
+    # dense 256-cell fill + PPM assembly as ONE Arrow-batched numpy
+    # scatter (guide §4.2: hand whole batches to vectorized native
+    # code). The former map_from_entries + 256 element_at lookups per
+    # doc ran INTERPRETED (higher-order functions get no whole-stage
+    # codegen) and cost ~4.3s of this query's 9.6s at sf0.1; a wide
+    # 256-column SUM(CASE) aggregate also stays interpreted (past
+    # spark.sql.codegen.maxFields) at ~2.5s. The numpy form measures
+    # ~1.0s and is byte-identical (A/B-verified + oracle mirror).
+    # Each (cell, count) entry packs into one int (cell*256 + capped
+    # count) so a single collect_list carries the sparse histogram —
+    # ~240 ints/doc across the boundary, payload bytes back.
+    ent = cnts.groupBy("doc_id").agg(
+        F.collect_list(
+            (F.col("cell") * 256 + F.least(F.lit(255), F.col("n")))
+            .cast("int")
+        ).alias("_e")
     )
-    pieces = []
-    for f in range(4):
-        hexs = F.aggregate(
-            F.slice(F.col("px"), f * 64 + 1, 64),
-            F.lit(""),
-            lambda acc, x: F.concat(
-                acc, F.repeat(F.lpad(F.hex(x), 2, "0"), 3)
-            ),
-        )
-        pieces.append(F.lit(b"P6\n8 8\n255\n"))
-        pieces.append(F.unhex(hexs))
-    payload = pixarr.select("doc_id", F.concat(*pieces).alias("content"))
+
+    def _build_ppm(batches):
+        import numpy as np
+        import pandas as pd
+
+        hdr = b"P6\n8 8\n255\n"
+        for pdf in batches:
+            payloads = []
+            for enc in pdf["_e"]:
+                e = np.asarray(enc, dtype=np.int64)
+                px = np.zeros(256, dtype=np.uint8)
+                px[e >> 8] = (e & 255).astype(np.uint8)
+                b = np.repeat(px, 3).tobytes()
+                payloads.append(
+                    hdr + b[:192] + hdr + b[192:384]
+                    + hdr + b[384:576] + hdr + b[576:]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": payloads}
+            )
+
+    payload = ent.mapInPandas(_build_ppm, "doc_id long, content binary")
     hashes = video_phash(payload, frame_bytes=203)
     return video_near_duplicates(
         hashes,
@@ -11192,7 +11210,10 @@ def copresence_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     edges = _copresence_pairs(t, min_cells=6)
     return (
-        adamic_adar(edges, src_col="item_a", dst_col="item_b")
+        adamic_adar(
+            edges, src_col="item_a", dst_col="item_b",
+            assume_distinct=True,
+        )
         .orderBy(F.col("aa_micro").desc(), "id_a", "id_b")
         .limit(15)
     )
@@ -11415,7 +11436,9 @@ def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
     tri = triangle_count(
-        edges, src_col="item_a", dst_col="item_b", broadcast_degrees=True
+        edges, src_col="item_a", dst_col="item_b", broadcast_degrees=True,
+        # basket_pairs emits canonical (item_a < item_b) distinct pairs
+        assume_distinct=True,
     )
     members = (
         tri.select(F.col("node_a").alias("u"))
@@ -11568,7 +11591,9 @@ def user_behavioral_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = we.agg(F.min("src").alias("node"))
     return (
-        shortest_paths_bounded(we, seed, rounds=3)
+        # reached-node frame is user-grain — broadcastable under the
+        # family's broadcast_ranks contract
+        shortest_paths_bounded(we, seed, rounds=3, broadcast_dist=True)
         .select(F.col("node").alias("user_id"), F.col("dist").alias("dist_micro"))
         .orderBy("dist_micro", "user_id")
         .limit(15)
@@ -13497,9 +13522,14 @@ _NEEDS_DRIVER_ROW = [
     # an age class) to exactly 50. The 3 rows-only smoke slots are
     # freed (driver rows recorded in CORRECTNESS_r09). The sf1 scale
     # probe's fixes (hot-band cap, DECIMAL(38) moments) taint the
-    # three media det queries + assortativity, displacing the 4
-    # youngest age-3 backfill rows (embedding_* det family) -- those
-    # stay mirror-verified and lead the r11 rotation.
+    # three media det queries + assortativity; the OPTIMIZATION pass
+    # (plan-identical expression-build rewrites, redundant-distinct
+    # elimination, node-grain broadcasts — results pinned bit-identical
+    # against the pre-change sf0.1 snapshot and the oracle mirror)
+    # taints the graph family, the profile pair, the bootstrap, and —
+    # via operator-module docstring cross-references — three stats
+    # bystanders. Displaced age-3 backfill stays mirror-verified and
+    # leads the r11 rotation.
     "audio_near_dup_det",             # tainted: hot-band cap (sf1 probe)
     "daily_volume_acf",               # tainted: k<n + sden=0 guards (ADVICE)
     "dedup_method_kappa",             # tainted: shared det-subset constant (ADVICE)
@@ -13510,13 +13540,33 @@ _NEEDS_DRIVER_ROW = [
     "docs_near_dup_quality_winner",   # tainted: nests det-minhash CTEs
     "docs_quality_funnel",            # tainted: badwords is now rule 5
     "docs_simhash_det_near_dup",      # tainted: det-subset constant hoist
-    "images_near_dup_det",            # tainted: hot-band cap (sf1 probe)
+    "images_near_dup_det",            # tainted: hot-band cap + SQL-string pixel agg (opt)
     "minhash_estimate_audit",         # tainted: nests det-minhash CTEs
     "minhash_index_health",           # tainted: nests det-minhash CTEs
     "trade_degree_assortativity",     # tainted: DECIMAL(38) moments (sf1 probe)
     "url_filter_report",              # tainted: blocked_domain is now rule 1
-    "videos_near_dup_det",            # tainted: hot-band cap (sf1 probe)
+    "videos_near_dup_det",            # tainted: hot-band cap + numpy PPM scatter (opt)
     "vocab_phonetic_blocks",          # tainted: block-size histogram reshape
+    # optimization-round taint (results bit-identical; see
+    # OPTIMIZATION_r10.md for the per-query evidence)
+    "copresence_link_prediction",     # tainted: adamic_adar assume_distinct
+    "copresence_lpa_convergence",     # tainted: lpa assume_distinct
+    "daily_volume_revenue_corr",      # tainted: stats.py module bystander
+    "embedding_dim_correlation",      # tainted: SQL-string moment aggs (opt)
+    "lineitem_discount_ks",           # tainted: stats.py module bystander
+    "lineitem_drift_psi",             # tainted: expectations.py bystander
+    "lineitem_profile",               # tainted: fan_out before the unpivot
+    "lineitem_profile_approx",        # tainted: fan_out + SQL-string hash aggs
+    "orders_price_bootstrap_ci",      # tainted: SQL-string weight ladder
+    "supplier_reach_bfs",             # tainted: bfs assume_distinct
+    "trade_hits_authorities",         # tainted: hits assume_distinct
+    "trade_pagerank_convergence",     # tainted: pagerank assume_distinct
+    "trade_pagerank_det",             # tainted: pagerank assume_distinct
+    "user_behavioral_distance",       # tainted: broadcast_dist relax join
+    "user_clustering_coefficient",    # tainted: triangle assume_distinct
+    "user_copresence_communities",    # tainted: lpa assume_distinct
+    "user_copresence_kcore",          # tainted: broadcast_alive semi-joins
+    "user_copresence_triangles",      # tainted: triangle assume_distinct
     # stalest-first backfill: 12 age-4, then age-3 to fill 50
     "orders_monthly_growth",          # age 4
     "orders_with_returns_exists",     # age 4
@@ -13534,23 +13584,6 @@ _NEEDS_DRIVER_ROW = [
     "bpe_merge_table",                # age 3
     "corpus_shard_manifest",          # age 3
     "crosslingual_near_dup",          # age 3
-    "customer_name_typo_pairs",       # age 3
-    "customer_rfm_segments",          # age 3
-    "doc_dedup_clusters",             # age 3
-    "doc_dup_span_coverage",          # age 3
-    "doc_median_tokens",              # age 3
-    "doc_repetition_by_source",       # age 3
-    "doc_term_counts_udtf",           # age 3
-    "docs_benchmark_containment",     # age 3
-    "docs_chunk_dedup",               # age 3
-    "docs_chunk_sliding",             # age 3
-    "docs_leakage_free_split",        # age 3
-    "docs_line_dedup",                # age 3
-    "docs_ngram_novelty",             # age 3
-    "docs_pack_ffd",                  # age 3
-    "docs_pii_scan",                  # age 3
-    "docs_weighted_sample",           # age 3
-    "embedding_dim_correlation",      # age 3
 ]
 
 
