@@ -8117,15 +8117,24 @@ def images_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from moisturizer_spark.operators.dedup import shingles
 
-    from moisturizer_spark.operators.common import fan_out
-
     t = load_tables(spark, sf_dir, ("documents",))
-    # fan_out: the shingle explode + md5 bucketing is the CPU; a
-    # single-file local table would otherwise run it on one core
-    grams = shingles(
-        fan_out(t["documents"].select("doc_id", "text")),
-        "text", n=3, out_col="g"
-    ).select("doc_id", "g").distinct()
+    # hash-repartition the DOC rows by doc_id instead of fan_out's
+    # round-robin: same small-file parallelism guard for the shingle
+    # explode (the CPU), but because every downstream key set —
+    # DISTINCT (doc_id, g) and the doc-keyed pixel aggregates —
+    # contains doc_id, HashPartitioning(doc_id) satisfies them ALL and
+    # the whole pixel pipeline runs on this ONE doc-grain exchange
+    # (guide §2.4 "share one exchange"; previously: round-robin + a
+    # gram-grain distinct shuffle + aggregate shuffles). Explicit
+    # partition count (the fan_out recipe) so AQE can't coalesce the
+    # CPU stage below the core count; on a cluster read this is one
+    # narrow doc-row shuffle instead of a trigram-grain one (§2.3).
+    docs = t["documents"].select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    grams = shingles(docs, "text", n=3, out_col="g").select(
+        "doc_id", "g"
+    ).distinct()
     bucket = (
         F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("int")
         % F.lit(64)
@@ -10541,15 +10550,24 @@ def videos_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_phash,
     )
 
-    from moisturizer_spark.operators.common import fan_out
-
     t = load_tables(spark, sf_dir, ("documents",))
-    # fan_out: the shingle explode + md5 bucketing is the CPU; a
-    # single-file local table would otherwise run it on one core
-    grams = shingles(
-        fan_out(t["documents"].select("doc_id", "text")),
-        "text", n=3, out_col="g"
-    ).select("doc_id", "g").distinct()
+    # hash-repartition the DOC rows by doc_id instead of fan_out's
+    # round-robin: same small-file parallelism guard for the shingle
+    # explode (the CPU), but because every downstream key set —
+    # DISTINCT (doc_id, g) and the doc-keyed pixel aggregates —
+    # contains doc_id, HashPartitioning(doc_id) satisfies them ALL and
+    # the whole pixel pipeline runs on this ONE doc-grain exchange
+    # (guide §2.4 "share one exchange"; previously: round-robin + a
+    # gram-grain distinct shuffle + aggregate shuffles). Explicit
+    # partition count (the fan_out recipe) so AQE can't coalesce the
+    # CPU stage below the core count; on a cluster read this is one
+    # narrow doc-row shuffle instead of a trigram-grain one (§2.3).
+    docs = t["documents"].select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    grams = shingles(docs, "text", n=3, out_col="g").select(
+        "doc_id", "g"
+    ).distinct()
     # (frame, bucket) fused into one 256-cell id; pixels built through a
     # (doc, cell) count + a bounded map instead of 256 SUM(CASE ...)
     # aggregate expressions — the wide form evaluated 256 CASEs per
