@@ -251,6 +251,7 @@ def main() -> None:
     match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
 
+    ratio_prev = _ratio_vs_prev(medians)
     detail = {
         "metric": "workload_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -288,7 +289,7 @@ def main() -> None:
             # nobody has to re-derive it by diffing artifacts by hand.
             # New/removed queries are excluded by construction; null
             # when no prior artifact exists (or git is unavailable).
-            "common_median_ratio_vs_prev": _ratio_vs_prev(medians),
+            "common_median_ratio_vs_prev": ratio_prev,
         },
     }
     if load_at_start >= LOAD_GATE:
@@ -323,6 +324,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": qdict,
                 "sf": sf,
+                # ADDITIONS-ONLY drift keys (VERDICT r10 #2): the
+                # median per-query median-time ratio vs the last
+                # COMMITTED bench_detail.json over the common query
+                # set, and this run's start load — so a round-over-
+                # round PERF delta can be drift-normalized from the
+                # recorded line alone (r10's 45-"regressed" PERF was
+                # two differently-loaded runs compared raw). ~1.0
+                # ratio at load < gate means comparable; a uniform
+                # ratio >> 1 with high load is ambient, not code.
+                "ratio_vs_prev": (
+                    ratio_prev["median"] if ratio_prev else None
+                ),
+                "load": round(load_at_start, 2),
             },
             separators=(",", ":"),
         )

@@ -56,21 +56,25 @@ def _weight_expr_sql(h1: str, h2: str, b: int) -> str:
     a single JVM parse instead of ~30 py4j round trips per replicate —
     at B=64 the old path spent multiple driver seconds just building
     the projection (optimization round; guide §4's "control how much
-    crosses the Python boundary" applied to plan-build time)."""
-    a, c, d = _bs_consts(b)
-    g = f"((({a} * {h1}) % {_Q} + ({c} * {h2}) % {_Q} + {d}) % {_Q})"
-    # monotone ladder: the first cutoff g falls under gives the weight
-    arms = " ".join(
-        f"WHEN {g} < {cut} THEN {k}" for k, cut in enumerate(_POIS_CUTOFFS)
-    )
-    return f"CAST(CASE {arms} ELSE {len(_POIS_CUTOFFS)} END AS BIGINT)"
+    crosses the Python boundary" applied to plan-build time).
+
+    The ladder itself is single-sourced from :func:`sql_weight_expr`
+    (ADVICE r10: the Spark and DuckDB renderings duplicated the
+    identical g-hash + CASE string and could silently drift); the only
+    Spark-side difference is the BIGINT cast the downstream integer
+    sums require."""
+    return f"CAST({sql_weight_expr(h1, h2, b)} AS BIGINT)"
 
 
 def sql_weight_expr(h1: str, h2: str, b: int) -> str:
-    """DuckDB rendering of the replicate-``b`` Poisson weight (oracle
-    parity with :func:`_weight_expr`)."""
+    """Engine-neutral SQL rendering of the replicate-``b`` Poisson
+    weight — the single source of the g-hash + monotone CASE ladder,
+    consumed verbatim by the DuckDB oracle and (BIGINT-cast) by the
+    Spark plan via :func:`_weight_expr_sql`, so the two renderings
+    cannot drift."""
     a, c, d = _bs_consts(b)
     g = f"((({a} * {h1}) % {_Q} + ({c} * {h2}) % {_Q} + {d}) % {_Q})"
+    # monotone ladder: the first cutoff g falls under gives the weight
     arms = " ".join(
         f"WHEN {g} < {cut} THEN {k}"
         for k, cut in enumerate(_POIS_CUTOFFS)

@@ -8088,6 +8088,25 @@ def _sql_images_near_dup() -> str:
     """
 
 
+def _doc_grain_fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Doc-grain exchange for the media pixel pipelines: hash-
+    repartition by ``key`` instead of fan_out's round-robin — every
+    downstream key set (DISTINCT ``(doc_id, g)``, the doc-keyed pixel
+    aggregates) contains ``doc_id``, so HashPartitioning(doc_id)
+    satisfies them ALL and the whole pipeline runs on this ONE exchange
+    (guide §2.4 "share one exchange"; previously round-robin + a
+    gram-grain distinct shuffle + aggregate shuffles). The count is
+    guarded at ``max(defaultParallelism, input partitions)`` (ADVICE
+    r10): on a small-file local read it fans the CPU stage out to every
+    core exactly like ``fan_out``; on a many-partition cluster read it
+    keeps the scan's parallelism instead of coalescing it to the core
+    count (the explicit count still keeps AQE from shrinking the CPU
+    stage). One narrow doc-row shuffle either way (§2.3)."""
+    sc = df.sparkSession.sparkContext
+    n = max(int(sc.defaultParallelism), df.rdd.getNumPartitions())
+    return df.repartition(n, key)
+
+
 @query("images_near_dup_det", _sql_images_near_dup())
 def images_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection over the IMAGE modality — the dedup
@@ -8118,20 +8137,7 @@ def images_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moisturizer_spark.operators.dedup import shingles
 
     t = load_tables(spark, sf_dir, ("documents",))
-    # hash-repartition the DOC rows by doc_id instead of fan_out's
-    # round-robin: same small-file parallelism guard for the shingle
-    # explode (the CPU), but because every downstream key set —
-    # DISTINCT (doc_id, g) and the doc-keyed pixel aggregates —
-    # contains doc_id, HashPartitioning(doc_id) satisfies them ALL and
-    # the whole pixel pipeline runs on this ONE doc-grain exchange
-    # (guide §2.4 "share one exchange"; previously: round-robin + a
-    # gram-grain distinct shuffle + aggregate shuffles). Explicit
-    # partition count (the fan_out recipe) so AQE can't coalesce the
-    # CPU stage below the core count; on a cluster read this is one
-    # narrow doc-row shuffle instead of a trigram-grain one (§2.3).
-    docs = t["documents"].select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = _doc_grain_fan_out(t["documents"].select("doc_id", "text"))
     grams = shingles(docs, "text", n=3, out_col="g").select(
         "doc_id", "g"
     ).distinct()
@@ -8417,6 +8423,9 @@ def trade_pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         # e unions both directions of the already-distinct (c*, s*)
         # pair set — duplicate-free by construction (guide §2.4)
         assume_distinct=True,
+        # edge frame persists hash(_dst): all three contribution
+        # aggregates ride ONE setup exchange (guide §2.4)
+        partition_edges=True,
     )
     return ranks.orderBy(
         F.col("rank_scaled").desc(), "node"
@@ -8485,7 +8494,7 @@ def trade_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank_convergence(
         e, iterations=3, scale=10**10, broadcast_ranks=True,
-        assume_distinct=True,
+        assume_distinct=True, partition_edges=True,
     ).orderBy("round")
 
 
@@ -8546,7 +8555,13 @@ def trade_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
-    scores = hits_bipartite(edges, rounds=2, assume_distinct=True).select(
+    scores = hits_bipartite(
+        edges, rounds=2, assume_distinct=True,
+        # hub/authority frames are node-grain (customers/suppliers) —
+        # broadcastable under the family contract; edges persist
+        # hash(_d) so the authority sums ride the setup exchange
+        broadcast_scores=True, partition_edges=True,
+    ).select(
         "role", "node", F.col("score").cast("bigint").alias("score")
     )
     rn = F.row_number().over(
@@ -8709,7 +8724,13 @@ def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    levels = bfs_levels(e, seeds, max_hops=3, assume_distinct=True)
+    levels = bfs_levels(
+        e, seeds, max_hops=3, assume_distinct=True,
+        # frontier/visited are node-grain (family broadcast contract);
+        # edges persist hash(_dst) so each hop's frontier dedup rides
+        # the setup exchange (guide §2.4)
+        broadcast_frontier=True, partition_edges=True,
+    )
     return (
         levels.groupBy(F.col("hops").cast("int").alias("hops"))
         .agg(
@@ -8852,6 +8873,13 @@ def user_copresence_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plausible co-present-user population (the triangle
         # broadcast_degrees argument)
         broadcast_alive=True,
+        # lazy per-round checkpoints: same lineage cut, but the 4 peel
+        # rounds schedule as one pipelined cascade instead of 5 serial
+        # driver-blocking jobs (VERDICT r10 #3; r11 interleaved A/B:
+        # med 4.62 vs 4.92 s, min 3.95 vs 4.39 s). The returned frame
+        # is consumed by exactly one action here, the eager default's
+        # multi-reader rationale doesn't apply.
+        eager_checkpoints=False,
     )
     return (
         core.select(
@@ -8991,6 +9019,9 @@ def user_copresence_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=3,
         broadcast_labels=True,
         assume_distinct=True,
+        # symmetrized edges persist hash(_dst): every round's two
+        # node-keyed aggregations ride ONE setup exchange (guide §2.4)
+        partition_edges=True,
     )
     return (
         labels.groupBy(F.col("community"))
@@ -9043,6 +9074,7 @@ def copresence_lpa_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=3,
         broadcast_labels=True,
         assume_distinct=True,
+        partition_edges=True,
     ).orderBy("round")
 
 
@@ -10551,20 +10583,7 @@ def videos_near_dup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, ("documents",))
-    # hash-repartition the DOC rows by doc_id instead of fan_out's
-    # round-robin: same small-file parallelism guard for the shingle
-    # explode (the CPU), but because every downstream key set —
-    # DISTINCT (doc_id, g) and the doc-keyed pixel aggregates —
-    # contains doc_id, HashPartitioning(doc_id) satisfies them ALL and
-    # the whole pixel pipeline runs on this ONE doc-grain exchange
-    # (guide §2.4 "share one exchange"; previously: round-robin + a
-    # gram-grain distinct shuffle + aggregate shuffles). Explicit
-    # partition count (the fan_out recipe) so AQE can't coalesce the
-    # CPU stage below the core count; on a cluster read this is one
-    # narrow doc-row shuffle instead of a trigram-grain one (§2.3).
-    docs = t["documents"].select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = _doc_grain_fan_out(t["documents"].select("doc_id", "text"))
     grams = shingles(docs, "text", n=3, out_col="g").select(
         "doc_id", "g"
     ).distinct()
@@ -13348,8 +13367,38 @@ def dedup_method_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-away milli division, and the D²=pe·D² degenerate case pins
     to 1000. Scale: the two pipelines as documented per family; the
     kappa math runs on three 1-row counts."""
-    mh = docs_minhash_det_near_dup(spark, sf_dir).select("id_a", "id_b")
-    sh = docs_simhash_det_near_dup(spark, sf_dir).select("id_a", "id_b")
+    from moisturizer_spark.operators.common import materialize as _mat
+    from moisturizer_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+    from moisturizer_spark.operators.textan import tokens_col
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    # ONE persisted det-subset scan feeds both pipelines AND the
+    # population count (VERDICT r10 #6): previously each pipeline
+    # re-read+re-filtered the parquet source (and inherited the
+    # standalone queries' final global sorts, which the kappa's set
+    # algebra never needed). Pipelines and their parameters are
+    # byte-identical to the standalone queries — same subset bound,
+    # same (hashes, threshold), same token-less exclusion — so the
+    # flagged sets cannot drift from the registered oracles.
+    subset = _mat(
+        t["documents"]
+        .filter(F.col("doc_id") < _DET_SUBSET_MAX_DOC_ID)
+        .select("doc_id", "text")
+    )
+    mh = minhash_near_duplicates(
+        subset,
+        num_hashes=_MINHASH_DET_HASHES,
+        threshold=_MINHASH_DET_THRESHOLD,
+        det=True,
+    ).select("id_a", "id_b")
+    sh = simhash_near_duplicates(
+        subset.filter(F.size(tokens_col(F.col("text"))) > 0),
+        max_hamming=16,
+        det=True,
+    ).select("id_a", "id_b")
 
     def flagged(p):
         return (
@@ -13358,15 +13407,10 @@ def dedup_method_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    from moisturizer_spark.operators.common import materialize as _mat
-
     # the flagged-doc sets each feed two counts (their own + the
     # intersection); persisting them runs each det pipeline ONCE
     da, db = _mat(flagged(mh)), _mat(flagged(sh))
-    t = load_tables(spark, sf_dir, ("documents",))
-    pop = t["documents"].filter(
-        F.col("doc_id") < _DET_SUBSET_MAX_DOC_ID
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    pop = subset.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     na = da.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
     nb = db.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     n11 = da.join(db, "dd").agg(

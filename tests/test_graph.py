@@ -767,3 +767,94 @@ def test_k_core_rejects_bad_params(spark):
         k_core(edges, k=0, rounds=3)
     with pytest.raises(ValueError, match="k and rounds"):
         k_core(edges, k=2, rounds=0)
+
+
+# -- round-11 optimization flags: parity + the broadcast-contract guard ------
+#
+# partition_edges / broadcast_* / eager_checkpoints / persist_alive are
+# physical-layout knobs (guide §2.4/§3/§5) — every one must be a pure
+# no-op on RESULTS. One random graph, every operator, flags on vs off.
+
+
+def _rand_edges(spark, seed, n_nodes=25, n_edges=150):
+    import random
+
+    rng = random.Random(seed)
+    rows = list({
+        (f"n{rng.randrange(n_nodes)}", f"n{rng.randrange(n_nodes)}")
+        for _ in range(n_edges)
+    })
+    rows = [(a, b) for a, b in rows if a != b]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_partition_edges_flags_are_result_noops(spark):
+    from moisturizer_spark.operators.graph import (
+        bfs_levels, hits_bipartite, lpa_communities, pagerank_int,
+    )
+
+    e = _rand_edges(spark, 7)
+    sym = e.union(e.selectExpr("dst AS src", "src AS dst"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows(pagerank_int(sym, broadcast_ranks=True))
+    assert rows(pagerank_int(
+        sym, broadcast_ranks=True, partition_edges=True)) == base
+
+    base = rows(lpa_communities(e, broadcast_labels=True))
+    assert rows(lpa_communities(
+        e, broadcast_labels=True, partition_edges=True)) == base
+
+    seeds = spark.createDataFrame([("n1",), ("n2",)], "node string")
+    base = rows(bfs_levels(e, seeds, max_hops=3))
+    assert rows(bfs_levels(
+        e, seeds, max_hops=3,
+        broadcast_frontier=True, partition_edges=True)) == base
+
+    base = rows(hits_bipartite(e, rounds=2))
+    assert rows(hits_bipartite(
+        e, rounds=2, broadcast_scores=True, partition_edges=True)) == base
+
+
+def test_k_core_checkpoint_and_persist_flags_are_result_noops(spark):
+    from moisturizer_spark.operators.graph import k_core
+
+    e = _rand_edges(spark, 11)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows(k_core(e, k=2, rounds=4, broadcast_alive=True))
+    assert rows(k_core(
+        e, k=2, rounds=4, broadcast_alive=True,
+        eager_checkpoints=False)) == base
+    assert rows(k_core(
+        e, k=2, rounds=4, broadcast_alive=True,
+        persist_alive=True)) == base
+
+
+def test_node_broadcast_guard_conf(spark):
+    """VERDICT r10 #7: the node-grain broadcast contract needs an
+    escape hatch. With spark.moisturizer.graph.broadcastNodeFrames
+    false, _node_broadcast is an identity (no hint reaches the
+    planner) and every operator still returns identical results."""
+    from moisturizer_spark.operators.graph import (
+        BROADCAST_NODE_FRAMES_CONF, _node_broadcast, pagerank_int,
+    )
+
+    e = _rand_edges(spark, 13)
+    sym = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    df = spark.createDataFrame([(1,)], "x int")
+    base = sorted(tuple(r) for r in pagerank_int(
+        sym, broadcast_ranks=True).collect())
+    try:
+        spark.conf.set(BROADCAST_NODE_FRAMES_CONF, "false")
+        assert _node_broadcast(df) is df  # identity: no hint built
+        got = sorted(tuple(r) for r in pagerank_int(
+            sym, broadcast_ranks=True).collect())
+        assert got == base
+    finally:
+        spark.conf.unset(BROADCAST_NODE_FRAMES_CONF)
+    assert _node_broadcast(df) is not df  # default: hint applied
