@@ -303,22 +303,39 @@ def _minhash_per_doc(
     Shared by the transient pair finder and the persisted index: the
     signature is 32 min-aggregates and the exact-verify state is the
     8-byte-hashed shingle set (see :func:`minhash_near_duplicates`).
-    ``det=True`` uses the md5 family (:func:`_det_hash60`)."""
+    ``det=True`` uses the md5 family (:func:`_det_hash60`).
+
+    The aggregate list is built as PARSED SQL STRINGS, not nested
+    Column calls: the Column form cost ~32×(4-6) py4j round trips —
+    ~0.4-0.6 s of driver time per query at B=32 (measured r11), pure
+    plan-build overhead repeated by every minhash-family query. One
+    ``F.expr`` per aggregate is a single JVM parse each; the analyzed
+    expressions are identical (guide §4's "control what crosses the
+    Python boundary" applied to plan construction, the
+    ``poisson_bootstrap_ci`` weight-ladder precedent; plans verified
+    byte-identical modulo expr ids)."""
     if det:
-        perm = _det_hash60
-        vhash = _det_hash60(F.col("shingle"))
+        def perm_sql(k: int | None) -> str:
+            prefix = "v:" if k is None else f"{k}:"
+            return (
+                f"CAST(conv(substring(md5(concat('{prefix}', shingle)), "
+                "1, 15), 16, 10) AS BIGINT)"
+            )
     else:
-        perm = lambda c, k: F.xxhash64(c, F.lit(k))  # noqa: E731
-        vhash = F.xxhash64("shingle")
+        def perm_sql(k: int | None) -> str:
+            return (
+                "xxhash64(shingle)" if k is None
+                else f"xxhash64(shingle, {k})"
+            )
     sh = shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("_id"), "shingle"
     )
     per = sh.groupBy("_id").agg(
         *[
-            F.min(perm(F.col("shingle"), k)).alias(f"_mh{k}")
+            F.expr(f"min({perm_sql(k)}) AS _mh{k}")
             for k in range(num_hashes)
         ],
-        F.collect_set(vhash).alias("_grams"),
+        F.expr(f"collect_set({perm_sql(None)}) AS _grams"),
     )
     return per.select(
         "_id",

@@ -854,6 +854,7 @@ def shortest_paths_bounded(
     node_col: str = "node",
     rounds: int = 3,
     broadcast_dist: bool = False,
+    assume_nonneg_weights: bool = False,
 ) -> DataFrame:
     """Bounded-hop WEIGHTED shortest paths (min-plus Bellman–Ford,
     ``rounds`` relaxations unrolled into the plan): the weighted
@@ -866,6 +867,12 @@ def shortest_paths_bounded(
     min() agg over the already-materialized edge frame): a negative
     weight silently yields wrong bounded-hop minima — valid bigint
     sums, so no ANSI error would ever fire (ADVICE r08).
+    ``assume_nonneg_weights=True``: the caller PROVES the weight
+    column non-negative by construction (e.g. an integer division of
+    positive counts), so the eager validation job — a blocking driver
+    action before any round can schedule — is skipped, exactly the
+    ``assume_distinct`` contract shape (guide §2.4; results identical
+    by construction, the guard is pure latency for provable inputs).
 
     DIRECTED-edge contract: each edge row relaxes ``src → dst`` only.
     A caller holding an undirected edge list must symmetrize before
@@ -897,14 +904,16 @@ def shortest_paths_bounded(
             F.col(weight_col).cast("bigint").alias("_w"),
         )
     )
-    # scale-guard allowlist: 1-row scalar over the persisted edge frame
-    wmin = e.agg(F.min("_w").alias("m")).first()["m"]
-    if wmin is not None and wmin < 0:
-        raise ValueError(
-            f"shortest_paths_bounded requires non-negative weights "
-            f"(min {weight_col} = {wmin}): negative weights make the "
-            "bounded-hop min-plus result silently wrong, not an error"
-        )
+    if not assume_nonneg_weights:
+        # scale-guard allowlist: 1-row scalar over the persisted edge
+        # frame
+        wmin = e.agg(F.min("_w").alias("m")).first()["m"]
+        if wmin is not None and wmin < 0:
+            raise ValueError(
+                f"shortest_paths_bounded requires non-negative weights "
+                f"(min {weight_col} = {wmin}): negative weights make the "
+                "bounded-hop min-plus result silently wrong, not an error"
+            )
     dist = materialize(
         sources.select(F.col(node_col).alias("_n")).distinct().select(
             "_n", F.lit(0).cast("bigint").alias("_dist")

@@ -11629,8 +11629,14 @@ def user_behavioral_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = we.agg(F.min("src").alias("node"))
     return (
         # reached-node frame is user-grain — broadcastable under the
-        # family's broadcast_ranks contract
-        shortest_paths_bounded(we, seed, rounds=3, broadcast_dist=True)
+        # family's broadcast_ranks contract; weights are
+        # 10^6 DIV n_both with n_both >= 3 — non-negative by
+        # construction, so the eager validation job is provably
+        # redundant (assume_distinct-style contract)
+        shortest_paths_bounded(
+            we, seed, rounds=3, broadcast_dist=True,
+            assume_nonneg_weights=True,
+        )
         .select(F.col("node").alias("user_id"), F.col("dist").alias("dist_micro"))
         .orderBy("dist_micro", "user_id")
         .limit(15)
@@ -13566,7 +13572,7 @@ QUERIES["docs_winnowing_near_dup"] = docs_winnowing_near_dup
 # uses this to judge the window against build-time data, so a freshly
 # dropped artifact for _WINDOW_ROUND itself never retroactively turns
 # the suite red (VERDICT r08 "What's wrong" #1).
-_WINDOW_ROUND = 10
+_WINDOW_ROUND = 11
 
 # Rows-only smoke slots: EMPTY this round. The three one-time slots the
 # r8 verdict demanded (embedding_pq_top5, events_hll_reach,
@@ -13577,75 +13583,70 @@ _WINDOW_ROUND = 10
 _ROWS_ONLY_SMOKE: list[str] = []
 
 _NEEDS_DRIVER_ROW = [
-    # round 10: tainted/new queries first (mechanically enforced by
-    # tests/test_driver_window.py against the round-9 close marker),
-    # then the mandatory stalest-first rotation: the 12 age-4 oracles
-    # the r9 verdict listed, then age-3 backfill (alphabetical within
-    # an age class) to exactly 50. The 3 rows-only smoke slots are
-    # freed (driver rows recorded in CORRECTNESS_r09). The sf1 scale
-    # probe's fixes (hot-band cap, DECIMAL(38) moments) taint the
-    # three media det queries + assortativity; the OPTIMIZATION pass
-    # (plan-identical expression-build rewrites, redundant-distinct
-    # elimination, node-grain broadcasts — results pinned bit-identical
-    # against the pre-change sf0.1 snapshot and the oracle mirror)
-    # taints the graph family, the profile pair, the bootstrap, and —
-    # via operator-module docstring cross-references — three stats
-    # bystanders. Displaced age-3 backfill stays mirror-verified and
-    # leads the r11 rotation.
-    "audio_near_dup_det",             # tainted: hot-band cap (sf1 probe)
-    "daily_volume_acf",               # tainted: k<n + sden=0 guards (ADVICE)
-    "dedup_method_kappa",             # tainted: shared det-subset constant (ADVICE)
-    "docs_badwords_report",           # NEW: C4 badwords/blocklist report
-    "docs_curation_report",           # tainted: badwords joined the cascade
-    "docs_dedup_method_agreement",    # tainted: nests the det pipelines
-    "docs_minhash_det_near_dup",      # tainted: det-subset constant hoist
-    "docs_near_dup_quality_winner",   # tainted: nests det-minhash CTEs
-    "docs_quality_funnel",            # tainted: badwords is now rule 5
-    "docs_simhash_det_near_dup",      # tainted: det-subset constant hoist
-    "images_near_dup_det",            # tainted: hot-band cap + SQL-string pixel agg (opt)
-    "minhash_estimate_audit",         # tainted: nests det-minhash CTEs
-    "minhash_index_health",           # tainted: nests det-minhash CTEs
-    "trade_degree_assortativity",     # tainted: DECIMAL(38) moments (sf1 probe)
-    "url_filter_report",              # tainted: blocked_domain is now rule 1
-    "videos_near_dup_det",            # tainted: hot-band cap + numpy PPM scatter (opt)
-    "vocab_phonetic_blocks",          # tainted: block-size histogram reshape
-    # optimization-round taint (results bit-identical; see
-    # OPTIMIZATION_r10.md for the per-query evidence)
-    "copresence_link_prediction",     # tainted: adamic_adar assume_distinct
-    "copresence_lpa_convergence",     # tainted: lpa assume_distinct
-    "daily_volume_revenue_corr",      # tainted: stats.py module bystander
-    "embedding_dim_correlation",      # tainted: SQL-string moment aggs (opt)
-    "lineitem_discount_ks",           # tainted: stats.py module bystander
-    "lineitem_drift_psi",             # tainted: expectations.py bystander
-    "lineitem_profile",               # tainted: fan_out before the unpivot
-    "lineitem_profile_approx",        # tainted: fan_out + SQL-string hash aggs
-    "orders_price_bootstrap_ci",      # tainted: SQL-string weight ladder
-    "supplier_reach_bfs",             # tainted: bfs assume_distinct
-    "trade_hits_authorities",         # tainted: hits assume_distinct
-    "trade_pagerank_convergence",     # tainted: pagerank assume_distinct
-    "trade_pagerank_det",             # tainted: pagerank assume_distinct
-    "user_behavioral_distance",       # tainted: broadcast_dist relax join
-    "user_clustering_coefficient",    # tainted: triangle assume_distinct
-    "user_copresence_communities",    # tainted: lpa assume_distinct
-    "user_copresence_kcore",          # tainted: broadcast_alive semi-joins
-    "user_copresence_triangles",      # tainted: triangle assume_distinct
-    # stalest-first backfill: 12 age-4, then age-3 to fill 50
-    "orders_monthly_growth",          # age 4
-    "orders_with_returns_exists",     # age 4
-    "purchase_asof_view",             # age 4
-    "purchase_followon_events",       # age 4
-    "q14_promo_revenue",              # age 4
-    "q19_disjunctive_revenue",        # age 4
-    "q21_waiting_suppliers",          # age 4
-    "revenue_cube",                   # age 4
-    "revenue_rollup",                 # age 4
-    "source_epoch_mixture",           # age 4
-    "source_quota_sample",            # age 4
-    "urgent_customers_semi",          # age 4
-    "bpe_fertility_by_lang",          # age 3
-    "bpe_merge_table",                # age 3
-    "corpus_shard_manifest",          # age 3
-    "crosslingual_near_dup",          # age 3
+    # round 11: tainted queries first (mechanically enforced by
+    # tests/test_driver_window.py against the round-10 close marker
+    # d17fabb). All r11 taint is OPTIMIZATION taint — results pinned
+    # bit-identical against the pre-change sf0.1 snapshot AND the
+    # DuckDB oracle at sf0.001/sf0.01 (see OPTIMIZATION_r11.md): the
+    # graph-family round-partitioning + broadcast-guard flags, the
+    # kcore lazy-checkpoint switch, the media repartition guard, the
+    # kappa shared-subset rewrite, the bootstrap ladder single-sourcing
+    # (+ stats/sf1-probe bystanders), and the minhash signature
+    # SQL-string build (plans byte-identical modulo ids). The rows-only
+    # minhash_near_dup is also tainted but exempt (no oracle — its
+    # checks live in pytest; a window slot would be dead, r04 probe).
+    "audio_near_dup_det",             # tainted: _doc_grain_fan_out bystander
+    "copresence_lpa_convergence",     # tainted: lpa partition_edges
+    "dedup_method_kappa",             # tainted: shared det-subset scan (opt)
+    "docs_minhash_det_near_dup",      # tainted: SQL-string signature aggs
+    "docs_near_dup_quality_winner",   # tainted: nests the det-minhash pipeline
+    "images_near_dup_det",            # tainted: guarded doc-grain repartition
+    "minhash_estimate_audit",         # tainted: nests det-minhash pipeline
+    "minhash_index_health",           # tainted: nests det-minhash pipeline
+    "ngram_jaccard_near_dup",         # tainted: dedup.py module bystander
+    "orders_price_bootstrap_ci",      # tainted: ladder single-sourcing
+    "supplier_reach_bfs",             # tainted: bfs broadcast_frontier+partition
+    "trade_degree_assortativity",     # tainted: graph.py module bystander
+    "trade_hits_authorities",         # tainted: hits broadcast_scores+partition
+    "trade_pagerank_convergence",     # tainted: pagerank partition_edges
+    "trade_pagerank_det",             # tainted: pagerank partition_edges
+    "user_behavioral_distance",       # tainted: assume_nonneg_weights gate skip
+    "user_clustering_coefficient",    # tainted: triangle _node_broadcast guard
+    "user_copresence_communities",    # tainted: lpa partition_edges
+    "user_copresence_kcore",          # tainted: lazy checkpoints + persist flag
+    "user_copresence_triangles",      # tainted: triangle _node_broadcast guard
+    "videos_near_dup_det",            # tainted: guarded doc-grain repartition
+    # stalest-first backfill: the age-4 class (alphabetical within the
+    # class) — the r10 rotation's displaced set leads, per VERDICT #8
+    "crosslingual_near_dup",          # age 4
+    "customer_name_typo_pairs",       # age 4
+    "customer_rfm_segments",          # age 4
+    "doc_dedup_clusters",             # age 4
+    "doc_dup_span_coverage",          # age 4
+    "doc_median_tokens",              # age 4
+    "doc_repetition_by_source",       # age 4
+    "doc_term_counts_udtf",           # age 4
+    "docs_benchmark_containment",     # age 4
+    "docs_chunk_dedup",               # age 4
+    "docs_chunk_sliding",             # age 4
+    "docs_leakage_free_split",        # age 4
+    "docs_line_dedup",                # age 4
+    "docs_ngram_novelty",             # age 4
+    "docs_pack_ffd",                  # age 4
+    "docs_pii_scan",                  # age 4
+    "docs_weighted_sample",           # age 4
+    "embedding_diversity_sample_det", # age 4
+    "embedding_ivf_det_top5",         # age 4
+    "embedding_kmeans_det",           # age 4
+    "embedding_lsh_det_top5",         # age 4
+    "embedding_pq_det_top5",          # age 4
+    "event_type_audience_overlap",    # age 4
+    "events_coactivity",              # age 4
+    "events_cohort_retention",        # age 4
+    "events_conversion_latency",      # age 4
+    "events_conversion_paths",        # age 4
+    "events_frequent_users",          # age 4
+    "events_funnel",                  # age 4
 ]
 
 

@@ -128,10 +128,19 @@ def _changed_symbols(old: str | None, new: str) -> set[str]:
         tainted |= grown
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _changed_query_names() -> tuple[set[str], str | None]:
+    # cached: the taint diff (git show + AST walk over the ~14k-line
+    # workload module) costs ~2.5 min and BOTH window tests need it —
+    # the suite paid it twice (measured in the r11 full-suite
+    # durations report). Inputs are the on-disk tree + the marker
+    # commit, both fixed for a pytest session.
     base = _baseline_commit()
     if base is None:
-        return set(), None
+        return frozenset(), None
     changed_files = {
         f
         for f in _git("diff", "--name-only", base).splitlines()
@@ -171,7 +180,7 @@ def _changed_query_names() -> tuple[set[str], str | None]:
         for name, src in query_src.items():
             if any(re.search(rf"\b{re.escape(s)}\b", src) for s in syms):
                 tainted_queries.add(name)
-    return tainted_queries, base
+    return frozenset(tainted_queries), base
 
 
 def test_changed_queries_sit_inside_driver_window():

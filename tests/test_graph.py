@@ -858,3 +858,31 @@ def test_node_broadcast_guard_conf(spark):
     finally:
         spark.conf.unset(BROADCAST_NODE_FRAMES_CONF)
     assert _node_broadcast(df) is not df  # default: hint applied
+
+
+def test_shortest_paths_assume_nonneg_is_result_noop_and_guard_stays(spark):
+    """assume_nonneg_weights skips only the eager validation job; the
+    distances are identical, and the default path still rejects a
+    negative weight loudly."""
+    import pytest
+
+    from moisturizer_spark.operators.graph import shortest_paths_bounded
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 1), ("a", "c", 9)],
+        "src string, dst string, w long",
+    )
+    seed = spark.createDataFrame([("a",)], "node string")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows(shortest_paths_bounded(edges, seed, rounds=3))
+    assert rows(shortest_paths_bounded(
+        edges, seed, rounds=3, assume_nonneg_weights=True)) == base
+
+    bad = spark.createDataFrame(
+        [("a", "b", -1)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths_bounded(bad, seed, rounds=1)
