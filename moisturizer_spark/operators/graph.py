@@ -520,7 +520,18 @@ def _lpa_step(
 ) -> DataFrame:
     """One materialized synchronous LPA round: neighbor-label count +
     per-node argmax via ``min(struct(-count, label))`` (no second
-    shuffle for a window; materialized per the lineage lesson)."""
+    shuffle for a window; materialized per the lineage lesson).
+
+    A ``carry_prev`` variant — joining the node's previous label onto
+    the round's output inside this materialization, the
+    :func:`_pagerank_step` ``_rp`` shape, so the convergence
+    diagnostic's flip count becomes a plain aggregate — was built and
+    MEASURED in round 11 wave 3 and rejected: the in-step join
+    serializes ahead of the round boundary and adds jobs (interleaved
+    A/B on the copresence chain: median 8.1 → 11.1 s, jobs 31 → 34).
+    Unlike pagerank, LPA's update needs no join back against the
+    previous frame (every node has ≥1 neighbor on the symmetrized
+    list), so the carried column is pure added weight per round."""
     from moisturizer_spark.operators.common import materialize
 
     l_side = labels.select(F.col("_node").alias("_src"), F.col("_lab"))
@@ -575,7 +586,8 @@ def lpa_convergence(
     2-cycle and should not ship.
 
     Scale: one extra node-grain equi-join + 1-row aggregate per round
-    on top of the LPA rounds themselves."""
+    on top of the LPA rounds themselves (a fold-into-the-step variant
+    was measured and rejected — see :func:`_lpa_step`)."""
     e, labels = _lpa_setup(
         edges, src_col, dst_col, assume_distinct, partition_edges
     )
@@ -855,6 +867,7 @@ def shortest_paths_bounded(
     rounds: int = 3,
     broadcast_dist: bool = False,
     assume_nonneg_weights: bool = False,
+    partition_edges: bool = False,
 ) -> DataFrame:
     """Bounded-hop WEIGHTED shortest paths (min-plus Bellman–Ford,
     ``rounds`` relaxations unrolled into the plan): the weighted
@@ -891,19 +904,33 @@ def shortest_paths_bounded(
     int64; ANSI mode raises loudly rather than wraps if a caller
     passes pathological weights.
 
+    ``partition_edges=True`` persists the edge frame hash-partitioned
+    on ``_d`` (:func:`_keyed_edges`): with ``broadcast_dist`` the relax
+    join preserves that partitioning, so the per-round min's big input
+    — the relax rows, the side that scales with edges touched this
+    round — arrives already clustered on the reached node (``_n`` =
+    ``_d``) and only the sparse dist frame's rows land off-key in the
+    union's exchange (guide §2.4). Default off: the plain shape needs
+    no layout contract. (A full-outer ``least``-merge replacing the
+    union+groupBy entirely was also built and MEASURED in round 11
+    wave 3 and rejected: +2 jobs per run, no gain over the union's
+    map-side partial aggregation — interleaved A/B medians 6.0 vs 6.1 s
+    on the behavioral-distance chain.)
+
     Returns ``(node_col, dist)``.
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1 (got {rounds})")
     from moisturizer_spark.operators.common import materialize
 
-    e = materialize(
-        edges.select(
-            F.col(src_col).alias("_s"),
-            F.col(dst_col).alias("_d"),
-            F.col(weight_col).cast("bigint").alias("_w"),
-        )
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("bigint").alias("_w"),
     )
+    if partition_edges:
+        e = _keyed_edges(e, "_d")
+    e = materialize(e)
     if not assume_nonneg_weights:
         # scale-guard allowlist: 1-row scalar over the persisted edge
         # frame

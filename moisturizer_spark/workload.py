@@ -7765,10 +7765,25 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = materialize(
-        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+        t["lineitem"].select("l_orderkey", "l_partkey")
+        # hash(l_orderkey) BEFORE the distinct (subset-key clustering,
+        # the copresence-chain move): the dedup rides this exchange and
+        # the persisted frame comes out order-partitioned, so the
+        # basket cap window (PARTITION BY l_orderkey) and the pair
+        # self-join plan exchange-free on the cached layout (guide
+        # §2.4; lineitem's (orderkey, partkey) duplicate factor is ~1,
+        # so the pre-dedup exchange carries no extra bytes)
+        .repartition("l_orderkey")
+        .distinct()
     )
+    # count distinct orders off the SAME persisted frame (fills the
+    # cache the main pipeline reuses) instead of a second full
+    # lineitem scan+dedup — one parquet pass saved; identical value
+    # (li's orderkey set IS lineitem's). r11 wave-3 interleaved A/B of
+    # the two moves together: 3.05 → 2.17 s median, top-20 checksum
+    # identical.
     n_orders = (
-        t["lineitem"].select("l_orderkey").distinct().count()
+        li.select("l_orderkey").distinct().count()
     )
     freq = materialize(
         li.groupBy("l_partkey").agg(
@@ -8767,6 +8782,15 @@ def _copresence_pairs(t: dict, min_cells: int) -> DataFrame:
             ).alias("cell"),
             F.col("user_id"),
         )
+        # hash(cell) BEFORE the distinct: HashPartitioning on a subset
+        # of the dedup keys satisfies its ClusteredDistribution, so the
+        # dedup rides this one exchange AND the persisted frame comes
+        # out cell-partitioned — basket_pairs' per-cell cap window
+        # (PARTITION BY cell) then plans exchange-free on the cached
+        # layout (guide §2.4; r11 wave-3 interleaved A/B on the full
+        # pair chain: 1.95 → 1.54 s median, jobs 12 → 11, pair-set
+        # checksum identical). No explicit count: AQE sizes it.
+        .repartition("cell")
         .distinct()
     )
     # persisted: both consumers fan the pair frame into multiple plan
@@ -11636,6 +11660,10 @@ def user_behavioral_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortest_paths_bounded(
             we, seed, rounds=3, broadcast_dist=True,
             assume_nonneg_weights=True,
+            # edge frame persists hash(dst): each round's min-merge
+            # reads its big (relax) input pre-clustered on the reached
+            # node (guide §2.4; wave-3 A/B 6.44 → 6.12 s median)
+            partition_edges=True,
         )
         .select(F.col("node").alias("user_id"), F.col("dist").alias("dist_micro"))
         .orderBy("dist_micro", "user_id")
@@ -13596,6 +13624,7 @@ _NEEDS_DRIVER_ROW = [
     # minhash_near_dup is also tainted but exempt (no oracle — its
     # checks live in pytest; a window slot would be dead, r04 probe).
     "audio_near_dup_det",             # tainted: _doc_grain_fan_out bystander
+    "copresence_link_prediction",     # tainted: _copresence_pairs cell-partitioned dedup (wave 3)
     "copresence_lpa_convergence",     # tainted: lpa partition_edges
     "dedup_method_kappa",             # tainted: shared det-subset scan (opt)
     "docs_minhash_det_near_dup",      # tainted: SQL-string signature aggs
@@ -13605,6 +13634,7 @@ _NEEDS_DRIVER_ROW = [
     "minhash_index_health",           # tainted: nests det-minhash pipeline
     "ngram_jaccard_near_dup",         # tainted: dedup.py module bystander
     "orders_price_bootstrap_ci",      # tainted: ladder single-sourcing
+    "part_affinity_lift",             # tainted: order-partitioned dedup + li-reuse count (wave 3)
     "supplier_reach_bfs",             # tainted: bfs broadcast_frontier+partition
     "trade_degree_assortativity",     # tainted: graph.py module bystander
     "trade_hits_authorities",         # tainted: hits broadcast_scores+partition
@@ -13645,9 +13675,12 @@ _NEEDS_DRIVER_ROW = [
     "events_cohort_retention",        # age 4
     "events_conversion_latency",      # age 4
     "events_conversion_paths",        # age 4
-    "events_frequent_users",          # age 4
-    "events_funnel",                  # age 4
 ]
+# wave-3 swap: events_frequent_users / events_funnel (age-4 backfill)
+# rotated back out to make room for the two newly tainted queries —
+# age-4 peers remain both inside and outside the window, so the
+# stalest-first invariant (min inside age == max outside age == 4)
+# is preserved.
 
 
 def _reorder_registry() -> None:

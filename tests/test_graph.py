@@ -886,3 +886,37 @@ def test_shortest_paths_assume_nonneg_is_result_noop_and_guard_stays(spark):
     )
     with pytest.raises(ValueError, match="non-negative"):
         shortest_paths_bounded(bad, seed, rounds=1)
+
+
+def test_shortest_paths_partition_edges_is_result_noop(spark):
+    """r11 wave 3: partition_edges persists the edge frame hash(_d) so
+    the per-round min arrives pre-clustered on the reached node. A
+    physical-only change — distances must be bit-identical to the base
+    shape, including weighted ties and unreached-node behavior, on a
+    random weighted graph."""
+    import random
+
+    from moisturizer_spark.operators.graph import shortest_paths_bounded
+
+    rng = random.Random(17)
+    rows = list({
+        (f"n{rng.randrange(25)}", f"n{rng.randrange(25)}")
+        for _ in range(150)
+    })
+    edges = spark.createDataFrame(
+        [(a, b, rng.randrange(0, 50)) for a, b in rows if a != b],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("n1",), ("n2",)], "node string")
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows_of(shortest_paths_bounded(
+        edges, seeds, rounds=3, broadcast_dist=True))
+    assert rows_of(shortest_paths_bounded(
+        edges, seeds, rounds=3, broadcast_dist=True,
+        partition_edges=True)) == base
+    # partitioning without the broadcast contract is equally exact
+    assert rows_of(shortest_paths_bounded(
+        edges, seeds, rounds=3, partition_edges=True)) == base
